@@ -1,0 +1,187 @@
+"""Sliding-window pairwise Pearson correlation — W2 + J6 + C1/C2
+(SURVEY.md §2.2/§2.5/§2.6).
+
+Reference: ``application/computation/ComputeCorrelationsDoFn.java:104-208``
+(and its side-input twin ``PartitionedComputeCorrelationsDoFn``): per
+sliding window, for every unordered instrument pair, Pearson r over the
+two time-sorted return series via commons-math3, with a min-|r| emission
+threshold, a NaN-propagation policy (NaN → value=1.0 + is_nan flag,
+``:188-193``), and optional carrying of the underlying arrays.
+
+Spark-first design: the reference's hand-rolled pair partitioning
+(``WorkPacketUtils.getMyPartitions``, 20-way fan-out, singleton side input
+— J4/J5/J7) is replaced by ONE declarative plan:
+
+    returns → sliding window assignment → self-join on
+    (window, time) with ``a.key < b.key`` → groupBy(window, key1, key2)
+    → F.corr
+
+``a.key < b.key`` eliminates self-pairs and duplicate unordered pairs
+declaratively (the reference's string-interning ``==`` bug, §2.9.3, and
+its "key1 :: key2" canonicalization both disappear). The join hashes on
+(window, time): within one window slide each time bucket has n rows per
+side, so the shuffle key spreads the O(n²) pair space across the cluster
+exactly like the reference's hash(pairKey) % partitions — but chosen by
+Catalyst/AQE, with skew-join splitting for hot windows.
+
+Positional-pairing parity: the reference pairs the two series by sort
+order, not by timestamp; after gap-fill both series tick in every window,
+so join-on-time is the same pairing (and is well-defined when it isn't).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CorrelationConfig:
+    """Mirrors ``CorrolationParDoConfig`` (ComputeCorrelationsDoFn.java:49-92).
+
+    Defaults match the reference's (min 0.5, no NaN propagation,
+    no underlying); the demo pipeline overrides to (0.0, True, True).
+    """
+    window: str = "600 seconds"
+    slide: str = "300 seconds"
+    min_corr: float = 0.5
+    propagate_nan: bool = False
+    include_underlying: bool = False
+
+
+def _windowed(returns: DataFrame, config: CorrelationConfig) -> DataFrame:
+    return returns.select(
+        F.window("time", config.window, config.slide).alias("w"),
+        "key", "time", "value",
+    )
+
+
+def pairwise_correlations(returns: DataFrame,
+                          config: CorrelationConfig | None = None) -> DataFrame:
+    """All-pairs Pearson correlation per sliding window via built-in
+    ``F.corr`` (JVM-side, whole-stage codegen — the fast path).
+
+    Output: (window_start, window_end, key1, key2, value, x_count,
+    y_count, is_nan [, x_values, y_values]). Pairs with fewer than two
+    aligned points are skipped (reference guard at
+    ``ComputeCorrelationsDoFn.java:128``; we check the pair, not just one
+    side — §2.9.4). NaN r (zero variance) becomes value=1.0 + is_nan=true
+    when ``propagate_nan`` else is dropped; finite r is emitted only when
+    ``abs(r) >= min_corr``.
+    """
+    cfg = config or CorrelationConfig()
+    w = _windowed(returns, cfg)
+    a, b = w.alias("a"), w.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.w") == F.col("b.w"))
+        & (F.col("a.time") == F.col("b.time"))
+        & (F.col("a.key") < F.col("b.key")),
+    )
+    aggs = [
+        F.corr(F.col("a.value"), F.col("b.value")).alias("r"),
+        F.count(F.lit(1)).cast("int").alias("n"),
+    ]
+    if cfg.include_underlying:
+        aggs += [
+            F.array_sort(F.collect_list(F.struct(
+                F.col("a.time").alias("time"), F.col("a.value").alias("value")
+            ))).alias("x_values"),
+            F.array_sort(F.collect_list(F.struct(
+                F.col("b.time").alias("time"), F.col("b.value").alias("value")
+            ))).alias("y_values"),
+        ]
+    g = joined.groupBy(
+        F.col("a.w").alias("w"),
+        F.col("a.key").alias("key1"),
+        F.col("b.key").alias("key2"),
+    ).agg(*aggs)
+
+    g = g.where(F.col("n") >= 2)
+    is_nan = F.isnan(F.col("r")) | F.col("r").isNull()
+    if cfg.propagate_nan:
+        keep = (~is_nan & (F.abs(F.col("r")) >= F.lit(cfg.min_corr))) | is_nan
+        value = F.when(is_nan, F.lit(1.0)).otherwise(F.col("r"))
+    else:
+        keep = ~is_nan & (F.abs(F.col("r")) >= F.lit(cfg.min_corr))
+        value = F.col("r")
+
+    cols = [
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "key1", "key2",
+        value.alias("value"),
+        F.col("n").alias("x_count"),
+        F.col("n").alias("y_count"),
+        is_nan.alias("is_nan"),
+    ]
+    if cfg.include_underlying:
+        cols += ["x_values", "y_values"]
+    return g.where(keep).select(*cols)
+
+
+def pairwise_correlations_exact(returns: DataFrame,
+                                config: CorrelationConfig | None = None) -> DataFrame:
+    """Exact-parity variant: numpy ``corrcoef`` over per-pair arrays via a
+    grouped-map Pandas UDF — bit-for-bit the reference's commons-math3
+    positional-pairing semantics. Used in parity tests; the F.corr path is
+    the production plan (same math, different summation order).
+    """
+    import pandas as pd  # noqa: F401 — imported for executors
+
+    cfg = config or CorrelationConfig()
+    w = _windowed(returns, cfg)
+    a, b = w.alias("a"), w.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.w") == F.col("b.w"))
+        & (F.col("a.time") == F.col("b.time"))
+        & (F.col("a.key") < F.col("b.key")),
+    ).select(
+        F.col("a.w.start").alias("window_start"),
+        F.col("a.w.end").alias("window_end"),
+        F.col("a.key").alias("key1"),
+        F.col("b.key").alias("key2"),
+        F.col("a.time").alias("time"),
+        F.col("a.value").alias("x"),
+        F.col("b.value").alias("y"),
+    )
+
+    min_corr, propagate = cfg.min_corr, cfg.propagate_nan
+
+    def compute(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("time")
+        n = len(pdf)
+        out_schema = ["window_start", "window_end", "key1", "key2",
+                      "value", "x_count", "y_count", "is_nan"]
+        if n < 2:
+            return pd.DataFrame(columns=out_schema)
+        with np.errstate(all="ignore"):
+            r = float(np.corrcoef(pdf["x"].to_numpy(), pdf["y"].to_numpy())[0, 1])
+        is_nan = bool(np.isnan(r))
+        if is_nan and not propagate:
+            return pd.DataFrame(columns=out_schema)
+        if not is_nan and abs(r) < min_corr:
+            return pd.DataFrame(columns=out_schema)
+        head = pdf.iloc[0]
+        return pd.DataFrame([{
+            "window_start": head["window_start"],
+            "window_end": head["window_end"],
+            "key1": head["key1"],
+            "key2": head["key2"],
+            "value": 1.0 if is_nan else r,
+            "x_count": n,
+            "y_count": n,
+            "is_nan": is_nan,
+        }])
+
+    out_schema = ("window_start timestamp, window_end timestamp, "
+                  "key1 string, key2 string, value double, "
+                  "x_count int, y_count int, is_nan boolean")
+    return joined.groupBy("window_start", "window_end", "key1", "key2") \
+                 .applyInPandas(compute, out_schema)

@@ -1,0 +1,66 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local test/bench runs use ``local[$SPARK_GRAFT_CPUS]``; on a real cluster
+the same configs apply (AQE, UTC session time, Arrow). Shuffle partitions
+default to 32 locally — on a 1000-executor cluster set
+``spark.sql.shuffle.partitions`` to 2-3x total cores (AQE coalesces down).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    # Spark 4 enables ANSI mode by default, which turns zero-variance
+    # Pearson correlation into a DIVIDE_BY_ZERO error. The reference's
+    # semantics (ComputeCorrelationsDoFn.java:188-193) are NaN-propagating
+    # — commons-math3 returns NaN for flat series — so the engine runs
+    # with classic (non-ANSI) SQL semantics.
+    "spark.sql.ansi.enabled": "false",
+    # Adaptive query execution: runtime re-plan, partition coalescing,
+    # skew-join splitting — essential at 100 TB where static planning
+    # can't see real partition sizes.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # All timestamps are event-time data; pin UTC so collected values are
+    # zone-independent (the reference's goldens were minted in a default
+    # zone — SURVEY.md §2.9.6 — we refuse to repeat that).
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for any pandas_udf / toPandas path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Small dims (instruments, nation, region) should broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Parquet vectorized reader + pushdown are on by default; keep them.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.ui.showConsoleProgress": "false",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "data-timeseries-spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """Create (or fetch) the engine's SparkSession.
+
+    Env knobs: ``SPARK_GRAFT_CPUS`` (local parallelism, default 32),
+    ``SPARK_GRAFT_MASTER`` (override master URL).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+
+    builder = (SparkSession.builder.appName(app_name).master(master)
+               .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+               .config("spark.driver.memory",
+                       os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")))
+    for k, v in _DEFAULTS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, str(v))
+    return builder.getOrCreate()

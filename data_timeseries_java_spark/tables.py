@@ -1,0 +1,61 @@
+"""Loaders for the driver's TPC-H-ish testdata tables.
+
+The testdata parquet files store timestamps as INT64 TIMESTAMP(NANOS),
+which Spark's vectorized parquet reader rejects outright
+(PARQUET_TYPE_ILLEGAL). We read them with
+``spark.sql.legacy.parquet.nanosAsLong=true`` (nanos surface as BIGINT)
+and convert to TimestampType by integer division to microseconds — the
+same truncation DuckDB applies, so oracle comparisons agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# timestamp-typed columns per table (stored as INT64 nanos in parquet)
+_TS_COLS = {
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+    "events": ["ts"],
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _TS_COLS.get(name, []):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(
+                c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def events_as_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View the `events` table as an FX tick stream: key = event_type,
+    bid = ask = value, all rows live. This is how the oracle-checked
+    queries exercise the FX operator chain on driver-provided data."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_type").alias("key"),
+        F.col("ts").alias("event_time"),
+        F.col("value").alias("bid"),
+        F.col("value").alias("ask"),
+        F.lit(True).alias("is_live"),
+    )
