@@ -1,38 +1,44 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (sliding-window pairwise
+correlation over the events tick stream) at sf0.001. ``queries()`` /
+``oracle_sql()`` expose the full declared operator inventory
+(SURVEY.md §2 + training-data extensions) for the sf0.01 DuckDB
+correctness gate.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: FX pipeline end-to-end on /root/testdata/sf0.001 —
+    gap-filled OHLC candles → carry-forward → log returns → sliding
+    window all-pairs Pearson correlation."""
+    from data_timeseries_java_spark.queries.fx import q_fx_pair_correlation
+
+    return q_fx_pair_correlation(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (+M4/M6
+    extensions). Each callable takes (spark, sf_dir) → DataFrame."""
+    from data_timeseries_java_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents (same column names; computed
+    float columns rounded identically on both sides). Queries without an
+    entry here (Python-stub codecs) get the rows-only check."""
+    from data_timeseries_java_spark.queries import all_oracles
+
+    return all_oracles()

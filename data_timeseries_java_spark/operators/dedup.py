@@ -1,0 +1,187 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash groupBy), MinHash + LSH banding, SimHash, and exact n-gram
+Jaccard — all as declarative DataFrame plans over built-in functions.
+Hashing is md5-hex (portable across engines, uniformly distributed), so
+every stage is oracle-checkable; MinHash signatures are the
+lexicographic MIN of md5 hex digests, band buckets are md5 of
+concatenated band rows.
+
+Scale design:
+- exact dedup: one shuffle on the content hash.
+- minhash: signatures are a per-doc aggregation (shuffle on doc_id — or
+  none if shingling stays within a partition); candidate generation
+  shuffles on (band, bucket) — the LSH point: only same-bucket docs
+  meet, never the full O(n²) pair space. Verification joins only
+  candidate pairs.
+- simhash: pure map + one groupBy for cluster assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_timeseries_java_spark.operators.text import tokens
+
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BAND_SIZE = 4
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized content hash. Output: one row per doc
+    with its content hash, the group's keeper (min id), and group size."""
+    hashed = df.select(
+        F.col(id_col), F.md5(F.lower(F.col(text_col))).alias("content_hash"))
+    groups = hashed.groupBy("content_hash").agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return (hashed.join(groups, "content_hash")
+            .select(id_col, "content_hash", "keeper_id", "group_size",
+                    (F.col(id_col) != F.col("keeper_id")).alias("is_duplicate")))
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             k: int = 1) -> DataFrame:
+    """Distinct k-word shingles per document: (id, shingle)."""
+    t = tokens(F.col(text_col))
+    if k == 1:
+        sh = F.array_distinct(t)
+    else:
+        # guard short docs: sequence(0, negative) would count DOWN
+        sh = F.when(
+            F.size(t) >= k,
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(0), F.size(t) - k),
+                lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(k)]),
+            )),
+        ).otherwise(F.array().cast("array<string>"))
+    return (df.select(F.col(id_col), F.explode(sh).alias("shingle")))
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",
+                       num_hashes: int = DEFAULT_NUM_HASHES) -> DataFrame:
+    """MinHash signature per doc: sig_i = min(md5(i || ':' || shingle)).
+    One aggregation, num_hashes min() columns — all map-side combinable."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        num_hashes: int = DEFAULT_NUM_HASHES,
+                        band_size: int = DEFAULT_BAND_SIZE) -> DataFrame:
+    """LSH banding: bucket = md5(sig_b*4 .. sig_b*4+3); docs sharing any
+    (band, bucket) become a candidate pair (id_a < id_b)."""
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
+        bands.append(F.struct(F.lit(b).alias("band"),
+                              F.md5(F.concat_ws("|", *cols)).alias("bucket")))
+    exploded = sigs.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+
+
+def shingle_sets(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Collapse exploded shingles back to one distinct-set array per doc."""
+    return sh.groupBy(id_col).agg(
+        F.array_distinct(F.collect_list("shingle")).alias("sh_set"))
+
+
+def jaccard_verify(pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id",
+                   threshold: float = 0.7) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs; keep pairs
+    >= threshold.
+
+    Intersection runs as JVM-side ``array_intersect`` on per-doc set
+    arrays (two hash joins to attach the arrays, then a narrow map) —
+    NOT an explode-equality join, which multiplies candidate pairs by
+    shingle count and dominated wall-clock on high-overlap corpora."""
+    sets = shingle_sets(sh, id_col)
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("sh_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("sh_b"))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter)
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 1,
+                      num_hashes: int = DEFAULT_NUM_HASHES,
+                      band_size: int = DEFAULT_BAND_SIZE,
+                      threshold: float = 0.7) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → signature → band →
+    candidate pairs → exact-Jaccard verify."""
+    sh = shingles(df, text_col, id_col, k)
+    sigs = minhash_signatures(sh, id_col, num_hashes)
+    pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
+    return jaccard_verify(pairs, sh, id_col, threshold)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """SimHash over the distinct token set: bit j of the fingerprint is 1
+    iff more than half the tokens have hex digit j of md5(token) >= 8
+    (i.e., the top bit of that nibble). Output: doc + 0/1 fingerprint
+    string + cluster keeper (min doc id with identical simhash)."""
+    toks = df.select(F.col(id_col),
+                     F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
+    h = toks.withColumn("hx", F.md5(F.col("tok")))
+    bit_sums = [
+        F.sum(F.when(F.substring("hx", j + 1, 1).isin(
+            *"89abcdef"), 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = h.groupBy(id_col).agg(*bit_sums, F.count(F.lit(1)).alias("n_tokens"))
+    sim = agg.select(
+        id_col, "n_tokens",
+        F.concat(*[F.when(F.col(f"b{j}") > 0, "1").otherwise("0")
+                   for j in range(bits)]).alias("simhash"),
+    )
+    clusters = sim.groupBy("simhash").agg(F.min(id_col).alias("cluster_id"))
+    return sim.join(clusters, "simhash").select(
+        id_col, "simhash", "cluster_id", "n_tokens")
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", block_col: str | None = None,
+                        k: int = 1, threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, optionally blocked by a
+    grouping column (e.g. lang) to bound the pair space."""
+    sh = shingles(df, text_col, id_col, k)
+    if block_col:
+        sh = sh.join(df.select(id_col, block_col), id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    inter = (a.join(b, cond)
+             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    out = (inter
+           .join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+           .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+           .select("id_a", "id_b",
+                   (F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))).alias("jaccard")))
+    return out.where(F.col("jaccard") >= threshold) \
+              .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline; random-hyperplane LSH
+bucketing as the approximate scale path. Dot products run JVM-side via
+``zip_with``/``aggregate`` higher-order functions (no Python UDF in the
+hot path).
+
+Portability: LSH hyperplane weights come from an integer LCG
+(h = (1103515245 * idx + 12345) mod 2^31, idx = plane*dim_count + dim) —
+pure BIGINT arithmetic that any engine reproduces bit-exactly, unlike
+float transcendentals.
+
+Scale design: brute-force is queries x corpus — fine when one side is
+small (broadcast). For corpus x corpus near-dup at 100 TB use the LSH
+path: shuffle on bucket, compare only within buckets. The IVF variant
+(coarse k-means) would slot in the same way; LSH needs no training pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LCG_A = 1103515245
+LCG_C = 12345
+LCG_M = 2**31
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("_norm", _norm(F.col(vec_col)))
+
+
+def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 block_col: str | None = None,
+                 threshold: float = 0.9) -> DataFrame:
+    """Embedding near-dup: all pairs (optionally blocked) with cosine >=
+    threshold. Blocking (e.g. by cluster label / LSH bucket) keeps the
+    pair space sub-quadratic."""
+    base = with_norm(df, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("_norm"),
+        *( [F.col(block_col)] if block_col else [] ))
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    cos = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        F.col("a._norm") * F.col("b._norm"))
+    return (a.join(b, cond)
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    cos.alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+
+
+def knn_bruteforce(df: DataFrame, queries: DataFrame, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (broadcast the
+    query side; corpus streams). Ties break on neighbor id."""
+    from pyspark.sql import Window
+
+    corpus = with_norm(df, vec_col).select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec"),
+        F.col("_norm").alias("nbr_norm"))
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        F.col("_norm").alias("q_norm"))
+    cos = _dot(F.col("q_vec"), F.col("nbr_vec")) / (F.col("q_norm") * F.col("nbr_norm"))
+    scored = (F.broadcast(q).crossJoin(corpus)
+              .where(F.col("query_id") != F.col("nbr_id"))
+              .select("query_id", "nbr_id", cos.alias("cosine")))
+    # rank on round(cos, 9): a last-ulp summation-order difference must
+    # not flip ranks between engines
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine", 9)), F.asc("nbr_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "nbr_id", "rank", F.round("cosine", 6).alias("cosine")))
+
+
+def lsh_hyperplanes(spark, n_planes: int, dim: int) -> DataFrame:
+    """Deterministic pseudo-random hyperplanes via integer LCG (portable
+    across engines — no float transcendentals)."""
+    return spark.range(n_planes).withColumnRenamed("id", "plane").crossJoin(
+        spark.range(dim).withColumnRenamed("id", "dim")
+    ).select(
+        "plane", "dim",
+        (((F.lit(LCG_A) * (F.col("plane") * dim + F.col("dim")) + LCG_C)
+          % LCG_M) / LCG_M - 0.5).alias("w"),
+    )
+
+
+def lsh_bucket_signatures(df: DataFrame, planes: DataFrame,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          n_planes: int = 8, n_tables: int = 4) -> DataFrame:
+    """Random-hyperplane LSH: per (vector, table) a sign-bit bucket string.
+    planes must cover n_planes * n_tables hyperplanes. The heavy join
+    (vectors x planes) broadcasts the tiny plane table and aggregates
+    map-side."""
+    comp = df.select(F.col(id_col), F.posexplode(vec_col).alias("dim", "x"))
+    dots = (comp.join(F.broadcast(planes), "dim")
+            .groupBy(id_col, "plane")
+            .agg(F.sum(F.col("x").cast("double") * F.col("w")).alias("dot")))
+    bits = dots.select(
+        id_col,
+        F.floor(F.col("plane") / n_planes).cast("int").alias("table"),
+        (F.col("plane") % n_planes).alias("slot"),
+        F.when(F.col("dot") >= 0, "1").otherwise("0").alias("bit"),
+    )
+    return (bits.groupBy(id_col, "table")
+            .agg(F.concat_ws("", F.array_sort(F.collect_list(
+                F.struct("slot", "bit")))["bit"]).alias("bucket")))
+
+
+def ann_lsh_topk(df: DataFrame, query_ids: DataFrame, k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_planes: int = 8, n_tables: int = 4) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket in ANY table with
+    the query; exact cosine re-rank on candidates only."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    dim = len(df.select(vec_col).head()[0])
+    planes = lsh_hyperplanes(spark, n_planes * n_tables, dim)
+    sigs = lsh_bucket_signatures(df, planes, id_col, vec_col, n_planes, n_tables)
+    qsigs = sigs.join(query_ids.withColumnRenamed(id_col, id_col), id_col, "left_semi")
+    cand = (qsigs.alias("q").join(sigs.alias("c"),
+            (F.col("q.table") == F.col("c.table"))
+            & (F.col("q.bucket") == F.col("c.bucket"))
+            & (F.col(f"q.{id_col}") != F.col(f"c.{id_col}")))
+            .select(F.col(f"q.{id_col}").alias("query_id"),
+                    F.col(f"c.{id_col}").alias("nbr_id"))
+            .distinct())
+    base = with_norm(df, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("_norm"))
+    qv = base.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+                     F.col("_norm").alias("q_norm"))
+    cv = base.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec"),
+                     F.col("_norm").alias("nbr_norm"))
+    cos = _dot(F.col("q_vec"), F.col("nbr_vec")) / (F.col("q_norm") * F.col("nbr_norm"))
+    scored = (cand.join(qv, "query_id").join(cv, "nbr_id")
+              .select("query_id", "nbr_id", cos.alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine", 9)), F.asc("nbr_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "nbr_id", "rank", F.round("cosine", 6).alias("cosine")))

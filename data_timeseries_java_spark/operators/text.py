@@ -1,0 +1,148 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure built-in column expressions (whole-stage codegen, no UDFs):
+tokenization, language-ID scoring, quality scoring, token counting,
+document fingerprinting. Deterministic and engine-portable — hashing is
+md5-hex (identical in Spark and DuckDB), so every operator is
+oracle-checkable.
+
+Scale: each operator is a narrow map over the corpus (no shuffle except
+the explicit groupBys), so it pipelines with the parquet scan at any
+data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lexicons for the n-gram/stopword language-ID
+# heuristic. Deliberately small: the heuristic is the operator; real
+# deployments swap in bigger lexicons.
+LANG_LEXICONS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "zu", "ist"],
+    "en": ["the", "a", "of", "and", "to", "is"],
+    "es": ["el", "la", "de", "y", "que", "es"],
+    "fr": ["le", "la", "de", "et", "les", "est"],
+    "zh": ["de", "shi", "bu", "le", "zai", "you"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_LEXICONS.values() for w in ws})
+
+# BPE-ish pretokenizer: letter runs, digit runs, single punctuation.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of lowercased text (empty strings removed)."""
+    return F.filter(F.split(F.lower(text), " "), lambda t: t != "")
+
+
+def tokenize(df: DataFrame, text_col: str = "text",
+             out_col: str = "toks") -> DataFrame:
+    return df.withColumn(out_col, tokens(F.col(text_col)))
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex tokens, distinct
+    tokens, chars-per-token."""
+    t = tokens(F.col(text_col))
+    n_ws = F.size(t).cast("long")
+    # F.lit for the pattern: SQL string literals would eat the backslash
+    n_bpe = F.size(F.regexp_extract_all(
+        F.col(text_col), F.lit(TOKEN_REGEX), F.lit(0))).cast("long")
+    n_distinct = F.size(F.array_distinct(t)).cast("long")
+    return df.select(
+        "doc_id",
+        n_ws.alias("n_tokens_ws"),
+        n_bpe.alias("n_tokens_bpe"),
+        n_distinct.alias("n_tokens_distinct"),
+        F.round(F.length(text_col) / F.greatest(n_ws, F.lit(1)), 6).alias("chars_per_token"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length, punctuation ratio, stopword
+    ratio, mean token length → [0,1] composite score."""
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t).cast("double")
+    n_chars = F.length(text_col).cast("double")
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9 ]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x))).cast("double")
+    mean_tok_len = (n_chars - (n_tok - 1)) / F.greatest(n_tok, F.lit(1.0))
+
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1.0))
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1.0))
+    score = (F.lit(0.4) * len_score
+             + F.lit(0.3) * (1 - F.least(punct_ratio * 5, F.lit(1.0)))
+             + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0)))
+    return df.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID: stopword-lexicon hit-rate per language, argmax wins
+    (ties break on language code). Returns per-doc best language + score."""
+    t = F.array_distinct(tokens(F.col(text_col)))
+    n_tok = F.size(tokens(F.col(text_col))).cast("double")
+    scored = df.select("doc_id", F.col("lang").alias("declared_lang"), t.alias("toks"), n_tok.alias("n"))
+    # hits per language over the raw (non-distinct) token stream
+    raw = df.select("doc_id", F.col("lang").alias("declared_lang"),
+                    tokens(F.col(text_col)).alias("toks"),
+                    F.size(tokens(F.col(text_col))).cast("double").alias("n"))
+    lang_scores = []
+    for lang, words in sorted(LANG_LEXICONS.items()):
+        lex = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(F.col("toks"), lambda x: F.array_contains(lex, x))).cast("double")
+        lang_scores.append(F.struct(
+            F.round(hits / F.greatest(F.col("n"), F.lit(1.0)), 6).alias("score"),
+            F.lit(lang).alias("lang"),
+        ))
+    # argmax: sort (score, lang) structs; max = best score, and ties pick
+    # the LAST language alphabetically unless we invert — sort desc on
+    # score, asc on lang: flip lang comparison by sorting on struct
+    # (score, reversed-lang-rank).
+    arr = F.array(*lang_scores)
+    # deterministic argmax: maximum of (score, lang_rank_desc) where
+    # lang_rank_desc makes earlier alphabet win ties
+    ranked = []
+    langs_sorted = sorted(LANG_LEXICONS)
+    for i, s in enumerate(lang_scores):
+        ranked.append(F.struct(
+            s["score"].alias("score"),
+            F.lit(len(langs_sorted) - i).alias("rank"),  # earlier lang → higher rank
+            s["lang"].alias("lang"),
+        ))
+    best = F.array_max(F.array(*ranked))
+    return raw.select(
+        "doc_id", "declared_lang",
+        best["lang"].alias("predicted_lang"),
+        best["score"].alias("lang_score"),
+        (best["lang"] == F.col("declared_lang")).alias("lang_match"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprinting: md5 over the sorted distinct token set
+    (content-shape fingerprint, robust to word order), a short prefix
+    fingerprint, and a min-token-hash (1-perm minhash) sketch."""
+    t = tokens(F.col(text_col))
+    sorted_distinct = F.array_sort(F.array_distinct(t))
+    fp = F.md5(F.concat_ws(" ", sorted_distinct))
+    prefix = F.md5(F.concat_ws(" ", F.slice(t, 1, 5)))
+    minhash1 = F.array_min(F.transform(F.array_distinct(t), lambda x: F.md5(x)))
+    return df.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(prefix, 1, 16).alias("prefix_fp"),
+        minhash1.alias("min_token_hash"),
+    )

@@ -1,0 +1,187 @@
+"""Deduplication queries over the `documents` table, with DuckDB oracles.
+
+Shingle size k=2 (word bigrams): the synthetic corpus draws from a small
+shared vocabulary, so unigram sets overlap ~uniformly; bigram sets
+separate the planted near-duplicates (Jaccard ≈ 0.99) from background
+pairs (≈ 0.02), which is the regime LSH banding is built for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_timeseries_java_spark.operators.dedup import (
+    DEFAULT_BAND_SIZE,
+    DEFAULT_NUM_HASHES,
+    exact_duplicates,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from data_timeseries_java_spark.tables import load_table
+
+SHINGLE_K = 2
+JACCARD_T = 0.7
+NGRAM_T = 0.5
+SIMHASH_BITS = 32
+
+# ---- shared DuckDB fragments -------------------------------------------
+# word-bigram shingles via list comprehension (1-indexed lists;
+# range(1, len) yields i = 1..len-1 → pairs (i, i+1))
+
+_TOKS = """
+toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]) AS shingle
+  FROM toks
+)
+"""
+
+
+def _minhash_sql(num_hashes: int = DEFAULT_NUM_HASHES,
+                 band_size: int = DEFAULT_BAND_SIZE,
+                 threshold: float = JACCARD_T) -> str:
+    sig_cols = ",\n         ".join(
+        f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(num_hashes))
+    n_bands = num_hashes // band_size
+    band_selects = []
+    for b in range(n_bands):
+        parts = " || '|' || ".join(
+            f"sig_{b * band_size + j}" for j in range(band_size))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sigs")
+    bands = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH {_TOKS},
+sigs AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+ssets AS (SELECT doc_id, list(shingle) AS sh_set FROM sh GROUP BY doc_id),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(a.sh_set, b.sh_set))
+           / (len(a.sh_set) + len(b.sh_set)
+              - len(list_intersect(a.sh_set, b.sh_set))) AS jac
+  FROM cand c
+  JOIN ssets a ON a.doc_id = c.id_a
+  JOIN ssets b ON b.doc_id = c.id_b
+)
+SELECT id_a, id_b, round(jac, 6) AS jaccard
+FROM scored WHERE jac >= {threshold}
+"""
+
+
+def _simhash_sql(bits: int = SIMHASH_BITS) -> str:
+    # simhash stays on unigram tokens (token-level fingerprint)
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN substr(md5(tok), {j + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits))
+    bit_concat = " || ".join(
+        f"CASE WHEN b{j} > 0 THEN '1' ELSE '0' END" for j in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM toks),
+agg AS (
+  SELECT doc_id,
+         {bit_sums},
+         count(*) AS n_tokens
+  FROM tok GROUP BY doc_id
+),
+sim AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         {bit_concat} AS simhash
+  FROM agg
+),
+clusters AS (SELECT simhash, min(doc_id) AS cluster_id FROM sim GROUP BY simhash)
+SELECT s.doc_id, s.simhash, c.cluster_id, s.n_tokens
+FROM sim s JOIN clusters c ON s.simhash = c.simhash
+"""
+
+
+_NGRAM_SQL = f"""
+WITH {_TOKS},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+shl AS (SELECT s.doc_id, t.lang, s.shingle
+        FROM sh s JOIN toks t ON s.doc_id = t.doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM shl a JOIN shl b
+    ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b,
+       round(i.n_inter / (za.sz + zb.sz - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+WHERE i.n_inter / (za.sz + zb.sz - i.n_inter) >= {NGRAM_T}
+"""
+
+
+# ---- Spark side ----------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_duplicates(docs)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(docs, k=SHINGLE_K, threshold=JACCARD_T)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, bits=SIMHASH_BITS)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, block_col="lang", k=SHINGLE_K,
+                               threshold=NGRAM_T)
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+}
+
+ORACLE = {
+    "dedup_exact": """
+WITH hashed AS (
+  SELECT doc_id, md5(lower(text)) AS content_hash FROM documents
+),
+groups AS (
+  SELECT content_hash, min(doc_id) AS keeper_id, count(*) AS group_size
+  FROM hashed GROUP BY content_hash
+)
+SELECT h.doc_id, h.content_hash, g.keeper_id, g.group_size,
+       h.doc_id <> g.keeper_id AS is_duplicate
+FROM hashed h JOIN groups g ON h.content_hash = g.content_hash
+""",
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "dedup_ngram_jaccard": _NGRAM_SQL,
+}

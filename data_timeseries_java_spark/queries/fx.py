@@ -1,0 +1,313 @@
+"""FX pipeline queries over the driver's `events` table.
+
+Exercises the reference operator chain (SURVEY.md §2: S1-S4, W1-W5,
+A1-A4, P1-P4, J1-J6, C1-C2) on driver-provided data: `events` viewed as a
+tick stream (key = event_type, bid = ask = value). Candle resolution 1 h;
+correlation sliding window 6 h every 3 h (size = 2x slide, mirroring the
+reference's 600/300 default shape).
+
+The Spark side reuses the engine operators (candles.py / returns.py /
+correlation.py); the oracle side re-derives the same semantics in
+independent DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_timeseries_java_spark.operators import (
+    CorrelationConfig,
+    complete_candles,
+    gap_fill,
+    log_returns,
+    ohlc_candles,
+    pairwise_correlations,
+)
+from data_timeseries_java_spark.tables import events_as_ticks
+
+RES = "1 hour"
+RES_MS = 3_600_000
+CORR_WINDOW = "6 hours"
+CORR_SLIDE = "3 hours"
+
+# Shared oracle CTE prelude: events → ticks → live candles → gap rows →
+# carry-forward complete candles → log returns. Window arithmetic is
+# epoch-aligned integer math, matching Spark's epoch-aligned F.window.
+_PRELUDE = f"""
+WITH ticks AS (
+  SELECT event_type AS key, ts AS event_time, value AS price
+  FROM events
+),
+tk AS (
+  SELECT *, (epoch_ms(event_time) // {RES_MS}) * {RES_MS} AS w_start_ms
+  FROM ticks
+),
+obs AS (SELECT DISTINCT w_start_ms, key FROM tk),
+wins AS (SELECT DISTINCT w_start_ms FROM obs),
+keys AS (SELECT DISTINCT key FROM ticks),
+missing AS (
+  SELECT w.w_start_ms, k.key FROM wins w CROSS JOIN keys k
+  EXCEPT
+  SELECT w_start_ms, key FROM obs
+),
+live_candles AS (
+  SELECT key, w_start_ms,
+         count(*) AS n_ticks,
+         min(price) AS min_price,
+         max(price) AS max_price,
+         arg_max(price, event_time) AS close_price,
+         epoch_ms(max(event_time)) AS close_time_ms,
+         TRUE AS is_live
+  FROM tk GROUP BY key, w_start_ms
+),
+all_candles AS (
+  SELECT key, w_start_ms, n_ticks, min_price, max_price, close_price,
+         close_time_ms, is_live
+  FROM live_candles
+  UNION ALL
+  SELECT key, w_start_ms, 1 AS n_ticks, 0.0, 0.0, 0.0,
+         w_start_ms + {RES_MS} - 1 AS close_time_ms, FALSE AS is_live
+  FROM missing
+),
+carried AS (
+  SELECT *,
+         last_value(CASE WHEN is_live THEN close_price END IGNORE NULLS)
+           OVER (PARTITION BY key ORDER BY w_start_ms
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_live_close
+  FROM all_candles
+),
+filled AS (
+  SELECT key, w_start_ms, is_live, close_time_ms,
+         CASE WHEN is_live THEN close_price
+              ELSE coalesce(prev_live_close, close_price) END AS close_price,
+         CASE WHEN is_live THEN min_price
+              ELSE coalesce(prev_live_close, close_price) END AS min_price,
+         CASE WHEN is_live THEN max_price
+              ELSE coalesce(prev_live_close, close_price) END AS max_price
+  FROM carried
+),
+complete AS (
+  SELECT *,
+         coalesce(lag(close_price) OVER w, close_price) AS open_price,
+         coalesce(lag(close_time_ms) OVER w, close_time_ms) AS open_time_ms
+  FROM filled
+  WINDOW w AS (PARTITION BY key ORDER BY w_start_ms)
+),
+returns AS (
+  -- ret stays full-precision here; queries round at output only, so
+  -- downstream corr/sum see the same doubles Spark's operators see.
+  SELECT key,
+         w_start_ms + {RES_MS} - 1 AS time_ms,
+         ln(close_price / open_price) AS ret
+  FROM complete
+  WHERE open_price > 0 AND close_price > 0
+)
+"""
+
+
+def _ticks_and_keys(spark: SparkSession, sf_dir: str):
+    ticks = events_as_ticks(spark, sf_dir)
+    return ticks, ticks.select("key").distinct()
+
+
+def _ms(col):
+    return F.unix_millis(col)
+
+
+def q_fx_candles_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+A3: fixed-window partial OHLC over live ticks (no gap-fill)."""
+    ticks, _ = _ticks_and_keys(spark, sf_dir)
+    c = ohlc_candles(ticks, RES)
+    return c.select(
+        "key",
+        _ms(F.col("window_start")).alias("w_start_ms"),
+        F.col("min_ask.ask").alias("min_price"),
+        F.col("max_ask.ask").alias("max_price"),
+        F.col("close.ask").alias("close_price"),
+        _ms(F.col("close.time")).alias("close_time_ms"),
+    )
+
+
+def q_fx_gapfill_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2: the synthetic rows gap-fill adds (missing key x window)."""
+    ticks, keys = _ticks_and_keys(spark, sf_dir)
+    filled = gap_fill(ticks, keys, RES)
+    return filled.where(~F.col("is_live")).select(
+        "key",
+        (F.floor(_ms(F.col("event_time")) / RES_MS) * RES_MS).alias("w_start_ms"),
+        _ms(F.col("event_time")).alias("event_time_ms"),
+        F.col("ask").alias("price"),
+    )
+
+
+def q_fx_candles_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+W3: gap-filled carry-forward complete candles."""
+    ticks, keys = _ticks_and_keys(spark, sf_dir)
+    c = complete_candles(ohlc_candles(gap_fill(ticks, keys, RES), RES))
+    return c.select(
+        "key",
+        _ms(F.col("window_start")).alias("w_start_ms"),
+        F.col("is_live"),
+        _ms(F.col("open.time")).alias("open_time_ms"),
+        F.col("open.ask").alias("open_price"),
+        _ms(F.col("close.time")).alias("close_time_ms"),
+        F.col("close.ask").alias("close_price"),
+        F.col("min_ask.ask").alias("min_price"),
+        F.col("max_ask.ask").alias("max_price"),
+    )
+
+
+def _returns_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ticks, keys = _ticks_and_keys(spark, sf_dir)
+    c = complete_candles(ohlc_candles(gap_fill(ticks, keys, RES), RES))
+    return log_returns(c)
+
+
+def q_fx_log_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: per-candle log returns ln(close/open)."""
+    r = _returns_df(spark, sf_dir)
+    return r.select(
+        "key",
+        _ms(F.col("time")).alias("time_ms"),
+        F.round("value", 6).alias("ret"),
+    )
+
+
+def q_fx_sliding_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: sliding-window assignment (each return lands in 2 windows)."""
+    r = _returns_df(spark, sf_dir)
+    return r.select(
+        F.window("time", CORR_WINDOW, CORR_SLIDE).alias("w"), "key", "time", "value"
+    ).select(
+        _ms(F.col("w.start")).alias("w_start_ms"),
+        "key",
+        _ms(F.col("time")).alias("time_ms"),
+        F.round("value", 6).alias("ret"),
+    )
+
+
+def q_fx_workpacket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+P4: per (window, key) work packet — time-sorted series digest."""
+    r = _returns_df(spark, sf_dir)
+    w = r.select(F.window("time", CORR_WINDOW, CORR_SLIDE).alias("w"), "key", "time", "value")
+    return w.groupBy(
+        _ms(F.col("w.start")).alias("w_start_ms"), F.col("key")
+    ).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        _ms(F.min("time")).alias("first_time_ms"),
+        _ms(F.max("time")).alias("last_time_ms"),
+        F.round(F.sum("value"), 6).alias("sum_ret"),
+    )
+
+
+def q_fx_pair_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6+C1: sliding-window all-pairs Pearson correlation (flagship)."""
+    r = _returns_df(spark, sf_dir)
+    cfg = CorrelationConfig(window=CORR_WINDOW, slide=CORR_SLIDE,
+                            min_corr=0.0, propagate_nan=True)
+    c = pairwise_correlations(r, cfg)
+    return c.select(
+        _ms(F.col("window_start")).alias("w_start_ms"),
+        "key1", "key2",
+        F.round("value", 6).alias("value"),
+        F.col("x_count").cast("long").alias("n_points"),
+        "is_nan",
+    )
+
+
+def q_fx_corr_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 emission policy: reference defaults min_corr=0.5, drop NaN.
+
+    The threshold compares the ROUNDED r: |r| lands exactly on 0.5 for
+    degenerate few-point windows, and cross-engine summation order would
+    otherwise flip inclusion (observed at sf0.001)."""
+    r = _returns_df(spark, sf_dir)
+    cfg = CorrelationConfig(window=CORR_WINDOW, slide=CORR_SLIDE,
+                            min_corr=0.0, propagate_nan=False)
+    c = pairwise_correlations(r, cfg)
+    return (c.select(
+        _ms(F.col("window_start")).alias("w_start_ms"),
+        "key1", "key2",
+        F.round("value", 6).alias("value"),
+    ).where(F.abs(F.col("value")) >= 0.5))
+
+
+QUERIES = {
+    "fx_candles_ohlc": q_fx_candles_ohlc,
+    "fx_gapfill_rows": q_fx_gapfill_rows,
+    "fx_candles_complete": q_fx_candles_complete,
+    "fx_log_returns": q_fx_log_returns,
+    "fx_sliding_returns": q_fx_sliding_returns,
+    "fx_workpacket_stats": q_fx_workpacket_stats,
+    "fx_pair_correlation": q_fx_pair_correlation,
+    "fx_corr_threshold": q_fx_corr_threshold,
+}
+
+# DuckDB sliding-window assignment: size = 2 x slide → exactly two windows
+# per point: the point's slide bucket and the previous one.
+_SLIDING = f"""
+sliding AS (
+  SELECT ((r.time_ms // {RES_MS * 3}) * {RES_MS * 3}) - off.o * {RES_MS * 3} AS w_start_ms,
+         r.key, r.time_ms, r.ret
+  FROM returns r CROSS JOIN (SELECT unnest([0, 1]) AS o) off
+)
+"""
+
+_CORR_BASE = f"""
+{_PRELUDE},
+{_SLIDING},
+pairs AS (
+  SELECT a.w_start_ms, a.key AS key1, b.key AS key2,
+         corr(a.ret, b.ret) AS r, count(*) AS n_points
+  FROM sliding a JOIN sliding b
+    ON a.w_start_ms = b.w_start_ms AND a.time_ms = b.time_ms AND a.key < b.key
+  GROUP BY 1, 2, 3
+  HAVING count(*) >= 2
+)
+"""
+
+ORACLE = {
+    "fx_candles_ohlc": _PRELUDE + """
+SELECT key, w_start_ms, min_price, max_price, close_price, close_time_ms
+FROM live_candles
+""",
+    "fx_gapfill_rows": _PRELUDE + f"""
+SELECT key, w_start_ms, w_start_ms + {RES_MS} - 1 AS event_time_ms,
+       0.0 AS price
+FROM missing
+""",
+    "fx_candles_complete": _PRELUDE + """
+SELECT key, w_start_ms, is_live, open_time_ms, open_price,
+       close_time_ms, close_price, min_price, max_price
+FROM complete
+""",
+    "fx_log_returns": _PRELUDE + """
+SELECT key, time_ms, round(ret, 6) AS ret FROM returns
+""",
+    "fx_sliding_returns": _PRELUDE + "," + _SLIDING + """
+SELECT w_start_ms, key, time_ms, round(ret, 6) AS ret FROM sliding
+""",
+    "fx_workpacket_stats": _PRELUDE + "," + _SLIDING + """
+SELECT w_start_ms, key,
+       count(*) AS n_points,
+       min(time_ms) AS first_time_ms,
+       max(time_ms) AS last_time_ms,
+       round(sum(ret), 6) AS sum_ret
+FROM sliding
+GROUP BY w_start_ms, key
+""",
+    "fx_pair_correlation": _CORR_BASE + """
+SELECT w_start_ms, key1, key2,
+       CASE WHEN r IS NULL OR isnan(r) THEN 1.0 ELSE round(r, 6) END AS value,
+       n_points,
+       (r IS NULL OR isnan(r)) AS is_nan
+FROM pairs
+""",
+    "fx_corr_threshold": _CORR_BASE + """
+SELECT w_start_ms, key1, key2, round(r, 6) AS value
+FROM pairs
+WHERE r IS NOT NULL AND NOT isnan(r) AND abs(round(r, 6)) >= 0.5
+""",
+}

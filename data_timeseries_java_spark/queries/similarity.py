@@ -1,0 +1,166 @@
+"""Similarity-search queries over `embeddings`, with DuckDB oracles.
+
+Cross-engine float note: dot products are double-precision sums whose
+order differs between engines; outputs are rounded and rankings use
+round(cosine, 9) so a last-ulp difference cannot flip a rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_timeseries_java_spark.operators.similarity import (
+    LCG_A,
+    LCG_C,
+    LCG_M,
+    ann_lsh_topk,
+    cosine_pairs,
+    knn_bruteforce,
+)
+from data_timeseries_java_spark.tables import load_table
+
+NEARDUP_T = 0.9
+KNN_K = 10
+N_QUERIES = 10
+DIM = 64
+N_PLANES = 8
+N_TABLES = 4
+
+# vector components with 0-based dim index; DuckDB zips parallel unnests
+_COMP = """
+comp AS (
+  SELECT vec_id, label,
+         unnest(embedding) AS x,
+         unnest(generate_series(0, len(embedding) - 1)) AS dim
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+  FROM comp GROUP BY vec_id
+)
+"""
+
+_NEARDUP_SQL = f"""
+WITH {_COMP},
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+  FROM comp a JOIN comp b
+    ON a.dim = b.dim AND a.label = b.label AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.id_a
+JOIN norms nb ON nb.vec_id = d.id_b
+WHERE d.dot / (na.nrm * nb.nrm) >= {NEARDUP_T}
+"""
+
+_KNN_SQL = f"""
+WITH {_COMP},
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+         sum(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE)) AS dot
+  FROM comp q JOIN comp c
+    ON q.dim = c.dim AND q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id
+),
+scored AS (
+  SELECT d.query_id, d.nbr_id, d.dot / (nq.nrm * nc.nrm) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.nbr_id
+),
+ranked AS (
+  SELECT query_id, nbr_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cosine, 9) DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, nbr_id, CAST(rank AS BIGINT) AS rank,
+       round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+_ANN_SQL = f"""
+WITH {_COMP},
+planes AS (
+  SELECT p.plane, d.dim,
+         ((({LCG_A} * (p.plane * {DIM} + d.dim) + {LCG_C}) % {LCG_M})
+          / {LCG_M}.0 - 0.5) AS w
+  FROM (SELECT unnest(generate_series(0, {N_PLANES * N_TABLES - 1})) AS plane) p
+  CROSS JOIN (SELECT unnest(generate_series(0, {DIM - 1})) AS dim) d
+),
+pdots AS (
+  SELECT c.vec_id, p.plane, sum(CAST(c.x AS DOUBLE) * p.w) AS dot
+  FROM comp c JOIN planes p ON c.dim = p.dim
+  GROUP BY c.vec_id, p.plane
+),
+sigs AS (
+  SELECT vec_id, CAST(plane // {N_PLANES} AS INTEGER) AS tbl,
+         string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
+                    ORDER BY plane % {N_PLANES}) AS bucket
+  FROM pdots GROUP BY vec_id, CAST(plane // {N_PLANES} AS INTEGER)
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nbr_id
+  FROM sigs q JOIN sigs c
+    ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+dots AS (
+  SELECT cd.query_id, cd.nbr_id,
+         sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+  FROM cand cd
+  JOIN comp a ON a.vec_id = cd.query_id
+  JOIN comp b ON b.vec_id = cd.nbr_id AND b.dim = a.dim
+  GROUP BY cd.query_id, cd.nbr_id
+),
+scored AS (
+  SELECT d.query_id, d.nbr_id, d.dot / (nq.nrm * nc.nrm) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.nbr_id
+),
+ranked AS (
+  SELECT query_id, nbr_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cosine, 9) DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, nbr_id, CAST(rank AS BIGINT) AS rank,
+       round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, block_col="label", threshold=NEARDUP_T)
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return knn_bruteforce(emb, queries, k=KNN_K)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id")
+    return ann_lsh_topk(emb, queries, k=KNN_K,
+                        n_planes=N_PLANES, n_tables=N_TABLES)
+
+
+QUERIES = {
+    "neardup_cosine": q_neardup_cosine,
+    "knn_bruteforce": q_knn_bruteforce,
+    "ann_lsh": q_ann_lsh,
+}
+
+ORACLE = {
+    "neardup_cosine": _NEARDUP_SQL,
+    "knn_bruteforce": _KNN_SQL,
+    "ann_lsh": _ANN_SQL,
+}

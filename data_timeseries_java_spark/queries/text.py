@@ -1,0 +1,133 @@
+"""Text-analysis queries over `documents`, with DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_timeseries_java_spark.operators.text import (
+    LANG_LEXICONS,
+    STOPWORDS,
+    TOKEN_REGEX,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_counts,
+)
+from data_timeseries_java_spark.tables import load_table
+
+_TOKS = """
+toks AS (
+  SELECT doc_id, lang, text,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+)
+"""
+
+
+def _langid_sql() -> str:
+    langs = sorted(LANG_LEXICONS)
+    score_cols = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in LANG_LEXICONS[lang])
+        score_cols.append(
+            f"round(len(list_filter(t, x -> x IN ({words}))) / "
+            f"greatest(len(t), 1) * 1.0, 6) AS score_{lang}")
+    # argmax with alphabetical tie-break: first lang >= all others wins
+    cases = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"score_{lang} >= score_{other}" for other in langs if other != lang)
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    pred = "CASE " + " ".join(cases) + " END"
+    score_case = ("CASE " + " ".join(
+        f"WHEN predicted_lang = '{lang}' THEN score_{lang}" for lang in langs)
+        + " END")
+    return f"""
+WITH {_TOKS},
+scores AS (
+  SELECT doc_id, lang AS declared_lang,
+         {", ".join(score_cols)}
+  FROM toks
+),
+picked AS (
+  SELECT *, {pred} AS predicted_lang FROM scores
+)
+SELECT doc_id, declared_lang, predicted_lang,
+       {score_case} AS lang_score,
+       predicted_lang = declared_lang AS lang_match
+FROM picked
+"""
+
+
+_STOPLIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+_QUALITY_SQL = f"""
+WITH {_TOKS},
+m AS (
+  SELECT doc_id,
+         len(t) * 1.0 AS n_tok,
+         length(text) * 1.0 AS n_chars,
+         length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_punct,
+         len(list_filter(t, x -> x IN ({_STOPLIST}))) * 1.0 AS n_stop
+  FROM toks
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       round(n_punct / greatest(n_chars, 1.0), 6) AS punct_ratio,
+       round(n_stop / greatest(n_tok, 1.0), 6) AS stopword_ratio,
+       round((n_chars - (n_tok - 1)) / greatest(n_tok, 1.0), 6) AS mean_token_len,
+       round(0.4 * least(n_tok / 100.0, 1.0)
+           + 0.3 * (1 - least(n_punct / greatest(n_chars, 1.0) * 5, 1.0))
+           + 0.3 * least(n_stop / greatest(n_tok, 1.0) * 4, 1.0), 6) AS quality_score
+FROM m
+"""
+
+_TOKENS_SQL = f"""
+WITH {_TOKS}
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS n_tokens_bpe,
+       CAST(len(list_distinct(t)) AS BIGINT) AS n_tokens_distinct,
+       round(length(text) / greatest(len(t), 1) * 1.0, 6) AS chars_per_token
+FROM toks
+"""
+
+_FINGERPRINT_SQL = f"""
+WITH {_TOKS}
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint,
+       substr(md5(array_to_string(t[1:5], ' ')), 1, 16) AS prefix_fp,
+       list_min(list_transform(list_distinct(t), x -> md5(x))) AS min_token_hash
+FROM toks
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES = {
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "text_tokens": q_text_tokens,
+    "text_fingerprint": q_text_fingerprint,
+}
+
+ORACLE = {
+    "text_langid": _langid_sql(),
+    "text_quality": _QUALITY_SQL,
+    "text_tokens": _TOKENS_SQL,
+    "text_fingerprint": _FINGERPRINT_SQL,
+}

@@ -31,8 +31,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _TS_COLS.get(name, []):
         if dict(df.dtypes).get(c) == "bigint":
+            # integer DIV, not `/`: ns epochs (~1.7e18) exceed double's
+            # 53-bit integer range, so float division drifts by ±1µs
             df = df.withColumn(
-                c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+                c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
     return df
 
 
