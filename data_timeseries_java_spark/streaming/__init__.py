@@ -1,0 +1,16 @@
+"""Structured Streaming surface of the engine.
+
+The reference is a streaming pipeline forced through Dataflow 1.9
+batch-ish primitives (its global-window/accumulating-panes trick exists
+only because 1.9 had no keyed state — ``README.MD:17``). Spark gives the
+real thing: watermarked windowed aggregation for candles, keyed state
+(``applyInPandasWithState``) for carry-forward, and per-micro-batch
+incremental computation for the correlation stage.
+"""
+
+from data_timeseries_java_spark.streaming.candles_stream import (
+    streaming_complete_candles,
+    streaming_ohlc_candles,
+)
+
+__all__ = ["streaming_ohlc_candles", "streaming_complete_candles"]
