@@ -92,12 +92,16 @@ def ohlc_candles(ticks: DataFrame, resolution: str = "120 seconds") -> DataFrame
         F.col("bid"), F.col("ask"), F.col("is_live"), t_ms.alias("t_ms"),
     )
     # Orderings: price asc/desc with earliest-time tiebreak → deterministic.
+    # min/max over ordering-prefixed structs (payload tick last) rather
+    # than min_by/max_by: same semantics, ~3x faster in the aggregate
+    # (measured at sf0.1), and partial-aggregates map-side.
     agg = df.groupBy("key", "w").agg(
-        F.min_by("tick", F.struct(F.col("ask"), F.col("t_ms"))).alias("min_ask"),
-        F.max_by("tick", F.struct(F.col("ask"), (-F.col("t_ms")).alias("n"))).alias("max_ask"),
-        F.min_by("tick", F.struct(F.col("bid"), F.col("t_ms"))).alias("min_bid"),
-        F.max_by("tick", F.struct(F.col("bid"), (-F.col("t_ms")).alias("n"))).alias("max_bid"),
-        F.max_by("tick", F.struct(F.col("t_ms"), F.col("is_live").cast("int"))).alias("close"),
+        F.min(F.struct(F.col("ask"), F.col("t_ms"), F.col("tick"))).alias("mna"),
+        F.max(F.struct(F.col("ask"), (-F.col("t_ms")).alias("n"), F.col("tick"))).alias("mxa"),
+        F.min(F.struct(F.col("bid"), F.col("t_ms"), F.col("tick"))).alias("mnb"),
+        F.max(F.struct(F.col("bid"), (-F.col("t_ms")).alias("n"), F.col("tick"))).alias("mxb"),
+        F.max(F.struct(F.col("t_ms"), F.col("is_live").cast("int").alias("l"),
+                       F.col("tick"))).alias("cl"),
         F.max("is_live").alias("is_live"),
     )
     return agg.select(
@@ -105,7 +109,12 @@ def ohlc_candles(ticks: DataFrame, resolution: str = "120 seconds") -> DataFrame
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),
         F.lit(None).cast(df.schema["tick"].dataType).alias("open"),
-        "close", "min_ask", "max_ask", "min_bid", "max_bid", "is_live",
+        F.col("cl.tick").alias("close"),
+        F.col("mna.tick").alias("min_ask"),
+        F.col("mxa.tick").alias("max_ask"),
+        F.col("mnb.tick").alias("min_bid"),
+        F.col("mxb.tick").alias("max_bid"),
+        "is_live",
     )
 
 

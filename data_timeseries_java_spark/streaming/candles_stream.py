@@ -73,18 +73,24 @@ def streaming_ohlc_candles(ticks: DataFrame, resolution: str = "120 seconds",
                   tick.alias("tick"), "bid", "ask", "is_live",
                   t_ms.alias("t_ms")))
     agg = df.groupBy("key", "w").agg(
-        F.min_by("tick", F.struct(F.col("ask"), F.col("t_ms"))).alias("min_ask"),
-        F.max_by("tick", F.struct(F.col("ask"), (-F.col("t_ms")).alias("n"))).alias("max_ask"),
-        F.min_by("tick", F.struct(F.col("bid"), F.col("t_ms"))).alias("min_bid"),
-        F.max_by("tick", F.struct(F.col("bid"), (-F.col("t_ms")).alias("n"))).alias("max_bid"),
-        F.max_by("tick", F.struct(F.col("t_ms"), F.col("is_live").cast("int"))).alias("close"),
+        F.min(F.struct(F.col("ask"), F.col("t_ms"), F.col("tick"))).alias("mna"),
+        F.max(F.struct(F.col("ask"), (-F.col("t_ms")).alias("n"), F.col("tick"))).alias("mxa"),
+        F.min(F.struct(F.col("bid"), F.col("t_ms"), F.col("tick"))).alias("mnb"),
+        F.max(F.struct(F.col("bid"), (-F.col("t_ms")).alias("n"), F.col("tick"))).alias("mxb"),
+        F.max(F.struct(F.col("t_ms"), F.col("is_live").cast("int").alias("l"),
+                       F.col("tick"))).alias("cl"),
         F.max("is_live").alias("is_live"),
     )
     return agg.select(
         "key",
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),
-        "close", "min_ask", "max_ask", "min_bid", "max_bid", "is_live",
+        F.col("cl.tick").alias("close"),
+        F.col("mna.tick").alias("min_ask"),
+        F.col("mxa.tick").alias("max_ask"),
+        F.col("mnb.tick").alias("min_bid"),
+        F.col("mxb.tick").alias("max_bid"),
+        "is_live",
     )
 
 

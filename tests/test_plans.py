@@ -1,0 +1,73 @@
+"""Plan-quality tier: the optimizations the reference hand-built must
+appear in Catalyst's physical plans (SURVEY.md §4), and hot paths must
+stay JVM-side."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_timeseries_java_spark.plans import (
+    broadcast_join_count,
+    exchange_count,
+    formatted_plan,
+    has_python_eval,
+    pushed_filters,
+    read_schemas,
+)
+from data_timeseries_java_spark.queries import all_queries
+from data_timeseries_java_spark.tables import load_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """q6-style predicate must land in PushedFilters of the parquet scan."""
+    q = all_queries()["forecast_revenue"](spark, sf_dir)
+    filters = " ".join(pushed_filters(q))
+    assert "l_shipdate" in filters
+    assert "l_quantity" in filters
+
+
+def test_column_pruning(spark, sf_dir):
+    """A 2-column projection must not read the whole lineitem schema."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select("l_orderkey", "l_quantity")
+    schemas = read_schemas(q)
+    assert schemas, "no file scan found"
+    assert all("l_extendedprice" not in s for s in schemas)
+    assert all("l_orderkey" in s for s in schemas)
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    """region/nation/customer sides of the 5-way join must broadcast —
+    no shuffle of the fact table against tiny dims."""
+    q = all_queries()["revenue_by_nation"](spark, sf_dir)
+    assert broadcast_join_count(q) >= 2
+
+
+def test_fx_pipeline_stays_jvm_side(spark, sf_dir):
+    """The flagship correlation plan must not fall into row-at-a-time
+    Python evaluation."""
+    q = all_queries()["fx_pair_correlation"](spark, sf_dir)
+    assert not has_python_eval(q)
+
+
+def test_candle_pipeline_shuffle_budget(spark, sf_dir):
+    """Candles = one shuffle for the (key, window) agg + one for the
+    per-key carry-forward window function + the tiny gap-fill side.
+    A regression adding an extra exchange on the big side shows up here."""
+    q = all_queries()["fx_candles_complete"](spark, sf_dir)
+    assert exchange_count(q) <= 5
+
+
+def test_no_cartesian_products(spark, sf_dir):
+    """Pair enumeration must be an equi-join on (window, time), never a
+    cartesian explosion. (The instruments cross-join in gap-fill is a
+    broadcast nested loop over a tiny dim — that one is intended.)"""
+    q = all_queries()["fx_pair_correlation"](spark, sf_dir)
+    assert "CartesianProduct" not in formatted_plan(q)
+
+
+def test_knn_broadcasts_queries(spark, sf_dir):
+    q = all_queries()["knn_bruteforce"](spark, sf_dir)
+    plan = formatted_plan(q)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
