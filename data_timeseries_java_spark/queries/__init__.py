@@ -24,11 +24,12 @@ from data_timeseries_java_spark.queries import (
     fx,
     multimodal,
     relational,
+    relational_ext,
     similarity,
     text,
 )
 
-_MODULES = [fx, relational, dedup, text, similarity, multimodal]
+_MODULES = [fx, relational, relational_ext, dedup, text, similarity, multimodal]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

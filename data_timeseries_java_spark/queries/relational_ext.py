@@ -1,0 +1,196 @@
+"""Extended relational surface: cube/grouping-sets, pivot, outer joins,
+subqueries, date functions, percentiles, conditional aggregation.
+
+These are capabilities the reference lacks entirely (SURVEY.md §2.7) but
+a general engine must expose; each is a thin declarative plan with a
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_timeseries_java_spark.tables import load_table
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping combinations."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("o_totalprice"), 6).alias("avg_price"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                    "n", "avg_price"))
+
+
+def q_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order priorities into columns per status (explicit value
+    list — never inferred at scale)."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = (orders.groupBy("o_orderstatus")
+         .pivot("o_orderpriority", PRIORITIES)
+         .agg(F.count(F.lit(1))))
+    cols = [F.col("o_orderstatus").alias("status")]
+    for pr in PRIORITIES:
+        cols.append(F.coalesce(F.col(f"`{pr}`"), F.lit(0)).cast("long")
+                    .alias("n_" + pr.split("-")[0]))
+    return p.select(*cols)
+
+
+def q_nation_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null-producing side + null-safe output."""
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    per_nation = supplier.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"))
+    return (nation.join(per_nation,
+                        nation.n_nationkey == per_nation.s_nationkey, "left")
+            .select("n_name",
+                    F.coalesce("n_suppliers", F.lit(0)).cast("long").alias("n_suppliers")))
+
+
+def q_orders_with_expensive_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join via EXISTS-style predicate (orders having any lineitem
+    above a price threshold)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    expensive = li.where(F.col("l_extendedprice") > 80000).select("l_orderkey").distinct()
+    return (orders.join(expensive, orders.o_orderkey == expensive.l_orderkey, "left_semi")
+            .select("o_orderkey", "o_orderstatus",
+                    F.round("o_totalprice", 2).alias("total")))
+
+
+def q_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date functions: truncation + extraction + conditional aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders
+            .groupBy(F.year("o_orderdate").cast("long").alias("yr"),
+                     F.month("o_orderdate").cast("long").alias("mo"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+                  .cast("long").alias("n_filled"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"),
+                 F.unix_millis(F.date_trunc("month", F.min("o_orderdate")))
+                  .alias("month_start_ms")))
+
+
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per segment."""
+    customer = load_table(spark, sf_dir, "customer")
+    return (customer.groupBy("c_mktsegment")
+            .agg(F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("p50"),
+                 F.round(F.expr("percentile(c_acctbal, 0.9)"), 6).alias("p90"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def q_lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS: per-flag, per-status, and grand total in one agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_li_gs")
+    return spark.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS flag,
+               coalesce(l_linestatus, 'ALL') AS status,
+               count(*) AS n,
+               round(sum(l_quantity), 2) AS qty
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+def q_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate pattern: each supplier's share of total
+    revenue (scalar subquery -> broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    total = per_supp.agg(F.sum("rev").alias("total_rev"))
+    return (per_supp.crossJoin(F.broadcast(total))
+            .select(F.col("l_suppkey").alias("suppkey"),
+                    F.round("rev", 2).alias("revenue"),
+                    F.round(F.col("rev") / F.col("total_rev"), 6).alias("share")))
+
+
+QUERIES = {
+    "status_cube": q_status_cube,
+    "priority_pivot": q_priority_pivot,
+    "nation_outer_join": q_nation_outer_join,
+    "orders_with_expensive_items": q_orders_with_expensive_items,
+    "monthly_order_stats": q_monthly_order_stats,
+    "price_quantiles": q_price_quantiles,
+    "lineitem_grouping_sets": q_lineitem_grouping_sets,
+    "supplier_share": q_supplier_share,
+}
+
+_PIVOT_COLS = ",\n       ".join(
+    f"CAST(count(*) FILTER (o_orderpriority = '{p}') AS BIGINT) AS n_{p.split('-')[0]}"
+    for p in PRIORITIES)
+
+ORACLE = {
+    "status_cube": """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n,
+       round(avg(o_totalprice), 6) AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    "priority_pivot": f"""
+SELECT o_orderstatus AS status,
+       {_PIVOT_COLS}
+FROM orders
+GROUP BY o_orderstatus
+""",
+    "nation_outer_join": """
+SELECT n_name, CAST(coalesce(s.n_suppliers, 0) AS BIGINT) AS n_suppliers
+FROM nation
+LEFT JOIN (SELECT s_nationkey, count(*) AS n_suppliers
+           FROM supplier GROUP BY s_nationkey) s
+  ON n_nationkey = s.s_nationkey
+""",
+    "orders_with_expensive_items": """
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_extendedprice > 80000)
+""",
+    "monthly_order_stats": """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mo,
+       count(*) AS n_orders,
+       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_filled,
+       round(sum(o_totalprice), 2) AS total,
+       epoch_ms(date_trunc('month', min(o_orderdate))) AS month_start_ms
+FROM orders
+GROUP BY year(o_orderdate), month(o_orderdate)
+""",
+    "price_quantiles": """
+SELECT c_mktsegment,
+       round(quantile_cont(c_acctbal, 0.5), 6) AS p50,
+       round(quantile_cont(c_acctbal, 0.9), 6) AS p90,
+       count(*) AS n
+FROM customer
+GROUP BY c_mktsegment
+""",
+    "lineitem_grouping_sets": """
+SELECT coalesce(l_returnflag, 'ALL') AS flag,
+       coalesce(l_linestatus, 'ALL') AS status,
+       count(*) AS n,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+    "supplier_share": """
+WITH per_supp AS (
+  SELECT l_suppkey AS suppkey,
+         sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT suppkey, round(rev, 2) AS revenue,
+       round(rev / (SELECT sum(rev) FROM per_supp), 6) AS share
+FROM per_supp
+""",
+}
