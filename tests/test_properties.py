@@ -1,0 +1,96 @@
+"""Property tier: randomized tick streams through the candle pipeline,
+invariants asserted (SURVEY.md §5). Also pins the corrected bid/bid
+semantics (SURVEY.md §2.9.1) with bid != ask data, which the demo
+fixtures deliberately cannot distinguish."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_timeseries_java_spark.operators import (
+    complete_candles,
+    gap_fill,
+    ohlc_candles,
+)
+from data_timeseries_java_spark.operators.candles import candles_pipeline
+from data_timeseries_java_spark.schemas import TICK_SCHEMA
+
+T0 = 1_699_999_920_000  # epoch anchor aligned to the 120 s window grid
+
+
+def _ts(ms):
+    return datetime.fromtimestamp(ms / 1000.0, tz=timezone.utc)
+
+
+def test_bid_minmax_uses_bid_not_ask(spark):
+    """Reference bug §2.9.1: its bid min/max compare ASK prices. Our
+    engine compares bid with bid — asserted with bid != ask ticks where
+    the two orderings disagree."""
+    rows = [
+        # bid order: 5 < 7 < 9 ; ask order REVERSED: 30 > 20 > 10
+        ("K", _ts(T0 + 0), 5.0, 30.0, True),
+        ("K", _ts(T0 + 60_000), 7.0, 20.0, True),
+        ("K", _ts(T0 + 119_000), 9.0, 10.0, True),
+    ]
+    df = spark.createDataFrame(rows, TICK_SCHEMA)
+    c = ohlc_candles(df, "120 seconds").collect()[0]
+    assert c.min_bid.bid == 5.0 and c.max_bid.bid == 9.0   # ours: bid/bid
+    assert c.min_ask.ask == 10.0 and c.max_ask.ask == 30.0
+    # the reference would have returned min_bid = the min-ASK tick (bid 9)
+
+
+tick_lists = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B", "C"]),                      # key
+        st.integers(min_value=0, max_value=20),                # minute
+        st.floats(min_value=0.01, max_value=1000.0,
+                  allow_nan=False, allow_infinity=False),      # bid
+        st.floats(min_value=0.01, max_value=1000.0,
+                  allow_nan=False, allow_infinity=False),      # ask
+    ),
+    min_size=1, max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(ticks=tick_lists)
+def test_candle_invariants_random_streams(spark, ticks):
+    rows = [(k, _ts(T0 + m * 60_000), bid, ask, True)
+            for (k, m, bid, ask) in ticks]
+    df = spark.createDataFrame(rows, TICK_SCHEMA)
+    instruments = df.select("key").distinct()
+    candles = candles_pipeline(df, instruments, "120 seconds").collect()
+
+    by_key: dict[str, list] = {}
+    for c in candles:
+        by_key.setdefault(c.key, []).append(c)
+    for key, cs in by_key.items():
+        cs.sort(key=lambda c: c.window_start)
+        prev = None
+        for c in cs:
+            if c.is_live:
+                # bounds: min <= close <= max per side
+                assert c.min_ask.ask <= c.close.ask <= c.max_ask.ask
+                assert c.min_bid.bid <= c.close.bid <= c.max_bid.bid
+            else:
+                # gap candles are flat at the carried close
+                assert (c.min_ask.ask == c.max_ask.ask == c.close.ask)
+                assert not c.close.is_live
+            if prev is not None:
+                # carry-forward: open == previous close (price & time)
+                assert c.open.ask == prev.close.ask
+                assert c.open.bid == prev.close.bid
+                assert c.open.time == prev.close.time
+            else:
+                assert c.open == c.close or c.open.time == c.close.time
+            prev = c
+
+    # every (observed window x key) is covered after gap fill
+    n_windows = len({(c.window_start) for c in candles})
+    assert all(len(cs) == n_windows for cs in by_key.values())
