@@ -41,6 +41,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
+    # warm-up: JVM/codegen/scan caches, so timings reflect steady-state
+    # plan cost rather than first-query startup
+    from data_timeseries_java_spark.tables import load_tables
+    for df in load_tables(spark, sf_dir).values():
+        df.count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = qs[name](spark, sf_dir)

@@ -177,5 +177,31 @@ def complete_candles(candles: DataFrame) -> DataFrame:
 def candles_pipeline(ticks: DataFrame, instruments: DataFrame,
                      resolution: str = "120 seconds") -> DataFrame:
     """The full reference candle stage: gap-fill → OHLC → carry-forward
-    (the composite ``CreateAggregatesTransform`` equivalent)."""
-    return complete_candles(ohlc_candles(gap_fill(ticks, instruments, resolution), resolution))
+    (the composite ``CreateAggregatesTransform`` equivalent).
+
+    Fused plan: a gap tick only ever exists in a (key, window) group by
+    itself, so aggregating `gap_fill(ticks) → ohlc` equals aggregating
+    the LIVE ticks once and synthesizing the gap CANDLES directly from
+    the missing (window, key) frame. That keeps the big tick scan to
+    exactly one pass/one shuffle — the union and anti-join touch only
+    candle-sized data. Results are identical (oracle + golden tested).
+    """
+    live = ohlc_candles(ticks, resolution)
+    windows = live.select("window_start", "window_end").distinct()
+    expected = windows.crossJoin(F.broadcast(instruments))
+    missing = expected.join(live.select("key", "window_start"),
+                            ["key", "window_start"], "left_anti")
+    gap_tick = F.struct(
+        (F.col("window_end") - F.expr("INTERVAL 1 MILLISECOND")).alias("time"),
+        F.lit(0.0).alias("bid"), F.lit(0.0).alias("ask"),
+        F.lit(False).alias("is_live"),
+    )
+    gap_candles = missing.select(
+        "key", "window_start", "window_end",
+        F.lit(None).cast(live.schema["open"].dataType).alias("open"),
+        gap_tick.alias("close"),
+        gap_tick.alias("min_ask"), gap_tick.alias("max_ask"),
+        gap_tick.alias("min_bid"), gap_tick.alias("max_bid"),
+        F.lit(False).alias("is_live"),
+    )
+    return complete_candles(live.unionByName(gap_candles))

@@ -144,8 +144,10 @@ def q_fx_gapfill_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fx_candles_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4+W3: gap-filled carry-forward complete candles."""
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+
     ticks, keys = _ticks_and_keys(spark, sf_dir)
-    c = complete_candles(ohlc_candles(gap_fill(ticks, keys, RES), RES))
+    c = candles_pipeline(ticks, keys, RES)
     return c.select(
         "key",
         _ms(F.col("window_start")).alias("w_start_ms"),
@@ -160,9 +162,10 @@ def q_fx_candles_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _returns_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+
     ticks, keys = _ticks_and_keys(spark, sf_dir)
-    c = complete_candles(ohlc_candles(gap_fill(ticks, keys, RES), RES))
-    return log_returns(c)
+    return log_returns(candles_pipeline(ticks, keys, RES))
 
 
 def q_fx_log_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
