@@ -1,0 +1,86 @@
+"""User-facing engine facade.
+
+Mirrors the reference's entry points so its users can switch 1:1:
+
+- ``PipelineOptions`` ↔ ``FXTimeSeriesPipelineOptions.java:24-80``
+  (candle resolution, correlation window/period, min |r|, NaN policy,
+  underlying arrays; ``shards``/partition knobs are deliberately absent
+  — Spark's shuffle + AQE own physical parallelism, SURVEY.md §2.2 J5).
+- ``FXEngine.complete_candles`` ↔ the composite
+  ``CreateAggregatesTransform.apply`` (SURVEY.md §3.2).
+- ``FXEngine.correlate`` ↔ the Demo's work-distribution + correlation
+  stages (Demo:270-311).
+- ``FXEngine.run`` ↔ the whole ``FXTimeSeriesPipelineDemo`` DAG.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_timeseries_java_spark.operators import (
+    CorrelationConfig,
+    log_returns,
+    pairwise_correlations,
+)
+from data_timeseries_java_spark.operators.candles import candles_pipeline
+from data_timeseries_java_spark.operators.correlation import (
+    pairwise_correlations_matrix,
+)
+
+
+@dataclass
+class PipelineOptions:
+    """Reference defaults (FXTimeSeriesPipelineOptions.java); the demo
+    overrides min_corr_value=0, propagate_nan=True, include_underlying=True
+    (Demo:108-111)."""
+    candle_resolution: str = "120 seconds"
+    correlation_window: str = "600 seconds"
+    correlation_period: str = "300 seconds"
+    min_corr_value: float = 0.5
+    propagate_nan: bool = False
+    include_underlying: bool = False
+    # engine extension: switch to the matrix kernel for large universes
+    large_universe: bool = False
+
+    def corr_config(self) -> CorrelationConfig:
+        return CorrelationConfig(
+            window=self.correlation_window,
+            slide=self.correlation_period,
+            min_corr=self.min_corr_value,
+            propagate_nan=self.propagate_nan,
+            include_underlying=self.include_underlying,
+        )
+
+
+class FXEngine:
+    """Composable batch pipeline over tick DataFrames."""
+
+    def __init__(self, spark: SparkSession,
+                 options: PipelineOptions | None = None):
+        self.spark = spark
+        self.options = options or PipelineOptions()
+
+    def complete_candles(self, ticks: DataFrame,
+                         instruments: DataFrame | None = None) -> DataFrame:
+        """Gap-filled, carry-forward OHLC candles (the reference's
+        CreateAggregatesTransform)."""
+        instruments = instruments or ticks.select("key").distinct()
+        return candles_pipeline(ticks, instruments,
+                                self.options.candle_resolution)
+
+    def returns(self, candles: DataFrame) -> DataFrame:
+        return log_returns(candles)
+
+    def correlate(self, returns: DataFrame) -> DataFrame:
+        cfg = self.options.corr_config()
+        if self.options.large_universe and not cfg.include_underlying:
+            return pairwise_correlations_matrix(returns, cfg)
+        return pairwise_correlations(returns, cfg)
+
+    def run(self, ticks: DataFrame,
+            instruments: DataFrame | None = None) -> DataFrame:
+        """ticks → candles → log returns → sliding-window correlations."""
+        return self.correlate(self.returns(
+            self.complete_candles(ticks, instruments)))

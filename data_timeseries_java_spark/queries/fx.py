@@ -34,13 +34,18 @@ CORR_SLIDE = "3 hours"
 # Shared oracle CTE prelude: events → ticks → live candles → gap rows →
 # carry-forward complete candles → log returns. Window arithmetic is
 # epoch-aligned integer math, matching Spark's epoch-aligned F.window.
-_PRELUDE = f"""
+# Parameterized over the key expression and window sizes so the same
+# derivation covers the 5-instrument and the 20-user-bucket universes.
+
+
+def _prelude(key_sql: str, res_ms: int) -> str:
+    return f"""
 WITH ticks AS (
-  SELECT event_type AS key, ts AS event_time, value AS price
+  SELECT {key_sql} AS key, ts AS event_time, value AS price
   FROM events
 ),
 tk AS (
-  SELECT *, (epoch_ms(event_time) // {RES_MS}) * {RES_MS} AS w_start_ms
+  SELECT *, (epoch_ms(event_time) // {res_ms}) * {res_ms} AS w_start_ms
   FROM ticks
 ),
 obs AS (SELECT DISTINCT w_start_ms, key FROM tk),
@@ -67,7 +72,7 @@ all_candles AS (
   FROM live_candles
   UNION ALL
   SELECT key, w_start_ms, 1 AS n_ticks, 0.0, 0.0, 0.0,
-         w_start_ms + {RES_MS} - 1 AS close_time_ms, FALSE AS is_live
+         w_start_ms + {res_ms} - 1 AS close_time_ms, FALSE AS is_live
   FROM missing
 ),
 carried AS (
@@ -99,12 +104,15 @@ returns AS (
   -- ret stays full-precision here; queries round at output only, so
   -- downstream corr/sum see the same doubles Spark's operators see.
   SELECT key,
-         w_start_ms + {RES_MS} - 1 AS time_ms,
+         w_start_ms + {res_ms} - 1 AS time_ms,
          ln(close_price / open_price) AS ret
   FROM complete
   WHERE open_price > 0 AND close_price > 0
 )
 """
+
+
+_PRELUDE = _prelude("event_type", RES_MS)
 
 
 def _ticks_and_keys(spark: SparkSession, sf_dir: str):
@@ -314,3 +322,75 @@ FROM pairs
 WHERE r IS NOT NULL AND NOT isnan(r) AND abs(round(r, 6)) >= 0.5
 """,
 }
+
+
+# ---- larger universe: 20 user-bucket instruments ------------------------
+
+USER_RES = "1 day"
+USER_RES_MS = 86_400_000
+USER_CORR_WINDOW = "4 days"
+USER_CORR_SLIDE = "2 days"
+N_USER_BUCKETS = 20
+
+
+def _user_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_timeseries_java_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    key = F.format_string("U-%02d", (F.col("user_id") % N_USER_BUCKETS).cast("int"))
+    return ev.select(
+        key.alias("key"),
+        F.col("ts").alias("event_time"),
+        F.col("value").alias("bid"),
+        F.col("value").alias("ask"),
+        F.lit(True).alias("is_live"),
+    )
+
+
+def q_fx_corr_user_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 at a larger universe: 20 instruments → 190 pairs per window
+    (the (n²−n)/2 law the reference headlines at n=1000)."""
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+
+    ticks = _user_ticks(spark, sf_dir)
+    r = log_returns(candles_pipeline(ticks, ticks.select("key").distinct(),
+                                     USER_RES))
+    cfg = CorrelationConfig(window=USER_CORR_WINDOW, slide=USER_CORR_SLIDE,
+                            min_corr=0.0, propagate_nan=True)
+    c = pairwise_correlations(r, cfg)
+    return c.select(
+        _ms(F.col("window_start")).alias("w_start_ms"),
+        "key1", "key2",
+        F.round("value", 6).alias("value"),
+        F.col("x_count").cast("long").alias("n_points"),
+        "is_nan",
+    )
+
+
+QUERIES["fx_corr_user_buckets"] = q_fx_corr_user_buckets
+
+_USER_KEY_SQL = "printf('U-%02d', user_id % 20)"
+
+ORACLE["fx_corr_user_buckets"] = (
+    _prelude(_USER_KEY_SQL, USER_RES_MS) + f""",
+sliding AS (
+  SELECT ((r.time_ms // {USER_RES_MS * 2}) * {USER_RES_MS * 2})
+           - off.o * {USER_RES_MS * 2} AS w_start_ms,
+         r.key, r.time_ms, r.ret
+  FROM returns r CROSS JOIN (SELECT unnest([0, 1]) AS o) off
+),
+pairs AS (
+  SELECT a.w_start_ms, a.key AS key1, b.key AS key2,
+         corr(a.ret, b.ret) AS r, count(*) AS n_points
+  FROM sliding a JOIN sliding b
+    ON a.w_start_ms = b.w_start_ms AND a.time_ms = b.time_ms AND a.key < b.key
+  GROUP BY 1, 2, 3
+  HAVING count(*) >= 2
+)
+SELECT w_start_ms, key1, key2,
+       CASE WHEN r IS NULL OR isnan(r) THEN 1.0 ELSE round(r, 6) END AS value,
+       n_points,
+       (r IS NULL OR isnan(r)) AS is_nan
+FROM pairs
+"""
+)

@@ -1,0 +1,61 @@
+"""Facade parity: FXEngine.run with the demo's option overrides matches
+the stage-by-stage pipeline, and reference defaults apply the 0.5
+threshold."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_timeseries_java_spark.api import FXEngine, PipelineOptions
+from data_timeseries_java_spark.fixtures import demo_instruments, demo_ticks
+from data_timeseries_java_spark.operators.multimodal import (
+    decode_features,
+    documents_as_media,
+)
+
+
+def test_engine_run_demo_options(spark):
+    opts = PipelineOptions(min_corr_value=0.0, propagate_nan=True,
+                           include_underlying=True)
+    out = FXEngine(spark, opts).run(demo_ticks(spark), demo_instruments(spark))
+    rows = out.collect()
+    assert rows
+    # demo options carry the underlying arrays (Correlation proto's
+    # xValues/yValues)
+    assert all(len(r.x_values) == r.x_count for r in rows)
+    full = [r for r in rows if r.x_count == 5]
+    assert full
+
+
+def test_engine_reference_defaults_threshold(spark):
+    out = FXEngine(spark).run(demo_ticks(spark), demo_instruments(spark))
+    rows = out.collect()
+    # defaults: min |r| = 0.5, NaN dropped
+    assert all(abs(r.value) >= 0.5 and not r.is_nan for r in rows)
+
+
+def test_engine_large_universe_switch(spark):
+    opts = PipelineOptions(min_corr_value=0.0, propagate_nan=True,
+                           large_universe=True)
+    small = FXEngine(spark, PipelineOptions(min_corr_value=0.0,
+                                            propagate_nan=True))
+    large = FXEngine(spark, opts)
+    ticks, dims = demo_ticks(spark), demo_instruments(spark)
+    a = {(r.window_start, r.key1, r.key2): round(r.value, 9)
+         for r in small.run(ticks, dims).collect()}
+    b = {(r.window_start, r.key1, r.key2): round(r.value, 9)
+         for r in large.run(ticks, dims).collect()}
+    assert a == b
+
+
+def test_multimodal_decode_batch_shape(spark, sf_dir):
+    from data_timeseries_java_spark.tables import load_table
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    feats = decode_features(media)
+    rows = feats.limit(5).collect()
+    assert rows
+    for r in rows:
+        assert r.n_frames == 1 and r.width >= 16 and r.height >= 16
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-6  # L1-normalized histogram
