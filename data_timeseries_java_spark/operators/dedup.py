@@ -72,8 +72,10 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",
                        num_hashes: int = DEFAULT_NUM_HASHES) -> DataFrame:
     """MinHash signature per doc: sig_i = min(md5(i || ':' || shingle)).
     One aggregation, num_hashes min() columns — all map-side combinable."""
+    from data_timeseries_java_spark.functions.hashing import md5_min_signature
+
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        F.min(md5_min_signature(F.col("shingle"), i)).alias(f"sig_{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -84,12 +86,14 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                         band_size: int = DEFAULT_BAND_SIZE) -> DataFrame:
     """LSH banding: bucket = md5(sig_b*4 .. sig_b*4+3); docs sharing any
     (band, bucket) become a candidate pair (id_a < id_b)."""
+    from data_timeseries_java_spark.functions.hashing import md5_band_bucket
+
     n_bands = num_hashes // band_size
     bands = []
     for b in range(n_bands):
         cols = [F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
         bands.append(F.struct(F.lit(b).alias("band"),
-                              F.md5(F.concat_ws("|", *cols)).alias("bucket")))
+                              md5_band_bucket(cols).alias("bucket")))
     exploded = sigs.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))

@@ -99,3 +99,67 @@ def decode_features(media: DataFrame) -> DataFrame:
                 "n_frames", "feature"])
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = ("media_id long, modality string, width int, height int, "
+                 "resized binary")
+FRAMES_SCHEMA = ("media_id long, frame_idx int, frame_ts_ms long, "
+                 "frame binary")
+
+
+def resize_images(media: DataFrame, width: int = 224,
+                  height: int = 224) -> DataFrame:
+    """Resize stub: real deployments drop PIL's resize into `_resize`.
+    The deterministic fake truncates/pads the payload to width*height/64
+    bytes so batch shapes and schemas are exercised for real."""
+    import pandas as pd
+
+    target = max(1, width * height // 64)
+
+    def _resize(payload: bytes) -> bytes:
+        if payload is None:
+            raise NotImplementedError("real codec required")
+        return (payload * (target // max(len(payload), 1) + 1))[:target]
+
+    def run(batches):
+        for pdf in batches:
+            out = pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "modality": pdf["modality"],
+                "width": width, "height": height,
+                "resized": pdf["payload"].map(_resize),
+            })
+            yield out
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4,
+                  frame_interval_ms: int = 1000) -> DataFrame:
+    """Frame-sampling stub (video → n evenly spaced frames). The fake
+    slices the payload into n chunks; a real decoder (ffmpeg) replaces
+    `_frames`. One input row → n output rows, the real fan-out shape."""
+    import pandas as pd
+
+    def _frames(payload: bytes):
+        if payload is None:
+            raise NotImplementedError("real codec required")
+        step = max(1, len(payload) // n_frames)
+        return [payload[i * step:(i + 1) * step] or payload[-step:]
+                for i in range(n_frames)]
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                for i, fr in enumerate(_frames(r["payload"])):
+                    rows.append({
+                        "media_id": r["media_id"],
+                        "frame_idx": i,
+                        "frame_ts_ms": i * frame_interval_ms,
+                        "frame": fr,
+                    })
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "frame_ts_ms", "frame"])
+
+    return media.mapInPandas(run, FRAMES_SCHEMA)

@@ -21,25 +21,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-LCG_A = 1103515245
-LCG_C = 12345
-LCG_M = 2**31
-
-
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def _norm(a):
-    return F.sqrt(F.aggregate(
-        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    ))
+from data_timeseries_java_spark.functions.hashing import (  # noqa: E402
+    LCG_A,
+    LCG_C,
+    LCG_M,
+    lcg_uniform,
+)
+from data_timeseries_java_spark.functions.vectors import (  # noqa: E402
+    dot as _dot,
+    norm as _norm,
+)
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -102,8 +93,7 @@ def lsh_hyperplanes(spark, n_planes: int, dim: int) -> DataFrame:
         spark.range(dim).withColumnRenamed("id", "dim")
     ).select(
         "plane", "dim",
-        (((F.lit(LCG_A) * (F.col("plane") * dim + F.col("dim")) + LCG_C)
-          % LCG_M) / LCG_M - 0.5).alias("w"),
+        lcg_uniform(F.col("plane") * dim + F.col("dim")).alias("w"),
     )
 
 

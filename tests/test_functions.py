@@ -1,0 +1,88 @@
+"""functions/ tier: salting equivalence, vector math, late-data policy."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_timeseries_java_spark.fixtures import demo_ticks
+from data_timeseries_java_spark.functions import cosine, salted_sum
+from data_timeseries_java_spark.operators.multimodal import (
+    documents_as_media,
+    resize_images,
+    sample_frames,
+)
+from data_timeseries_java_spark.schemas import TICK_SCHEMA
+from data_timeseries_java_spark.streaming import streaming_ohlc_candles
+
+
+def test_salted_sum_equals_plain_sum(spark, sf_dir):
+    from data_timeseries_java_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {(r.l_returnflag,): r.s for r in
+             li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s")).collect()}
+    salted = {(r.l_returnflag,): r.sum_l_quantity for r in
+              salted_sum(li, ["l_returnflag"], "l_quantity", n_salts=8).collect()}
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert abs(plain[k] - salted[k]) < 1e-6 * max(1.0, abs(plain[k]))
+
+
+def test_cosine_column(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [0.0, 1.0]), (2, [1.0, 1.0], [1.0, 1.0])],
+        "id int, a array<double>, b array<double>")
+    got = {r.id: r.c for r in df.select("id", cosine("a", "b").alias("c")).collect()}
+    assert abs(got[1] - 0.0) < 1e-12
+    assert abs(got[2] - 1.0) < 1e-12
+
+
+def test_streaming_drops_late_rows(spark, tmp_path):
+    """Explicit late-data policy: a row older than the watermark is
+    dropped from its (already finalized) window."""
+    d = str(tmp_path)
+    t = lambda m: datetime(2016, 1, 1, 0, m, tzinfo=timezone.utc)
+    f0 = [("K", t(0), 1.0, 1.0, True), ("K", t(1), 2.0, 2.0, True)]
+    f1 = [("K", t(10), 5.0, 5.0, True)]      # advances watermark to :10
+    f2 = [("K", t(12), 6.0, 6.0, True)]      # extra batch: watermark
+    # propagation lags a batch behind the data that moved it
+    f3 = [("K", t(0), 99.0, 99.0, True),     # LATE: window [0,2) is closed
+          ("K", t(20), 7.0, 7.0, True)]      # sentinel to flush
+    import glob
+    import os
+    import time as _time
+
+    base = _time.time() - 1000
+    for i, rows in enumerate([f0, f1, f2, f3]):
+        spark.createDataFrame(rows, TICK_SCHEMA).coalesce(1).write.mode(
+            "overwrite").parquet(f"{d}/f{i}")
+        # the file source orders batches by modification time; force a
+        # strictly increasing order so f0 -> f1 -> f2 is deterministic
+        for p in glob.glob(f"{d}/f{i}/*"):
+            os.utime(p, (base + i * 10, base + i * 10))
+    src = (spark.readStream.schema(TICK_SCHEMA)
+           .option("maxFilesPerTrigger", 1).parquet(f"{d}/f*"))
+    out = streaming_ohlc_candles(src, "120 seconds")
+    q = (out.writeStream.format("memory").queryName("late_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.table("late_test").collect()
+    w0 = [r for r in rows if r.window_start == datetime(2016, 1, 1, 0, 0)]
+    assert len(w0) == 1
+    # the late 99.0 tick did NOT reopen or amend the window
+    assert w0[0].max_ask.ask == 2.0
+
+
+def test_multimodal_resize_and_frames(spark, sf_dir):
+    from data_timeseries_java_spark.tables import load_table
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).limit(10)
+    rs = resize_images(media, 64, 64).collect()
+    assert all(len(r.resized) == 64 * 64 // 64 for r in rs)
+    fr = sample_frames(media, n_frames=3).collect()
+    assert len(fr) == 30  # 10 docs x 3 frames
+    assert {r.frame_idx for r in fr} == {0, 1, 2}
+    assert all(r.frame_ts_ms == r.frame_idx * 1000 for r in fr)
