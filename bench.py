@@ -24,11 +24,13 @@ HEADLINE = [
     "revenue_by_nation",
     "top_customers",
     "user_sessions",
+    "fx_corr_user_buckets",
     # training-data extensions
     "dedup_minhash_lsh",
     "text_quality",
     "knn_bruteforce",
     "neardup_cosine",
+    "ann_lsh",
 ]
 
 

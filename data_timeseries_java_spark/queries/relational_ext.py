@@ -194,3 +194,29 @@ SELECT suppkey, round(rev, 2) AS revenue,
 FROM per_supp
 """,
 }
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column functions: extract a field from the events `props`
+    JSON payload and aggregate it."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("k").alias("k_min"),
+                 F.max("k").alias("k_max"),
+                 F.round(F.avg("k"), 6).alias("k_avg")))
+
+
+QUERIES["events_json_props"] = q_events_json_props
+
+ORACLE["events_json_props"] = """
+SELECT event_type,
+       count(*) AS n,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS k_avg
+FROM events
+GROUP BY event_type
+"""
