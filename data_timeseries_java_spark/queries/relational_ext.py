@@ -220,3 +220,115 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+def q_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per event type, trailing 1-hour moving average
+    over event time (time-range frame, not row counts)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("event_type")
+         .orderBy(F.unix_seconds(F.col("ts")))
+         .rangeBetween(-3600, 0))
+    return ev.select(
+        "event_id", "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+def q_window_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function sampler: lag/lead/first/last/ntile per customer
+    order history (deterministic ordering)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.first("o_orderkey").over(wf).alias("first_order"),
+        F.last("o_orderkey").over(wf).alias("last_order"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+def q_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery shape: customers above their segment's
+    average balance (expressed as a broadcast join against the per-segment
+    aggregate — the plan Catalyst decorrelates to anyway)."""
+    customer = load_table(spark, sf_dir, "customer")
+    seg_avg = customer.groupBy("c_mktsegment").agg(
+        F.avg("c_acctbal").alias("seg_avg"))
+    return (customer.join(F.broadcast(seg_avg), "c_mktsegment")
+            .where(F.col("c_acctbal") > F.col("seg_avg"))
+            .select("c_custkey", "c_mktsegment",
+                    F.round("c_acctbal", 2).alias("acctbal"),
+                    F.round("seg_avg", 6).alias("segment_avg")))
+
+
+def q_orders_flag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-EXISTS shape (TPC-H q21 flavor): orders with at least one
+    returnflag='A' item and no returnflag='R' item (semi + anti join)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    has_a = li.where(F.col("l_returnflag") == "A").select("l_orderkey").distinct()
+    has_r = li.where(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    return (orders
+            .join(has_a, orders.o_orderkey == has_a.l_orderkey, "left_semi")
+            .join(has_r, orders.o_orderkey == has_r.l_orderkey, "left_anti")
+            .select("o_orderkey", "o_orderstatus",
+                    F.round("o_totalprice", 2).alias("total")))
+
+
+QUERIES["moving_avg_range"] = q_moving_avg_range
+QUERIES["window_sampler"] = q_window_sampler
+QUERIES["above_segment_avg"] = q_above_segment_avg
+QUERIES["orders_flag_filter"] = q_orders_flag_filter
+
+ORACLE["moving_avg_range"] = """
+SELECT event_id, event_type,
+       epoch_ms(ts) AS ts_ms,
+       round(avg(value) OVER w, 6) AS avg_1h,
+       count(*) OVER w AS n_1h
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ms(ts) // 1000
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLE["window_sampler"] = """
+SELECT o_custkey, o_orderkey,
+       round(lag(o_totalprice) OVER w, 2) AS prev_price,
+       round(lead(o_totalprice) OVER w, 2) AS next_price,
+       first_value(o_orderkey) OVER wf AS first_order,
+       last_value(o_orderkey) OVER wf AS last_order,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+ORACLE["above_segment_avg"] = """
+SELECT c_custkey, c_mktsegment,
+       round(c_acctbal, 2) AS acctbal,
+       round(seg_avg, 6) AS segment_avg
+FROM customer
+JOIN (SELECT c_mktsegment AS seg, avg(c_acctbal) AS seg_avg
+      FROM customer GROUP BY c_mktsegment) s
+  ON c_mktsegment = s.seg
+WHERE c_acctbal > seg_avg
+"""
+
+ORACLE["orders_flag_filter"] = """
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'A')
+  AND NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+"""
