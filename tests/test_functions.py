@@ -86,3 +86,19 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
     assert len(fr) == 30  # 10 docs x 3 frames
     assert {r.frame_idx for r in fr} == {0, 1, 2}
     assert all(r.frame_ts_ms == r.frame_idx * 1000 for r in fr)
+
+
+def test_cosine_matrix_equals_hof(spark, sf_dir):
+    """Matrix-kernel near-dup must equal the per-pair zip_with plan."""
+    from data_timeseries_java_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_matrix,
+    )
+    from data_timeseries_java_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {(r.id_a, r.id_b): r.cosine
+         for r in cosine_pairs(emb, block_col="label", threshold=0.0).collect()}
+    b = {(r.id_a, r.id_b): r.cosine
+         for r in cosine_pairs_matrix(emb, threshold=0.0).collect()}
+    assert a == b and len(a) > 0
