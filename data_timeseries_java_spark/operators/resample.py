@@ -1,0 +1,91 @@
+"""Resampling operators: hierarchical candle rollup and TWAP.
+
+Hypertable-style rollup: coarser-resolution candles derive from finer
+candles, NOT from a rescan of raw ticks — at 100 TB the 1-minute candle
+table is ~3 orders of magnitude smaller than the tick table, so rolling
+1m → 1h → 1d touches progressively tiny inputs. OHLC composes exactly:
+open = earliest constituent's open, close = latest constituent's close,
+min/max = extrema of constituent extrema (whole-tick structs retained,
+matching TSAggValueProto semantics).
+
+TWAP (time-weighted average price): each tick's price weighted by its
+holding time — until the next tick, or the window end for the last tick
+(no carry into the window; gap-fill handles cross-window continuity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rollup_candles(candles: DataFrame, resolution: str) -> DataFrame:
+    """Roll complete candles up to a coarser resolution (must be a
+    multiple of the input resolution; windows are epoch-aligned so the
+    coarse bucket is pure integer math on window_start)."""
+    res = F.expr(f"INTERVAL {resolution}")
+    ws_ms = F.unix_millis("window_start")
+    res_ms = F.unix_millis(F.lit("1970-01-01 00:00:00").cast("timestamp") + res)
+    # integer bucket math (ms - ms % res); float division near exact
+    # multiples is one rounding error away from the wrong bucket
+    coarse = F.timestamp_millis(ws_ms - (ws_ms % res_ms))
+
+    g = candles.withColumn("w2", coarse).groupBy("key", "w2").agg(
+        F.min(F.struct(F.col("window_start").alias("ws"),
+                       F.col("open").alias("v"))).alias("o"),
+        F.max(F.struct(F.col("window_start").alias("ws"),
+                       F.col("close").alias("v"))).alias("c"),
+        F.min(F.struct(F.col("min_ask.ask").alias("p"),
+                       F.col("window_start").alias("ws"),
+                       F.col("min_ask").alias("v"))).alias("mna"),
+        F.max(F.struct(F.col("max_ask.ask").alias("p"),
+                       (-F.unix_millis("window_start")).alias("nws"),
+                       F.col("max_ask").alias("v"))).alias("mxa"),
+        F.min(F.struct(F.col("min_bid.bid").alias("p"),
+                       F.col("window_start").alias("ws"),
+                       F.col("min_bid").alias("v"))).alias("mnb"),
+        F.max(F.struct(F.col("max_bid.bid").alias("p"),
+                       (-F.unix_millis("window_start")).alias("nws"),
+                       F.col("max_bid").alias("v"))).alias("mxb"),
+        F.max("is_live").alias("is_live"),
+    )
+    return g.select(
+        "key",
+        F.col("w2").alias("window_start"),
+        (F.col("w2") + res).alias("window_end"),
+        F.col("o.v").alias("open"),
+        F.col("c.v").alias("close"),
+        F.col("mna.v").alias("min_ask"),
+        F.col("mxa.v").alias("max_ask"),
+        F.col("mnb.v").alias("min_bid"),
+        F.col("mxb.v").alias("max_bid"),
+        "is_live",
+    )
+
+
+def twap(ticks: DataFrame, resolution: str = "1 hour",
+         price_col: str = "ask") -> DataFrame:
+    """Time-weighted average price per (key, fixed window).
+
+    Weight of tick i = time until the next tick in the same window, or
+    until window end for the last tick. Ticks at the window's end-1ms
+    (gap rows) get zero weight naturally; windows with a single tick
+    weight it across the remaining window span.
+    """
+    w = F.window("event_time", resolution)
+    t_ms = F.unix_millis("event_time")
+    df = ticks.select("key", w.alias("w"), t_ms.alias("t_ms"),
+                      F.col(price_col).alias("price"))
+    wk = Window.partitionBy("key", "w").orderBy("t_ms")
+    dt = (F.coalesce(F.lead("t_ms").over(wk), F.unix_millis(F.col("w.end")))
+          - F.col("t_ms"))
+    weighted = df.withColumn("dt", dt)
+    return weighted.groupBy("key", "w").agg(
+        (F.sum(F.col("price") * F.col("dt")) / F.sum("dt")).alias("twap"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    ).select(
+        "key",
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "twap", "n_ticks",
+    )

@@ -394,3 +394,82 @@ SELECT w_start_ms, key1, key2,
 FROM pairs
 """
 )
+
+
+# ---- resampling: hierarchical rollup + TWAP -----------------------------
+
+ROLLUP_RES = "4 hours"
+ROLLUP_MS = 4 * 3_600_000
+
+
+def q_fx_candles_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: 1 h complete candles → 4 h candles,
+    derived from the candle table (not a tick rescan)."""
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+    from data_timeseries_java_spark.operators.resample import rollup_candles
+
+    ticks, keys = _ticks_and_keys(spark, sf_dir)
+    hourly = candles_pipeline(ticks, keys, RES)
+    r = rollup_candles(hourly, ROLLUP_RES)
+    return r.select(
+        "key",
+        _ms(F.col("window_start")).alias("w_start_ms"),
+        F.col("open.ask").alias("open_price"),
+        F.col("close.ask").alias("close_price"),
+        F.col("min_ask.ask").alias("min_price"),
+        F.col("max_ask.ask").alias("max_price"),
+        "is_live",
+    )
+
+
+def q_fx_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per (key, 1 h window) over live ticks."""
+    from data_timeseries_java_spark.operators.resample import twap
+
+    ticks, _ = _ticks_and_keys(spark, sf_dir)
+    t = twap(ticks, RES, price_col="ask")
+    return t.select(
+        "key",
+        _ms(F.col("window_start")).alias("w_start_ms"),
+        F.round("twap", 6).alias("twap"),
+        F.col("n_ticks"),
+    )
+
+
+QUERIES["fx_candles_rollup"] = q_fx_candles_rollup
+QUERIES["fx_twap"] = q_fx_twap
+
+ORACLE["fx_candles_rollup"] = _PRELUDE + f"""
+SELECT key,
+       (w_start_ms // {ROLLUP_MS}) * {ROLLUP_MS} AS w_start_ms,
+       arg_min(open_price, w_start_ms) AS open_price,
+       arg_max(close_price, w_start_ms) AS close_price,
+       min(min_price) AS min_price,
+       max(max_price) AS max_price,
+       bool_or(is_live) AS is_live
+FROM complete
+GROUP BY key, (w_start_ms // {ROLLUP_MS}) * {ROLLUP_MS}
+"""
+
+ORACLE["fx_twap"] = f"""
+WITH ticks AS (
+  SELECT event_type AS key, ts AS event_time, value AS price
+  FROM events
+),
+tk AS (
+  SELECT key, price, epoch_ms(event_time) AS t_ms,
+         (epoch_ms(event_time) // {RES_MS}) * {RES_MS} AS w_start_ms
+  FROM ticks
+),
+weighted AS (
+  SELECT key, w_start_ms, price,
+         coalesce(lead(t_ms) OVER (PARTITION BY key, w_start_ms ORDER BY t_ms),
+                  w_start_ms + {RES_MS}) - t_ms AS dt
+  FROM tk
+)
+SELECT key, w_start_ms,
+       round(sum(price * dt) / sum(dt), 6) AS twap,
+       count(*) AS n_ticks
+FROM weighted
+GROUP BY key, w_start_ms
+"""

@@ -1,0 +1,42 @@
+"""Resampling tier: rollup composition identity and TWAP invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_timeseries_java_spark.operators import ohlc_candles
+from data_timeseries_java_spark.operators.resample import rollup_candles, twap
+from data_timeseries_java_spark.tables import events_as_ticks
+
+
+@pytest.fixture(scope="module")
+def ticks(spark, sf_dir):
+    return events_as_ticks(spark, sf_dir).cache()
+
+
+def test_rollup_equals_direct_aggregation(spark, ticks):
+    """OHLC composes: rolling 1h live candles to 4h must equal
+    aggregating the ticks directly at 4h."""
+    direct = ohlc_candles(ticks, "4 hours")
+    rolled = rollup_candles(ohlc_candles(ticks, "1 hour"), "4 hours")
+
+    def flat(df):
+        return {(r.key, r.window_start): (r.close.ask, r.min_ask.ask,
+                                          r.max_ask.ask, r.close.time)
+                for r in df.collect()}
+
+    assert flat(direct) == flat(rolled)
+
+
+def test_twap_bounds_and_single_tick(spark, ticks):
+    out = twap(ticks, "1 hour").collect()
+    assert out
+    # TWAP lies within [min, max] of the window's prices
+    mm = {(r.key, r.window_start): (r.min_ask.ask, r.max_ask.ask)
+          for r in ohlc_candles(ticks, "1 hour").collect()}
+    for r in out:
+        lo, hi = mm[(r.key, r.window_start)]
+        assert lo - 1e-9 <= r.twap <= hi + 1e-9
+        if r.n_ticks == 1:
+            assert abs(r.twap - lo) < 1e-9  # single tick: TWAP == price
