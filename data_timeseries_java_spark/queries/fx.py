@@ -473,3 +473,22 @@ SELECT key, w_start_ms,
 FROM weighted
 GROUP BY key, w_start_ms
 """
+
+
+def q_fx_ema_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMA over each instrument's return series (recursive stateful
+    series op — rows-only check; numpy oracle lives in the test suite)."""
+    from data_timeseries_java_spark.operators.ema import ema
+
+    r = _returns_df(spark, sf_dir)
+    out = ema(r, alpha=0.2)
+    return out.select(
+        "key", _ms(F.col("time")).alias("time_ms"),
+        F.round("value", 6).alias("ret"),
+        F.round("ema", 6).alias("ema"),
+    )
+
+
+QUERIES["fx_ema_returns"] = q_fx_ema_returns
+# intentionally no ORACLE entry: recursive EMA is not SQL-expressible
+# without overflow-prone closed forms; driver records rows-only.

@@ -131,3 +131,30 @@ ORACLE = {
     "text_tokens": _TOKENS_SQL,
     "text_fingerprint": _FINGERPRINT_SQL,
 }
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content hash — the
+    reproducible-split primitive every training pipeline needs. Buckets
+    by the first hex digit of md5(doc_id): 0-b train (75%), c-d val
+    (12.5%), e-f test (12.5%). Pure string comparison — portable to any
+    engine, stable across runs and cluster sizes."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (F.when(h < "c", "train")
+             .when(h < "e", "val")
+             .otherwise("test"))
+    return docs.select("doc_id", split.alias("split"))
+
+
+QUERIES["dataset_split"] = q_dataset_split
+
+ORACLE["dataset_split"] = """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""

@@ -40,3 +40,24 @@ def test_twap_bounds_and_single_tick(spark, ticks):
         assert lo - 1e-9 <= r.twap <= hi + 1e-9
         if r.n_ticks == 1:
             assert abs(r.twap - lo) < 1e-9  # single tick: TWAP == price
+
+
+def test_ema_matches_direct_recursion(spark, ticks):
+    import numpy as np
+
+    from data_timeseries_java_spark.operators import log_returns
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+    from data_timeseries_java_spark.operators.ema import ema
+
+    r = log_returns(candles_pipeline(ticks, ticks.select("key").distinct(),
+                                     "1 hour"))
+    out = ema(r, alpha=0.3)
+    rows = [x for x in out.collect() if x.key == "click"]
+    rows.sort(key=lambda x: x.time)
+    xs = np.array([x.value for x in rows])
+    want = np.empty_like(xs)
+    want[0] = xs[0]
+    for i in range(1, len(xs)):
+        want[i] = 0.3 * xs[i] + 0.7 * want[i - 1]
+    got = np.array([x.ema for x in rows])
+    assert np.allclose(got, want, atol=1e-12)
