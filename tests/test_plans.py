@@ -71,3 +71,19 @@ def test_knn_broadcasts_queries(spark, sf_dir):
     q = all_queries()["knn_bruteforce"](spark, sf_dir)
     plan = formatted_plan(q)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# queries that intentionally cross into pandas/Arrow execution
+_PANDAS_QUERIES = {"media_decode_features", "fx_ema_returns", "neardup_cosine"}
+
+
+def test_no_query_falls_into_row_python(spark, sf_dir):
+    """Global guard: no declared query may contain row-at-a-time Python
+    evaluation (BatchEvalPython). Arrow-batched pandas operators are
+    allowed only for the known pandas-based queries."""
+    for name, fn in sorted(all_queries().items()):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} uses a Python UDF"
+        if name not in _PANDAS_QUERIES:
+            assert "InPandas" not in plan and "ArrowEvalPython" not in plan, \
+                f"{name} unexpectedly crosses into pandas"
