@@ -158,3 +158,29 @@ SELECT doc_id,
             ELSE 'test' END AS split
 FROM documents
 """
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep-rates applied
+    by hash threshold (md5 hex prefix < rate cutoff). Unlike rand()-based
+    sampling this is reproducible across runs, engines, and partitionings
+    — the property a training-data pipeline needs for auditable corpus
+    construction. en downsampled to ~25%, others kept at ~75%."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.concat(F.lit("sample:"),
+                                   F.col("doc_id").cast("string"))), 1, 1)
+    cutoff = F.when(F.col("lang") == "en", F.lit("4")).otherwise(F.lit("c"))
+    return (docs.where(h < cutoff)
+            .select("doc_id", "lang", "n_chars"))
+
+
+QUERIES["stratified_sample"] = q_stratified_sample
+
+ORACLE["stratified_sample"] = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 1)
+      < CASE WHEN lang = 'en' THEN '4' ELSE 'c' END
+"""
