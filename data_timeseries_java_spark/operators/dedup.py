@@ -196,3 +196,41 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                    (F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))).alias("jaccard")))
     return out.where(F.col("jaccard") >= threshold) \
               .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def cluster_duplicates(docs: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id",
+                       max_iterations: int = 20) -> DataFrame:
+    """Connected components over the near-duplicate pair graph —
+    iterative min-label propagation (each doc's cluster id converges to
+    the smallest doc id in its component; docs in no pair are their own
+    cluster).
+
+    The loop is driver-coordinated but each iteration is one distributed
+    join + aggregate; iterations needed = graph diameter (near-dup
+    components are shallow — a handful of hops). Caching per iteration
+    keeps lineage bounded.
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst"))))
+    labels = docs.select(F.col(id_col).alias("id"),
+                         F.col(id_col).alias("cluster")).cache()
+    for _ in range(max_iterations):
+        neighbor_min = (edges.join(labels, edges.dst == labels.id)
+                        .groupBy("src").agg(F.min("cluster").alias("nbr_min")))
+        new_labels = (labels.join(neighbor_min, labels.id == neighbor_min.src,
+                                  "left")
+                      .select(F.col("id"),
+                              F.least(F.col("cluster"),
+                                      F.coalesce(F.col("nbr_min"),
+                                                 F.col("cluster"))).alias("cluster"))
+                      ).cache()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.cluster") != F.col("o.cluster")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), "cluster")

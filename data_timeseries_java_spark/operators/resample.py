@@ -89,3 +89,22 @@ def twap(ticks: DataFrame, resolution: str = "1 hour",
         F.col("w.end").alias("window_end"),
         "twap", "n_ticks",
     )
+
+
+def bollinger_bands(candles: DataFrame, n_windows: int = 6,
+                    k: float = 2.0, price=None) -> DataFrame:
+    """Bollinger bands over candle closes: rolling mean ± k·stddev across
+    the trailing n candle windows (row frame — candles are equidistant
+    after gap-fill). First window's stddev is NULL (sample stddev of 1)."""
+    price = price if price is not None else F.col("close.ask")
+    w = (Window.partitionBy("key").orderBy("window_start")
+         .rowsBetween(-(n_windows - 1), 0))
+    mid = F.avg(price).over(w)
+    sd = F.stddev_samp(price).over(w)
+    return candles.select(
+        "key", "window_start", "window_end",
+        price.alias("close_price"),
+        mid.alias("bb_mid"),
+        (mid + k * sd).alias("bb_upper"),
+        (mid - k * sd).alias("bb_lower"),
+    )

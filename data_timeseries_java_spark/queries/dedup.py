@@ -185,3 +185,40 @@ FROM hashed h JOIN groups g ON h.content_hash = g.content_hash
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": _NGRAM_SQL,
 }
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the MinHash-LSH
+    pair graph (iterative min-label propagation; cluster id = component's
+    smallest doc id; singleton docs cluster with themselves)."""
+    from data_timeseries_java_spark.operators.dedup import cluster_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(docs, k=SHINGLE_K, threshold=JACCARD_T)
+    return cluster_duplicates(docs, pairs)
+
+
+QUERIES["dedup_clusters"] = q_dedup_clusters
+
+# Oracle: transitive closure by recursive CTE over the same verified pair
+# graph; cluster = min reachable id (including self).
+ORACLE["dedup_clusters"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_minhash_sql()}) q
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src AS id, least(min(dst), src) AS cluster FROM reach GROUP BY src
+)
+SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+"""

@@ -492,3 +492,34 @@ def q_fx_ema_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["fx_ema_returns"] = q_fx_ema_returns
 # intentionally no ORACLE entry: recursive EMA is not SQL-expressible
 # without overflow-prone closed forms; driver records rows-only.
+
+
+def q_fx_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands: trailing 6-candle mean ± 2σ per instrument."""
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+    from data_timeseries_java_spark.operators.resample import bollinger_bands
+
+    ticks, keys = _ticks_and_keys(spark, sf_dir)
+    c = candles_pipeline(ticks, keys, RES)
+    b = bollinger_bands(c, n_windows=6, k=2.0)
+    return b.select(
+        "key", _ms(F.col("window_start")).alias("w_start_ms"),
+        F.round("close_price", 6).alias("close_price"),
+        F.round("bb_mid", 6).alias("bb_mid"),
+        F.round("bb_upper", 6).alias("bb_upper"),
+        F.round("bb_lower", 6).alias("bb_lower"),
+    )
+
+
+QUERIES["fx_bollinger"] = q_fx_bollinger
+
+ORACLE["fx_bollinger"] = _PRELUDE + """
+SELECT key, w_start_ms,
+       round(close_price, 6) AS close_price,
+       round(avg(close_price) OVER w, 6) AS bb_mid,
+       round(avg(close_price) OVER w + 2.0 * stddev_samp(close_price) OVER w, 6) AS bb_upper,
+       round(avg(close_price) OVER w - 2.0 * stddev_samp(close_price) OVER w, 6) AS bb_lower
+FROM complete
+WINDOW w AS (PARTITION BY key ORDER BY w_start_ms
+             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+"""
