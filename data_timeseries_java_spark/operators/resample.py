@@ -108,3 +108,29 @@ def bollinger_bands(candles: DataFrame, n_windows: int = 6,
         (mid + k * sd).alias("bb_upper"),
         (mid - k * sd).alias("bb_lower"),
     )
+
+
+def rsi(candles: DataFrame, n_windows: int = 6, price=None) -> DataFrame:
+    """Relative Strength Index (Cutler's variant: simple moving averages
+    of gains/losses over the trailing n candles — the EMA-smoothed Wilder
+    variant lives with the other recursive ops in ema.py). RSI=100 when
+    no losses in the lookback; NULL until a prior close exists."""
+    price = price if price is not None else F.col("close.ask")
+    wk = Window.partitionBy("key").orderBy("window_start")
+    delta = price - F.lag(price).over(wk)
+    d = candles.select("key", "window_start", "window_end",
+                       price.alias("close_price"), delta.alias("delta"))
+    frame = (Window.partitionBy("key").orderBy("window_start")
+             .rowsBetween(-(n_windows - 1), 0))
+    gain = F.avg(F.when(F.col("delta") > 0, F.col("delta")).otherwise(
+        F.when(F.col("delta").isNotNull(), 0.0))).over(frame)
+    loss = F.avg(F.when(F.col("delta") < 0, -F.col("delta")).otherwise(
+        F.when(F.col("delta").isNotNull(), 0.0))).over(frame)
+    # avg() skips NULL deltas, so gain/loss are NULL only when the frame
+    # holds no delta at all (the key's first candle)
+    rsi_col = (F.when(gain.isNull(), F.lit(None).cast("double"))
+               .when(loss == 0, 100.0)
+               .otherwise(100.0 - 100.0 / (1.0 + gain / loss)))
+    return d.select("key", "window_start", "window_end", "close_price",
+                    gain.alias("avg_gain"), loss.alias("avg_loss"),
+                    rsi_col.alias("rsi"))

@@ -222,3 +222,25 @@ labels AS (
 SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
 FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
 """
+
+
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision: one kept representative per near-dup
+    cluster (the component's smallest doc id) — the keep-list a corpus
+    build would join against."""
+    from pyspark.sql import functions as F
+
+    clusters = q_dedup_clusters(spark, sf_dir)
+    return (clusters.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("cluster_size"))
+            .select(F.col("cluster").alias("kept_doc_id"), "cluster_size"))
+
+
+QUERIES["dedup_keep_list"] = q_dedup_keep_list
+
+ORACLE["dedup_keep_list"] = ORACLE["dedup_clusters"].replace(
+    "SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster\nFROM documents d LEFT JOIN labels l ON l.id = d.doc_id",
+    """SELECT cluster AS kept_doc_id, count(*) AS cluster_size
+FROM (SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN labels l ON l.id = d.doc_id)
+GROUP BY cluster""")

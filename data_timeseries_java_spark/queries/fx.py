@@ -523,3 +523,47 @@ FROM complete
 WINDOW w AS (PARTITION BY key ORDER BY w_start_ms
              ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
 """
+
+
+def q_fx_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's RSI over the trailing 6 candles per instrument."""
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+    from data_timeseries_java_spark.operators.resample import rsi
+
+    ticks, keys = _ticks_and_keys(spark, sf_dir)
+    c = candles_pipeline(ticks, keys, RES)
+    r = rsi(c, n_windows=6)
+    return r.select(
+        "key", _ms(F.col("window_start")).alias("w_start_ms"),
+        F.round("avg_gain", 6).alias("avg_gain"),
+        F.round("avg_loss", 6).alias("avg_loss"),
+        F.round("rsi", 6).alias("rsi"),
+    )
+
+
+QUERIES["fx_rsi"] = q_fx_rsi
+
+ORACLE["fx_rsi"] = _PRELUDE + """
+, deltas AS (
+  SELECT key, w_start_ms,
+         close_price - lag(close_price) OVER (PARTITION BY key ORDER BY w_start_ms) AS delta
+  FROM complete
+),
+avgs AS (
+  SELECT key, w_start_ms,
+         avg(CASE WHEN delta > 0 THEN delta
+                  WHEN delta IS NOT NULL THEN 0 END) OVER w AS avg_gain,
+         avg(CASE WHEN delta < 0 THEN -delta
+                  WHEN delta IS NOT NULL THEN 0 END) OVER w AS avg_loss
+  FROM deltas
+  WINDOW w AS (PARTITION BY key ORDER BY w_start_ms
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT key, w_start_ms,
+       round(avg_gain, 6) AS avg_gain,
+       round(avg_loss, 6) AS avg_loss,
+       round(CASE WHEN avg_gain IS NULL THEN NULL
+                  WHEN avg_loss = 0 THEN 100.0
+                  ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss) END, 6) AS rsi
+FROM avgs
+"""

@@ -184,3 +184,38 @@ FROM documents
 WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 1)
       < CASE WHEN lang = 'en' THEN '4' ELSE 'c' END
 """
+
+
+def q_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary extraction: top 25 tokens by document frequency
+    (ties broken lexicographically) with collection frequency."""
+    from pyspark.sql import functions as F
+
+    from data_timeseries_java_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    stats = tok.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("coll_freq"),
+    )
+    return (stats.orderBy(F.desc("doc_freq"), F.desc("coll_freq"), F.asc("tok"))
+            .limit(25))
+
+
+QUERIES["vocabulary_topk"] = q_vocabulary_topk
+
+ORACLE["vocabulary_topk"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+  FROM documents
+)
+SELECT tok,
+       count(DISTINCT doc_id) AS doc_freq,
+       count(*) AS coll_freq
+FROM toks
+GROUP BY tok
+ORDER BY doc_freq DESC, coll_freq DESC, tok ASC
+LIMIT 25
+"""
