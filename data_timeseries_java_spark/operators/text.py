@@ -146,3 +146,39 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.substring(prefix, 1, 16).alias("prefix_fp"),
         minhash1.alias("min_token_hash"),
     )
+
+
+def tf_idf(df: DataFrame, text_col: str = "text",
+           id_col: str = "doc_id") -> DataFrame:
+    """Per-(doc, token) TF-IDF: tf = term count in doc, idf =
+    ln(N / doc_freq) (plain form — deterministic and engine-portable)."""
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.count()  # driver scalar: one tiny job, broadcast as literal
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return (tf.join(dfreq, "tok")
+            .select(id_col, "tok", "tf", "doc_freq",
+                    (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")))
+                    .alias("tf_idf")))
+
+
+def bm25_search(df: DataFrame, query_terms: list[str],
+                text_col: str = "text", id_col: str = "doc_id",
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Lexical search: BM25 score of each document against a bag of query
+    terms. Pure aggregation arithmetic — one shuffle on token, one on doc."""
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    doc_len = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = df.count()
+    avg_dl = doc_len.agg(F.avg("dl")).collect()[0][0]
+    tf = (toks.where(F.col("tok").isin(query_terms))
+          .groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    idf = F.log((F.lit(float(n_docs)) - F.col("doc_freq") + 0.5)
+                / (F.col("doc_freq") + 0.5) + 1.0)
+    scored = (tf.join(dfreq, "tok").join(doc_len, id_col)
+              .select(id_col,
+                      (idf * (F.col("tf") * (k1 + 1))
+                       / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avg_dl)))))
+                      .alias("term_score")))
+    return scored.groupBy(id_col).agg(F.sum("term_score").alias("bm25"))

@@ -332,3 +332,66 @@ WHERE EXISTS (SELECT 1 FROM lineitem
   AND NOT EXISTS (SELECT 1 FROM lineitem
                   WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
 """
+
+
+def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection: events whose value is > 3 sigma from their
+    type's mean (z-score over the full history — the batch form; the
+    streaming form uses the same expressions per window)."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma"))
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (ev.join(F.broadcast(stats), "event_type")
+            .where(F.abs(z) > 3)
+            .select("event_id", "event_type", "value",
+                    F.round(z, 6).alias("z_score")))
+
+
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: per-column null count, distinct count, min/max —
+    the corpus-health snapshot a pipeline runs before training builds."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount"]
+    parts = []
+    for c in cols:
+        parts.append(li.agg(
+            F.lit(c).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.round(F.min(c).cast("double"), 6).alias("min_val"),
+            F.round(F.max(c).cast("double"), 6).alias("max_val"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+QUERIES["event_anomalies"] = q_event_anomalies
+QUERIES["profile_lineitem"] = q_profile_lineitem
+
+ORACLE["event_anomalies"] = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, value,
+       round((value - mu) / sigma, 6) AS z_score
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE abs((value - mu) / sigma) > 3
+"""
+
+_PROFILE_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"]
+ORACLE["profile_lineitem"] = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       round(CAST(min({c}) AS DOUBLE), 6) AS min_val,
+       round(CAST(max({c}) AS DOUBLE), 6) AS max_val
+FROM lineitem"""
+    for c in _PROFILE_COLS)

@@ -219,3 +219,85 @@ GROUP BY tok
 ORDER BY doc_freq DESC, coll_freq DESC, tok ASC
 LIMIT 25
 """
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (deterministic tie-breaks)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_timeseries_java_spark.operators.text import tf_idf
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tf_idf(docs)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round("tf_idf", 9)), F.asc("tok"))
+    return (t.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= 3)
+            .select("doc_id", "tok", F.col("tf"),
+                    F.round("tf_idf", 6).alias("tf_idf"), "rank"))
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical search for a fixed query over the corpus; top 20."""
+    from pyspark.sql import functions as F
+
+    from data_timeseries_java_spark.operators.text import bm25_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_search(docs, ["spark", "join", "window"])
+    return (scored.select("doc_id", F.round("bm25", 6).alias("bm25"))
+            .orderBy(F.desc(F.round("bm25", 9)), F.asc("doc_id"))
+            .limit(20))
+
+
+QUERIES["tfidf_top_terms"] = q_tfidf_top_terms
+QUERIES["bm25_search"] = q_bm25_search
+
+ORACLE["tfidf_top_terms"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, count(*) AS doc_freq FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf,
+         tf.tf * ln(n.n_docs / dfreq.doc_freq) AS tf_idf
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY round(tf_idf, 9) DESC, tok ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, tok, tf, round(tf_idf, 6) AS tf_idf, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+ORACLE["bm25_search"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT avg(dl) FROM dl) AS avg_dl),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+       WHERE tok IN ('spark', 'join', 'window') GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, count(*) AS doc_freq FROM tf GROUP BY tok),
+scored AS (
+  SELECT tf.doc_id,
+         ln((s.n_docs - dfreq.doc_freq + 0.5) / (dfreq.doc_freq + 0.5) + 1.0)
+           * (tf.tf * (1.2 + 1))
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avg_dl)) AS term_score
+  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(term_score), 6) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY round(sum(term_score), 9) DESC, doc_id ASC
+LIMIT 20
+"""
