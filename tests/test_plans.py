@@ -87,3 +87,26 @@ def test_no_query_falls_into_row_python(spark, sf_dir):
         if name not in _PANDAS_QUERIES:
             assert "InPandas" not in plan and "ArrowEvalPython" not in plan, \
                 f"{name} unexpectedly crosses into pandas"
+
+
+def test_bucketed_table_eliminates_agg_shuffle(spark, sf_dir):
+    """The 100 TB layout claim, proven on the plan: a tick table bucketed
+    by instrument key satisfies the candle aggregation's required
+    distribution, so the (key, window) groupBy runs with ZERO exchanges
+    — the shuffle the plain parquet plan needs disappears."""
+    from data_timeseries_java_spark.operators.candles import ohlc_candles
+    from data_timeseries_java_spark.tables import events_as_ticks
+
+    ticks = events_as_ticks(spark, sf_dir)
+    plain = ohlc_candles(ticks, "1 hour")
+    assert exchange_count(plain) == 1
+
+    spark.sql("DROP TABLE IF EXISTS _test_ticks_bucketed")
+    (ticks.write.mode("overwrite").bucketBy(8, "key")
+     .sortBy("key", "event_time").saveAsTable("_test_ticks_bucketed"))
+    try:
+        bucketed = ohlc_candles(spark.table("_test_ticks_bucketed"), "1 hour")
+        assert exchange_count(bucketed) == 0
+        assert bucketed.count() == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS _test_ticks_bucketed")
