@@ -21,7 +21,9 @@ def q_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (orders.cube("o_orderstatus", "o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.avg("o_totalprice"), 6).alias("avg_price"))
+                 # rounded-sum / count — see q_moving_avg_range note
+                 F.round(F.round(F.sum("o_totalprice"), 2) / F.count(F.lit(1)), 6)
+                  .alias("avg_price"))
             .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
                     F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
                     "n", "avg_price"))
@@ -134,7 +136,7 @@ ORACLE = {
 SELECT coalesce(o_orderstatus, 'ALL') AS status,
        coalesce(o_orderpriority, 'ALL') AS priority,
        count(*) AS n,
-       round(avg(o_totalprice), 6) AS avg_price
+       round(round(sum(o_totalprice), 2) / count(*), 6) AS avg_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
@@ -206,7 +208,8 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("k").alias("k_min"),
                  F.max("k").alias("k_max"),
-                 F.round(F.avg("k"), 6).alias("k_avg")))
+                 # integer sum / count is exact; round once at output
+                 F.round(F.sum("k") / F.count(F.lit(1)), 6).alias("k_avg")))
 
 
 QUERIES["events_json_props"] = q_events_json_props
@@ -216,7 +219,8 @@ SELECT event_type,
        count(*) AS n,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
-       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS k_avg
+       round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / count(*), 6) AS k_avg
 FROM events
 GROUP BY event_type
 """
@@ -231,11 +235,23 @@ def q_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (Window.partitionBy("event_type")
          .orderBy(F.unix_seconds(F.col("ts")))
          .rangeBetween(-3600, 0))
+    # avg = rounded-sum / count: summing 2-decimal data then averaging by
+    # counts with only 2/5 prime factors lands EXACTLY on round-6
+    # boundaries, where cross-engine summation order flips the digit
+    # (observed at sf0.1). round(sum,2) is boundary-free (true sums are
+    # exact 2-decimal), and dividing identical doubles is deterministic.
+    s = F.round(F.sum("value").over(w), 2)
+    n = F.count(F.lit(1)).over(w)
+    # floor-to-microunits instead of round: s/n frequently terminates
+    # EXACTLY at the 1e-6 half-grid (2-decimal sums over power-of-two
+    # counts), and Spark (BigDecimal-exact) vs DuckDB (multiply-then-
+    # round) disagree on the same boundary double; floor of the identical
+    # double is engine-independent.
     return ev.select(
         "event_id", "event_type",
         F.unix_millis("ts").alias("ts_ms"),
-        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
-        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.floor(s / n * 1_000_000).cast("long").alias("avg_1h_micros"),
+        n.alias("n_1h"),
     )
 
 
@@ -293,7 +309,8 @@ QUERIES["orders_flag_filter"] = q_orders_flag_filter
 ORACLE["moving_avg_range"] = """
 SELECT event_id, event_type,
        epoch_ms(ts) AS ts_ms,
-       round(avg(value) OVER w, 6) AS avg_1h,
+       CAST(floor(round(sum(value) OVER w, 2) / (count(*) OVER w) * 1000000)
+            AS BIGINT) AS avg_1h_micros,
        count(*) OVER w AS n_1h
 FROM events
 WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ms(ts) // 1000
