@@ -60,3 +60,34 @@ def streaming_ema(ticks: DataFrame, alpha: float = 0.2,
             .groupBy("key")
             .transformWithStateInPandas(
                 EmaProcessor(), EMA_OUT_SCHEMA, "Append", "EventTime"))
+
+
+def streaming_ema_applyinpandas(ticks: DataFrame, alpha: float = 0.2,
+                                price_col: str = "ask",
+                                watermark: str = "0 seconds") -> DataFrame:
+    """Same operator on applyInPandasWithState (no protobuf dependency —
+    runs in this environment; used by the test suite as the executable
+    streaming-EMA path)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def process(key, pdf_iter, state: GroupState):
+        (k,) = key
+        prev = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("event_time")
+            for _, r in pdf.iterrows():
+                x = float(r[price_col])
+                prev = x if prev is None else alpha * x + (1 - alpha) * prev
+                out.append((k, r["event_time"], x, prev))
+        if prev is not None:
+            state.update((prev,))
+        yield pd.DataFrame(out, columns=["key", "event_time", "price", "ema"])
+
+    return (ticks
+            .withWatermark("event_time", watermark)
+            .groupBy("key")
+            .applyInPandasWithState(
+                process, EMA_OUT_SCHEMA, _STATE_SCHEMA, "append",
+                GroupStateTimeout.NoTimeout))

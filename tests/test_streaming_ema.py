@@ -45,3 +45,34 @@ def test_streaming_ema_matches_pandas(spark, tmp_path):
     assert len(got) == len(prices)
     for m, w in enumerate(want):
         assert abs(got[t(m).replace(tzinfo=None)] - w) < 1e-12
+
+
+def test_streaming_ema_applyinpandas_matches_pandas(spark, tmp_path):
+    """The dependency-free state API runs the same EMA recursion."""
+    import pandas as pd
+
+    from data_timeseries_java_spark.streaming.ema_stream import (
+        streaming_ema_applyinpandas,
+    )
+
+    d = str(tmp_path)
+    t = lambda m: datetime(2024, 8, 2, 0, m, tzinfo=timezone.utc)
+    prices = [5.0, 9.0, 7.0, 11.0, 8.0, 10.0]
+    rows = [("K", t(m), p, p, True) for m, p in enumerate(prices)]
+    base = _time.time() - 1000
+    for i, chunk in enumerate([rows[:2], rows[2:4], rows[4:]]):
+        spark.createDataFrame(chunk, TICK_SCHEMA).coalesce(1).write.mode(
+            "overwrite").parquet(f"{d}/f{i}")
+        for p in glob.glob(f"{d}/f{i}/*"):
+            os.utime(p, (base + i * 10, base + i * 10))
+    src = (spark.readStream.schema(TICK_SCHEMA)
+           .option("maxFilesPerTrigger", 1).parquet(f"{d}/f*"))
+    out = streaming_ema_applyinpandas(src, alpha=0.4)
+    q = (out.writeStream.format("memory").queryName("ema_aip")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.event_time: r.ema for r in spark.table("ema_aip").collect()}
+    want = pd.Series(prices).ewm(alpha=0.4, adjust=False).mean()
+    assert len(got) == len(prices)
+    for m, w in enumerate(want):
+        assert abs(got[t(m).replace(tzinfo=None)] - w) < 1e-12
