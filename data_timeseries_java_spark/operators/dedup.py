@@ -130,7 +130,9 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id",
     return (pairs.join(a, "id_a").join(b, "id_b")
             .select("id_a", "id_b", jac.alias("jaccard"))
             .where(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+            .select("id_a", "id_b",
+                    (F.floor(F.col("jaccard") * 1_000_000) / 1_000_000)
+                    .alias("jaccard")))
 
 
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
@@ -195,7 +197,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
            .select("id_a", "id_b",
                    (F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))).alias("jaccard")))
     return out.where(F.col("jaccard") >= threshold) \
-              .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+              .select("id_a", "id_b",
+                      (F.floor(F.col("jaccard") * 1_000_000) / 1_000_000)
+                      .alias("jaccard"))
 
 
 def cluster_duplicates(docs: DataFrame, pairs: DataFrame,

@@ -33,6 +33,15 @@ STOPWORDS = sorted({w for ws in LANG_LEXICONS.values() for w in ws})
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def _floor6(c: Column) -> Column:
+    """Quantize to 6 decimals by flooring. Ratios of integers/decimal
+    data land EXACTLY on round-half boundaries (denominators with only
+    2/5 prime factors, e.g. a 512-char doc), where engines' round
+    implementations disagree on the same double; floor of an identical
+    double never does."""
+    return F.floor(c * 1_000_000) / 1_000_000
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokens of lowercased text (empty strings removed)."""
     return F.filter(F.split(F.lower(text), " "), lambda t: t != "")
@@ -57,7 +66,7 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_ws.alias("n_tokens_ws"),
         n_bpe.alias("n_tokens_bpe"),
         n_distinct.alias("n_tokens_distinct"),
-        F.round(F.length(text_col) / F.greatest(n_ws, F.lit(1)), 6).alias("chars_per_token"),
+        _floor6(F.length(text_col) / F.greatest(n_ws, F.lit(1))).alias("chars_per_token"),
     )
 
 
@@ -82,10 +91,10 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "doc_id",
         F.size(t).cast("long").alias("n_tokens"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(mean_tok_len, 6).alias("mean_token_len"),
-        F.round(score, 6).alias("quality_score"),
+        _floor6(punct_ratio).alias("punct_ratio"),
+        _floor6(stop_ratio).alias("stopword_ratio"),
+        _floor6(mean_tok_len).alias("mean_token_len"),
+        _floor6(score).alias("quality_score"),
     )
 
 
@@ -104,7 +113,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         lex = F.array(*[F.lit(w) for w in words])
         hits = F.size(F.filter(F.col("toks"), lambda x: F.array_contains(lex, x))).cast("double")
         lang_scores.append(F.struct(
-            F.round(hits / F.greatest(F.col("n"), F.lit(1.0)), 6).alias("score"),
+            _floor6(hits / F.greatest(F.col("n"), F.lit(1.0))).alias("score"),
             F.lit(lang).alias("lang"),
         ))
     # argmax: sort (score, lang) structs; max = best score, and ties pick

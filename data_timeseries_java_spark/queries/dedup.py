@@ -81,7 +81,7 @@ scored AS (
   JOIN ssets a ON a.doc_id = c.id_a
   JOIN ssets b ON b.doc_id = c.id_b
 )
-SELECT id_a, id_b, round(jac, 6) AS jaccard
+SELECT id_a, id_b, floor(jac * 1000000) / 1000000 AS jaccard
 FROM scored WHERE jac >= {threshold}
 """
 
@@ -130,7 +130,7 @@ inter AS (
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT i.id_a, i.id_b,
-       round(i.n_inter / (za.sz + zb.sz - i.n_inter), 6) AS jaccard
+       floor(i.n_inter / (za.sz + zb.sz - i.n_inter) * 1000000) / 1000000 AS jaccard
 FROM inter i
 JOIN sizes za ON za.doc_id = i.id_a
 JOIN sizes zb ON zb.doc_id = i.id_b

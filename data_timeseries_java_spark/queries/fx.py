@@ -431,7 +431,7 @@ def q_fx_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "key",
         _ms(F.col("window_start")).alias("w_start_ms"),
-        F.round("twap", 6).alias("twap"),
+        (F.floor(F.col("twap") * 1_000_000) / 1_000_000).alias("twap"),
         F.col("n_ticks"),
     )
 
@@ -468,7 +468,7 @@ weighted AS (
   FROM tk
 )
 SELECT key, w_start_ms,
-       round(sum(price * dt) / sum(dt), 6) AS twap,
+       floor(sum(price * dt) / sum(dt) * 1000000) / 1000000 AS twap,
        count(*) AS n_ticks
 FROM weighted
 GROUP BY key, w_start_ms

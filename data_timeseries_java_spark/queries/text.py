@@ -30,8 +30,8 @@ def _langid_sql() -> str:
     for lang in langs:
         words = ", ".join(f"'{w}'" for w in LANG_LEXICONS[lang])
         score_cols.append(
-            f"round(len(list_filter(t, x -> x IN ({words}))) / "
-            f"greatest(len(t), 1) * 1.0, 6) AS score_{lang}")
+            f"floor(len(list_filter(t, x -> x IN ({words}))) / "
+            f"greatest(len(t), 1) * 1.0 * 1000000) / 1000000 AS score_{lang}")
     # argmax with alphabetical tie-break: first lang >= all others wins
     cases = []
     for lang in langs:
@@ -73,12 +73,12 @@ m AS (
 )
 SELECT doc_id,
        CAST(n_tok AS BIGINT) AS n_tokens,
-       round(n_punct / greatest(n_chars, 1.0), 6) AS punct_ratio,
-       round(n_stop / greatest(n_tok, 1.0), 6) AS stopword_ratio,
-       round((n_chars - (n_tok - 1)) / greatest(n_tok, 1.0), 6) AS mean_token_len,
-       round(0.4 * least(n_tok / 100.0, 1.0)
+       floor(n_punct / greatest(n_chars, 1.0) * 1000000) / 1000000 AS punct_ratio,
+       floor(n_stop / greatest(n_tok, 1.0) * 1000000) / 1000000 AS stopword_ratio,
+       floor((n_chars - (n_tok - 1)) / greatest(n_tok, 1.0) * 1000000) / 1000000 AS mean_token_len,
+       floor((0.4 * least(n_tok / 100.0, 1.0)
            + 0.3 * (1 - least(n_punct / greatest(n_chars, 1.0) * 5, 1.0))
-           + 0.3 * least(n_stop / greatest(n_tok, 1.0) * 4, 1.0), 6) AS quality_score
+           + 0.3 * least(n_stop / greatest(n_tok, 1.0) * 4, 1.0)) * 1000000) / 1000000 AS quality_score
 FROM m
 """
 
@@ -88,7 +88,7 @@ SELECT doc_id,
        CAST(len(t) AS BIGINT) AS n_tokens_ws,
        CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS n_tokens_bpe,
        CAST(len(list_distinct(t)) AS BIGINT) AS n_tokens_distinct,
-       round(length(text) / greatest(len(t), 1) * 1.0, 6) AS chars_per_token
+       floor(length(text) / greatest(len(t), 1) * 1.0 * 1000000) / 1000000 AS chars_per_token
 FROM toks
 """
 
