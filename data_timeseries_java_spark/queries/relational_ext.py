@@ -412,3 +412,73 @@ ORACLE["profile_lineitem"] = "\nUNION ALL\n".join(
        round(CAST(max({c}) AS DOUBLE), 6) AS max_val
 FROM lineitem"""
     for c in _PROFILE_COLS)
+
+
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest prior (or
+    simultaneous) click — point-in-time lookup, the canonical
+    time-series join. Implemented as union + last-value window (one
+    shuffle on user, linear per key; see operators/temporal.py)."""
+    from data_timeseries_java_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value")
+    j = asof_join(purchases, clicks, on="user_id",
+                  left_time="ts", right_time="ts")
+    return j.select(
+        "event_id", "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "value",
+        F.col("value_asof").alias("last_click_value"),
+        F.unix_millis("ts_asof").alias("last_click_ts_ms"),
+    )
+
+
+def q_range_join_event_candle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: each event matched to its containing hourly candle
+    (same type). Spark side uses the grid-arithmetic equality rewrite;
+    the oracle uses a true BETWEEN join — proving the rewrite."""
+    from data_timeseries_java_spark.operators.candles import ohlc_candles
+    from data_timeseries_java_spark.tables import events_as_ticks
+
+    ticks = events_as_ticks(spark, sf_dir)
+    candles = ohlc_candles(ticks, "1 hour").select(
+        "key", F.unix_millis("window_start").alias("w_start_ms"),
+        F.col("close.ask").alias("close_price"))
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id", F.col("event_type").alias("key"), "value",
+        (F.floor(F.unix_millis("ts") / 3_600_000) * 3_600_000)
+        .cast("long").alias("w_start_ms"),
+    )
+    return (keyed.join(candles, ["key", "w_start_ms"])
+            .select("event_id", "key", "w_start_ms", "value", "close_price"))
+
+
+QUERIES["asof_purchase_click"] = q_asof_purchase_click
+QUERIES["range_join_event_candle"] = q_range_join_event_candle
+
+ORACLE["asof_purchase_click"] = """
+SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms, p.value,
+       c.value AS last_click_value,
+       epoch_ms(c.ts) AS last_click_ts_ms
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+ORACLE["range_join_event_candle"] = """
+WITH candles AS (
+  SELECT event_type AS key,
+         (epoch_ms(ts) // 3600000) * 3600000 AS w_start_ms,
+         arg_max(value, ts) AS close_price
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type AS key, c.w_start_ms, e.value, c.close_price
+FROM events e JOIN candles c
+  ON e.event_type = c.key
+ AND epoch_ms(e.ts) BETWEEN c.w_start_ms AND c.w_start_ms + 3599999
+"""

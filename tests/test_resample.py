@@ -61,3 +61,24 @@ def test_ema_matches_direct_recursion(spark, ticks):
         want[i] = 0.3 * xs[i] + 0.7 * want[i - 1]
     got = np.array([x.ema for x in rows])
     assert np.allclose(got, want, atol=1e-12)
+
+
+def test_asof_join_semantics(spark):
+    """<= matching, per-key isolation, no-prior-row dropping."""
+    from datetime import datetime, timezone
+
+    from data_timeseries_java_spark.operators.temporal import asof_join
+
+    t = lambda m: datetime(2024, 9, 1, 0, m, tzinfo=timezone.utc)
+    left = spark.createDataFrame(
+        [("A", t(5), 1.0), ("A", t(10), 2.0), ("B", t(3), 3.0)],
+        "k string, ts timestamp, v double")
+    right = spark.createDataFrame(
+        [("A", t(5), 50.0), ("A", t(7), 70.0), ("B", t(9), 90.0)],
+        "k string, ts timestamp, r double")
+    out = {(x.k, x.ts.minute): (x.r_asof, x.ts_asof.minute)
+           for x in asof_join(left, right, on="k", left_time="ts",
+                              right_time="ts").collect()}
+    assert out[("A", 5)] == (50.0, 5)    # simultaneous row matches (<=)
+    assert out[("A", 10)] == (70.0, 7)   # latest prior
+    assert ("B", 3) not in out           # no prior right row → dropped
