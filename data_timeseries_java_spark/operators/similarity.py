@@ -190,3 +190,67 @@ def ann_lsh_topk(df: DataFrame, query_ids: DataFrame, k: int = 10,
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= k)
             .select("query_id", "nbr_id", "rank", F.round("cosine", 6).alias("cosine")))
+
+
+def ivf_assign(df: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    centroid by cosine (broadcast the centroid table; ties break on
+    centroid id). Real deployments train centroids with k-means; any
+    deterministic centroid set slots in — the partitioning/probing
+    machinery is identical."""
+    from pyspark.sql import Window
+
+    base = with_norm(df, vec_col)
+    cent = with_norm(centroids, vec_col).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("c_vec"), F.col("_norm").alias("c_norm"))
+    cos = _dot(F.col(vec_col), F.col("c_vec")) / (F.col("_norm") * F.col("c_norm"))
+    scored = (base.crossJoin(F.broadcast(cent))
+              .select(id_col, "centroid_id", cos.alias("cos")))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc(F.round("cos", 9)), F.asc("centroid_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") == 1)
+            .select(id_col, "centroid_id"))
+
+
+def ivf_topk(df: DataFrame, query_ids: DataFrame, centroids: DataFrame,
+             k: int = 10, n_probe: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: probe the query's n_probe nearest centroid
+    lists, exact-cosine rerank only those candidates. At scale the
+    assignment is the partition key — each probe touches n_probe/n_lists
+    of the corpus."""
+    from pyspark.sql import Window
+
+    assign = ivf_assign(df, centroids, id_col, vec_col)
+    base = with_norm(df, vec_col)
+    cent = with_norm(centroids, vec_col).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("c_vec"), F.col("_norm").alias("c_norm"))
+    qv = base.join(query_ids.select(id_col), id_col, "left_semi")
+    qcos = _dot(F.col(vec_col), F.col("c_vec")) / (F.col("_norm") * F.col("c_norm"))
+    wq = Window.partitionBy(id_col).orderBy(
+        F.desc(F.round("qcos", 9)), F.asc("centroid_id"))
+    probes = (qv.crossJoin(F.broadcast(cent))
+              .select(id_col, "centroid_id", qcos.alias("qcos"))
+              .withColumn("rnk", F.row_number().over(wq))
+              .where(F.col("rnk") <= n_probe)
+              .select(F.col(id_col).alias("query_id"), "centroid_id"))
+    cand = (probes.join(assign.withColumnRenamed(id_col, "nbr_id"), "centroid_id")
+            .where(F.col("query_id") != F.col("nbr_id"))
+            .select("query_id", "nbr_id").distinct())
+    q = base.select(F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("q_vec"), F.col("_norm").alias("q_norm"))
+    c = base.select(F.col(id_col).alias("nbr_id"),
+                    F.col(vec_col).alias("n_vec"), F.col("_norm").alias("n_norm"))
+    cos = _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm"))
+    scored = (cand.join(q, "query_id").join(c, "nbr_id")
+              .select("query_id", "nbr_id", cos.alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine", 9)), F.asc("nbr_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "nbr_id", "rank",
+                    F.round("cosine", 6).alias("cosine")))

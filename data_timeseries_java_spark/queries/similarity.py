@@ -172,3 +172,91 @@ ORACLE = {
     "knn_bruteforce": _KNN_SQL,
     "ann_lsh": _ANN_SQL,
 }
+
+
+# ---- IVF ANN: coarse-quantize to centroid lists, probe nearest lists ----
+
+N_CENTROIDS_STRIDE = 50  # centroid seed set: vec_id % 50 == 0
+N_PROBE = 3
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: vectors are partitioned into centroid
+    lists (deterministic seed centroids: every 50th vector — a k-means
+    refinement drops into the same machinery); each query probes its 3
+    nearest lists and exact-reranks only those candidates."""
+    from data_timeseries_java_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") % N_CENTROIDS_STRIDE == 0)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id")
+    return ivf_topk(emb, queries, centroids, k=KNN_K, n_probe=N_PROBE)
+
+
+QUERIES["ann_ivf"] = q_ann_ivf
+
+ORACLE["ann_ivf"] = f"""
+WITH {_COMP},
+cent AS (
+  SELECT vec_id AS centroid_id, dim, x FROM comp
+  WHERE vec_id % {N_CENTROIDS_STRIDE} = 0
+),
+cnorms AS (
+  SELECT centroid_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+  FROM cent GROUP BY centroid_id
+),
+vc AS (  -- cosine of every vector to every centroid
+  SELECT v.vec_id, c.centroid_id,
+         sum(CAST(v.x AS DOUBLE) * CAST(c.x AS DOUBLE)) AS dot
+  FROM comp v JOIN cent c ON v.dim = c.dim
+  GROUP BY v.vec_id, c.centroid_id
+),
+vcs AS (
+  SELECT vc.vec_id, vc.centroid_id,
+         vc.dot / (n.nrm * cn.nrm) AS cos
+  FROM vc JOIN norms n ON n.vec_id = vc.vec_id
+  JOIN cnorms cn ON cn.centroid_id = vc.centroid_id
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY round(cos, 9) DESC, centroid_id ASC) AS rnk
+    FROM vcs) WHERE rnk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY round(cos, 9) DESC, centroid_id ASC) AS rnk
+    FROM vcs WHERE vec_id < {N_QUERIES}) WHERE rnk <= {N_PROBE}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS nbr_id
+  FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+  WHERE a.vec_id <> p.query_id
+),
+dots AS (
+  SELECT cd.query_id, cd.nbr_id,
+         sum(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE)) AS dot
+  FROM cand cd
+  JOIN comp q ON q.vec_id = cd.query_id
+  JOIN comp c ON c.vec_id = cd.nbr_id AND c.dim = q.dim
+  GROUP BY cd.query_id, cd.nbr_id
+),
+scored AS (
+  SELECT d.query_id, d.nbr_id, d.dot / (nq.nrm * nc.nrm) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.nbr_id
+),
+ranked AS (
+  SELECT query_id, nbr_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY round(cosine, 9) DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, nbr_id, CAST(rank AS BIGINT) AS rank,
+       round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {KNN_K}
+"""
