@@ -159,13 +159,22 @@ def lsh_bucket_signatures(df: DataFrame, planes: DataFrame,
 
 def ann_lsh_topk(df: DataFrame, query_ids: DataFrame, k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 n_planes: int = 8, n_tables: int = 4) -> DataFrame:
+                 n_planes: int = 8, n_tables: int = 4,
+                 dim: int | None = None) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in ANY table with
-    the query; exact cosine re-rank on candidates only."""
+    the query; exact cosine re-rank on candidates only.
+
+    ``dim`` (embedding dimensionality) is a required plan parameter —
+    inferring it from the data would run a driver-side job while merely
+    *building* the query, which breaks plan laziness (a full-scan barrier
+    at scale). Callers know their schema; pass it."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    dim = len(df.select(vec_col).head()[0])
+    if dim is None:
+        raise ValueError(
+            "ann_lsh_topk requires dim= (embedding dimensionality); "
+            "inferring it would run a driver-side job at plan-build time")
     planes = lsh_hyperplanes(spark, n_planes * n_tables, dim)
     sigs = lsh_bucket_signatures(df, planes, id_col, vec_col, n_planes, n_tables)
     qsigs = sigs.join(query_ids.withColumnRenamed(id_col, id_col), id_col, "left_semi")

@@ -163,11 +163,14 @@ def tf_idf(df: DataFrame, text_col: str = "text",
     ln(N / doc_freq) (plain form — deterministic and engine-portable)."""
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.count()  # driver scalar: one tiny job, broadcast as literal
+    # corpus size as a broadcast 1-row scalar, NOT a driver-side count():
+    # the whole query stays one lazy plan (no eager extra scan / barrier)
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
     return (tf.join(dfreq, "tok")
+            .crossJoin(F.broadcast(n_docs))
             .select(id_col, "tok", "tf", "doc_freq",
-                    (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")))
+                    (F.col("tf") * F.log(F.col("_n_docs") / F.col("doc_freq")))
                     .alias("tf_idf")))
 
 
@@ -178,16 +181,20 @@ def bm25_search(df: DataFrame, query_terms: list[str],
     terms. Pure aggregation arithmetic — one shuffle on token, one on doc."""
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     doc_len = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    n_docs = df.count()
-    avg_dl = doc_len.agg(F.avg("dl")).collect()[0][0]
+    # corpus scalars (N, avg doc length) as a broadcast 1-row crossJoin —
+    # keeps the whole query one lazy plan; a driver-side count()/collect()
+    # would be two eager full scans and a pipeline barrier at 100 TB
+    stats = (df.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+             .crossJoin(doc_len.agg(F.avg("dl").alias("_avg_dl"))))
     tf = (toks.where(F.col("tok").isin(query_terms))
           .groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf")))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
-    idf = F.log((F.lit(float(n_docs)) - F.col("doc_freq") + 0.5)
+    idf = F.log((F.col("_n_docs") - F.col("doc_freq") + 0.5)
                 / (F.col("doc_freq") + 0.5) + 1.0)
     scored = (tf.join(dfreq, "tok").join(doc_len, id_col)
+              .crossJoin(F.broadcast(stats))
               .select(id_col,
                       (idf * (F.col("tf") * (k1 + 1))
-                       / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avg_dl)))))
+                       / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("_avg_dl"))))
                       .alias("term_score")))
     return scored.groupBy(id_col).agg(F.sum("term_score").alias("bm25"))

@@ -158,7 +158,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id")
     return ann_lsh_topk(emb, queries, k=KNN_K,
-                        n_planes=N_PLANES, n_tables=N_TABLES)
+                        n_planes=N_PLANES, n_tables=N_TABLES, dim=DIM)
 
 
 QUERIES = {

@@ -26,7 +26,19 @@ _TS_COLS = {
 }
 
 
+# (session_id, sf_dir, name) -> DataFrame. Parquet schema inference runs
+# a small footer-read job per spark.read.parquet call; memoizing means one
+# metadata job per table per session instead of one per query *build* —
+# plan construction after warm-up is then entirely job-free (laziness
+# guard: tests/test_plans.py::test_building_queries_runs_no_jobs).
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    cache_key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _TS_COLS.get(name, []):
@@ -35,6 +47,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # 53-bit integer range, so float division drifts by ±1µs
             df = df.withColumn(
                 c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    _TABLE_CACHE[cache_key] = df
     return df
 
 

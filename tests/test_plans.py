@@ -89,6 +89,45 @@ def test_no_query_falls_into_row_python(spark, sf_dir):
                 f"{name} unexpectedly crosses into pandas"
 
 
+# Queries whose *algorithm* is iterative (convergence-checked label
+# propagation) — building them necessarily runs distributed jobs; the
+# driver only coordinates the loop. Everything else must be a pure plan.
+_ITERATIVE_QUERIES = {"dedup_clusters", "dedup_keep_list", "ann_ivf_trained"}
+
+
+def test_building_queries_runs_no_jobs(spark, sf_dir):
+    """Laziness guard: constructing a declared query must not trigger a
+    single Spark job. A job at plan-build time (a stray count()/
+    collect()/head() inside an operator) is an eager full scan and a
+    pipeline barrier at 100 TB. Jobs are tracked via a job group: any job
+    submitted while building lands in the group and shows up here.
+
+    Table loads are pre-warmed first: spark.read.parquet runs one small
+    footer-read metadata job per table (schema inference), which
+    load_table memoizes per session — a fixed per-table cost, not a
+    per-query one. Iterative algorithms (_ITERATIVE_QUERIES) are exempt."""
+    from data_timeseries_java_spark.tables import TABLE_NAMES, load_table
+    sc = spark.sparkContext
+    for t in TABLE_NAMES:  # warm the memoized schema-inference jobs
+        load_table(spark, sf_dir, t)
+    offenders = {}
+    for name, fn in sorted(all_queries().items()):
+        if name in _ITERATIVE_QUERIES:
+            continue
+        group = f"laziness-probe-{name}"
+        sc.setJobGroup(group, "assert no jobs while building query plan")
+        try:
+            fn(spark, sf_dir)
+        finally:
+            sc.setJobGroup("", "")
+        job_ids = sc.statusTracker().getJobIdsForGroup(group)
+        if job_ids:
+            offenders[name] = list(job_ids)
+    assert not offenders, (
+        f"building these queries submitted Spark jobs: {offenders} — "
+        "some operator runs a driver-side action at plan-build time")
+
+
 def test_bucketed_table_eliminates_agg_shuffle(spark, sf_dir):
     """The 100 TB layout claim, proven on the plan: a tick table bucketed
     by instrument key satisfies the candle aggregation's required
