@@ -490,8 +490,28 @@ def q_fx_ema_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["fx_ema_returns"] = q_fx_ema_returns
-# intentionally no ORACLE entry: recursive EMA is not SQL-expressible
-# without overflow-prone closed forms; driver records rows-only.
+# Recursive EMA as a DuckDB RECURSIVE CTE: the frontier advances one row
+# per key per iteration (depth = longest per-key candle series — bounded,
+# it's 1 row per resolution interval). Same IEEE-double recursion
+# (0.2*x + 0.8*prev) that pandas ewm(adjust=False) computes — verified
+# bit-identical — so 6-decimal output rounding hash-matches. This avoids
+# the overflow-prone closed form (1-α)^(-i) entirely.
+ORACLE["fx_ema_returns"] = _PRELUDE + """,
+seq AS (
+  SELECT key, time_ms, ret,
+         row_number() OVER (PARTITION BY key ORDER BY time_ms) AS rn
+  FROM returns
+)
+SELECT key, time_ms, round(ret, 6) AS ret, round(ema, 6) AS ema FROM (
+  WITH RECURSIVE ema_rec AS (
+    SELECT key, time_ms, ret, rn, ret AS ema FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.key, s.time_ms, s.ret, s.rn, 0.2 * s.ret + 0.8 * e.ema AS ema
+    FROM seq s JOIN ema_rec e ON s.key = e.key AND s.rn = e.rn + 1
+  )
+  SELECT * FROM ema_rec
+)
+"""
 
 
 def q_fx_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
