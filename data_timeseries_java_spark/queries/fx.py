@@ -587,3 +587,115 @@ SELECT key, w_start_ms,
                   ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss) END, 6) AS rsi
 FROM avgs
 """
+
+
+# ---- bid != ask spread view: oracle-proves the §2.9.1 bid-side fix ------
+#
+# The reference computes BID extrema by comparing ASK prices — a
+# copy/paste bug (TimeseriesUtils.java:167,180); this engine compares bid
+# prices for bid extrema (documented divergence, SURVEY.md §2.9.1). The
+# demo fixtures keep bid == ask, which made that divergence invisible to
+# the oracle — this query feeds a synthetic spread (bid = value,
+# ask = value * 1.0001, identical IEEE multiply in both engines) through
+# the FULL candle pipeline and hash-checks all four extrema plus both
+# open/close sides, so the bid-side semantics are oracle-proven.
+
+
+def q_fx_candles_bidask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4 with a real spread: every bid/ask extremum hash-checked."""
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+    from data_timeseries_java_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ticks = ev.select(
+        F.col("event_type").alias("key"),
+        F.col("ts").alias("event_time"),
+        F.col("value").alias("bid"),
+        (F.col("value") * F.lit(1.0001)).alias("ask"),
+        F.lit(True).alias("is_live"),
+    )
+    c = candles_pipeline(ticks, ticks.select("key").distinct(), RES)
+    return c.select(
+        "key",
+        _ms(F.col("window_start")).alias("w_start_ms"),
+        F.col("is_live"),
+        F.col("open.bid").alias("open_bid"),
+        F.col("open.ask").alias("open_ask"),
+        F.col("close.bid").alias("close_bid"),
+        F.col("close.ask").alias("close_ask"),
+        F.col("min_bid.bid").alias("min_bid"),
+        F.col("max_bid.bid").alias("max_bid"),
+        F.col("min_ask.ask").alias("min_ask"),
+        F.col("max_ask.ask").alias("max_ask"),
+    )
+
+
+QUERIES["fx_candles_bidask"] = q_fx_candles_bidask
+
+ORACLE["fx_candles_bidask"] = f"""
+WITH ticks AS (
+  SELECT event_type AS key, ts AS event_time,
+         value AS bid, value * 1.0001 AS ask
+  FROM events
+),
+tk AS (
+  SELECT *, (epoch_ms(event_time) // {RES_MS}) * {RES_MS} AS w_start_ms
+  FROM ticks
+),
+live AS (
+  SELECT key, w_start_ms,
+         min(bid) AS min_bid, max(bid) AS max_bid,
+         min(ask) AS min_ask, max(ask) AS max_ask,
+         arg_max(bid, event_time) AS close_bid,
+         arg_max(ask, event_time) AS close_ask,
+         TRUE AS is_live
+  FROM tk GROUP BY key, w_start_ms
+),
+wins AS (SELECT DISTINCT w_start_ms FROM tk),
+keys AS (SELECT DISTINCT key FROM ticks),
+missing AS (
+  SELECT w.w_start_ms, k.key FROM wins w CROSS JOIN keys k
+  EXCEPT
+  SELECT w_start_ms, key FROM live
+),
+allc AS (
+  SELECT key, w_start_ms, min_bid, max_bid, min_ask, max_ask,
+         close_bid, close_ask, is_live
+  FROM live
+  UNION ALL
+  SELECT key, w_start_ms, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, FALSE
+  FROM missing
+),
+carried AS (
+  SELECT *,
+         last_value(CASE WHEN is_live THEN close_bid END IGNORE NULLS)
+           OVER wprev AS prev_bid,
+         last_value(CASE WHEN is_live THEN close_ask END IGNORE NULLS)
+           OVER wprev AS prev_ask
+  FROM allc
+  WINDOW wprev AS (PARTITION BY key ORDER BY w_start_ms
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+filled AS (
+  SELECT key, w_start_ms, is_live,
+         CASE WHEN is_live THEN close_bid
+              ELSE coalesce(prev_bid, close_bid) END AS close_bid,
+         CASE WHEN is_live THEN close_ask
+              ELSE coalesce(prev_ask, close_ask) END AS close_ask,
+         CASE WHEN is_live THEN min_bid
+              ELSE coalesce(prev_bid, close_bid) END AS min_bid,
+         CASE WHEN is_live THEN max_bid
+              ELSE coalesce(prev_bid, close_bid) END AS max_bid,
+         CASE WHEN is_live THEN min_ask
+              ELSE coalesce(prev_ask, close_ask) END AS min_ask,
+         CASE WHEN is_live THEN max_ask
+              ELSE coalesce(prev_ask, close_ask) END AS max_ask
+  FROM carried
+)
+SELECT key, w_start_ms, is_live,
+       coalesce(lag(close_bid) OVER w, close_bid) AS open_bid,
+       coalesce(lag(close_ask) OVER w, close_ask) AS open_ask,
+       close_bid, close_ask, min_bid, max_bid, min_ask, max_ask
+FROM filled
+WINDOW w AS (PARTITION BY key ORDER BY w_start_ms)
+"""
