@@ -263,3 +263,66 @@ def ivf_topk(df: DataFrame, query_ids: DataFrame, centroids: DataFrame,
             .where(F.col("rank") <= k)
             .select("query_id", "nbr_id", "rank",
                     F.round("cosine", 6).alias("cosine")))
+
+
+def kmeans_centroids(df: DataFrame, seed_stride: int = 50,
+                     iterations: int = 3, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's k-means over embedding components, unrolled as a fixed
+    number of DataFrame iterations — the whole training is ONE lazy plan
+    (no driver-side convergence checks, no collect; fixed iteration count
+    keeps it deterministic and resumable).
+
+    Seeds: every ``seed_stride``-th vector (deterministic). Assignment:
+    nearest centroid by cosine, ranked on round(cos, 9) with ties to the
+    lowest centroid id (cross-engine stable). Update: per-dimension mean
+    of assigned vectors, rounded to 6 decimals so both engines quantize
+    to identical doubles. A centroid that attracts no vectors drops out
+    identically in both engines.
+
+    Scale shape per iteration: components x centroids via a broadcast
+    join (centroid side is k x dim rows — tiny), map-side partial agg to
+    (vector, centroid) dots, one shuffle on vector for the rank window,
+    one shuffle for the centroid update. O(N*k*d) work — the inherent
+    k-means cost — with no driver participation.
+
+    Returns the trained centroid COMPONENT frame (centroid_id, dim, w).
+    """
+    from pyspark.sql import Window
+
+    comp = (df.select(F.col(id_col), F.posexplode(vec_col).alias("dim", "x"))
+            .select(id_col, "dim", F.col("x").cast("double").alias("x")))
+    vnorm = comp.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("vnrm"))
+    cent = (comp.where(F.col(id_col) % seed_stride == 0)
+            .select(F.col(id_col).alias("centroid_id"), "dim",
+                    F.col("x").alias("w")))
+    for _ in range(iterations):
+        cnorm = cent.groupBy("centroid_id").agg(
+            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("cnrm"))
+        dots = (comp.join(F.broadcast(cent), "dim")
+                .groupBy(id_col, "centroid_id")
+                .agg(F.sum(F.col("x") * F.col("w")).alias("dot")))
+        scored = (dots.join(vnorm, id_col)
+                  .join(F.broadcast(cnorm), "centroid_id")
+                  .select(id_col, "centroid_id",
+                          (F.col("dot") / (F.col("vnrm") * F.col("cnrm"))
+                           ).alias("cos")))
+        wr = Window.partitionBy(id_col).orderBy(
+            F.desc(F.round("cos", 9)), F.asc("centroid_id"))
+        assign = (scored.withColumn("rnk", F.row_number().over(wr))
+                  .where(F.col("rnk") == 1).select(id_col, "centroid_id"))
+        cent = (assign.join(comp, id_col)
+                .groupBy("centroid_id", "dim")
+                .agg(F.round(F.avg("x"), 6).alias("w")))
+    return cent
+
+
+def centroid_vectors(cent_components: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Assemble a centroid component frame back into array vectors with
+    the (id_col, vec_col) shape :func:`ivf_topk` expects."""
+    return (cent_components.groupBy(
+        F.col("centroid_id").alias(id_col))
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "w")))["w"]
+             .alias(vec_col)))

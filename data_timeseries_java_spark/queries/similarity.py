@@ -260,3 +260,129 @@ SELECT query_id, nbr_id, CAST(rank AS BIGINT) AS rank,
        round(cosine, 6) AS cosine
 FROM ranked WHERE rank <= {KNN_K}
 """
+
+
+# ---- IVF with TRAINED centroids: Lloyd's k-means, fixed 3 iterations ----
+
+KMEANS_ITERS = 3
+
+
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over k-means-trained centroid lists. Training is
+    Lloyd's with a fixed iteration count, expressed as one lazy
+    DataFrame plan (operators/similarity.py:kmeans_centroids); the
+    probing/rerank machinery is the same ivf_topk as the seed-set
+    variant — only the centroid table changes."""
+    from data_timeseries_java_spark.operators.similarity import (
+        centroid_vectors,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = centroid_vectors(kmeans_centroids(
+        emb, seed_stride=N_CENTROIDS_STRIDE, iterations=KMEANS_ITERS))
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id")
+    return ivf_topk(emb, queries, cent, k=KNN_K, n_probe=N_PROBE)
+
+
+QUERIES["ann_ivf_trained"] = q_ann_ivf_trained
+
+
+def _kmeans_cte(iterations: int) -> str:
+    """Unrolled Lloyd's iterations as DuckDB CTEs, mirroring
+    kmeans_centroids step for step (round(cos,9) ranked assignment,
+    6-decimal-rounded mean update)."""
+    sql = f"""
+cent0 AS (
+  SELECT vec_id AS centroid_id, dim, CAST(x AS DOUBLE) AS w
+  FROM comp WHERE vec_id % {N_CENTROIDS_STRIDE} = 0
+)"""
+    for i in range(iterations):
+        sql += f""",
+cn{i} AS (
+  SELECT centroid_id, sqrt(sum(w * w)) AS nrm FROM cent{i} GROUP BY centroid_id
+),
+vc{i} AS (
+  SELECT v.vec_id, c.centroid_id, sum(CAST(v.x AS DOUBLE) * c.w) AS dot
+  FROM comp v JOIN cent{i} c ON v.dim = c.dim
+  GROUP BY v.vec_id, c.centroid_id
+),
+asg{i} AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vc.vec_id, vc.centroid_id,
+           row_number() OVER (PARTITION BY vc.vec_id
+             ORDER BY round(vc.dot / (n.nrm * cn.nrm), 9) DESC,
+                      vc.centroid_id ASC) AS rnk
+    FROM vc{i} vc
+    JOIN norms n ON n.vec_id = vc.vec_id
+    JOIN cn{i} cn ON cn.centroid_id = vc.centroid_id)
+  WHERE rnk = 1
+),
+cent{i + 1} AS (
+  SELECT a.centroid_id, v.dim, round(avg(CAST(v.x AS DOUBLE)), 6) AS w
+  FROM asg{i} a JOIN comp v ON v.vec_id = a.vec_id
+  GROUP BY a.centroid_id, v.dim
+)"""
+    return sql
+
+
+_N = KMEANS_ITERS
+ORACLE["ann_ivf_trained"] = f"""
+WITH {_COMP},
+{_kmeans_cte(_N)},
+cnorms AS (
+  SELECT centroid_id, sqrt(sum(w * w)) AS nrm FROM cent{_N} GROUP BY centroid_id
+),
+vcs AS (
+  SELECT v.vec_id, c.centroid_id,
+         sum(CAST(v.x AS DOUBLE) * c.w) / (n.nrm * cn.nrm) AS cos
+  FROM comp v
+  JOIN cent{_N} c ON v.dim = c.dim
+  JOIN norms n ON n.vec_id = v.vec_id
+  JOIN cnorms cn ON cn.centroid_id = c.centroid_id
+  GROUP BY v.vec_id, c.centroid_id, n.nrm, cn.nrm
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY round(cos, 9) DESC, centroid_id ASC) AS rnk
+    FROM vcs) WHERE rnk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY round(cos, 9) DESC, centroid_id ASC) AS rnk
+    FROM vcs WHERE vec_id < {N_QUERIES}) WHERE rnk <= {N_PROBE}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS nbr_id
+  FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+  WHERE a.vec_id <> p.query_id
+),
+dots AS (
+  SELECT cd.query_id, cd.nbr_id,
+         sum(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE)) AS dot
+  FROM cand cd
+  JOIN comp q ON q.vec_id = cd.query_id
+  JOIN comp c ON c.vec_id = cd.nbr_id AND c.dim = q.dim
+  GROUP BY cd.query_id, cd.nbr_id
+),
+scored AS (
+  SELECT d.query_id, d.nbr_id, d.dot / (nq.nrm * nc.nrm) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.nbr_id
+),
+ranked AS (
+  SELECT query_id, nbr_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY round(cosine, 9) DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, nbr_id, CAST(rank AS BIGINT) AS rank,
+       round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {KNN_K}
+"""

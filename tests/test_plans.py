@@ -92,7 +92,7 @@ def test_no_query_falls_into_row_python(spark, sf_dir):
 # Queries whose *algorithm* is iterative (convergence-checked label
 # propagation) — building them necessarily runs distributed jobs; the
 # driver only coordinates the loop. Everything else must be a pure plan.
-_ITERATIVE_QUERIES = {"dedup_clusters", "dedup_keep_list", "ann_ivf_trained"}
+_ITERATIVE_QUERIES = {"dedup_clusters", "dedup_keep_list"}
 
 
 def test_building_queries_runs_no_jobs(spark, sf_dir):
