@@ -1,10 +1,14 @@
 """Streaming deduplication: drop duplicate records across micro-batches.
 
-The streaming face of the dedup family (operators/dedup.py): exact-ID
-dedup via Spark's watermarked ``dropDuplicates`` state store — duplicates
-arriving within the watermark horizon are suppressed; state for old keys
-is evicted once the watermark passes, which bounds memory at 100 TB
-(unbounded dedup state is the classic streaming-pipeline OOM).
+The streaming face of the dedup family (operators/dedup.py), built on
+``dropDuplicatesWithinWatermark`` (Spark 3.5+): duplicates arriving
+within the watermark horizon of the first arrival are suppressed, and —
+unlike plain ``dropDuplicates`` on non-event-time keys — the state store
+entry is EVICTED once the watermark passes the first arrival's event
+time, which bounds state at 100 TB (unbounded dedup state is the classic
+streaming-pipeline OOM). Plain ``dropDuplicates`` only evicts when the
+event-time column is part of the key subset, which would change the
+semantics to "exact (identity, timestamp) replays only".
 
 Content-hash dedup composes the same way: hash the payload into the
 dedup key column (`F.md5`) and drop on (hash) instead of (id).
@@ -21,20 +25,23 @@ def streaming_dedup_exact(events: DataFrame,
                           time_col: str = "ts",
                           watermark: str = "10 minutes") -> DataFrame:
     """Keep the first arrival of each identity within the watermark
-    horizon; later duplicates (within the horizon) are dropped."""
+    horizon; later duplicates of the SAME identity — even with different
+    timestamps — are dropped while the identity's state lives. State is
+    evicted when the watermark passes the first arrival."""
     return (events
             .withWatermark(time_col, watermark)
-            .dropDuplicates(id_cols + [time_col]))
+            .dropDuplicatesWithinWatermark(id_cols))
 
 
 def streaming_dedup_content(docs: DataFrame,
                             text_col: str = "text",
                             time_col: str = "ts",
                             watermark: str = "10 minutes") -> DataFrame:
-    """Content dedup: normalize + hash the payload, dedup on the hash."""
+    """Content dedup: normalize + hash the payload, dedup on the hash.
+    Hash state is evicted at the watermark horizon (bounded memory)."""
     hashed = docs.withColumn("_content_hash",
                              F.md5(F.lower(F.col(text_col))))
     return (hashed
             .withWatermark(time_col, watermark)
-            .dropDuplicates(["_content_hash"])
+            .dropDuplicatesWithinWatermark(["_content_hash"])
             .drop("_content_hash"))

@@ -6,8 +6,9 @@ fighting Spark's one-stateful-operator-per-query rule, the correlation
 stage runs in ``foreachBatch`` as an INCREMENTAL batch computation — the
 standard production pattern for "aggregate of an aggregate" streams:
 
-1. each micro-batch of finalized candles appends its log returns to a
-   returns store partitioned by sliding window;
+1. each micro-batch of finalized candles writes its log returns to a
+   batch_id-keyed partition of the returns store (overwrite, so an
+   at-least-once re-execution replaces its own output — idempotent);
 2. only the sliding windows TOUCHED by this batch are recomputed (a
    window's correlation is correct once all its candles arrived; late
    candles simply re-trigger their windows);
@@ -70,9 +71,18 @@ def streaming_correlations(spark: SparkSession, ticks: DataFrame,
                          .select(F.window("time", cfg.window, cfg.slide).alias("w"))
                          .select(F.unix_millis("w.start").alias("w_start_ms"))
                          .distinct())
-        rets.write.mode("append").parquet(returns_path)
+        # foreachBatch is at-least-once: a batch re-executed after a
+        # failure must not double-append its returns (that would inflate
+        # x_count/y_count in recomputed windows). Writing each batch to
+        # its own batch_id partition with overwrite makes the retry
+        # idempotent — the replay replaces its own output exactly.
+        rets.write.mode("overwrite").parquet(
+            f"{returns_path}/batch_id={batch_id}")
 
-        all_rets = spark.read.parquet(returns_path)
+        all_rets = (spark.read
+                    .option("basePath", returns_path)
+                    .parquet(returns_path)
+                    .drop("batch_id"))
         corr = pairwise_correlations(all_rets, cfg)
         affected = corr.withColumn(
             "w_start_ms", F.unix_millis("window_start")
