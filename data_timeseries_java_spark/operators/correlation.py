@@ -166,7 +166,13 @@ def pairwise_correlations_matrix(returns: DataFrame,
         if mat.shape[1] < 2:
             return pd.DataFrame(columns=out_cols)
         keys = np.asarray(mat.columns)
-        counts = mat.notna().sum().to_numpy()
+        # pairwise aligned-overlap counts via the notna-mask Gram matrix:
+        # min(per-column counts) would overstate the sample size on
+        # non-gap-filled input, and a pair with <2 overlapping points
+        # (but >=2 each) must be DROPPED like the join path drops it,
+        # not emitted as a NaN row
+        mask = mat.notna().to_numpy().astype(np.int64)
+        overlap = mask.T @ mask
         with np.errstate(all="ignore"):
             # pairwise-complete correlation (aligned series post gap-fill
             # are complete anyway)
@@ -177,7 +183,7 @@ def pairwise_correlations_matrix(returns: DataFrame,
         iu, ju = np.triu_indices(len(keys), k=1)
         v = r[iu, ju]
         isnan = np.isnan(v)
-        npts = np.minimum(counts[iu], counts[ju])
+        npts = overlap[iu, ju]
         keep = (npts >= 2) & np.where(isnan, propagate, np.abs(v) >= min_corr)
         iu, ju, v, isnan, npts = iu[keep], ju[keep], v[keep], isnan[keep], npts[keep]
         return pd.DataFrame({

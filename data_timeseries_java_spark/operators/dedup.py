@@ -237,4 +237,13 @@ def cluster_duplicates(docs: DataFrame, pairs: DataFrame,
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # labels were still moving when the iteration budget ran out: the
+        # component diameter exceeds max_iterations and the returned
+        # cluster ids would silently diverge from the transitive closure
+        raise RuntimeError(
+            f"cluster_duplicates did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing) — a duplicate "
+            f"chain is longer than the iteration budget; raise "
+            f"max_iterations (diameter-long chains converge linearly)")
     return labels.select(F.col("id").alias(id_col), "cluster")
