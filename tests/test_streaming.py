@@ -106,3 +106,127 @@ def test_streaming_carry_forward_matches_batch(spark, tick_dir):
     # gap-filled: all 5 keys x 5 windows present, including TS-3/TS-4's
     # interior gap window
     assert len(s) == 25
+
+
+@pytest.fixture(scope="module")
+def sparse_tick_dir(spark):
+    """Fixture where key B is absent from the FIRST and LAST active
+    windows (leading + trailing global gaps): A ticks in windows 0,1,2;
+    B only in window 1."""
+    from datetime import datetime, timezone
+
+    d = tempfile.mkdtemp(prefix="ticks_sparse_")
+    t = lambda m, s=0: datetime(2016, 5, 1, 0, m, s, tzinfo=timezone.utc)
+    f0 = [("A", t(0, 10), 1.0, 1.1, True),
+          ("A", t(1, 50), 1.2, 1.3, True)]
+    f1 = [("A", t(2, 10), 1.4, 1.5, True),
+          ("B", t(2, 20), 9.0, 9.1, True),
+          ("A", t(3, 30), 1.6, 1.7, True)]
+    f2 = [("A", t(4, 10), 1.8, 1.9, True),
+          ("A", t(5, 30), 2.0, 2.1, True)]
+    f3 = [("ZZ-SENTINEL", datetime(2016, 6, 1, tzinfo=timezone.utc),
+           1.0, 1.0, True)]
+    import glob as _glob
+    import os as _os
+    import time as _t
+    base = _t.time() - 1000
+    for i, rows in enumerate([f0, f1, f2, f3]):
+        spark.createDataFrame(rows, TICK_SCHEMA).coalesce(1).write.mode(
+            "overwrite").parquet(f"{d}/f{i}")
+        for p in _glob.glob(f"{d}/f{i}/*"):
+            _os.utime(p, (base + i * 10, base + i * 10))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_global_gapfill_matches_batch(spark, sparse_tick_dir):
+    """Leading/trailing global gaps: key B must get gap candles in
+    windows where only A ticked — before B's first tick (0.0-price) and
+    after its last (carry-forward) — exactly matching the batch
+    pipeline. Closes the per-key variant's documented divergence."""
+    from data_timeseries_java_spark.operators import gap_fill
+    from data_timeseries_java_spark.streaming.candles_stream import (
+        streaming_complete_candles_global,
+    )
+
+    src_batch = (spark.read.schema(TICK_SCHEMA)
+                 .parquet(f"{sparse_tick_dir}/f*")
+                 .where(~F.col("key").startswith("ZZ-")))
+    filled = gap_fill(src_batch, src_batch.select("key").distinct(),
+                      "120 seconds")
+    batch = complete_candles(ohlc_candles(filled, "120 seconds")).select(
+        "key", "window_start", "is_live",
+        F.col("open.ask").alias("open_ask"),
+        F.col("close.ask").alias("close_ask"),
+        F.col("min_ask.ask").alias("mn"),
+        F.col("max_bid.bid").alias("mxb"),
+    )
+    stream = _run_stream(
+        spark, sparse_tick_dir,
+        lambda s: streaming_complete_candles_global(
+            s, ["A", "B"], "120 seconds").select(
+            "key", "window_start", "is_live",
+            "open_ask", "close_ask",
+            F.col("min_ask").alias("mn"),
+            F.col("max_bid").alias("mxb")),
+        "stream_global_gapfill")
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in stream.collect()}
+    assert s == b
+    # 2 keys x 3 windows: B has a leading gap (w0) and a trailing gap (w2)
+    assert len(s) == 6
+
+
+def test_streaming_global_gapfill_skips_empty_windows(spark, tmp_path):
+    """A window in which NO instrument ticked produces no candles at all
+    (batch gap_fill only fills windows some instrument observed) — the
+    marker-mode stateful operator must not fabricate it."""
+    from datetime import datetime, timezone
+
+    from data_timeseries_java_spark.operators import gap_fill
+    from data_timeseries_java_spark.streaming.candles_stream import (
+        streaming_complete_candles_global,
+    )
+
+    d = str(tmp_path)
+    t = lambda m, s=0: datetime(2016, 5, 1, 0, m, s, tzinfo=timezone.utc)
+    # A ticks in windows 0 and 3; B only in window 0; windows 1-2 empty
+    f0 = [("A", t(0, 10), 1.0, 1.1, True), ("B", t(1, 30), 9.0, 9.1, True)]
+    f1 = [("A", t(6, 40), 1.4, 1.5, True)]
+    f2 = [("ZZ-SENTINEL", datetime(2016, 6, 1, tzinfo=timezone.utc),
+           1.0, 1.0, True)]
+    import glob as _glob
+    import os as _os
+    import time as _t
+    base = _t.time() - 1000
+    for i, rows in enumerate([f0, f1, f2]):
+        spark.createDataFrame(rows, TICK_SCHEMA).coalesce(1).write.mode(
+            "overwrite").parquet(f"{d}/h{i}")
+        for p in _glob.glob(f"{d}/h{i}/*"):
+            _os.utime(p, (base + i * 10, base + i * 10))
+
+    src = (spark.readStream.schema(TICK_SCHEMA)
+           .option("maxFilesPerTrigger", 1).parquet(f"{d}/h*"))
+    out = streaming_complete_candles_global(
+        src, ["A", "B"], "120 seconds").select(
+        "key", "window_start", "is_live",
+        "open_ask", "close_ask")
+    q = (out.writeStream.format("memory").queryName("stream_empty_win")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    stream = spark.table("stream_empty_win").where(
+        ~F.col("key").startswith("ZZ-"))
+
+    src_batch = (spark.read.schema(TICK_SCHEMA).parquet(f"{d}/h*")
+                 .where(~F.col("key").startswith("ZZ-")))
+    filled = gap_fill(src_batch, src_batch.select("key").distinct(),
+                      "120 seconds")
+    batch = complete_candles(ohlc_candles(filled, "120 seconds")).select(
+        "key", "window_start", "is_live",
+        F.col("open.ask").alias("open_ask"),
+        F.col("close.ask").alias("close_ask"))
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in stream.collect()}
+    assert s == b
+    # 2 observed windows x 2 keys; nothing for the empty windows 1-2
+    assert len(s) == 4
