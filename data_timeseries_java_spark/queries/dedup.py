@@ -46,8 +46,11 @@ sh AS (
 def _minhash_sql(num_hashes: int = DEFAULT_NUM_HASHES,
                  band_size: int = DEFAULT_BAND_SIZE,
                  threshold: float = JACCARD_T) -> str:
+    # lane-sliced digests, mirroring functions/hashing.md5_min_signature:
+    # component i = 8-hex-char lane i%4 of md5('i//4:' || shingle)
     sig_cols = ",\n         ".join(
-        f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(num_hashes))
+        f"min(substr(md5('{i // 4}:' || shingle), {1 + 8 * (i % 4)}, 8)) "
+        f"AS sig_{i}" for i in range(num_hashes))
     n_bands = num_hashes // band_size
     band_selects = []
     for b in range(n_bands):
