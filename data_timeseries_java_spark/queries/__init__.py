@@ -27,9 +27,11 @@ from data_timeseries_java_spark.queries import (
     relational_ext,
     similarity,
     text,
+    tpch_hard,
 )
 
-_MODULES = [fx, relational, relational_ext, dedup, text, similarity, multimodal]
+_MODULES = [fx, relational, relational_ext, tpch_hard, dedup, text,
+            similarity, multimodal]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

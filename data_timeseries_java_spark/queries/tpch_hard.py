@@ -1,0 +1,217 @@
+"""Hard TPC-H join shapes (q2/q8/q21 style) — correlated subqueries,
+conditional-aggregate ratios, and multi-EXISTS anti-join chains, adapted
+to the driver's schema (lineitem carries the part-supplier link; there
+is no partsupp table).
+
+These stress join PLANNING beyond the star joins in queries/relational:
+the q2 shape needs a per-group minimum pushed back through an equi-join
+(not a cartesian); the q8 shape is a two-level conditional aggregate
+over a 5-way join with every dimension broadcast; the q21 shape chains
+a semi join and an anti join against two different filtered self-views
+of lineitem. Plan assertions live in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_timeseries_java_spark.tables import load_table
+
+REGION = "ASIA"
+NATION = "CHINA"
+PART_TYPE_SUFFIX = "BRASS"
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q2 shape: for each BRASS-type part, the supplier offering it at
+    the region's minimum price. The correlated scalar subquery
+    (min price per part within the region) becomes a groupBy + equi-join
+    back on (partkey, price); region/nation/supplier dims broadcast.
+    Ties (same part, same min price, several suppliers) keep every
+    winning supplier — like the SQL correlated form."""
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    asia_nations = (nation.join(
+        F.broadcast(region.where(F.col("r_name") == REGION)),
+        nation.n_regionkey == region.r_regionkey))
+    asia_suppliers = (supplier.join(
+        F.broadcast(asia_nations.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == F.col("n_nationkey")))
+    brass = part.where(F.col("p_type").endswith(PART_TYPE_SUFFIX))
+
+    offers = (li.join(F.broadcast(asia_suppliers.select(
+                  "s_suppkey", "s_name", "s_acctbal", "n_name")),
+                  li.l_suppkey == F.col("s_suppkey"))
+              .join(F.broadcast(brass.select("p_partkey", "p_type")),
+                    li.l_partkey == F.col("p_partkey"))
+              .select("p_partkey", "p_type", "s_suppkey", "s_name",
+                      "s_acctbal", "n_name",
+                      F.col("l_extendedprice").alias("price")))
+    min_price = offers.groupBy("p_partkey").agg(
+        F.min("price").alias("min_price"))
+    return (offers.join(min_price, "p_partkey")
+            .where(F.col("price") == F.col("min_price"))
+            .select(F.col("p_partkey").alias("partkey"), "p_type",
+                    F.col("s_suppkey").alias("suppkey"), "s_name",
+                    F.round("s_acctbal", 2).alias("acctbal"),
+                    F.col("n_name").alias("nation"),
+                    F.round("min_price", 2).alias("min_price"))
+            .distinct())
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q8 shape: NATION's share of revenue among REGION customers per
+    order year — a two-level conditional aggregate over a 5-way join
+    (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region, supplier nation
+    attached for the numerator). Share floor-quantized at 6 decimals
+    (repo ratio convention — summation-order differences must not flip
+    a rounding boundary)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    cust_region = (customer
+                   .join(F.broadcast(nation),
+                         customer.c_nationkey == nation.n_nationkey)
+                   .join(F.broadcast(region.where(F.col("r_name") == REGION)),
+                         nation.n_regionkey == region.r_regionkey)
+                   .select("c_custkey"))
+    supp_nation = (supplier
+                   .join(F.broadcast(nation.select(
+                       F.col("n_nationkey").alias("sn_key"),
+                       F.col("n_name").alias("supp_nation"))),
+                       supplier.s_nationkey == F.col("sn_key"))
+                   .select("s_suppkey", "supp_nation"))
+    joined = (li
+              .join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust_region),
+                    orders.o_custkey == F.col("c_custkey"), "left_semi")
+              .join(F.broadcast(supp_nation),
+                    li.l_suppkey == F.col("s_suppkey")))
+    per_year = (joined
+                .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+                .agg(F.sum(_revenue()).alias("total_rev"),
+                     F.sum(F.when(F.col("supp_nation") == NATION,
+                                  _revenue()).otherwise(0.0))
+                     .alias("nation_rev")))
+    return per_year.select(
+        "yr",
+        F.round("total_rev", 2).alias("total_rev"),
+        F.round("nation_rev", 2).alias("nation_rev"),
+        (F.floor(F.col("nation_rev") / F.col("total_rev") * 1_000_000)
+         / 1_000_000).alias("share"))
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q21 shape: suppliers who returned a line (l_returnflag='R') in a
+    finished multi-supplier order where NO other supplier returned one —
+    EXISTS (another supplier in the order) AND NOT EXISTS (another
+    supplier with a returned line). The two correlated EXISTS become a
+    semi join and an anti join against filtered self-views of lineitem,
+    correlated on orderkey with the supplier inequality in the join
+    condition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    finished = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = (li.where(F.col("l_returnflag") == "R")
+          .join(finished, li.l_orderkey == finished.o_orderkey, "left_semi")
+          .select("l_orderkey", "l_suppkey"))
+    l2 = li.select(F.col("l_orderkey").alias("o2"),
+                   F.col("l_suppkey").alias("s2"))
+    l3 = (li.where(F.col("l_returnflag") == "R")
+          .select(F.col("l_orderkey").alias("o3"),
+                  F.col("l_suppkey").alias("s3")))
+    exists_other = l1.join(
+        l2, (F.col("l_orderkey") == F.col("o2"))
+        & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+    not_exists_other_returned = exists_other.join(
+        l3, (F.col("l_orderkey") == F.col("o3"))
+        & (F.col("l_suppkey") != F.col("s3")), "left_anti")
+    return (not_exists_other_returned
+            .groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(F.col("s_suppkey").alias("suppkey"), "s_name", "numwait"))
+
+
+QUERIES = {
+    "min_cost_supplier": q_min_cost_supplier,
+    "nation_market_share": q_nation_market_share,
+    "waiting_suppliers": q_waiting_suppliers,
+}
+
+ORACLE = {
+    "min_cost_supplier": f"""
+WITH offers AS (
+  SELECT p.p_partkey, p.p_type, s.s_suppkey, s.s_name, s.s_acctbal,
+         n.n_name, l.l_extendedprice AS price
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = '{REGION}'
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_type LIKE '%{PART_TYPE_SUFFIX}'
+)
+SELECT DISTINCT p_partkey AS partkey, p_type, s_suppkey AS suppkey,
+       s_name, round(s_acctbal, 2) AS acctbal, n_name AS nation,
+       round(price, 2) AS min_price
+FROM offers o
+WHERE price = (SELECT min(price) FROM offers i
+               WHERE i.p_partkey = o.p_partkey)
+""",
+    "nation_market_share": f"""
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_rev,
+       round(sum(CASE WHEN sn.n_name = '{NATION}'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0.0 END), 2) AS nation_rev,
+       floor(sum(CASE WHEN sn.n_name = '{NATION}'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)) * 1000000)
+         / 1000000 AS share
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE o.o_custkey IN (
+  SELECT c.c_custkey
+  FROM customer c
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{REGION}')
+GROUP BY year(o.o_orderdate)
+""",
+    "waiting_suppliers": """
+SELECT l1.l_suppkey AS suppkey, s.s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l1.l_orderkey
+                AND o.o_orderstatus = 'F')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY l1.l_suppkey, s.s_name
+""",
+}

@@ -73,6 +73,24 @@ def test_knn_broadcasts_queries(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_tpch_hard_shapes_plan_clean(spark, sf_dir):
+    """q2/q8/q21-style queries: correlated-subquery rewrites must stay
+    equi-joins (no cartesian); dimension sides must broadcast against
+    the lineitem fact table."""
+    qs = all_queries()
+    for name, min_bcast in [("min_cost_supplier", 2),
+                            ("nation_market_share", 2),
+                            ("waiting_suppliers", 1)]:
+        q = qs[name](spark, sf_dir)
+        plan = formatted_plan(q)
+        assert "CartesianProduct" not in plan, f"{name} went cartesian"
+        assert broadcast_join_count(q) >= min_bcast, (
+            f"{name}: expected >= {min_bcast} broadcast joins")
+    # the q21 EXISTS/NOT-EXISTS chain must be semi/anti joins, not inner
+    plan21 = formatted_plan(qs["waiting_suppliers"](spark, sf_dir))
+    assert "LeftSemi" in plan21 and "LeftAnti" in plan21
+
+
 # queries that intentionally cross into pandas/Arrow execution
 _PANDAS_QUERIES = {"media_decode_features", "fx_ema_returns", "neardup_cosine"}
 
