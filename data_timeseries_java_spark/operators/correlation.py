@@ -59,7 +59,8 @@ def _windowed(returns: DataFrame, config: CorrelationConfig) -> DataFrame:
 
 
 def pairwise_correlations(returns: DataFrame,
-                          config: CorrelationConfig | None = None) -> DataFrame:
+                          config: CorrelationConfig | None = None,
+                          cache_input: bool = True) -> DataFrame:
     """All-pairs Pearson correlation per sliding window via built-in
     ``F.corr`` (JVM-side, whole-stage codegen — the fast path).
 
@@ -70,9 +71,20 @@ def pairwise_correlations(returns: DataFrame,
     side — §2.9.4). NaN r (zero variance) becomes value=1.0 + is_nan=true
     when ``propagate_nan`` else is dropped; finite r is emitted only when
     ``abs(r) >= min_corr``.
+
+    ``cache_input``: the self-join consumes the windowed returns twice,
+    and when ``returns`` is itself a full candle pipeline each side
+    re-runs it (measured 1.0s → 0.58s at sf0.1 with caching). Returns
+    are candle-sized (keys x windows — tiny next to the tick scan), so
+    materializing once is also the 100 TB shape: the reference computes
+    candles once and correlates FROM them. Long-running incremental
+    callers (foreachBatch) pass False — a fresh cache entry per
+    micro-batch would accumulate.
     """
     cfg = config or CorrelationConfig()
     w = _windowed(returns, cfg)
+    if cache_input:
+        w = w.cache()
     a, b = w.alias("a"), w.alias("b")
     joined = a.join(
         b,

@@ -83,7 +83,9 @@ def streaming_correlations(spark: SparkSession, ticks: DataFrame,
                     .option("basePath", returns_path)
                     .parquet(returns_path)
                     .drop("batch_id"))
-        corr = pairwise_correlations(all_rets, cfg)
+        # cache_input=False: a fresh cache entry per micro-batch (the
+        # returns store grows each batch → new plan) would accumulate
+        corr = pairwise_correlations(all_rets, cfg, cache_input=False)
         affected = corr.withColumn(
             "w_start_ms", F.unix_millis("window_start")
         ).join(F.broadcast(batch_windows), "w_start_ms", "left_semi")
