@@ -294,3 +294,26 @@ def cluster_duplicates(docs: DataFrame, pairs: DataFrame,
             f"chain is longer than the iteration budget; raise "
             f"max_iterations (diameter-long chains converge linearly)")
     return labels.select(F.col("id").alias(id_col), "cluster")
+
+
+def ngram_contamination(corpus: DataFrame, eval_docs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 5, min_overlap: int = 3) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least
+    ``min_overlap`` distinct word k-grams with ANY eval-set document —
+    the standard exact-substring contamination check a pretraining
+    pipeline runs against held-out benchmarks.
+
+    Shape at 100 TB: the eval side (benchmarks) is tiny → its shingle
+    frame broadcasts; the corpus shingle stream is scanned once and hash-
+    joined on the k-gram, then one groupBy(corpus doc) counts distinct
+    shared k-grams and distinct eval docs hit. No all-pairs stage ever
+    materializes."""
+    corpus_sh = shingles(corpus, text_col, id_col, k)
+    eval_sh = (shingles(eval_docs, text_col, id_col, k)
+               .withColumnRenamed(id_col, "eval_id"))
+    hits = corpus_sh.join(F.broadcast(eval_sh), "shingle")
+    return (hits.groupBy(id_col)
+            .agg(F.count_distinct("shingle").alias("n_shared_ngrams"),
+                 F.count_distinct("eval_id").alias("n_eval_docs"))
+            .where(F.col("n_shared_ngrams") >= min_overlap))

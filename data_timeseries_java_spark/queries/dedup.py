@@ -247,3 +247,48 @@ ORACLE["dedup_keep_list"] = ORACLE["dedup_clusters"].replace(
 FROM (SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
       FROM documents d LEFT JOIN labels l ON l.id = d.doc_id)
 GROUP BY cluster""")
+
+
+# ---- benchmark decontamination: exact k-gram overlap vs an eval set ----
+
+DECON_K = 5
+DECON_MIN_OVERLAP = 3
+DECON_EVAL_MAX_ID = 50  # docs 0..49 play the held-out benchmark
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining decontamination: corpus docs (id >= 50) sharing >= 3
+    distinct 5-grams with any eval doc (id < 50). Eval shingles
+    broadcast; the corpus shingle stream is scanned once."""
+    from data_timeseries_java_spark.operators.dedup import ngram_contamination
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") >= DECON_EVAL_MAX_ID)
+    eval_docs = docs.where(F.col("doc_id") < DECON_EVAL_MAX_ID)
+    return ngram_contamination(corpus, eval_docs, k=DECON_K,
+                               min_overlap=DECON_MIN_OVERLAP)
+
+
+QUERIES["decontaminate"] = q_decontaminate
+
+ORACLE["decontaminate"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                 || ' ' || t[i+4] FOR i IN range(1, len(t) - 3)]) AS g
+  FROM toks
+)
+SELECT c.doc_id,
+       count(DISTINCT c.g) AS n_shared_ngrams,
+       count(DISTINCT e.doc_id) AS n_eval_docs
+FROM grams c
+JOIN grams e ON c.g = e.g
+WHERE c.doc_id >= {DECON_EVAL_MAX_ID} AND e.doc_id < {DECON_EVAL_MAX_ID}
+GROUP BY c.doc_id
+HAVING count(DISTINCT c.g) >= {DECON_MIN_OVERLAP}
+"""

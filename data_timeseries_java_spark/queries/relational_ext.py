@@ -482,3 +482,40 @@ FROM events e JOIN candles c
   ON e.event_type = c.key
  AND epoch_ms(e.ts) BETWEEN c.w_start_ms AND c.w_start_ms + 3599999
 """
+
+
+# ---- MERGE upsert: corrections batch replaces matching event rows ----
+
+
+def q_merge_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE (last-writer-wins upsert): a deterministic
+    corrections frame (every 10th event, value bumped by 1000, flagged)
+    replaces matching rows of the events table by event_id; all other
+    rows pass through. One anti-join + union — the plain-parquet
+    equivalent of Delta/Iceberg MERGE INTO (operators/merge.py)."""
+    from data_timeseries_java_spark.operators.merge import merge_upsert
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("value").alias("value"),
+        F.lit(False).alias("corrected"))
+    corrections = (ev.where(F.col("event_id") % 10 == 0)
+                   .select("event_id", "user_id", "event_type",
+                           (F.col("value") + 1000.0).alias("value"),
+                           F.lit(True).alias("corrected")))
+    merged = merge_upsert(ev, corrections, ["event_id"])
+    return merged.select("event_id", "user_id", "event_type",
+                         F.round("value", 6).alias("value"), "corrected")
+
+
+QUERIES["merge_corrections"] = q_merge_corrections
+
+ORACLE["merge_corrections"] = """
+SELECT event_id, user_id, event_type,
+       round(value + 1000.0, 6) AS value, TRUE AS corrected
+FROM events WHERE event_id % 10 = 0
+UNION ALL
+SELECT event_id, user_id, event_type, round(value, 6) AS value,
+       FALSE AS corrected
+FROM events WHERE event_id % 10 <> 0
+"""
