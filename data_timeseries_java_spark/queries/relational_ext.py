@@ -519,3 +519,58 @@ SELECT event_id, user_id, event_type, round(value, 6) AS value,
        FALSE AS corrected
 FROM events WHERE event_id % 10 <> 0
 """
+
+
+# ---- funnel analysis: ordered event-sequence conversion over events ----
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase per user: a click counts
+    only after the user's first view, a purchase only after that first
+    qualifying click. Sequential dependency = chained conditional-min
+    aggregations with broadcast joins back onto the event scan (filters
+    push to the scan; each stage frame is user-count-sized)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("t_ms"))
+    v = (ev.where(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("t_ms").alias("t_view")))
+    c = (ev.where(F.col("event_type") == "click")
+         .join(F.broadcast(v), "user_id")
+         .where(F.col("t_ms") > F.col("t_view"))
+         .groupBy("user_id").agg(F.min("t_ms").alias("t_click")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .join(F.broadcast(c), "user_id")
+         .where(F.col("t_ms") > F.col("t_click"))
+         .groupBy("user_id").agg(F.min("t_ms").alias("t_purchase")))
+    stages = [("1_view", v), ("2_click_after_view", c),
+              ("3_purchase_after_click", p)]
+    out = None
+    for name, df in stages:
+        row = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+QUERIES["funnel_conversion"] = q_funnel_conversion
+
+ORACLE["funnel_conversion"] = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS t_ms FROM events
+),
+v AS (SELECT user_id, min(t_ms) AS t_view FROM ev
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.t_ms) AS t_click
+      FROM ev e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.t_ms > v.t_view
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.t_ms) AS t_purchase
+      FROM ev e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.t_ms > c.t_click
+      GROUP BY e.user_id)
+SELECT '1_view' AS stage, count(*) AS n_users FROM v
+UNION ALL
+SELECT '2_click_after_view', count(*) FROM c
+UNION ALL
+SELECT '3_purchase_after_click', count(*) FROM p
+"""

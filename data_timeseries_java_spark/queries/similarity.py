@@ -386,3 +386,52 @@ SELECT query_id, nbr_id, CAST(rank AS BIGINT) AS rank,
        round(cosine, 6) AS cosine
 FROM ranked WHERE rank <= {KNN_K}
 """
+
+
+# ---- embedding int8 quantization (storage/serving prep) -----------------
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = max|x|/127,
+    q_i = round(x_i/scale). All JVM-side higher-order functions; output
+    scalars (scale + quantized sums) so the check stays engine-portable
+    (array columns hash differently across engines).
+
+    round() on the half-integer grid is engine-divergent (Java HALF_UP
+    vs C round-half-away vs banker's) — floor(x + 0.5) pins identical
+    half-up semantics in both engines (negative halves round UP toward
+    zero+: floor(-2.5 + 0.5) = -2, same both sides)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    absmax = F.aggregate(
+        x, F.lit(0.0),
+        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))))
+    scale = absmax / F.lit(127.0)
+    q = F.transform(
+        x, lambda v: F.floor(v.cast("double") / scale + 0.5).cast("long"))
+    return (emb.where(absmax > 0).select(
+        "vec_id",
+        F.round(scale, 9).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"),
+                    lambda acc, v: acc + v).alias("q_sum"),
+        F.aggregate(q, F.lit(0).cast("long"),
+                    lambda acc, v: acc + v * v).alias("q_l2")))
+
+
+QUERIES["embedding_quantize"] = q_embedding_quantize
+
+ORACLE["embedding_quantize"] = """
+WITH comp AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+),
+scales AS (
+  SELECT vec_id, max(abs(x)) / 127.0 AS scale FROM comp GROUP BY vec_id
+)
+SELECT c.vec_id, round(s.scale, 9) AS scale,
+       CAST(sum(floor(c.x / s.scale + 0.5)) AS BIGINT) AS q_sum,
+       CAST(sum(floor(c.x / s.scale + 0.5) * floor(c.x / s.scale + 0.5))
+            AS BIGINT) AS q_l2
+FROM comp c JOIN scales s ON c.vec_id = s.vec_id
+WHERE s.scale > 0
+GROUP BY c.vec_id, s.scale
+"""
