@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from data_timeseries_java_spark.queries import (
+    corpus,
     dedup,
     fx,
     multimodal,
@@ -31,7 +32,7 @@ from data_timeseries_java_spark.queries import (
 )
 
 _MODULES = [fx, relational, relational_ext, tpch_hard, dedup, text,
-            similarity, multimodal]
+            similarity, multimodal, corpus]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
