@@ -1,0 +1,66 @@
+"""Skew-resilient aggregation shapes.
+
+At 100 TB a handful of hot keys (one viral page, one default user id)
+can pin an entire stage on one reducer. Two mitigations, both pure
+DataFrame plans:
+
+- ``two_phase_distinct``: exact COUNT(DISTINCT v) per key without a
+  single-reducer bottleneck. Phase 1 reduces on the FULL (key, value)
+  pair — a hot key's rows spread across the cluster by value hash —
+  phase 2 counts the already-reduced pairs per key. This is the classic
+  skew-safe rewrite of count-distinct; it beats a single aggregation
+  with Expand when the distinct-value space per hot key is large.
+
+- ``salted_agg``: two-phase decomposable aggregation through an
+  explicit salt column. Phase 1 pre-aggregates on (key, salt) so a hot
+  key is split across ``n_salts`` reducers; phase 2 combines the
+  per-salt partials. For plain sum/count/min/max Spark's map-side
+  partial aggregation already achieves this — the machinery exists for
+  aggregations whose per-key state does NOT reduce map-side
+  (collect_set-like holistic state, large percentile state), and the
+  decomposable case here is the oracle-checkable proof that the
+  two-phase split is semantics-preserving.
+
+No reference counterpart (the reference has no skewed workloads —
+SURVEY.md §2.7); these are engine-grade additions for the
+training-data-pipeline north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def two_phase_distinct(df: DataFrame, keys: list[str],
+                       distinct_col: str,
+                       out_col: str = "n_distinct") -> DataFrame:
+    """Exact per-key distinct count as reduce-on-pair -> count-per-key.
+
+    Both phases are full shuffles, but neither ever concentrates a hot
+    key on one task: phase 1 partitions by hash(key, value), phase 2
+    sees at most |distinct values| rows per key.
+    """
+    pairs = df.select(*keys, distinct_col).distinct()
+    return pairs.groupBy(*keys).agg(F.count(F.lit(1)).alias(out_col))
+
+
+def salted_agg(df: DataFrame, keys: list[str], salt_col: str,
+               n_salts: int,
+               partials: dict[str, tuple[Column, Column]]) -> DataFrame:
+    """Two-phase aggregation through an explicit salt.
+
+    ``partials`` maps output column name -> (phase-1 aggregate over raw
+    rows, phase-2 combiner over the per-salt partial column of the same
+    name). E.g. a global sum is ``(F.sum(c), F.sum(c))``; a count is
+    ``(F.count(...), F.sum(c))``; min/max combine with themselves.
+
+    ``salt_col`` must be high-cardinality-ish (a row id); the salt is
+    ``pmod(hash(salt_col), n_salts)`` so plans stay deterministic.
+    """
+    salted = df.withColumn("_salt", F.pmod(F.hash(F.col(salt_col)),
+                                           F.lit(n_salts)))
+    phase1 = salted.groupBy(*keys, "_salt").agg(
+        *[agg1.alias(name) for name, (agg1, _) in partials.items()])
+    return phase1.groupBy(*keys).agg(
+        *[agg2.alias(name) for name, (_, agg2) in partials.items()])

@@ -26,13 +26,14 @@ from data_timeseries_java_spark.queries import (
     multimodal,
     relational,
     relational_ext,
+    scale,
     similarity,
     text,
     tpch_hard,
 )
 
 _MODULES = [fx, relational, relational_ext, tpch_hard, dedup, text,
-            similarity, multimodal, corpus]
+            similarity, multimodal, corpus, scale]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,152 @@
+"""Scale-shape queries: skew-resilient aggregation, mergeable HLL
+sketches, and deterministic OLS trend/forecast.
+
+The skew rewrites (`operators/skew.py`) are oracle-checked against the
+naive GROUP BY — proving the two-phase split is semantics-preserving —
+while the plan tests pin that the hot key actually spreads. The sketch
+tier is rows-only by design (DataSketches HLL has no DuckDB-identical
+counterpart); `tests/test_skew.py` bounds it against the exact counts.
+
+No reference counterpart (SURVEY.md §2.7): the reference never faces
+skewed keys or >1-node cardinality estimation; these are engine-grade
+additions for the 100 TB story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_timeseries_java_spark.operators.skew import (
+    salted_agg,
+    two_phase_distinct,
+)
+from data_timeseries_java_spark.tables import load_table
+
+N_SALTS = 8
+
+
+def q_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type via the skew-safe two-phase
+    reduce-on-pair shape (phase 1 partitions by hash(type, user), so a
+    hot type never lands on one reducer)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (two_phase_distinct(ev, ["event_type"], "user_id", "n_users")
+            .select("event_type", F.col("n_users").cast("long").alias("n_users")))
+
+
+def q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event stats through an explicit 8-way salt: phase 1
+    pre-aggregates on (type, salt), phase 2 combines partials. Output
+    is oracle-identical to the plain GROUP BY (rounded sums — see
+    queries/__init__ note on cross-engine float policy)."""
+    ev = load_table(spark, sf_dir, "events")
+    combined = salted_agg(
+        ev, ["event_type"], "event_id", N_SALTS,
+        {
+            "n_events": (F.count(F.lit(1)), F.sum("n_events")),
+            "sum_value": (F.sum("value"), F.sum("sum_value")),
+            "min_value": (F.min("value"), F.min("min_value")),
+            "max_value": (F.max("value"), F.max("max_value")),
+        })
+    return combined.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"))
+
+
+def q_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag least-squares fit of extendedprice on quantity,
+    plus the fitted value at quantity=50 — closed-form OLS from five
+    decomposable sums (the distributed-regression shape; equivalent to
+    regr_slope/regr_intercept but computed from ROUNDED sums so both
+    engines do bit-identical arithmetic downstream of the reduction).
+    One map-side-combined shuffle over lineitem; no iteration."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.sum(x), 2).alias("sx"),
+        F.round(F.sum(y), 2).alias("sy"),
+        F.round(F.sum(x * x), 2).alias("sxx"),
+        F.round(F.sum(x * y), 2).alias("sxy"))
+    slope = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")), 6)
+    s = s.withColumn("slope", slope)
+    s = s.withColumn(
+        "intercept",
+        F.round((F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n"), 6))
+    return s.select(
+        "flag", F.col("n").cast("long").alias("n"), "slope", "intercept",
+        F.round(F.col("intercept") + F.col("slope") * 50, 6)
+        .alias("forecast_at_50"))
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event type (rsd 2%).
+    Rows-only contract: sketch estimates are engine-specific;
+    tests/test_skew.py bounds the error against the exact count."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", 0.02)
+                 .alias("approx_users")))
+
+
+def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: one DataSketches HLL per (type, day),
+    unioned up to per-type estimates WITHOUT rescanning the events —
+    the shape that makes incremental 100 TB cardinality rollups cheap
+    (daily sketches persist; the union is sketch-sized). Rows-only."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    return (daily.groupBy("event_type")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                 .alias("approx_users")))
+
+
+QUERIES = {
+    "distinct_users_by_type": q_distinct_users_by_type,
+    "salted_event_stats": q_salted_event_stats,
+    "value_trend_ols": q_value_trend_ols,
+    "approx_distinct_users": q_approx_distinct_users,
+    "hll_user_rollup": q_hll_user_rollup,
+}
+
+ORACLE = {
+    "distinct_users_by_type": """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""",
+    "salted_event_stats": """
+SELECT event_type, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY event_type
+""",
+    "value_trend_ols": """
+WITH s AS (
+  SELECT l_returnflag AS flag, CAST(count(*) AS DOUBLE) AS n,
+         round(sum(l_quantity), 2) AS sx,
+         round(sum(l_extendedprice), 2) AS sy,
+         round(sum(l_quantity * l_quantity), 2) AS sxx,
+         round(sum(l_quantity * l_extendedprice), 2) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+), sl AS (
+  SELECT *, round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+  FROM s
+), it AS (
+  SELECT *, round((sy - slope * sx) / n, 6) AS intercept FROM sl
+)
+SELECT flag, CAST(n AS BIGINT) AS n, slope, intercept,
+       round(intercept + slope * 50, 6) AS forecast_at_50
+FROM it
+""",
+    # approx_distinct_users / hll_user_rollup: rows-only by design
+    # (sketch estimates are engine-specific).
+}

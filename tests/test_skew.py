@@ -1,0 +1,94 @@
+"""Skew-resilient aggregation + sketch tier: semantics vs the naive
+plans, error bounds for the HLL estimates, and the plan shapes that
+make the rewrites worth having."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_timeseries_java_spark.plans import exchange_count, has_python_eval
+from data_timeseries_java_spark.queries import all_queries
+from data_timeseries_java_spark.tables import load_table
+
+
+def test_two_phase_distinct_matches_naive(spark, sf_dir):
+    got = all_queries()["distinct_users_by_type"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    naive = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, naive.collect()))
+
+
+def test_salted_agg_matches_unsalted(spark, sf_dir):
+    got = all_queries()["salted_event_stats"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    naive = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, naive.collect()))
+
+
+def test_two_phase_shapes(spark, sf_dir):
+    """Both rewrites are exactly two aggregation exchanges over the
+    scan — the salt/pair split must not introduce extra shuffles —
+    and stay JVM-side."""
+    for name in ("distinct_users_by_type", "salted_event_stats"):
+        q = all_queries()[name](spark, sf_dir)
+        assert exchange_count(q) <= 2, name
+        assert not has_python_eval(q), name
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    """HLL++ at rsd=2%: estimates must land within 3*rsd of exact."""
+    approx = {r["event_type"]: r["approx_users"]
+              for r in all_queries()["approx_distinct_users"](
+                  spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = {r["event_type"]: r["n"]
+             for r in ev.groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("n")).collect()}
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(1, 0.06 * n), (t, approx[t], n)
+
+
+def test_hll_rollup_matches_single_shot(spark, sf_dir):
+    """Union of daily DataSketches must estimate like (and near the
+    exact value of) a single pass — the mergeability contract that
+    makes incremental rollups sound."""
+    rolled = {r["event_type"]: r["approx_users"]
+              for r in all_queries()["hll_user_rollup"](
+                  spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    single = {r["event_type"]: r["n"]
+              for r in ev.groupBy("event_type")
+              .agg(F.hll_sketch_estimate(
+                  F.hll_sketch_agg("user_id")).alias("n")).collect()}
+    exact = {r["event_type"]: r["n"]
+             for r in ev.groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("n")).collect()}
+    for t in exact:
+        assert abs(rolled[t] - single[t]) <= max(1, 0.02 * single[t]), t
+        assert abs(rolled[t] - exact[t]) <= max(2, 0.05 * exact[t]), t
+
+
+def test_ols_slope_matches_builtin_regr(spark, sf_dir):
+    """The rounded-sums closed form must agree with Spark's own
+    regr_slope/regr_intercept to well beyond the 6-dp output grid."""
+    got = {r["flag"]: (r["slope"], r["intercept"])
+           for r in all_queries()["value_trend_ols"](
+               spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    ref = {r["flag"]: (r["s"], r["i"])
+           for r in li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+               F.regr_slope("l_extendedprice", "l_quantity").alias("s"),
+               F.regr_intercept("l_extendedprice", "l_quantity").alias("i"))
+           .collect()}
+    assert set(got) == set(ref)
+    for flag, (s, i) in got.items():
+        assert abs(s - ref[flag][0]) < 1e-4, flag
+        assert abs(i - ref[flag][1]) < 1e-2, flag
