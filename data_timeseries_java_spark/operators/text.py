@@ -70,9 +70,9 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic document quality: length, punctuation ratio, stopword
-    ratio, mean token length → [0,1] composite score."""
+def quality_columns(text_col: str = "text") -> dict[str, Column]:
+    """The quality-score output columns as plain expressions, so callers
+    (q_corpus_build) can fuse them into a wider single-scan projection."""
     t = tokens(F.col(text_col))
     n_tok = F.size(t).cast("double")
     n_chars = F.length(text_col).cast("double")
@@ -88,56 +88,62 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     score = (F.lit(0.4) * len_score
              + F.lit(0.3) * (1 - F.least(punct_ratio * 5, F.lit(1.0)))
              + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0)))
-    return df.select(
-        "doc_id",
-        F.size(t).cast("long").alias("n_tokens"),
-        _floor6(punct_ratio).alias("punct_ratio"),
-        _floor6(stop_ratio).alias("stopword_ratio"),
-        _floor6(mean_tok_len).alias("mean_token_len"),
-        _floor6(score).alias("quality_score"),
-    )
+    return {
+        "n_tokens": F.size(t).cast("long"),
+        "punct_ratio": _floor6(punct_ratio),
+        "stopword_ratio": _floor6(stop_ratio),
+        "mean_token_len": _floor6(mean_tok_len),
+        "quality_score": _floor6(score),
+    }
 
 
-def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Language-ID: stopword-lexicon hit-rate per language, argmax wins
-    (ties break on language code). Returns per-doc best language + score."""
-    t = F.array_distinct(tokens(F.col(text_col)))
-    n_tok = F.size(tokens(F.col(text_col))).cast("double")
-    scored = df.select("doc_id", F.col("lang").alias("declared_lang"), t.alias("toks"), n_tok.alias("n"))
-    # hits per language over the raw (non-distinct) token stream
-    raw = df.select("doc_id", F.col("lang").alias("declared_lang"),
-                    tokens(F.col(text_col)).alias("toks"),
-                    F.size(tokens(F.col(text_col))).cast("double").alias("n"))
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length, punctuation ratio, stopword
+    ratio, mean token length → [0,1] composite score."""
+    cols = quality_columns(text_col)
+    return df.select("doc_id",
+                     *[c.alias(name) for name, c in cols.items()])
+
+
+def language_columns(text_col: str = "text",
+                     lang_col: str = "lang") -> dict[str, Column]:
+    """Language-ID output columns as plain expressions over the raw
+    token stream (fusable into a single-scan projection)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks).cast("double")
     lang_scores = []
     for lang, words in sorted(LANG_LEXICONS.items()):
         lex = F.array(*[F.lit(w) for w in words])
-        hits = F.size(F.filter(F.col("toks"), lambda x: F.array_contains(lex, x))).cast("double")
+        hits = F.size(F.filter(toks, lambda x: F.array_contains(lex, x))).cast("double")
         lang_scores.append(F.struct(
-            _floor6(hits / F.greatest(F.col("n"), F.lit(1.0))).alias("score"),
+            _floor6(hits / F.greatest(n, F.lit(1.0))).alias("score"),
             F.lit(lang).alias("lang"),
         ))
-    # argmax: sort (score, lang) structs; max = best score, and ties pick
-    # the LAST language alphabetically unless we invert — sort desc on
-    # score, asc on lang: flip lang comparison by sorting on struct
-    # (score, reversed-lang-rank).
-    arr = F.array(*lang_scores)
     # deterministic argmax: maximum of (score, lang_rank_desc) where
-    # lang_rank_desc makes earlier alphabet win ties
+    # lang_rank_desc makes the earlier alphabet win ties
     ranked = []
     langs_sorted = sorted(LANG_LEXICONS)
     for i, s in enumerate(lang_scores):
         ranked.append(F.struct(
             s["score"].alias("score"),
-            F.lit(len(langs_sorted) - i).alias("rank"),  # earlier lang → higher rank
+            F.lit(len(langs_sorted) - i).alias("rank"),
             s["lang"].alias("lang"),
         ))
     best = F.array_max(F.array(*ranked))
-    return raw.select(
-        "doc_id", "declared_lang",
-        best["lang"].alias("predicted_lang"),
-        best["score"].alias("lang_score"),
-        (best["lang"] == F.col("declared_lang")).alias("lang_match"),
-    )
+    return {
+        "declared_lang": F.col(lang_col),
+        "predicted_lang": best["lang"],
+        "lang_score": best["score"],
+        "lang_match": best["lang"] == F.col(lang_col),
+    }
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID: stopword-lexicon hit-rate per language, argmax wins
+    (ties break on language code). Returns per-doc best language + score."""
+    cols = language_columns(text_col)
+    return df.select("doc_id",
+                     *[c.alias(name) for name, c in cols.items()])
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

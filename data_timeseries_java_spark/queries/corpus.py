@@ -2,19 +2,20 @@
 actually runs — quality gate + language agreement + exact-dedup keeper
 + benchmark decontamination, in one declarative plan.
 
-Composition is the point: each stage is an already-oracle-checked
-operator (text.quality_score, text.language_id, dedup.exact_duplicates,
-dedup.ngram_contamination); this query chains them the way a real
-pretraining corpus build does and hash-checks the COMBINED result, so
-stage interfaces stay compatible. Everything is one lazy plan: the
-document scan feeds four branches that reduce to doc-count-sized
-frames, joined back semi/anti onto the id set — no iteration, no
-driver actions.
+Composition is the point: each stage's semantics are the
+already-oracle-checked operators (text.quality_score, text.language_id,
+dedup.exact_duplicates, dedup.ngram_contamination); this query fuses
+them the way a real pretraining corpus build should — quality and
+language-ID as columns of ONE document scan, the dup-keeper as a window
+min over the content hash, decontamination as a broadcast anti-join —
+and hash-checks the COMBINED result against the stage-by-stage oracle,
+so the fusion is proven semantics-preserving. Everything is one lazy
+plan: no iteration, no driver actions.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_timeseries_java_spark.queries.dedup import (
@@ -34,29 +35,46 @@ QUALITY_MIN = 0.55
 def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kept corpus documents: quality >= 0.55, predicted language agrees
     with the declared one, exact-duplicate keeper rows only, and not
-    contaminated against the doc_id < 50 eval set."""
+    contaminated against the doc_id < 50 eval set.
+
+    Fused plan: quality and language-ID are narrow column expressions
+    (operators/text.py `quality_columns`/`language_columns`), so the
+    main stream is ONE scan of `documents` projecting both plus the
+    content hash, with the dup-keeper as a window min over the hash —
+    no per-stage joins of doc-count frames on doc_id. Contamination is
+    the only branch that re-reads text (its shingle stream has a
+    different shape); its tiny output anti-joins back as a broadcast.
+    Net: 2 scans + 1 window shuffle + the shingle groupBy, vs 6 scans
+    and 3 doc-count joins for the naive stage-by-stage composition."""
     from data_timeseries_java_spark.operators.dedup import (
-        exact_duplicates,
         ngram_contamination,
     )
     from data_timeseries_java_spark.operators.text import (
-        language_id,
-        quality_score,
+        language_columns,
+        quality_columns,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    q = quality_score(docs).where(F.col("quality_score") >= QUALITY_MIN)
-    lang_ok = language_id(docs).where(F.col("lang_match")).select(
-        "doc_id", "predicted_lang")
-    keepers = (exact_duplicates(docs)
-               .where(~F.col("is_duplicate")).select("doc_id"))
+    qc = quality_columns("text")
+    lc = language_columns("text", "lang")
+    base = docs.select(
+        "doc_id",
+        qc["n_tokens"].alias("n_tokens"),
+        qc["quality_score"].alias("quality_score"),
+        lc["predicted_lang"].alias("predicted_lang"),
+        lc["lang_match"].alias("lang_match"),
+        F.md5(F.lower(F.col("text"))).alias("content_hash"))
+    w = Window.partitionBy("content_hash")
+    kept = (base
+            .withColumn("keeper_id", F.min("doc_id").over(w))
+            .where((F.col("quality_score") >= QUALITY_MIN)
+                   & F.col("lang_match")
+                   & (F.col("doc_id") == F.col("keeper_id"))))
     contaminated = ngram_contamination(
         docs.where(F.col("doc_id") >= DECON_EVAL_MAX_ID),
         docs.where(F.col("doc_id") < DECON_EVAL_MAX_ID),
         k=DECON_K, min_overlap=DECON_MIN_OVERLAP).select("doc_id")
-    return (q.join(lang_ok, "doc_id")
-            .join(keepers, "doc_id", "left_semi")
-            .join(contaminated, "doc_id", "left_anti")
+    return (kept.join(F.broadcast(contaminated), "doc_id", "left_anti")
             .select("doc_id", "predicted_lang",
                     F.col("n_tokens").cast("long").alias("n_tokens"),
                     "quality_score"))
