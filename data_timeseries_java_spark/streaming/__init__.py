@@ -12,10 +12,13 @@ from data_timeseries_java_spark.streaming.candles_stream import (
     streaming_complete_candles,
     streaming_ohlc_candles,
 )
+from data_timeseries_java_spark.streaming.neardup_stream import (
+    streaming_neardup,
+)
 from data_timeseries_java_spark.streaming.sessions_stream import (
     sessionize,
     streaming_sessions,
 )
 
 __all__ = ["streaming_ohlc_candles", "streaming_complete_candles",
-           "sessionize", "streaming_sessions"]
+           "sessionize", "streaming_sessions", "streaming_neardup"]
