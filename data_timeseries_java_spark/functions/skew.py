@@ -23,13 +23,14 @@ def salted_sum(df: DataFrame, key_cols: list[str], value_col: str,
     serializes one reducer; salting spreads the partial sums across
     ``n_salts`` reducers and the final pass touches only
     keys x n_salts rows.
+
+    Thin wrapper over the general machinery in ``operators/skew.py``
+    (`salted_agg` handles any decomposable aggregate set and a
+    deterministic salt column; `two_phase_distinct` covers the
+    count-distinct case, where salting alone does not reduce state).
     """
+    from data_timeseries_java_spark.operators.skew import salted_agg
+
     out_col = out_col or f"sum_{value_col}"
-    salt = (F.crc32(F.concat_ws("|", *[F.col(c) for c in key_cols],
-                                F.monotonically_increasing_id().cast("string")))
-            % n_salts).alias("_salt")
-    partial = (df.select(*key_cols, F.col(value_col), salt)
-               .groupBy(*key_cols, "_salt")
-               .agg(F.sum(value_col).alias("_partial")))
-    return (partial.groupBy(*key_cols)
-            .agg(F.sum("_partial").alias(out_col)))
+    return salted_agg(df, key_cols, None, n_salts,
+                      {out_col: (F.sum(value_col), F.sum(out_col))})

@@ -45,7 +45,7 @@ def two_phase_distinct(df: DataFrame, keys: list[str],
     return pairs.groupBy(*keys).agg(F.count(F.lit(1)).alias(out_col))
 
 
-def salted_agg(df: DataFrame, keys: list[str], salt_col: str,
+def salted_agg(df: DataFrame, keys: list[str], salt_col: str | None,
                n_salts: int,
                partials: dict[str, tuple[Column, Column]]) -> DataFrame:
     """Two-phase aggregation through an explicit salt.
@@ -57,9 +57,14 @@ def salted_agg(df: DataFrame, keys: list[str], salt_col: str,
 
     ``salt_col`` must be high-cardinality-ish (a row id); the salt is
     ``pmod(hash(salt_col), n_salts)`` so plans stay deterministic.
+    ``salt_col=None`` salts on ``monotonically_increasing_id`` for
+    frames with no natural row id (still correct — partials of a
+    decomposable aggregate combine regardless of how rows split — but
+    the plan is no longer deterministic row-for-row).
     """
-    salted = df.withColumn("_salt", F.pmod(F.hash(F.col(salt_col)),
-                                           F.lit(n_salts)))
+    salt_src = (F.monotonically_increasing_id() if salt_col is None
+                else F.hash(F.col(salt_col)))
+    salted = df.withColumn("_salt", F.pmod(salt_src, F.lit(n_salts)))
     phase1 = salted.groupBy(*keys, "_salt").agg(
         *[agg1.alias(name) for name, (agg1, _) in partials.items()])
     return phase1.groupBy(*keys).agg(

@@ -1,7 +1,7 @@
-"""Hard TPC-H join shapes (q2/q8/q21 style) — correlated subqueries,
-conditional-aggregate ratios, and multi-EXISTS anti-join chains, adapted
-to the driver's schema (lineitem carries the part-supplier link; there
-is no partsupp table).
+"""Hard TPC-H join shapes (q2/q8/q17/q21/q22 style) — correlated
+subqueries, conditional-aggregate ratios, and multi-EXISTS anti-join
+chains, adapted to the driver's schema (lineitem carries the
+part-supplier link; there is no partsupp table).
 
 These stress join PLANNING beyond the star joins in queries/relational:
 the q2 shape needs a per-group minimum pushed back through an equi-join
@@ -149,10 +149,68 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("s_suppkey").alias("suppkey"), "s_name", "numwait"))
 
 
+BRAND = "Brand#1"
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q17 shape: yearly revenue lost to small orders — lineitems of one
+    brand's parts whose quantity is below 20% of that PART's average
+    quantity. The correlated scalar subquery decorrelates into a
+    per-part aggregate joined back onto the lineitem stream; the brand
+    filter broadcasts FIRST so both the aggregate and the probe run
+    over the brand's lineitems only (the subquery's correlation key is
+    a part attribute, so pre-filtering is semantics-preserving)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    brand_parts = (part.where(F.col("p_brand") == BRAND)
+                   .select("p_partkey"))
+    li_b = li.join(F.broadcast(brand_parts),
+                   li.l_partkey == F.col("p_partkey")).drop("p_partkey")
+    lim = li_b.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_limit"))
+    small = (li_b.join(F.broadcast(lim), "l_partkey")
+             .where(F.col("l_quantity") < F.col("qty_limit")))
+    return small.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.round(F.sum("l_extendedprice"), 2) / 7.0, 6)
+        .alias("avg_yearly"))
+
+
+IDLE_CUTOFF = "2000-01-01"
+
+
+def q_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q22 shape: customers with above-average positive balance and no
+    RECENT orders (none since IDLE_CUTOFF) — a global scalar subquery
+    (the average) attached as a broadcast single-row crossJoin, then an
+    anti join against the date-filtered orders (the filter pushes to
+    the orders scan), aggregated per market segment."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    avg_bal = (customer.where(F.col("c_acctbal") > 0)
+               .agg(F.round(
+                   F.round(F.sum("c_acctbal"), 2) / F.count(F.lit(1)), 6)
+                   .alias("avg_bal")))
+    rich = (customer.crossJoin(F.broadcast(avg_bal))
+            .where(F.col("c_acctbal") > F.col("avg_bal")))
+    recent = (orders
+              .where(F.col("o_orderdate") >= F.lit(IDLE_CUTOFF).cast("timestamp"))
+              .select("o_custkey"))
+    idle = rich.join(recent, rich.c_custkey == F.col("o_custkey"),
+                     "left_anti")
+    return (idle.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.round(F.sum("c_acctbal"), 2).alias("total_bal")))
+
+
 QUERIES = {
     "min_cost_supplier": q_min_cost_supplier,
     "nation_market_share": q_nation_market_share,
     "waiting_suppliers": q_waiting_suppliers,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "rich_idle_customers": q_rich_idle_customers,
 }
 
 ORACLE = {
@@ -213,5 +271,32 @@ WHERE l1.l_returnflag = 'R'
                     AND l3.l_suppkey <> l1.l_suppkey
                     AND l3.l_returnflag = 'R')
 GROUP BY l1.l_suppkey, s.s_name
+""",
+    "small_quantity_revenue": f"""
+WITH li_b AS (
+  SELECT l.* FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = '{BRAND}'
+), lim AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_limit
+  FROM li_b GROUP BY l_partkey
+)
+SELECT count(*) AS n_lines,
+       round(round(sum(l.l_extendedprice), 2) / 7.0, 6) AS avg_yearly
+FROM li_b l JOIN lim ON l.l_partkey = lim.l_partkey
+WHERE l.l_quantity < lim.qty_limit
+""",
+    "rich_idle_customers": f"""
+WITH avg_bal AS (
+  SELECT round(round(sum(c_acctbal), 2) / count(*), 6) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = customer.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{IDLE_CUTOFF} 00:00:00')
+GROUP BY c_mktsegment
 """,
 }

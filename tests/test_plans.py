@@ -80,7 +80,9 @@ def test_tpch_hard_shapes_plan_clean(spark, sf_dir):
     qs = all_queries()
     for name, min_bcast in [("min_cost_supplier", 2),
                             ("nation_market_share", 2),
-                            ("waiting_suppliers", 1)]:
+                            ("waiting_suppliers", 1),
+                            ("small_quantity_revenue", 2),
+                            ("rich_idle_customers", 1)]:
         q = qs[name](spark, sf_dir)
         plan = formatted_plan(q)
         assert "CartesianProduct" not in plan, f"{name} went cartesian"
@@ -89,6 +91,8 @@ def test_tpch_hard_shapes_plan_clean(spark, sf_dir):
     # the q21 EXISTS/NOT-EXISTS chain must be semi/anti joins, not inner
     plan21 = formatted_plan(qs["waiting_suppliers"](spark, sf_dir))
     assert "LeftSemi" in plan21 and "LeftAnti" in plan21
+    # the q22 NOT EXISTS must be an anti join
+    assert "LeftAnti" in formatted_plan(qs["rich_idle_customers"](spark, sf_dir))
 
 
 # queries that intentionally cross into pandas/Arrow execution
