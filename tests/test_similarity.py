@@ -36,3 +36,28 @@ def test_trained_recall_is_useful(recall):
     # a meaningful fraction of the exact neighbors
     _, trained_recall = recall
     assert trained_recall >= 0.5
+
+
+def test_probe_count_recall_curve(spark, sf_dir):
+    """The IVF quality/cost knob must behave: probing more lists
+    monotonically (non-strictly) improves recall toward exact top-k."""
+    from pyspark.sql import functions as F
+
+    from data_timeseries_java_spark.operators.similarity import (
+        centroid_vectors, ivf_topk, kmeans_centroids)
+    from data_timeseries_java_spark.queries.similarity import (
+        KMEANS_ITERS, KNN_K, N_CENTROIDS_STRIDE, N_QUERIES,
+        q_knn_bruteforce)
+    from data_timeseries_java_spark.tables import load_table
+
+    exact = _pairs(q_knn_bruteforce(spark, sf_dir))
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id")
+    cent = centroid_vectors(kmeans_centroids(
+        emb, seed_stride=N_CENTROIDS_STRIDE, iterations=KMEANS_ITERS))
+    recalls = []
+    for n_probe in (1, 3, 5):
+        got = _pairs(ivf_topk(emb, queries, cent, k=KNN_K, n_probe=n_probe))
+        recalls.append(len(got & exact) / len(exact))
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] > recalls[0]
