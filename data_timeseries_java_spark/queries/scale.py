@@ -108,12 +108,30 @@ def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("approx_users")))
 
 
+def q_approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-type value percentiles (Greenwald-Khanna style
+    sketch, accuracy 1/1000) — the bounded-memory path for quantiles at
+    100 TB, complementing the exact interpolated `price_quantiles`.
+    Rows-only contract: sketch outputs are engine-specific;
+    tests/test_skew.py bounds them against exact percentiles."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile_approx("value", F.array(
+        F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(1000))
+    return (ev.groupBy("event_type")
+            .agg(pct.alias("p"))
+            .select("event_type",
+                    F.col("p")[0].alias("p50_approx"),
+                    F.col("p")[1].alias("p90_approx"),
+                    F.col("p")[2].alias("p99_approx")))
+
+
 QUERIES = {
     "distinct_users_by_type": q_distinct_users_by_type,
     "salted_event_stats": q_salted_event_stats,
     "value_trend_ols": q_value_trend_ols,
     "approx_distinct_users": q_approx_distinct_users,
     "hll_user_rollup": q_hll_user_rollup,
+    "approx_value_quantiles": q_approx_value_quantiles,
 }
 
 ORACLE = {

@@ -92,3 +92,24 @@ def test_ols_slope_matches_builtin_regr(spark, sf_dir):
     for flag, (s, i) in got.items():
         assert abs(s - ref[flag][0]) < 1e-4, flag
         assert abs(i - ref[flag][1]) < 1e-2, flag
+
+
+def test_approx_quantiles_within_tolerance(spark, sf_dir):
+    """GK sketch at accuracy 1000: each approximate percentile must sit
+    within 1% rank error of the exact distribution (checked by value
+    against exact percentiles one rank-point either side)."""
+    rows = {r["event_type"]: r
+            for r in all_queries()["approx_value_quantiles"](
+                spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = {r["event_type"]: r
+             for r in ev.groupBy("event_type").agg(
+                 F.expr("percentile(value, array(0.49, 0.51, 0.89, "
+                        "0.91, 0.98, 1.0))").alias("p")).collect()}
+    for t, r in rows.items():
+        lo, hi = exact[t]["p"][0], exact[t]["p"][1]
+        assert lo <= r["p50_approx"] <= hi, (t, "p50")
+        lo, hi = exact[t]["p"][2], exact[t]["p"][3]
+        assert lo <= r["p90_approx"] <= hi, (t, "p90")
+        lo, hi = exact[t]["p"][4], exact[t]["p"][5]
+        assert lo <= r["p99_approx"] <= hi, (t, "p99")
