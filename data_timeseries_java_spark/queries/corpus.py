@@ -80,9 +80,102 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "quality_score"))
 
 
-QUERIES = {"corpus_build": q_corpus_build}
+PACK_BUDGET = 256
 
-ORACLE = {"corpus_build": f"""
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split: every member of a near-dup
+    group (same content-shape fingerprint — the word-order-robust
+    sorted-distinct-token hash of operators/text.fingerprint) inherits
+    the split of the group's keeper (min doc_id), so near-duplicates
+    can never straddle train and test — the leakage failure mode a
+    per-doc hash split (`dataset_split`) cannot prevent. Same
+    0-b/c-d/e-f md5 bucketing as dataset_split, applied to the GROUP id;
+    one window shuffle on the fingerprint, no joins."""
+    from data_timeseries_java_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(
+        " ", F.array_sort(F.array_distinct(tokens(F.col("text"))))))
+    base = docs.select("doc_id", fp.alias("content_hash"))
+    group_id = F.min("doc_id").over(Window.partitionBy("content_hash"))
+    h = F.substring(F.md5(group_id.cast("string")), 1, 1)
+    split = (F.when(h < "c", "train")
+             .when(h < "e", "val")
+             .otherwise("test"))
+    return base.select("doc_id", group_id.alias("group_id"),
+                       split.alias("split"))
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining batches: documents are packed
+    greedily in deterministic (doc_id) order into ~PACK_BUDGET-token
+    packs WITHIN each source shard — a doc joins the pack its starting
+    token offset falls in (exclusive running sum DIV budget). Per-shard
+    windows keep the cumsum distributed (nothing global); output is the
+    pack manifest a dataloader consumes."""
+    from data_timeseries_java_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum(n_tok).over(w), F.lit(0))
+    packed = docs.select(
+        "source", "doc_id", n_tok.alias("n_tok"),
+        F.floor(start / F.lit(float(PACK_BUDGET))).cast("long")
+        .alias("pack_id"))
+    return (packed.groupBy("source", "pack_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("total_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))
+
+
+QUERIES = {
+    "corpus_build": q_corpus_build,
+    "leakage_safe_split": q_leakage_safe_split,
+    "sequence_packing": q_sequence_packing,
+}
+
+ORACLE = {
+    "leakage_safe_split": """
+WITH g AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY md5(array_to_string(
+           list_sort(list_distinct(list_filter(
+             string_split(lower(text), ' '), x -> x <> ''))), ' ')))
+           AS group_id
+  FROM documents
+)
+SELECT doc_id, group_id,
+       CASE WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 1) < 'c'
+              THEN 'train'
+            WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 1) < 'e'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM g
+""",
+    "sequence_packing": f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+           AS n_tok
+  FROM documents
+), offs AS (
+  SELECT source, doc_id, n_tok,
+         coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start
+  FROM toks
+)
+SELECT source, CAST(floor(start / {float(PACK_BUDGET)}) AS BIGINT) AS pack_id,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM offs
+GROUP BY source, pack_id
+""",
+    "corpus_build": f"""
 WITH quality AS ({_QUALITY_SQL}),
 langid AS ({_langid_sql()}),
 dup AS ({_DEDUP_ORACLE["dedup_exact"]}),

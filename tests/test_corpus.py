@@ -1,0 +1,43 @@
+"""Corpus-pipeline invariants beyond the oracle hashes: leakage-safety
+of the group split and pack-size bounds for sequence packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_timeseries_java_spark.queries import all_queries
+from data_timeseries_java_spark.queries.corpus import PACK_BUDGET
+
+
+def test_no_dup_group_straddles_splits(spark, sf_dir):
+    split = all_queries()["leakage_safe_split"](spark, sf_dir)
+    per_group = split.groupBy("group_id").agg(
+        F.count_distinct("split").alias("n_splits"),
+        F.count(F.lit(1)).alias("n_docs"))
+    assert per_group.where(F.col("n_splits") > 1).count() == 0
+    # the fixture corpus actually has multi-doc groups, so the
+    # invariant is exercised, not vacuous
+    assert per_group.where(F.col("n_docs") > 1).count() > 0
+
+
+def test_pack_sizes_bounded_and_contiguous(spark, sf_dir):
+    packs = all_queries()["sequence_packing"](spark, sf_dir).collect()
+    by_source: dict[str, list] = {}
+    for r in packs:
+        by_source.setdefault(r.source, []).append(r)
+    assert by_source
+    from data_timeseries_java_spark.operators.text import tokens
+    from data_timeseries_java_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {r.source: r.t for r in docs.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).alias("t")).collect()}
+    for source, rows in by_source.items():
+        rows.sort(key=lambda r: r.pack_id)
+        # pack ids are dense from 0 (start offsets tile the token stream)
+        assert [r.pack_id for r in rows] == list(range(len(rows))), source
+        # no token lost or double-packed
+        assert sum(r.total_tokens for r in rows) == totals[source], source
+        # doc ranges must not overlap between consecutive packs
+        for a, b in zip(rows, rows[1:]):
+            assert a.last_doc < b.first_doc, source
