@@ -31,6 +31,8 @@ HEADLINE = [
     "knn_bruteforce",
     "neardup_cosine",
     "ann_lsh",
+    # composed end-to-end corpus pipeline (fused single-scan plan)
+    "corpus_build",
 ]
 
 

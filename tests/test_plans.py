@@ -171,3 +171,13 @@ def test_bucketed_table_eliminates_agg_shuffle(spark, sf_dir):
         assert bucketed.count() == plain.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS _test_ticks_bucketed")
+
+
+def test_corpus_build_stays_fused(spark, sf_dir):
+    """The corpus pipeline must keep its fused shape: at most 3 parquet
+    scans (main projection + the two contamination shingle sides), no
+    doc-count joins re-introduced, window-min keeper intact."""
+    q = all_queries()["corpus_build"](spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 3, "corpus_build lost its fusion"
+    assert "CartesianProduct" not in plan
