@@ -84,3 +84,63 @@ class FXEngine:
         """ticks → candles → log returns → sliding-window correlations."""
         return self.correlate(self.returns(
             self.complete_candles(ticks, instruments)))
+
+
+@dataclass
+class CorpusOptions:
+    """Training-data pipeline knobs (engine extension — the reference
+    has no corpus surface; see OPERATORS.md 'Training-data extensions')."""
+    quality_min: float = 0.55
+    decon_k: int = 5
+    decon_min_overlap: int = 3
+    pack_budget: int = 256
+    dedup_watermark: str = "1 hour"
+
+
+class CorpusEngine:
+    """Composable training-data pipeline over document DataFrames
+    (doc_id, text, lang, source) — the corpus-side sibling of FXEngine.
+    Batch methods return lazy plans; ``stream`` starts the streaming
+    build (streaming/corpus_stream.py)."""
+
+    def __init__(self, spark: SparkSession,
+                 options: CorpusOptions | None = None):
+        self.spark = spark
+        self.options = options or CorpusOptions()
+
+    def build(self, docs: DataFrame,
+              eval_docs: DataFrame | None = None) -> DataFrame:
+        """Fused quality + language + dedup-keeper (+ decontamination
+        when ``eval_docs`` is given) corpus build."""
+        from data_timeseries_java_spark.operators.corpus import corpus_build
+        o = self.options
+        return corpus_build(docs, eval_docs, quality_min=o.quality_min,
+                            decon_k=o.decon_k,
+                            decon_min_overlap=o.decon_min_overlap)
+
+    def splits(self, docs: DataFrame) -> DataFrame:
+        """Leakage-safe train/val/test assignment (fingerprint groups)."""
+        from data_timeseries_java_spark.operators.corpus import (
+            leakage_safe_split,
+        )
+        return leakage_safe_split(docs)
+
+    def packs(self, docs: DataFrame) -> DataFrame:
+        """Per-shard sequence-packing manifest."""
+        from data_timeseries_java_spark.operators.corpus import (
+            sequence_packing,
+        )
+        return sequence_packing(docs, pack_budget=self.options.pack_budget)
+
+    def stream(self, docs_stream: DataFrame, eval_docs: DataFrame,
+               work_dir: str, time_col: str = "ts"):
+        """Start the streaming corpus build; returns the StreamingQuery."""
+        from data_timeseries_java_spark.streaming.corpus_stream import (
+            streaming_corpus_build,
+        )
+        o = self.options
+        return streaming_corpus_build(
+            self.spark, docs_stream, eval_docs, work_dir,
+            quality_min=o.quality_min, time_col=time_col,
+            watermark=o.dedup_watermark, decon_k=o.decon_k,
+            decon_min_overlap=o.decon_min_overlap)

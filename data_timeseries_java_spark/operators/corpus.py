@@ -1,0 +1,112 @@
+"""Frame-level corpus-pipeline operators: the fused corpus build,
+leakage-safe splitting, and sequence packing over an arbitrary document
+DataFrame (doc_id, text, lang, source).
+
+These are the cores of `queries/corpus.py` (which binds them to the
+testdata tables and their DuckDB oracles) and of `api.CorpusEngine`
+(the user-facing facade). See queries/corpus.py for the plan-shape
+rationale; the fused build is pinned to <= 3 scans by
+tests/test_plans.py::test_corpus_build_stays_fused.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_timeseries_java_spark.operators.dedup import ngram_contamination
+from data_timeseries_java_spark.operators.text import (
+    language_columns,
+    quality_columns,
+    tokens,
+)
+
+
+def corpus_build(docs: DataFrame, eval_docs: DataFrame | None = None,
+                 quality_min: float = 0.55,
+                 decon_k: int = 5,
+                 decon_min_overlap: int = 3,
+                 eval_predicate: F.Column | None = None) -> DataFrame:
+    """Fused corpus build: quality + language-ID as columns of ONE
+    document scan, exact-dup keeper as a window min over the content
+    hash, optional decontamination against ``eval_docs`` as a broadcast
+    anti-join. Output: (doc_id, predicted_lang, n_tokens, quality_score).
+
+    When the eval set is a SLICE OF ``docs`` itself, pass
+    ``eval_predicate`` instead of ``eval_docs``: both contamination
+    sides become pushed filters on the document scan (3 scans total,
+    the shape test_corpus_build_stays_fused pins) rather than an
+    anti-join against a second read. An external benchmark table goes
+    through ``eval_docs``."""
+    if (eval_docs is None) == (eval_predicate is None) and \
+            eval_docs is not None:
+        raise ValueError("pass eval_docs OR eval_predicate, not both")
+    qc = quality_columns("text")
+    lc = language_columns("text", "lang")
+    base = docs.select(
+        "doc_id",
+        qc["n_tokens"].alias("n_tokens"),
+        qc["quality_score"].alias("quality_score"),
+        lc["predicted_lang"].alias("predicted_lang"),
+        lc["lang_match"].alias("lang_match"),
+        F.md5(F.lower(F.col("text"))).alias("content_hash"))
+    w = Window.partitionBy("content_hash")
+    kept = (base
+            .withColumn("keeper_id", F.min("doc_id").over(w))
+            .where((F.col("quality_score") >= quality_min)
+                   & F.col("lang_match")
+                   & (F.col("doc_id") == F.col("keeper_id"))))
+    if eval_predicate is not None:
+        candidates = docs.where(~eval_predicate)
+        eval_side = docs.where(eval_predicate)
+    elif eval_docs is not None:
+        eval_ids = eval_docs.select(F.col("doc_id").alias("_eval_id"))
+        candidates = docs.join(eval_ids,
+                               docs.doc_id == F.col("_eval_id"),
+                               "left_anti")
+        eval_side = eval_docs
+    else:
+        candidates = eval_side = None
+    if candidates is not None:
+        contaminated = ngram_contamination(
+            candidates, eval_side,
+            k=decon_k, min_overlap=decon_min_overlap).select("doc_id")
+        kept = kept.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    return kept.select("doc_id", "predicted_lang",
+                       F.col("n_tokens").cast("long").alias("n_tokens"),
+                       "quality_score")
+
+
+def leakage_safe_split(docs: DataFrame) -> DataFrame:
+    """Group-aware train/val/test split on the content-shape
+    fingerprint; every group member inherits the keeper's split.
+    Output: (doc_id, group_id, split)."""
+    fp = F.md5(F.concat_ws(
+        " ", F.array_sort(F.array_distinct(tokens(F.col("text"))))))
+    base = docs.select("doc_id", fp.alias("content_hash"))
+    group_id = F.min("doc_id").over(Window.partitionBy("content_hash"))
+    h = F.substring(F.md5(group_id.cast("string")), 1, 1)
+    split = (F.when(h < "c", "train")
+             .when(h < "e", "val")
+             .otherwise("test"))
+    return base.select("doc_id", group_id.alias("group_id"),
+                       split.alias("split"))
+
+
+def sequence_packing(docs: DataFrame, pack_budget: int = 256) -> DataFrame:
+    """Per-source-shard pack manifest: docs join the pack their starting
+    token offset falls in (exclusive running sum / budget).
+    Output: (source, pack_id, n_docs, total_tokens, first_doc, last_doc)."""
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum(n_tok).over(w), F.lit(0))
+    packed = docs.select(
+        "source", "doc_id", n_tok.alias("n_tok"),
+        F.floor(start / F.lit(float(pack_budget))).cast("long")
+        .alias("pack_id"))
+    return (packed.groupBy("source", "pack_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("total_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))

@@ -15,7 +15,7 @@ plan: no iteration, no driver actions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_timeseries_java_spark.queries.dedup import (
@@ -45,39 +45,15 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only branch that re-reads text (its shingle stream has a
     different shape); its tiny output anti-joins back as a broadcast.
     Net: 2 scans + 1 window shuffle + the shingle groupBy, vs 6 scans
-    and 3 doc-count joins for the naive stage-by-stage composition."""
-    from data_timeseries_java_spark.operators.dedup import (
-        ngram_contamination,
-    )
-    from data_timeseries_java_spark.operators.text import (
-        language_columns,
-        quality_columns,
-    )
+    and 3 doc-count joins for the naive stage-by-stage composition.
+    Core: operators/corpus.corpus_build (also behind api.CorpusEngine)."""
+    from data_timeseries_java_spark.operators.corpus import corpus_build
 
     docs = load_table(spark, sf_dir, "documents")
-    qc = quality_columns("text")
-    lc = language_columns("text", "lang")
-    base = docs.select(
-        "doc_id",
-        qc["n_tokens"].alias("n_tokens"),
-        qc["quality_score"].alias("quality_score"),
-        lc["predicted_lang"].alias("predicted_lang"),
-        lc["lang_match"].alias("lang_match"),
-        F.md5(F.lower(F.col("text"))).alias("content_hash"))
-    w = Window.partitionBy("content_hash")
-    kept = (base
-            .withColumn("keeper_id", F.min("doc_id").over(w))
-            .where((F.col("quality_score") >= QUALITY_MIN)
-                   & F.col("lang_match")
-                   & (F.col("doc_id") == F.col("keeper_id"))))
-    contaminated = ngram_contamination(
-        docs.where(F.col("doc_id") >= DECON_EVAL_MAX_ID),
-        docs.where(F.col("doc_id") < DECON_EVAL_MAX_ID),
-        k=DECON_K, min_overlap=DECON_MIN_OVERLAP).select("doc_id")
-    return (kept.join(F.broadcast(contaminated), "doc_id", "left_anti")
-            .select("doc_id", "predicted_lang",
-                    F.col("n_tokens").cast("long").alias("n_tokens"),
-                    "quality_score"))
+    return corpus_build(docs,
+                        eval_predicate=F.col("doc_id") < DECON_EVAL_MAX_ID,
+                        quality_min=QUALITY_MIN, decon_k=DECON_K,
+                        decon_min_overlap=DECON_MIN_OVERLAP)
 
 
 PACK_BUDGET = 256
@@ -91,20 +67,13 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     can never straddle train and test — the leakage failure mode a
     per-doc hash split (`dataset_split`) cannot prevent. Same
     0-b/c-d/e-f md5 bucketing as dataset_split, applied to the GROUP id;
-    one window shuffle on the fingerprint, no joins."""
-    from data_timeseries_java_spark.operators.text import tokens
+    one window shuffle on the fingerprint, no joins.
+    Core: operators/corpus.leakage_safe_split."""
+    from data_timeseries_java_spark.operators.corpus import (
+        leakage_safe_split,
+    )
 
-    docs = load_table(spark, sf_dir, "documents")
-    fp = F.md5(F.concat_ws(
-        " ", F.array_sort(F.array_distinct(tokens(F.col("text"))))))
-    base = docs.select("doc_id", fp.alias("content_hash"))
-    group_id = F.min("doc_id").over(Window.partitionBy("content_hash"))
-    h = F.substring(F.md5(group_id.cast("string")), 1, 1)
-    split = (F.when(h < "c", "train")
-             .when(h < "e", "val")
-             .otherwise("test"))
-    return base.select("doc_id", group_id.alias("group_id"),
-                       split.alias("split"))
+    return leakage_safe_split(load_table(spark, sf_dir, "documents"))
 
 
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,23 +82,14 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     packs WITHIN each source shard — a doc joins the pack its starting
     token offset falls in (exclusive running sum DIV budget). Per-shard
     windows keep the cumsum distributed (nothing global); output is the
-    pack manifest a dataloader consumes."""
-    from data_timeseries_java_spark.operators.text import tokens
+    pack manifest a dataloader consumes.
+    Core: operators/corpus.sequence_packing."""
+    from data_timeseries_java_spark.operators.corpus import (
+        sequence_packing,
+    )
 
-    docs = load_table(spark, sf_dir, "documents")
-    n_tok = F.size(tokens(F.col("text"))).cast("long")
-    w = (Window.partitionBy("source").orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    start = F.coalesce(F.sum(n_tok).over(w), F.lit(0))
-    packed = docs.select(
-        "source", "doc_id", n_tok.alias("n_tok"),
-        F.floor(start / F.lit(float(PACK_BUDGET))).cast("long")
-        .alias("pack_id"))
-    return (packed.groupBy("source", "pack_id")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("n_tok").alias("total_tokens"),
-                 F.min("doc_id").alias("first_doc"),
-                 F.max("doc_id").alias("last_doc")))
+    return sequence_packing(load_table(spark, sf_dir, "documents"),
+                            pack_budget=PACK_BUDGET)
 
 
 QUERIES = {

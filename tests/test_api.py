@@ -59,3 +59,27 @@ def test_multimodal_decode_batch_shape(spark, sf_dir):
         assert r.n_frames == 1 and r.width >= 16 and r.height >= 16
         assert len(r.feature) == 8
         assert abs(sum(r.feature) - 1.0) < 1e-6  # L1-normalized histogram
+
+
+def test_corpus_engine_matches_declared_queries(spark, sf_dir):
+    """CorpusEngine facade == the declared corpus queries on the same
+    documents frame."""
+    from pyspark.sql import functions as F
+
+    from data_timeseries_java_spark.api import CorpusEngine
+    from data_timeseries_java_spark.queries import all_queries
+    from data_timeseries_java_spark.queries.dedup import DECON_EVAL_MAX_ID
+    from data_timeseries_java_spark.tables import load_table
+
+    eng = CorpusEngine(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.where(F.col("doc_id") < DECON_EVAL_MAX_ID)
+    pairs = [
+        (eng.build(docs, eval_docs), all_queries()["corpus_build"]),
+        (eng.splits(docs), all_queries()["leakage_safe_split"]),
+        (eng.packs(docs), all_queries()["sequence_packing"]),
+    ]
+    for got, query in pairs:
+        want = query(spark, sf_dir)
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, want.collect()))
