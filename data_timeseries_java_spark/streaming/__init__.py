@@ -12,6 +12,9 @@ from data_timeseries_java_spark.streaming.candles_stream import (
     streaming_complete_candles,
     streaming_ohlc_candles,
 )
+from data_timeseries_java_spark.streaming.anomaly_stream import (
+    streaming_anomalies,
+)
 from data_timeseries_java_spark.streaming.corpus_stream import (
     streaming_corpus_build,
 )
@@ -25,4 +28,4 @@ from data_timeseries_java_spark.streaming.sessions_stream import (
 
 __all__ = ["streaming_ohlc_candles", "streaming_complete_candles",
            "sessionize", "streaming_sessions", "streaming_neardup",
-           "streaming_corpus_build"]
+           "streaming_corpus_build", "streaming_anomalies"]
