@@ -61,3 +61,30 @@ def test_probe_count_recall_curve(spark, sf_dir):
         recalls.append(len(got & exact) / len(exact))
     assert recalls == sorted(recalls), recalls
     assert recalls[-1] > recalls[0]
+
+
+def test_int8_quantization_preserves_neighbors(spark, sf_dir):
+    """Fidelity contract for embedding_quantize's int8 scheme: kNN over
+    dequantized vectors must recover >= 90% of the float top-k pairs
+    (absmax int8 keeps cosine structure nearly intact)."""
+    from pyspark.sql import functions as F
+
+    from data_timeseries_java_spark.operators.similarity import (
+        knn_bruteforce)
+    from data_timeseries_java_spark.queries.similarity import (
+        KNN_K, N_QUERIES, q_knn_bruteforce)
+    from data_timeseries_java_spark.tables import load_table
+
+    exact = _pairs(q_knn_bruteforce(spark, sf_dir))
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    absmax = F.aggregate(
+        x, F.lit(0.0), lambda a, v: F.greatest(a, F.abs(v.cast("double"))))
+    scale = absmax / F.lit(127.0)
+    deq = emb.where(absmax > 0).select(
+        "vec_id", "label",
+        F.transform(x, lambda v: (F.floor(v.cast("double") / scale + 0.5)
+                                  * scale).cast("float")).alias("embedding"))
+    queries = deq.where(F.col("vec_id") < N_QUERIES)
+    got = _pairs(knn_bruteforce(deq, queries, k=KNN_K))
+    assert len(got & exact) / len(exact) >= 0.9
