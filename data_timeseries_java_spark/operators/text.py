@@ -163,6 +163,72 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher/C4-style repetition quality signals per document: fraction
+    of tokens taken by the most frequent token / bigram, distinct-token
+    and distinct-bigram ratios, and a composite ``is_repetitive`` flag.
+
+    Mirrors the repetition-removal rules of Rae et al. 2021 (Gopher,
+    table A1) on the token level (the synthetic corpus has no line
+    structure, so line-level duplicate rules are vacuous here).
+
+    Scale: ONE scan of the corpus. Tokens and bigrams are tagged
+    (``t:``/``b:`` prefixes), concatenated, and exploded once, so the
+    per-(doc, gram) count and the per-doc argmax are two ordinary
+    hash aggregations on the same ``doc_id``-keyed shuffle. Linear in
+    document length — no per-doc quadratic HOF (``transform`` over
+    ``array_distinct`` with a nested ``filter`` would be O(len²) per
+    doc, which dies on 100k-token documents).
+
+    Flag thresholds are applied to the floor-quantized fractions, so
+    the boolean is bit-stable across engines."""
+    t = tokens(F.col(text_col))
+    big = F.filter(
+        F.zip_with(t, F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                   lambda x, y: F.when(y.isNotNull(),
+                                       F.concat(x, F.lit(" "), y))),
+        lambda s: s.isNotNull())
+    tagged = F.concat(F.transform(t, lambda x: F.concat(F.lit("t:"), x)),
+                      F.transform(big, lambda x: F.concat(F.lit("b:"), x)))
+    grams = df.select(
+        F.col(id_col),
+        F.size(t).alias("n_tok"),
+        F.size(big).alias("n_big"),
+        F.explode(tagged).alias("gram"))
+    counts = grams.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.first("n_tok").alias("n_tok"),
+        F.first("n_big").alias("n_big"))
+    is_tok = F.col("gram").startswith("t:")
+    per_doc = counts.groupBy(id_col).agg(
+        F.max(F.when(is_tok, F.col("cnt"))).alias("top_tok"),
+        F.max(F.when(~is_tok, F.col("cnt"))).alias("top_big"),
+        F.count(F.when(is_tok, F.lit(1))).alias("n_tok_distinct"),
+        F.count(F.when(~is_tok, F.lit(1))).alias("n_big_distinct"),
+        F.first("n_tok").alias("n_tok"),
+        F.first("n_big").alias("n_big"))
+    top_token_frac = _floor6(F.coalesce(F.col("top_tok"), F.lit(0))
+                             / F.greatest(F.col("n_tok"), F.lit(1)))
+    top_bigram_frac = _floor6(F.coalesce(F.col("top_big"), F.lit(0))
+                              / F.greatest(F.col("n_big"), F.lit(1)))
+    distinct_token_ratio = _floor6(F.col("n_tok_distinct")
+                                   / F.greatest(F.col("n_tok"), F.lit(1)))
+    distinct_bigram_ratio = _floor6(F.col("n_big_distinct")
+                                    / F.greatest(F.col("n_big"), F.lit(1)))
+    return per_doc.select(
+        id_col,
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        top_token_frac.alias("top_token_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        distinct_token_ratio.alias("distinct_token_ratio"),
+        distinct_bigram_ratio.alias("distinct_bigram_ratio"),
+        ((top_token_frac > 0.2)
+         | (top_bigram_frac > 0.18)
+         | (distinct_token_ratio < 0.5)).alias("is_repetitive"),
+    )
+
+
 def tf_idf(df: DataFrame, text_col: str = "text",
            id_col: str = "doc_id") -> DataFrame:
     """Per-(doc, token) TF-IDF: tf = term count in doc, idf =

@@ -11,6 +11,7 @@ from data_timeseries_java_spark.operators.text import (
     fingerprint,
     language_id,
     quality_score,
+    repetition_signals,
     token_counts,
 )
 from data_timeseries_java_spark.tables import load_table
@@ -131,6 +132,63 @@ ORACLE = {
     "text_tokens": _TOKENS_SQL,
     "text_fingerprint": _FINGERPRINT_SQL,
 }
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters over `documents` — see
+    operators.text.repetition_signals."""
+    return repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["text_repetition"] = q_text_repetition
+
+# Same tagged-gram construction as the Spark plan: tokens prefixed "t:",
+# bigrams prefixed "b:", one unnest, two-level aggregation.
+ORACLE["text_repetition"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+arrs AS (
+  SELECT doc_id, t,
+         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS big
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, len(t) AS n_tok, len(big) AS n_big,
+         unnest(list_concat(list_transform(t, x -> 't:' || x),
+                            list_transform(big, x -> 'b:' || x))) AS gram
+  FROM arrs
+),
+counts AS (
+  SELECT doc_id, gram, count(*) AS cnt,
+         any_value(n_tok) AS n_tok, any_value(n_big) AS n_big
+  FROM grams GROUP BY doc_id, gram
+),
+per_doc AS (
+  SELECT doc_id,
+         max(CASE WHEN gram LIKE 't:%' THEN cnt END) AS top_tok,
+         max(CASE WHEN gram NOT LIKE 't:%' THEN cnt END) AS top_big,
+         count(CASE WHEN gram LIKE 't:%' THEN 1 END) AS n_tok_distinct,
+         count(CASE WHEN gram NOT LIKE 't:%' THEN 1 END) AS n_big_distinct,
+         any_value(n_tok) AS n_tok, any_value(n_big) AS n_big
+  FROM counts GROUP BY doc_id
+),
+fr AS (
+  SELECT doc_id,
+         CAST(n_tok AS BIGINT) AS n_tokens,
+         floor(coalesce(top_tok, 0) / greatest(n_tok, 1) * 1.0 * 1000000) / 1000000 AS top_token_frac,
+         floor(coalesce(top_big, 0) / greatest(n_big, 1) * 1.0 * 1000000) / 1000000 AS top_bigram_frac,
+         floor(n_tok_distinct / greatest(n_tok, 1) * 1.0 * 1000000) / 1000000 AS distinct_token_ratio,
+         floor(n_big_distinct / greatest(n_big, 1) * 1.0 * 1000000) / 1000000 AS distinct_bigram_ratio
+  FROM per_doc
+)
+SELECT *,
+       (top_token_frac > 0.2 OR top_bigram_frac > 0.18
+        OR distinct_token_ratio < 0.5) AS is_repetitive
+FROM fr
+"""
 
 
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
