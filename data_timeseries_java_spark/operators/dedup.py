@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_timeseries_java_spark.operators.text import tokens
+from data_timeseries_java_spark.operators.text import _floor6, tokens
 
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BAND_SIZE = 4
@@ -317,3 +317,51 @@ def ngram_contamination(corpus: DataFrame, eval_docs: DataFrame,
             .agg(F.count_distinct("shingle").alias("n_shared_ngrams"),
                  F.count_distinct("eval_id").alias("n_eval_docs"))
             .where(F.col("n_shared_ngrams") >= min_overlap))
+
+
+def segment_duplication(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        seg_len: int = 8) -> DataFrame:
+    """Cross-document segment-level duplication (ExactSubstr-lite, after
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better"): chunk each document into fixed ``seg_len``-token segments,
+    hash each, and report per document how many of its segments also
+    occur in at least one OTHER document.
+
+    Returns one row per doc: segment count, duplicated-segment count,
+    duplicated fraction (floor-quantized), and a boolean flag.
+
+    Shape at 100 TB: segments are built by posexplode + a
+    ``(doc, pos DIV seg_len)`` aggregation rather than a
+    ``transform(sequence, i -> slice(toks, ...))`` HOF — Catalyst inlines
+    the tokenization into every lambda element (no CSE across
+    higher-order functions), which would make chunking O(len²/seg_len)
+    per document (same trap documented on ``shingles``). The explode
+    path is linear: one token-stream shuffle keyed by (doc, segment),
+    one segment-hash aggregation, one shuffle-aligned join back, one
+    per-doc rollup. Nothing is ever all-pairs — duplication is detected
+    by hash collision counts, exactly the layout that survives a 100×
+    scale-up."""
+    t = tokens(F.col(text_col))
+    toks_e = (df.select(F.col(id_col), F.posexplode(t).alias("pos", "tok"))
+              .withColumn("seg_idx", F.expr(f"pos DIV {seg_len}")))
+    segs = toks_e.groupBy(id_col, "seg_idx").agg(
+        F.md5(F.concat_ws(" ", F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+            lambda s: s["tok"]))).alias("seg_hash"))
+    seg_docs = segs.groupBy("seg_hash").agg(
+        F.count_distinct(id_col).alias("n_docs_with_seg"))
+    per_doc = (segs.join(seg_docs, "seg_hash")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_segments"),
+                    F.count(F.when(F.col("n_docs_with_seg") > 1, F.lit(1)))
+                    .alias("n_dup_segments")))
+    frac = _floor6(F.col("n_dup_segments")
+                   / F.greatest(F.col("n_segments"), F.lit(1)))
+    return per_doc.select(
+        id_col,
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.col("n_dup_segments").cast("long").alias("n_dup_segments"),
+        frac.alias("dup_segment_frac"),
+        (F.col("n_dup_segments") > 0).alias("has_dup_segment"),
+    )

@@ -292,3 +292,54 @@ WHERE c.doc_id >= {DECON_EVAL_MAX_ID} AND e.doc_id < {DECON_EVAL_MAX_ID}
 GROUP BY c.doc_id
 HAVING count(DISTINCT c.g) >= {DECON_MIN_OVERLAP}
 """
+
+
+# ---- segment-level (ExactSubstr-lite) duplication ----------------------
+
+SEG_LEN = 8
+
+
+def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of fixed 8-token segments shared with another
+    document — see operators.dedup.segment_duplication."""
+    from data_timeseries_java_spark.operators.dedup import segment_duplication
+
+    return segment_duplication(load_table(spark, sf_dir, "documents"),
+                               seg_len=SEG_LEN)
+
+
+QUERIES["dedup_segments"] = q_dedup_segments
+
+# Same segmentation: 1-based list slice [i*8+1 : i*8+8] is 8 elements
+# (DuckDB slices are inclusive), matching Spark's slice(t, i*8+1, 8).
+ORACLE["dedup_segments"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+segs AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(0, CAST(ceil(len(t) / {SEG_LEN}.0) AS BIGINT)),
+             i -> md5(array_to_string(t[i*{SEG_LEN}+1 : i*{SEG_LEN}+{SEG_LEN}], ' ')))) AS seg_hash
+  FROM toks
+  WHERE len(t) > 0
+),
+seg_docs AS (
+  SELECT seg_hash, count(DISTINCT doc_id) AS n_docs_with_seg
+  FROM segs GROUP BY seg_hash
+),
+per_doc AS (
+  SELECT s.doc_id,
+         count(*) AS n_segments,
+         count(CASE WHEN d.n_docs_with_seg > 1 THEN 1 END) AS n_dup_segments
+  FROM segs s JOIN seg_docs d USING (seg_hash)
+  GROUP BY s.doc_id
+)
+SELECT doc_id,
+       CAST(n_segments AS BIGINT) AS n_segments,
+       CAST(n_dup_segments AS BIGINT) AS n_dup_segments,
+       floor(n_dup_segments / greatest(n_segments, 1) * 1.0 * 1000000) / 1000000 AS dup_segment_frac,
+       n_dup_segments > 0 AS has_dup_segment
+FROM per_doc
+"""
