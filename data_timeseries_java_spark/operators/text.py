@@ -270,3 +270,50 @@ def bm25_search(df: DataFrame, query_terms: list[str],
                        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("_avg_dl"))))
                       .alias("term_score")))
     return scored.groupBy(id_col).agg(F.sum("term_score").alias("bm25"))
+
+
+# PII patterns restricted to syntax valid in BOTH Java regex (Spark) and
+# RE2 (DuckDB): no lookaround, no possessive quantifiers, \b and
+# non-capturing groups only.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def pii_columns(text_col: str = "text") -> dict[str, Column]:
+    """PII match-count output columns as plain expressions (fusable into
+    a wider single-scan projection): per-category counts, a total, and a
+    has_pii flag. Categories are counted independently (a string can
+    belong to several)."""
+    counts = {f"n_{name}": F.regexp_count(F.col(text_col), F.lit(pat))
+              for name, pat in sorted(PII_PATTERNS.items())}
+    total = sum(counts.values(), F.lit(0))
+    out: dict[str, Column] = {name: c.cast("long")
+                              for name, c in counts.items()}
+    out["n_pii"] = total.cast("long")
+    out["has_pii"] = total > 0
+    return out
+
+
+def pii_signals(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII scan: match counts per category (email, phone,
+    IPv4, SSN-shaped) and a has_pii flag. Pure regexp_count column
+    expressions — a narrow map that pipelines with the scan; no shuffle,
+    no UDF."""
+    cols = pii_columns(text_col)
+    return df.select(id_col, *[c.alias(n) for n, c in cols.items()])
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "redacted") -> DataFrame:
+    """Replace every PII match with a typed placeholder (``<EMAIL>`` …).
+    Applied in sorted-category order so the output is deterministic when
+    categories could overlap. Narrow map, whole-stage codegen."""
+    out = F.col(text_col)
+    for name in sorted(PII_PATTERNS):
+        out = F.regexp_replace(out, PII_PATTERNS[name], f"<{name.upper()}>")
+    return df.withColumn(out_col, out)

@@ -359,3 +359,88 @@ FROM scored GROUP BY doc_id
 ORDER BY round(sum(term_score), 9) DESC, doc_id ASC
 LIMIT 20
 """
+
+
+# ---- PII scan + redaction ----------------------------------------------
+# The synthetic corpus contains no PII, so the query stages a
+# deterministic injection (keyed on doc_id % 5: email / ipv4+phone / ssn
+# / email+ssn / clean) and then scans + redacts it. The injection is
+# reproduced verbatim in the oracle, so the hash check proves the REGEX
+# SEMANTICS (counts and replacement) agree across engines — the real
+# cross-engine risk for PII tooling.
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_timeseries_java_spark.operators.text import (
+        pii_columns, redact_pii)
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    email = F.concat(F.lit(" user"), d.cast("string"), F.lit("@example.com"))
+    phone = F.concat(F.lit(" 555-"),
+                     F.lpad((d % 1000).cast("string"), 3, "0"), F.lit("-"),
+                     F.lpad((d % 10000).cast("string"), 4, "0"))
+    ipv4 = F.concat(F.lit(" 10.0."), (d % 256).cast("string"), F.lit(".7"))
+    ssn = F.concat(F.lit(" 123-45-"),
+                   F.lpad((d % 10000).cast("string"), 4, "0"))
+    r = d % 5
+    injected = (F.when(r == 1, F.concat(F.col("text"), email))
+                .when(r == 2, F.concat(F.col("text"), ipv4, phone))
+                .when(r == 3, F.concat(F.col("text"), ssn))
+                .when(r == 4, F.concat(F.col("text"), email, ssn))
+                .otherwise(F.col("text")))
+    staged = docs.select("doc_id", injected.alias("text"))
+    cols = pii_columns("text")
+    # one fused narrow projection: counts + redacted-text digest
+    red = redact_pii(staged)
+    return red.select(
+        "doc_id",
+        *[c.alias(n) for n, c in cols.items()],
+        F.md5("redacted").alias("redacted_md5"),
+        F.length("redacted").cast("long").alias("redacted_len"),
+    )
+
+
+QUERIES["pii_scan"] = q_pii_scan
+
+
+def _pii_oracle_sql() -> str:
+    from data_timeseries_java_spark.operators.text import PII_PATTERNS
+
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in sorted(PII_PATTERNS.items()))
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for _, pat in sorted(PII_PATTERNS.items()))
+    red = "text"
+    for name in sorted(PII_PATTERNS):
+        red = (f"regexp_replace({red}, '{PII_PATTERNS[name]}', "
+               f"'<{name.upper()}>', 'g')")
+    return f"""
+WITH staged AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 1 THEN text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           WHEN 2 THEN text || ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                    || ' 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           WHEN 3 THEN text || ' 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           WHEN 4 THEN text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                    || ' 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       {counts},
+       CAST({total} AS BIGINT) AS n_pii,
+       ({total}) > 0 AS has_pii,
+       md5({red}) AS redacted_md5,
+       CAST(length({red}) AS BIGINT) AS redacted_len
+FROM staged
+"""
+
+
+ORACLE["pii_scan"] = _pii_oracle_sql()
