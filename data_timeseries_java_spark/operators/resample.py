@@ -134,3 +134,46 @@ def rsi(candles: DataFrame, n_windows: int = 6, price=None) -> DataFrame:
     return d.select("key", "window_start", "window_end", "close_price",
                     gain.alias("avg_gain"), loss.alias("avg_loss"),
                     rsi_col.alias("rsi"))
+
+
+def interpolate_candles(candles: DataFrame,
+                        price: F.Column | None = None) -> DataFrame:
+    """Linear-interpolation gap fill: where carry-forward
+    (:func:`~data_timeseries_java_spark.operators.candles.complete_candles`)
+    holds the last live close flat through gap windows, this derives the
+    straight line between the bounding LIVE closes — the standard
+    alternative fill for downstream indicators that would otherwise see
+    a step function.
+
+    Per (key, window): live candles keep their close price; interior
+    gaps interpolate between the previous and next live close by
+    window-position fraction; leading gaps back-fill from the next live
+    close; trailing gaps carry the previous one (both one-sided bounds).
+
+    Shape: two window passes over ``partitionBy(key)`` — same shuffle
+    the carry-forward already does (candle-sized data, 1 row per key per
+    interval, no skew), nothing touches the tick scan.
+    """
+    price = price if price is not None else F.col("close.ask")
+    ws_ms = F.unix_millis("window_start")
+    wk = Window.partitionBy("key").orderBy("window_start")
+    prev = wk.rowsBetween(Window.unboundedPreceding, -1)
+    nxt = wk.rowsBetween(1, Window.unboundedFollowing)
+
+    live_val = F.when(F.col("is_live"), price)
+    live_ws = F.when(F.col("is_live"), ws_ms)
+    pv = F.last(live_val, ignorenulls=True).over(prev)
+    pw = F.last(live_ws, ignorenulls=True).over(prev)
+    nv = F.first(live_val, ignorenulls=True).over(nxt)
+    nw = F.first(live_ws, ignorenulls=True).over(nxt)
+
+    frac = (ws_ms - pw) / (nw - pw)
+    interp = (F.when(F.col("is_live"), price)
+              .when(pv.isNotNull() & nv.isNotNull(), pv + frac * (nv - pv))
+              .when(pv.isNotNull(), pv)
+              .otherwise(nv))
+    return candles.select(
+        "key", "window_start", "window_end", "is_live",
+        price.alias("carry_price"),
+        interp.alias("interp_price"),
+    )

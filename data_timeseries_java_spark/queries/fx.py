@@ -699,3 +699,54 @@ SELECT key, w_start_ms, is_live,
 FROM filled
 WINDOW w AS (PARTITION BY key ORDER BY w_start_ms)
 """
+
+
+# ---- linear-interpolation gap fill --------------------------------------
+
+
+def q_fx_candles_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across gap windows (vs the carry-forward
+    step function) — see operators.resample.interpolate_candles."""
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+    from data_timeseries_java_spark.operators.resample import (
+        interpolate_candles)
+
+    ticks, keys = _ticks_and_keys(spark, sf_dir)
+    c = interpolate_candles(candles_pipeline(ticks, keys, RES))
+    return c.select(
+        "key",
+        _ms(F.col("window_start")).alias("w_start_ms"),
+        "is_live",
+        F.round("carry_price", 6).alias("carry_price"),
+        F.round("interp_price", 6).alias("interp_price"),
+    )
+
+
+QUERIES["fx_candles_interpolated"] = q_fx_candles_interpolated
+
+ORACLE["fx_candles_interpolated"] = _PRELUDE + f"""
+, bounds AS (
+  SELECT key, w_start_ms, is_live, close_price,
+         last_value(CASE WHEN is_live THEN close_price END IGNORE NULLS)
+           OVER (PARTITION BY key ORDER BY w_start_ms
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         last_value(CASE WHEN is_live THEN w_start_ms END IGNORE NULLS)
+           OVER (PARTITION BY key ORDER BY w_start_ms
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pw,
+         first_value(CASE WHEN is_live THEN close_price END IGNORE NULLS)
+           OVER (PARTITION BY key ORDER BY w_start_ms
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN is_live THEN w_start_ms END IGNORE NULLS)
+           OVER (PARTITION BY key ORDER BY w_start_ms
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nw
+  FROM complete
+)
+SELECT key, w_start_ms, is_live,
+       round(close_price, 6) AS carry_price,
+       round(CASE WHEN is_live THEN close_price
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL
+                       THEN pv + (w_start_ms - pw) * 1.0 / (nw - pw) * (nv - pv)
+                  WHEN pv IS NOT NULL THEN pv
+                  ELSE nv END, 6) AS interp_price
+FROM bounds
+"""
