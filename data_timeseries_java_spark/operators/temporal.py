@@ -59,3 +59,40 @@ def asof_join(left: DataFrame, right: DataFrame,
     return (filled.where((F.col("_side") == 1)
                          & F.col(right_time + suffix).isNotNull())
             .drop("_side"))
+
+
+def scd2_build(df: DataFrame, key_col: str, attr_col: str,
+               time_col: str = "ts",
+               tiebreak_col: str | None = None) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: collapse an event log into
+    versioned dimension rows — one row per run of consecutive equal
+    ``attr_col`` values per key, with ``valid_from`` / ``valid_to``
+    half-open intervals and an ``is_current`` flag. The standard gaps-
+    and-islands construction: a lag-change marker, a running sum to
+    number runs, one aggregation per run, then ``lead`` for the closing
+    timestamp.
+
+    ``tiebreak_col`` (a unique id) makes the event ordering total, so
+    run boundaries are deterministic even when timestamps collide.
+
+    Shape at 100 TB: one shuffle on ``key_col`` shared by both window
+    passes and the run aggregation (same partitioning — Catalyst reuses
+    the exchange), output is dimension-sized (runs, not events).
+    """
+    order = [F.col(time_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(F.col(attr_col)).over(w)
+    changed = (prev.isNull() | (prev != F.col(attr_col))).cast("long")
+    grp = F.sum(changed).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    runs = (df.withColumn("_grp", grp)
+            .groupBy(key_col, "_grp")
+            .agg(F.min(F.col(attr_col)).alias(attr_col),
+                 F.min(F.col(time_col)).alias("valid_from"),
+                 F.count(F.lit(1)).alias("n_events")))
+    w2 = Window.partitionBy(key_col).orderBy("_grp")
+    return (runs
+            .withColumn("version", F.col("_grp").cast("int"))
+            .withColumn("valid_to", F.lead("valid_from").over(w2))
+            .withColumn("is_current", F.col("valid_to").isNull())
+            .drop("_grp"))

@@ -574,3 +574,57 @@ SELECT '2_click_after_view', count(*) FROM c
 UNION ALL
 SELECT '3_purchase_after_click', count(*) FROM p
 """
+
+
+# ---- SCD2 dimension build from the event log ---------------------------
+
+
+def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension over the event log: one
+    versioned row per run of consecutive equal event_type values per
+    user — see operators.temporal.scd2_build."""
+    from data_timeseries_java_spark.operators.temporal import scd2_build
+
+    ev = load_table(spark, sf_dir, "events")
+    d = scd2_build(ev, key_col="user_id", attr_col="event_type",
+                   time_col="ts", tiebreak_col="event_id")
+    return d.select(
+        "user_id", "version",
+        F.col("event_type").alias("status"),
+        F.unix_millis("valid_from").alias("valid_from_ms"),
+        F.unix_millis("valid_to").alias("valid_to_ms"),
+        "is_current", "n_events",
+    )
+
+
+QUERIES["scd2_user_status"] = q_scd2_user_status
+
+ORACLE["scd2_user_status"] = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS changed
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+grouped AS (
+  SELECT *, sum(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM marked
+),
+runs AS (
+  SELECT user_id, grp, min(event_type) AS status,
+         min(ts) AS valid_from, count(*) AS n_events
+  FROM grouped GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(grp AS INTEGER) AS version,
+       status,
+       epoch_ms(valid_from) AS valid_from_ms,
+       epoch_ms(lead(valid_from) OVER w2) AS valid_to_ms,
+       lead(valid_from) OVER w2 IS NULL AS is_current,
+       n_events
+FROM runs
+WINDOW w2 AS (PARTITION BY user_id ORDER BY grp)
+"""
