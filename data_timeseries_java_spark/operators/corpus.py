@@ -110,3 +110,40 @@ def sequence_packing(docs: DataFrame, pack_budget: int = 256) -> DataFrame:
                  F.sum("n_tok").alias("total_tokens"),
                  F.min("doc_id").alias("first_doc"),
                  F.max("doc_id").alias("last_doc")))
+
+
+def temperature_sample(df: DataFrame, domain_col: str = "lang",
+                       id_col: str = "doc_id",
+                       alpha: float = 0.5) -> DataFrame:
+    """Temperature-weighted domain mixture sampling: downsample
+    over-represented domains so effective counts follow count^alpha
+    (alpha=1 keeps the natural mixture, alpha→0 equalizes domains) —
+    the standard rebalancing step when assembling a multi-source
+    training corpus.
+
+    Keep probability per domain: p_d = (min_count / count_d)^(1-alpha),
+    so the rarest domain is kept whole. The keep DECISION is a
+    deterministic hash threshold, not rand(): md5 of the doc id compared
+    against p_d scaled to a 32-bit hex string — reproducible across
+    runs, engines, partitionings, and cluster sizes (auditable corpus
+    construction; a rand() sample is none of those).
+
+    Shape at 100 TB: the per-domain stats frame is domain-sized (tiny)
+    and broadcast; the corpus is scanned once with a narrow filter —
+    no shuffle of the big side at all.
+    """
+    stats = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    mn = stats.agg(F.min("n_docs").alias("_min_docs"))
+    keep_p = F.pow(F.col("_min_docs") / F.col("n_docs"), F.lit(1.0 - alpha))
+    rates = (stats.crossJoin(F.broadcast(mn))
+             .select(domain_col, "n_docs", keep_p.alias("keep_p"),
+                     F.floor(keep_p * F.lit(4294967296)).cast("bigint")
+                     .alias("_thr")))
+    h8 = F.upper(F.substring(
+        F.md5(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))), 1, 8))
+    keep = ((F.col("_thr") >= F.lit(4294967296))
+            | (h8 < F.lpad(F.hex(F.col("_thr")), 8, "0")))
+    return (df.join(F.broadcast(rates), domain_col)
+            .where(keep)
+            .select(id_col, domain_col, "n_docs",
+                    F.round("keep_p", 6).alias("keep_p")))

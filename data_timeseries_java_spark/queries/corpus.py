@@ -148,3 +148,39 @@ JOIN dup d ON d.doc_id = q.doc_id AND NOT d.is_duplicate
 WHERE q.quality_score >= {QUALITY_MIN}
   AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)
 """}
+
+
+# ---- temperature-weighted domain mixture -------------------------------
+
+MIX_ALPHA = 0.5
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the language mixture to counts^0.5 via deterministic
+    hash-threshold sampling — see operators.corpus.temperature_sample."""
+    from data_timeseries_java_spark.operators.corpus import temperature_sample
+
+    return temperature_sample(load_table(spark, sf_dir, "documents"),
+                              domain_col="lang", alpha=MIX_ALPHA)
+
+
+QUERIES["mixture_sample"] = q_mixture_sample
+
+ORACLE["mixture_sample"] = f"""
+WITH stats AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+),
+mn AS (SELECT min(n_docs) AS min_docs FROM stats),
+rates AS (
+  SELECT lang, n_docs,
+         pow(min_docs * 1.0 / n_docs, {1.0 - MIX_ALPHA}) AS keep_p,
+         CAST(floor(pow(min_docs * 1.0 / n_docs, {1.0 - MIX_ALPHA})
+                    * 4294967296) AS BIGINT) AS thr
+  FROM stats CROSS JOIN mn
+)
+SELECT d.doc_id, d.lang, r.n_docs, round(r.keep_p, 6) AS keep_p
+FROM documents d JOIN rates r USING (lang)
+WHERE r.thr >= 4294967296
+   OR upper(substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+      < lpad(hex(r.thr), 8, '0')
+"""
