@@ -300,3 +300,109 @@ WHERE c_acctbal > avg_bal
 GROUP BY c_mktsegment
 """,
 }
+
+
+# ---- q15 shape: argmax against an aggregated revenue view ---------------
+
+REV_START = "1996-01-01"
+REV_END = "1996-04-01"
+
+
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q15 shape: total revenue per supplier over one quarter, keep the
+    supplier(s) achieving the global maximum. The correlated
+    `= (SELECT max(...) FROM view)` becomes a 1-row aggregate
+    crossJoin-broadcast back onto the view — no driver action, no
+    second scan of lineitem (the view is reused under the max)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = (li.where((F.col("l_shipdate") >= REV_START)
+                    & (F.col("l_shipdate") < REV_END))
+           .groupBy("l_suppkey")
+           .agg(F.sum(_revenue()).alias("total_rev")))
+    mx = rev.agg(F.max("total_rev").alias("_max_rev"))
+    top = (rev.crossJoin(F.broadcast(mx))
+           .where(F.col("total_rev") == F.col("_max_rev")))
+    return (top.join(F.broadcast(supplier),
+                     top.l_suppkey == supplier.s_suppkey)
+            .select("s_suppkey", "s_name",
+                    F.round("total_rev", 2).alias("total_rev")))
+
+
+QUERIES["top_revenue_supplier"] = q_top_revenue_supplier
+
+ORACLE["top_revenue_supplier"] = f"""
+WITH rev AS (
+  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= '{REV_START}' AND l_shipdate < '{REV_END}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(total_rev, 2) AS total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+"""
+
+
+# ---- q20 shape: IN-subquery over a correlated aggregate -----------------
+
+DOM_FACTOR = 2.0   # supplier ships > 2x the per-supplier average for a part
+DOM_MIN_PARTS = 4  # ...on at least this many parts
+
+
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q20 shape (no partsupp table in this schema): suppliers that ship
+    more than DOM_FACTOR times the per-supplier average quantity of a
+    small part (p_size <= 10), on at least DOM_MIN_PARTS distinct parts.
+    The nested `s_suppkey IN (SELECT ... GROUP BY ... HAVING ...)` with
+    a correlated per-part aggregate becomes per-(part, supplier) and
+    per-part aggregates joined shuffle-aligned on partkey, a per-
+    supplier dominance count, then a semi join. The avg-relative
+    dominance criterion is scale-stable (a fixed share threshold decays
+    as supplier count per part grows with SF)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    small = part.where(F.col("p_size") <= 10).select("p_partkey")
+    shipped = li.join(F.broadcast(small),
+                      li.l_partkey == F.col("p_partkey"))
+    by_ps = shipped.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty"))
+    by_p = by_ps.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("part_qty"),
+        F.count(F.lit(1)).alias("n_supp"))
+    dominant = (by_ps.join(by_p, "l_partkey")
+                .where(F.col("supp_qty") * F.col("n_supp")
+                       > F.lit(DOM_FACTOR) * F.col("part_qty"))
+                .groupBy("l_suppkey")
+                .agg(F.count(F.lit(1)).alias("n_dominant"))
+                .where(F.col("n_dominant") >= DOM_MIN_PARTS))
+    return (supplier.join(dominant,
+                          supplier.s_suppkey == dominant.l_suppkey,
+                          "left_semi")
+            .select("s_suppkey", "s_name", "s_nationkey"))
+
+
+QUERIES["dominant_part_suppliers"] = q_dominant_part_suppliers
+
+ORACLE["dominant_part_suppliers"] = f"""
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier
+WHERE s_suppkey IN (
+  WITH by_ps AS (
+    SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 10)
+    GROUP BY l_partkey, l_suppkey
+  ),
+  by_p AS (
+    SELECT l_partkey, sum(supp_qty) AS part_qty, count(*) AS n_supp
+    FROM by_ps GROUP BY l_partkey
+  )
+  SELECT l_suppkey
+  FROM by_ps JOIN by_p USING (l_partkey)
+  WHERE supp_qty * n_supp > {DOM_FACTOR} * part_qty
+  GROUP BY l_suppkey
+  HAVING count(*) >= {DOM_MIN_PARTS}
+)
+"""

@@ -82,7 +82,9 @@ def test_tpch_hard_shapes_plan_clean(spark, sf_dir):
                             ("nation_market_share", 2),
                             ("waiting_suppliers", 1),
                             ("small_quantity_revenue", 2),
-                            ("rich_idle_customers", 1)]:
+                            ("rich_idle_customers", 1),
+                            ("top_revenue_supplier", 2),
+                            ("dominant_part_suppliers", 1)]:
         q = qs[name](spark, sf_dir)
         plan = formatted_plan(q)
         assert "CartesianProduct" not in plan, f"{name} went cartesian"
@@ -93,6 +95,9 @@ def test_tpch_hard_shapes_plan_clean(spark, sf_dir):
     assert "LeftSemi" in plan21 and "LeftAnti" in plan21
     # the q22 NOT EXISTS must be an anti join
     assert "LeftAnti" in formatted_plan(qs["rich_idle_customers"](spark, sf_dir))
+    # the q20 IN-subquery must be a semi join
+    assert "LeftSemi" in formatted_plan(
+        qs["dominant_part_suppliers"](spark, sf_dir))
 
 
 # queries that intentionally cross into pandas/Arrow execution
