@@ -333,3 +333,31 @@ def centroid_vectors(cent_components: DataFrame, id_col: str = "vec_id",
         F.col("centroid_id").alias(id_col))
         .agg(F.array_sort(F.collect_list(F.struct("dim", "w")))["w"]
              .alias(vec_col)))
+
+
+def embedding_stats(df: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Per-group embedding diagnostics: vector count, dimensionality,
+    mean vector norm, and centroid norm — the health-check aggregate a
+    pipeline runs before/after normalization, quantization, or dedup
+    (a centroid norm near zero means the group is isotropic noise; near
+    the mean norm means the group is tightly clustered).
+
+    Single pass: per-vector norms are a narrow HOF column computed
+    before posexplode, so one explode feeds one (label, dim) aggregate
+    and one label-level rollup — no second scan of the embedding table,
+    no collect. The mean-norm lane rides the dim=0 rows (each vector
+    contributes exactly one dim=0 row)."""
+    d = df.select(F.col(label_col), _norm(F.col(vec_col)).alias("nrm"),
+                  F.posexplode(vec_col).alias("pos", "x"))
+    per_dim = d.groupBy(label_col, "pos").agg(
+        F.sum(F.col("x").cast("double")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.when(F.col("pos") == 0, F.col("nrm"))).alias("nrm0"))
+    mean = F.col("s") / F.col("n")
+    return per_dim.groupBy(label_col).agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.count(F.lit(1)).cast("long").alias("dim"),
+        F.round(F.max("nrm0"), 6).alias("avg_norm"),
+        F.round(F.sqrt(F.sum(mean * mean)), 6).alias("centroid_norm"))

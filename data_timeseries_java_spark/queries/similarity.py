@@ -435,3 +435,37 @@ FROM comp c JOIN scales s ON c.vec_id = s.vec_id
 WHERE s.scale > 0
 GROUP BY c.vec_id, s.scale
 """
+
+
+# ---- per-label embedding diagnostics -----------------------------------
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label count / dim / mean norm / centroid norm — see
+    operators.similarity.embedding_stats."""
+    from data_timeseries_java_spark.operators.similarity import (
+        embedding_stats)
+
+    return embedding_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+QUERIES["embedding_stats"] = q_embedding_stats
+
+ORACLE["embedding_stats"] = f"""
+WITH {_COMP},
+per_dim AS (
+  SELECT c.label, c.dim,
+         sum(CAST(c.x AS DOUBLE)) AS s,
+         count(*) AS n,
+         avg(CASE WHEN c.dim = 0 THEN n2.nrm END) AS nrm0
+  FROM comp c JOIN norms n2 USING (vec_id)
+  GROUP BY c.label, c.dim
+)
+SELECT label,
+       CAST(max(n) AS BIGINT) AS n_vecs,
+       CAST(count(*) AS BIGINT) AS dim,
+       round(max(nrm0), 6) AS avg_norm,
+       round(sqrt(sum((s / n) * (s / n))), 6) AS centroid_norm
+FROM per_dim
+GROUP BY label
+"""
