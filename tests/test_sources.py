@@ -54,3 +54,44 @@ def test_partitioned_write_prunes(spark, tmpd):
     # partition filter must prune at planning, not post-scan filter
     assert "PartitionFilters" in plan
     assert q.count() == ticks.count()  # demo data is one UTC date
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmpd):
+    from data_timeseries_java_spark.sources.writers import compact_parquet
+
+    path = f"{tmpd}/fragmented"
+    events = (spark.range(0, 2000)
+              .select(F.col("id"),
+                      (F.col("id") % 7).alias("grp"),
+                      F.md5(F.col("id").cast("string")).alias("payload")))
+    # simulate a micro-batch sink: many tiny files
+    events.repartition(40).write.mode("overwrite").parquet(path)
+    before = spark.read.parquet(path)
+    before_sum = before.agg(F.sum("id")).collect()[0][0]
+
+    stats = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] < stats["files_before"]
+
+    after = spark.read.parquet(path)
+    assert after.count() == 2000
+    assert after.agg(F.sum("id")).collect()[0][0] == before_sum
+
+
+def test_compact_parquet_keeps_partition_layout(spark, tmpd):
+    from data_timeseries_java_spark.sources.writers import compact_parquet
+
+    path = f"{tmpd}/frag_part"
+    events = (spark.range(0, 1000)
+              .select(F.col("id"), (F.col("id") % 4).alias("day")))
+    events.repartition(25).write.mode("overwrite").partitionBy("day").parquet(path)
+
+    compact_parquet(spark, path, partition_col="day")
+    after = spark.read.parquet(path)
+    assert after.count() == 1000
+    # partition directories survive → pruning still works
+    assert "PartitionFilters: [isnotnull(day" in formatted_plan(
+        after.where(F.col("day") == 2))
+    assert after.where(F.col("day") == 2).count() == 250
+    import pathlib
+    assert (pathlib.Path(path) / "day=2").is_dir()
