@@ -177,3 +177,49 @@ def interpolate_candles(candles: DataFrame,
         price.alias("carry_price"),
         interp.alias("interp_price"),
     )
+
+
+def rolling_median(df: DataFrame, key_col: str, time_col: str,
+                   value_col: str, n: int = 5,
+                   tiebreak_col: str | None = None) -> DataFrame:
+    """Exact rolling median over the trailing ``n`` rows per key.
+
+    Spark has no exact-median window function (percentile_approx is a
+    sketch); for a small fixed frame the exact answer is a sorted
+    collect_list over the frame — O(n log n) per row with tiny constant
+    n, still a single window pass on the key-partitioned shuffle. Even
+    frames use the interpolated (quantile_cont) convention: the mean of
+    the two middle values, matching DuckDB/Postgres ``median``.
+    """
+    order = [F.col(time_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = (Window.partitionBy(key_col).orderBy(*order)
+         .rowsBetween(-(n - 1), Window.currentRow))
+    arr = F.array_sort(F.collect_list(F.col(value_col)).over(w))
+    sz = F.size(arr)
+    mid = (sz + 1) / 2
+    odd = F.element_at(arr, F.floor(mid).cast("int"))
+    even = (F.element_at(arr, (sz / 2).cast("int"))
+            + F.element_at(arr, (sz / 2 + 1).cast("int"))) / 2
+    med = F.when(sz % 2 == 1, odd).otherwise(even)
+    return df.withColumn(f"median_{n}", med)
+
+
+def max_drawdown(candles: DataFrame, price: F.Column | None = None) -> DataFrame:
+    """Per-key maximum drawdown over the candle series: the largest
+    peak-to-trough loss fraction (running max of the close, drawdown =
+    (peak - close) / peak, maximized). One window pass + one aggregate
+    on the same key-partitioned shuffle; candle-sized data.
+    """
+    price = price if price is not None else F.col("close.ask")
+    w = (Window.partitionBy("key").orderBy("window_start")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    peak = F.max(price).over(w)
+    dd = F.when(peak > 0, (peak - price) / peak).otherwise(F.lit(0.0))
+    per_row = candles.select("key", price.alias("price"), peak.alias("peak"),
+                             dd.alias("drawdown"))
+    return per_row.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.round(F.max("peak"), 6).alias("peak_price"),
+        F.floor(F.max("drawdown") * 1_000_000).cast("double").alias("_mdd6"),
+    ).select("key", "n_windows", "peak_price",
+             (F.col("_mdd6") / 1_000_000).alias("max_drawdown"))

@@ -750,3 +750,34 @@ SELECT key, w_start_ms, is_live,
                   ELSE nv END, 6) AS interp_price
 FROM bounds
 """
+
+
+# ---- per-key maximum drawdown -------------------------------------------
+
+
+def q_fx_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-to-trough maximum drawdown per instrument over the complete
+    candle series — see operators.resample.max_drawdown."""
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+    from data_timeseries_java_spark.operators.resample import max_drawdown
+
+    ticks, keys = _ticks_and_keys(spark, sf_dir)
+    return max_drawdown(candles_pipeline(ticks, keys, RES))
+
+
+QUERIES["fx_drawdown"] = q_fx_drawdown
+
+ORACLE["fx_drawdown"] = _PRELUDE + """
+, dd AS (
+  SELECT key, close_price,
+         max(close_price) OVER (PARTITION BY key ORDER BY w_start_ms
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM complete
+)
+SELECT key,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       round(max(peak), 6) AS peak_price,
+       floor(max(CASE WHEN peak > 0 THEN (peak - close_price) / peak
+                      ELSE 0.0 END) * 1000000) / 1000000 AS max_drawdown
+FROM dd GROUP BY key
+"""

@@ -628,3 +628,34 @@ SELECT user_id,
 FROM runs
 WINDOW w2 AS (PARTITION BY user_id ORDER BY grp)
 """
+
+
+# ---- exact rolling median ----------------------------------------------
+
+MED_N = 5
+
+
+def q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-5 median of event values per type (robust smoother
+    the approx-percentile sketch can't provide) — see
+    operators.resample.rolling_median."""
+    from data_timeseries_java_spark.operators.resample import rolling_median
+
+    ev = load_table(spark, sf_dir, "events")
+    m = rolling_median(ev, key_col="event_type", time_col="ts",
+                       value_col="value", n=MED_N, tiebreak_col="event_id")
+    return m.select(
+        "event_type", "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "value", F.col(f"median_{MED_N}").alias("med"),
+    )
+
+
+QUERIES["moving_median"] = q_moving_median
+
+ORACLE["moving_median"] = f"""
+SELECT event_type, event_id, epoch_ms(ts) AS ts_ms, value,
+       median(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN {MED_N - 1} PRECEDING AND CURRENT ROW) AS med
+FROM events
+"""
