@@ -276,3 +276,42 @@ def pairwise_correlations_exact(returns: DataFrame,
                   "x_count int, y_count int, is_nan boolean")
     return joined.groupBy("window_start", "window_end", "key1", "key2") \
                  .applyInPandas(compute, out_schema)
+
+
+def lead_lag_correlation(returns: DataFrame, max_lag: int = 2,
+                         res_ms: int = 3_600_000,
+                         min_points: int = 2,
+                         cache_input: bool = True) -> DataFrame:
+    """Lead-lag cross-correlation: corr(ret_a(t), ret_b(t + k·res)) for
+    every instrument pair (a < b) and every lag k in [-max_lag, max_lag]
+    — the classic screen for one series leading another. Lag 0
+    reproduces the plain pairwise correlation; keeping a < b with
+    symmetric k covers both directions (corr at (a,b,k) equals (b,a,-k)).
+
+    Shape: the lag set is a tiny broadcast literal exploded onto the
+    returns frame (|lags| row multiplier, not a self-join blow-up); the
+    pair space materializes only inside the (time, key-order) equi-join
+    — same one-shuffle layout as pairwise_correlations, with corr
+    aggregated JVM-side (F.corr), never via collected series.
+
+    ``cache_input``: both join sides consume the (usually expensive)
+    returns subtree; Catalyst does not reuse the exchange when column
+    pruning differs between the sides, so without materialization the
+    whole upstream pipeline runs twice (same trade-off as
+    pairwise_correlations)."""
+    if cache_input:
+        returns = returns.cache()
+    lags = F.explode(F.array(*[F.lit(k) for k in
+                               range(-max_lag, max_lag + 1)])).alias("lag")
+    t_ms = F.unix_millis("time")
+    a = returns.select(F.col("key").alias("key_a"), t_ms.alias("t_a"),
+                       F.col("value").alias("ret_a"))
+    b = (returns.select(F.col("key").alias("key_b"), t_ms.alias("t_b"),
+                        F.col("value").alias("ret_b"), lags)
+         .withColumn("t_join", F.col("t_b") - F.col("lag") * F.lit(res_ms)))
+    joined = a.join(b, (F.col("t_a") == F.col("t_join"))
+                    & (F.col("key_a") < F.col("key_b")))
+    out = joined.groupBy("key_a", "key_b", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.corr("ret_a", "ret_b"), 6).alias("ccf"))
+    return out.where(F.col("n") >= min_points)

@@ -781,3 +781,34 @@ SELECT key,
                       ELSE 0.0 END) * 1000000) / 1000000 AS max_drawdown
 FROM dd GROUP BY key
 """
+
+
+# ---- lead-lag cross-correlation -----------------------------------------
+
+CCF_MAX_LAG = 2
+
+
+def q_fx_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise lead-lag cross-correlation of hourly log returns at
+    window lags -2..2 — see operators.correlation.lead_lag_correlation."""
+    from data_timeseries_java_spark.operators.correlation import (
+        lead_lag_correlation)
+
+    r = _returns_df(spark, sf_dir)
+    return lead_lag_correlation(r, max_lag=CCF_MAX_LAG, res_ms=RES_MS)
+
+
+QUERIES["fx_lead_lag"] = q_fx_lead_lag
+
+ORACLE["fx_lead_lag"] = _PRELUDE + f"""
+, lags AS (SELECT unnest([-2, -1, 0, 1, 2]) AS lag)
+SELECT a.key AS key_a, b.key AS key_b, l.lag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(corr(a.ret, b.ret), 6) AS ccf
+FROM returns a
+CROSS JOIN lags l
+JOIN returns b
+  ON b.key > a.key AND b.time_ms - l.lag * {RES_MS} = a.time_ms
+GROUP BY a.key, b.key, l.lag
+HAVING count(*) >= 2
+"""
