@@ -365,3 +365,35 @@ def segment_duplication(df: DataFrame, text_col: str = "text",
         frac.alias("dup_segment_frac"),
         (F.col("n_dup_segments") > 0).alias("has_dup_segment"),
     )
+
+
+def fuzzy_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", k: int = 2,
+                     num_hashes: int = DEFAULT_NUM_HASHES,
+                     band_size: int = DEFAULT_BAND_SIZE,
+                     min_similarity: float = 0.8) -> DataFrame:
+    """Fuzzy (edit-distance) near-duplicate pairs: MinHash-LSH proposes
+    candidates, exact Levenshtein verifies. Complements Jaccard verify
+    — set similarity is blind to token ORDER, edit distance is not, so
+    this distinguishes reorderings from true small-edit duplicates.
+
+    edit_similarity = 1 - dist / max(len_a, len_b), kept when
+    >= min_similarity (floor-quantized at output).
+
+    Scale: Levenshtein is O(len_a · len_b) per pair, affordable ONLY
+    because it runs on the LSH candidate set (bucket-collision pairs),
+    never all-pairs — same layout as jaccard_verify: two hash joins to
+    attach texts, then a narrow map."""
+    sh = shingles(df, text_col, id_col, k, distinct=False)
+    sigs = minhash_signatures(sh, id_col, num_hashes)
+    pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
+    a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("t_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("t_b"))
+    dist = F.levenshtein("t_a", "t_b")
+    sim = 1 - dist / F.greatest(F.length("t_a"), F.length("t_b"))
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b",
+                    dist.cast("long").alias("edit_distance"),
+                    (F.floor(sim * 1_000_000) / 1_000_000)
+                    .alias("edit_similarity"))
+            .where(F.col("edit_similarity") >= min_similarity))

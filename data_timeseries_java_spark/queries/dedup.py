@@ -343,3 +343,66 @@ SELECT doc_id,
        n_dup_segments > 0 AS has_dup_segment
 FROM per_doc
 """
+
+
+# ---- fuzzy (edit-distance) near-dup over LSH candidates ----------------
+
+FUZZY_MIN_SIM = 0.8
+
+
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein-verified near-dup pairs over MinHash-LSH candidates
+    — see operators.dedup.fuzzy_duplicates."""
+    from data_timeseries_java_spark.operators.dedup import fuzzy_duplicates
+
+    return fuzzy_duplicates(load_table(spark, sf_dir, "documents"),
+                            k=SHINGLE_K, min_similarity=FUZZY_MIN_SIM)
+
+
+QUERIES["dedup_fuzzy"] = q_dedup_fuzzy
+
+
+def _fuzzy_sql(num_hashes: int = DEFAULT_NUM_HASHES,
+               band_size: int = DEFAULT_BAND_SIZE,
+               min_sim: float = FUZZY_MIN_SIM) -> str:
+    sig_cols = ",\n         ".join(
+        f"min(substr(md5('{i // 4}:' || shingle), {1 + 8 * (i % 4)}, 8)) "
+        f"AS sig_{i}" for i in range(num_hashes))
+    n_bands = num_hashes // band_size
+    band_selects = []
+    for b in range(n_bands):
+        parts = " || '|' || ".join(
+            f"sig_{b * band_size + j}" for j in range(band_size))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sigs")
+    bands = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH {_TOKS},
+sigs AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+         floor((1 - levenshtein(da.text, db.text) * 1.0
+                / greatest(length(da.text), length(db.text))) * 1000000)
+           / 1000000 AS edit_similarity
+  FROM cand c
+  JOIN documents da ON da.doc_id = c.id_a
+  JOIN documents db ON db.doc_id = c.id_b
+)
+SELECT * FROM scored WHERE edit_similarity >= {min_sim}
+"""
+
+
+ORACLE["dedup_fuzzy"] = _fuzzy_sql()
