@@ -1,11 +1,18 @@
 """Loaders for the driver's TPC-H-ish testdata tables.
 
-The testdata parquet files store timestamps as INT64 TIMESTAMP(NANOS),
-which Spark's vectorized parquet reader rejects outright
-(PARQUET_TYPE_ILLEGAL). We read them with
-``spark.sql.legacy.parquet.nanosAsLong=true`` (nanos surface as BIGINT)
-and convert to TimestampType by integer division to microseconds — the
-same truncation DuckDB applies, so oracle comparisons agree.
+The testdata parquet timestamp encoding has varied across driver
+generations, so the loader normalizes both forms to plain TimestampType:
+
+- INT64 TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+  outright (PARQUET_TYPE_ILLEGAL). We read with
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` (nanos surface as
+  BIGINT) and integer-divide to microseconds — the same truncation
+  DuckDB applies, so oracle comparisons agree.
+- tz-naive TIMESTAMP(MICROS), which Spark ≥3.4 infers as
+  TIMESTAMP_NTZ. Functions like ``unix_millis`` accept only
+  TimestampType, so we cast NTZ → TimestampType under a pinned UTC
+  session timezone; the wall-clock is then the same instant DuckDB's
+  naive-timestamp ``epoch_ms`` produces.
 """
 
 from __future__ import annotations
@@ -40,13 +47,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _TS_COLS.get(name, []):
-        if dict(df.dtypes).get(c) == "bigint":
+        dtype = dict(df.dtypes).get(c)
+        if dtype == "bigint":
             # integer DIV, not `/`: ns epochs (~1.7e18) exceed double's
             # 53-bit integer range, so float division drifts by ±1µs
             df = df.withColumn(
                 c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+        elif dtype == "timestamp_ntz":
+            # NTZ wall-clock == UTC instant under the pinned session tz
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     _TABLE_CACHE[cache_key] = df
     return df
 
