@@ -35,6 +35,34 @@ from data_timeseries_java_spark.queries import (
 _MODULES = [fx, relational, relational_ext, tpch_hard, dedup, text,
             similarity, multimodal, corpus, scale]
 
+# Queries with a green three-way match in a prior round's driver
+# CORRECTNESS file (union of CORRECTNESS_r01 + CORRECTNESS_r02). The
+# driver samples a prefix of the registry each round, so queries NOT in
+# this set sort first — every declared query ends up with a driver entry
+# across rounds. Newly added queries are absent here and therefore
+# auto-prioritized.
+_DRIVER_GATED = frozenset({
+    "above_segment_avg", "asof_purchase_click", "customer_set_ops",
+    "customers_without_orders", "dedup_clusters", "dedup_exact",
+    "dedup_keep_list", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "distinct_suppliers", "event_anomalies",
+    "events_json_props", "forecast_revenue", "funnel_conversion",
+    "fx_bollinger", "fx_candles_bidask", "fx_candles_complete",
+    "fx_candles_interpolated", "fx_candles_ohlc", "fx_candles_rollup",
+    "fx_corr_threshold", "fx_corr_user_buckets", "fx_drawdown",
+    "fx_ema_returns", "fx_gapfill_rows", "fx_lead_lag", "fx_log_returns",
+    "fx_pair_correlation", "fx_rsi", "fx_sliding_returns", "fx_twap",
+    "fx_workpacket_stats", "lineitem_grouping_sets", "merge_corrections",
+    "monthly_order_stats", "moving_avg_range", "moving_median",
+    "nation_outer_join", "order_ranks", "orders_flag_filter",
+    "orders_with_expensive_items", "part_scalar_functions",
+    "price_quantiles", "pricing_summary", "priority_pivot",
+    "priority_rollup", "profile_lineitem", "range_join_event_candle",
+    "revenue_by_nation", "scd2_user_status", "status_cube",
+    "supplier_share", "text_langid", "text_quality", "top_customers",
+    "user_sessions", "window_sampler",
+})
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {}
@@ -42,7 +70,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         overlap = set(out) & set(m.QUERIES)
         assert not overlap, f"duplicate query names: {overlap}"
         out.update(m.QUERIES)
-    return out
+    ungated = {k: v for k, v in out.items() if k not in _DRIVER_GATED}
+    gated = {k: v for k, v in out.items() if k in _DRIVER_GATED}
+    return {**ungated, **gated}
 
 
 def all_oracles() -> dict[str, str]:
