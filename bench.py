@@ -2,14 +2,23 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}. Each query is forced end-to-end with
-the noop writer (full computation, no driver collect bottleneck).
+"queries": {name: median_sec}, "queries_detail": {name: {median, min,
+trials}}, "sf": ...}. Each query is forced end-to-end with the noop
+writer (full computation, no driver collect bottleneck).
+
+Methodology: 1 discarded warm-up pass (JIT/codegen/shuffle-service
+settling — measured 2-4x inflation on the first trial) then
+$SPARK_GRAFT_TRIALS (default 5) measured trials per query. "value" and
+"queries" carry the per-query MEDIAN so round-over-round deltas reflect
+steady state, not scheduler noise; per-trial raw timings ship in
+"queries_detail" so a reader can check the spread.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -51,24 +60,31 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.count()
 
-    # best-of-2 per query: one JIT/cache-settling pass, one measured
-    # floor — round-over-round comparisons shouldn't eat scheduler noise
-    timings: dict[str, float] = {}
+    n_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "5"))
+    medians: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+        trials: list[float] = []
+        for i in range(n_trials + 1):  # trial 0 is the discarded warm-up
             df = qs[name](spark, sf_dir)
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            if i > 0:
+                trials.append(round(time.time() - t0, 3))
+        medians[name] = round(statistics.median(trials), 3)
+        detail[name] = {
+            "median": medians[name],
+            "min": min(trials),
+            "trials": trials,
+        }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline query wall-clock",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(medians.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": medians,
+        "queries_detail": detail,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
