@@ -1,12 +1,13 @@
 """Multimodal columns: opaque binary payloads with typed metadata.
 
 Images/audio/video ride through the engine as ``binary`` columns plus a
-metadata struct (modality, byte size, content hash). The Spark-side
-plumbing — schema, partition-friendly layout, Arrow-batched UDF
-signatures, batch shapes — is real and tested; the actual codec step is
-stubbed (image/audio libraries are not in this container) behind a
-deterministic fake that any real decoder (PIL, torchaudio, ffmpeg)
-drops into.
+metadata struct (modality, byte size, content hash). PNG images get a
+REAL codec — pure-Python zlib+numpy (``functions/png.py``), no image
+library needed — so decode/resize on PNG payloads produce genuine
+pixel-accurate results. Formats that genuinely need a native library
+(JPEG, video, palette/16-bit PNG) raise ``NotImplementedError`` at the
+codec boundary; non-image payloads fall to a deterministic fake so the
+batching plumbing stays exercised on arbitrary testdata.
 
 Decode/feature-extract run as ``mapInPandas`` (per-partition Arrow
 batches): at 100 TB this is the right shape — the binary column never
@@ -21,6 +22,13 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from data_timeseries_java_spark.functions.png import (
+    PNG_MAGIC,
+    decode_png,
+    encode_png,
+    resize_nearest,
+)
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
@@ -56,12 +64,12 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
-    """STUB codec: deterministic fake decode. A real deployment replaces
-    this with PIL/torchaudio/ffmpeg; everything around it (batching,
-    schema, partitioning) is production-shaped.
+    """Deterministic fake decode for NON-IMAGE payloads (e.g. text bytes
+    adapted through ``documents_as_media``) so the batching plumbing is
+    exercised on arbitrary testdata. Real image payloads never reach
+    this — ``_decode`` dispatches PNG to the real codec first.
 
-    Raises NotImplementedError for modalities a real codec would own if
-    payload is None (no bytes to decode).
+    Raises NotImplementedError if payload is None (no bytes to decode).
     """
     if payload is None:
         raise NotImplementedError("real codec required for empty payload")
@@ -77,6 +85,23 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     return width, height, n_frames, [h / total for h in hist]
 
 
+def _decode(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Codec dispatch: PNG -> real pure-Python decode (exact dims +
+    pixel-histogram feature); JPEG/unknown-image magic -> the real
+    decoder raises NotImplementedError; other payloads -> fake."""
+    if payload is not None and payload[:8] == bytes(PNG_MAGIC):
+        pixels = decode_png(payload)
+        h, w, _ch = pixels.shape
+        import numpy as np
+        hist = np.bincount(pixels.reshape(-1) % 8, minlength=8) \
+            .astype("float64")
+        hist /= hist.sum() or 1.0
+        return w, h, 1, hist.tolist()
+    if payload is not None and payload[:3] == b"\xff\xd8\xff":
+        decode_png(payload)  # raises NotImplementedError (JPEG)
+    return _fake_decode(payload)
+
+
 def decode_features(media: DataFrame) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batch iterator).
     Batch shape: input/output pandas DataFrames per partition chunk."""
@@ -85,12 +110,13 @@ def decode_features(media: DataFrame) -> DataFrame:
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                w, h, nf, feat = _fake_decode(r["payload"])
+            for mid, payload, modality in zip(
+                    pdf["media_id"], pdf["payload"], pdf["modality"]):
+                w, h, nf, feat = _decode(payload)
                 rows.append({
-                    "media_id": r["media_id"],
-                    "modality": r["modality"],
-                    "byte_len": len(r["payload"]),
+                    "media_id": mid,
+                    "modality": modality,
+                    "byte_len": len(payload),
                     "width": w, "height": h, "n_frames": nf,
                     "feature": feat,
                 })
@@ -103,15 +129,74 @@ def decode_features(media: DataFrame) -> DataFrame:
 
 RESIZE_SCHEMA = ("media_id long, modality string, width int, height int, "
                  "resized binary")
+PNG_MEDIA_SCHEMA = "media_id long, payload binary"
+IMAGE_STATS_SCHEMA = ("media_id long, width int, height int, channels int, "
+                      "pixel_sum long")
+
+
+def synthesize_png_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic PNG payload per id — REAL spec-conformant PNG bytes
+    via ``encode_png``, with dimensions/pixels that are closed-form
+    functions of the id so an external oracle can verify the decode:
+
+        width    = 4 + id % 13          (4..16)
+        height   = 3 + id % 7           (3..9)
+        channels = {0: 1, 1: 3, 2: 4}[id % 3]   (gray / RGB / RGBA)
+        pixel[r, c, k] = (id % 200) + r   (row gradient; never wraps)
+
+    The row gradient makes every scanline differ from its neighbor by a
+    constant, so the encoder's Sub/Up filters carry real deltas and the
+    decoder's unfilter arithmetic is genuinely on the data path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                i = int(mid)
+                w, h = 4 + i % 13, 3 + i % 7
+                ch = {0: 1, 1: 3, 2: 4}[i % 3]
+                base = i % 200
+                col = (base + np.arange(h, dtype=np.uint8))[:, None, None]
+                payloads.append(encode_png(
+                    np.broadcast_to(col, (h, w, ch)).astype(np.uint8)))
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return ids.mapInPandas(run, PNG_MEDIA_SCHEMA)
+
+
+def decode_image_stats(media: DataFrame) -> DataFrame:
+    """REAL image decode -> exact (width, height, channels, pixel_sum).
+    PNG-only by construction; anything else raises at the codec boundary
+    rather than fabricating stats."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_png(payload)
+                h, w, ch = px.shape
+                rows.append((int(mid), w, h, ch,
+                             int(px.sum(dtype=np.int64))))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "channels", "pixel_sum"])
+
+    return media.mapInPandas(run, IMAGE_STATS_SCHEMA)
 FRAMES_SCHEMA = ("media_id long, frame_idx int, frame_ts_ms long, "
                  "frame binary")
 
 
 def resize_images(media: DataFrame, width: int = 224,
                   height: int = 224) -> DataFrame:
-    """Resize stub: real deployments drop PIL's resize into `_resize`.
-    The deterministic fake truncates/pads the payload to width*height/64
-    bytes so batch shapes and schemas are exercised for real."""
+    """Resize: PNG payloads are REALLY resized (decode -> vectorized
+    nearest-neighbor index sampling -> re-encode PNG); formats needing a
+    native codec raise inside decode_png; non-image payloads keep the
+    deterministic truncate/pad fake so batch shapes stay exercised."""
     import pandas as pd
 
     target = max(1, width * height // 64)
@@ -119,6 +204,9 @@ def resize_images(media: DataFrame, width: int = 224,
     def _resize(payload: bytes) -> bytes:
         if payload is None:
             raise NotImplementedError("real codec required")
+        if payload[:8] == bytes(PNG_MAGIC) or payload[:3] == b"\xff\xd8\xff":
+            return encode_png(resize_nearest(decode_png(payload),
+                                             width, height))
         return (payload * (target // max(len(payload), 1) + 1))[:target]
 
     def run(batches):
