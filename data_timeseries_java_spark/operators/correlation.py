@@ -213,6 +213,47 @@ def pairwise_correlations_matrix(returns: DataFrame,
     return w.groupBy("window_start", "window_end").applyInPandas(compute, schema)
 
 
+# Measured kernel crossover on local[32], 12 points/window (see the
+# matrix-path docstring): n=300 -> join 3.7s / matrix 4.3s; n=1000 ->
+# join 4.7s / matrix 3.9s. Below this the per-pair F.corr join wins;
+# above it the per-window BLAS matrix wins, widening with n and points.
+CORR_MATRIX_CROSSOVER = 400
+
+
+def pairwise_correlations_auto(returns: DataFrame,
+                               config: CorrelationConfig | None = None,
+                               *, n_keys: int | None = None,
+                               key_dim: DataFrame | None = None,
+                               crossover: int = CORR_MATRIX_CROSSOVER,
+                               cache_input: bool = True) -> DataFrame:
+    """Kernel dispatcher: route to the F.corr join plan (small universe)
+    or the per-window BLAS matrix kernel (large universe) so callers
+    scaling 100x don't need to know the crossover.
+
+    The decision input is the INSTRUMENT UNIVERSE size, supplied one of
+    two ways — never by an eager job over the big tick/return stream:
+
+    - ``n_keys``: a caller hint (the reference pipeline knows its
+      universe: CorrolationParDoConfig's instrument list).
+    - ``key_dim``: the tiny key-dimension frame the candle pipeline
+      already builds for gap-fill; probing it is one distinct-count over
+      instruments (rows = universe size, not data size).
+
+    Both kernels emit identical rows (equality-tested in the suite), so
+    the routing is a pure physical-plan choice.
+    """
+    if (n_keys is None) == (key_dim is None):
+        raise ValueError(
+            "pass exactly one of n_keys= (universe-size hint) or "
+            "key_dim= (tiny instrument dimension to probe)")
+    if n_keys is None:
+        n_keys = key_dim.select(key_dim.columns[0]).distinct().count()
+    if n_keys <= crossover:
+        return pairwise_correlations(returns, config,
+                                     cache_input=cache_input)
+    return pairwise_correlations_matrix(returns, config)
+
+
 def pairwise_correlations_exact(returns: DataFrame,
                                 config: CorrelationConfig | None = None) -> DataFrame:
     """Exact-parity variant: numpy ``corrcoef`` over per-pair arrays via a

@@ -99,6 +99,52 @@ def cosine_pairs_matrix(df: DataFrame, id_col: str = "vec_id",
             .applyInPandas(compute, f"id_a long, id_b long, cosine double"))
 
 
+# Measured (median of 5, local[32], 64-dim embeddings): the BLAS matrix
+# kernel already wins at 59-row blocks (sf0.01: join 1.07s vs matrix
+# 0.36s) and the gap widens (sf0.1, 218-row blocks: 2.30s vs 0.32s) —
+# the per-pair plan evaluates 64 zip_with multiplies per pair in
+# codegen, which loses to dgemm almost immediately. The join kernel only
+# pays off for near-trivial blocks where Arrow round-trip overhead
+# dominates.
+COSINE_MATRIX_CROSSOVER = 32
+
+
+def cosine_pairs_auto(df: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      block_col: str = "label",
+                      threshold: float = 0.9,
+                      *, max_block_rows: int | None = None,
+                      block_stats: DataFrame | None = None,
+                      crossover: int = COSINE_MATRIX_CROSSOVER) -> DataFrame:
+    """Kernel dispatcher for embedding near-dup: per-pair zip_with plan
+    for small blocks, per-block BLAS Gram matrix for large ones.
+
+    Decision input is the LARGEST BLOCK size, supplied one of two ways:
+
+    - ``max_block_rows``: caller hint — at production scale this comes
+      from table statistics (ANALYZE) or partition metadata, costing no
+      job at plan-build time.
+    - ``block_stats``: a tiny pre-aggregated (block, n) frame; probing
+      it is one driver-side max() over rows = number of blocks. Building
+      that frame from the corpus is a single map-side-combinable count
+      pass — cheap, but an eager job, so it's the caller's choice to
+      make, not this function's.
+
+    Both kernels emit identical rows (equality-tested in the suite).
+    """
+    if (max_block_rows is None) == (block_stats is None):
+        raise ValueError(
+            "pass exactly one of max_block_rows= (stats hint) or "
+            "block_stats= (tiny per-block count frame to probe)")
+    if max_block_rows is None:
+        n_col = block_stats.columns[-1]
+        row = block_stats.agg(F.max(F.col(n_col))).first()
+        max_block_rows = int(row[0] or 0)
+    if max_block_rows <= crossover:
+        return cosine_pairs(df, id_col, vec_col, block_col, threshold)
+    return cosine_pairs_matrix(df, id_col, vec_col, block_col, threshold)
+
+
 def knn_bruteforce(df: DataFrame, queries: DataFrame, k: int = 10,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (broadcast the

@@ -228,6 +228,34 @@ def q_fx_pair_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fx_pair_correlation_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 via the kernel DISPATCHER: the join-vs-matrix choice is made by
+    universe size (probing the same tiny key dimension the candle
+    pipeline broadcasts for gap-fill), not by the caller knowing the
+    crossover. At testdata universe sizes this routes to the F.corr join
+    kernel; past ~400 instruments it flips to the per-window BLAS matrix
+    — plan-pinned at both sizes in tests/test_plans.py. Output and
+    oracle identical to fx_pair_correlation (the routing is a pure
+    physical-plan choice)."""
+    from data_timeseries_java_spark.operators.correlation import (
+        pairwise_correlations_auto,
+    )
+
+    ticks, keys = _ticks_and_keys(spark, sf_dir)
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+    r = log_returns(candles_pipeline(ticks, keys, RES))
+    cfg = CorrelationConfig(window=CORR_WINDOW, slide=CORR_SLIDE,
+                            min_corr=0.0, propagate_nan=True)
+    c = pairwise_correlations_auto(r, cfg, key_dim=keys)
+    return c.select(
+        _ms(F.col("window_start")).alias("w_start_ms"),
+        "key1", "key2",
+        F.round("value", 6).alias("value"),
+        F.col("x_count").cast("long").alias("n_points"),
+        "is_nan",
+    )
+
+
 def q_fx_corr_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1 emission policy: reference defaults min_corr=0.5, drop NaN.
 
@@ -253,6 +281,7 @@ QUERIES = {
     "fx_sliding_returns": q_fx_sliding_returns,
     "fx_workpacket_stats": q_fx_workpacket_stats,
     "fx_pair_correlation": q_fx_pair_correlation,
+    "fx_pair_correlation_auto": q_fx_pair_correlation_auto,
     "fx_corr_threshold": q_fx_corr_threshold,
 }
 
@@ -310,6 +339,15 @@ FROM sliding
 GROUP BY w_start_ms, key
 """,
     "fx_pair_correlation": _CORR_BASE + """
+SELECT w_start_ms, key1, key2,
+       CASE WHEN r IS NULL OR isnan(r) THEN 1.0 ELSE round(r, 6) END AS value,
+       n_points,
+       (r IS NULL OR isnan(r)) AS is_nan
+FROM pairs
+""",
+    # dispatcher variant: same semantics, same oracle — the kernel choice
+    # is a physical-plan decision invisible to results
+    "fx_pair_correlation_auto": _CORR_BASE + """
 SELECT w_start_ms, key1, key2,
        CASE WHEN r IS NULL OR isnan(r) THEN 1.0 ELSE round(r, 6) END AS value,
        n_points,

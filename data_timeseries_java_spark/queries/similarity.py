@@ -148,6 +148,23 @@ def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_matrix(emb, block_col="label", threshold=NEARDUP_T)
 
 
+def q_neardup_cosine_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via the kernel DISPATCHER: per-pair zip_with
+    plan vs per-block BLAS Gram matrix, chosen by the largest block size
+    (probed from a tiny per-label count frame; at production scale that
+    number comes from ANALYZE statistics instead). Plan-pinned at both
+    sizes in tests/test_plans.py; output and oracle identical to
+    neardup_cosine."""
+    from data_timeseries_java_spark.operators.similarity import (
+        cosine_pairs_auto,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    block_stats = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    return cosine_pairs_auto(emb, block_col="label", threshold=NEARDUP_T,
+                             block_stats=block_stats)
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
@@ -163,12 +180,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "neardup_cosine": q_neardup_cosine,
+    "neardup_cosine_auto": q_neardup_cosine_auto,
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh": q_ann_lsh,
 }
 
 ORACLE = {
     "neardup_cosine": _NEARDUP_SQL,
+    # dispatcher variant: kernel choice is a physical-plan decision,
+    # results and oracle unchanged
+    "neardup_cosine_auto": _NEARDUP_SQL,
     "knn_bruteforce": _KNN_SQL,
     "ann_lsh": _ANN_SQL,
 }

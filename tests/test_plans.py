@@ -102,7 +102,8 @@ def test_tpch_hard_shapes_plan_clean(spark, sf_dir):
 
 # queries that intentionally cross into pandas/Arrow execution
 _PANDAS_QUERIES = {"media_decode_features", "media_png_decode",
-                   "fx_ema_returns", "neardup_cosine"}
+                   "fx_ema_returns", "neardup_cosine",
+                   "neardup_cosine_auto"}
 
 
 def test_no_query_falls_into_row_python(spark, sf_dir):
@@ -122,6 +123,15 @@ def test_no_query_falls_into_row_python(spark, sf_dir):
 # driver only coordinates the loop. Everything else must be a pure plan.
 _ITERATIVE_QUERIES = {"dedup_clusters", "dedup_keep_list"}
 
+# Kernel-dispatcher queries: building one runs a single deliberate probe
+# job over a TINY frame (the instrument key dimension / a per-block
+# count) to pick the join-vs-matrix kernel by universe size. That probe
+# is the design (see pairwise_correlations_auto / cosine_pairs_auto) —
+# at production scale the number comes from a dimension table or ANALYZE
+# stats, never a pass over the big fact stream.
+_DISPATCH_PROBE_QUERIES = {"fx_pair_correlation_auto",
+                           "neardup_cosine_auto"}
+
 
 def test_building_queries_runs_no_jobs(spark, sf_dir):
     """Laziness guard: constructing a declared query must not trigger a
@@ -140,7 +150,7 @@ def test_building_queries_runs_no_jobs(spark, sf_dir):
         load_table(spark, sf_dir, t)
     offenders = {}
     for name, fn in sorted(all_queries().items()):
-        if name in _ITERATIVE_QUERIES:
+        if name in _ITERATIVE_QUERIES or name in _DISPATCH_PROBE_QUERIES:
             continue
         group = f"laziness-probe-{name}"
         sc.setJobGroup(group, "assert no jobs while building query plan")
@@ -187,3 +197,65 @@ def test_corpus_build_stays_fused(spark, sf_dir):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") <= 3, "corpus_build lost its fusion"
     assert "CartesianProduct" not in plan
+
+
+def test_corr_dispatcher_kernel_by_universe_size(spark, sf_dir):
+    """The auto dispatcher must route small universes to the JVM F.corr
+    join kernel and large universes to the per-window BLAS matrix kernel
+    — pinned on the physical plan at both sizes."""
+    from data_timeseries_java_spark.operators.correlation import (
+        CORR_MATRIX_CROSSOVER, CorrelationConfig, pairwise_correlations_auto)
+    from data_timeseries_java_spark.operators.returns import log_returns
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+    from data_timeseries_java_spark.tables import events_as_ticks
+
+    ticks = events_as_ticks(spark, sf_dir)
+    r = log_returns(candles_pipeline(
+        ticks, ticks.select("key").distinct(), "1 hour"))
+    cfg = CorrelationConfig("6 hours", "3 hours", 0.0, True)
+
+    small = pairwise_correlations_auto(r, cfg, n_keys=10, cache_input=False)
+    assert "InPandas" not in formatted_plan(small)
+
+    big = pairwise_correlations_auto(
+        r, cfg, n_keys=CORR_MATRIX_CROSSOVER + 1, cache_input=False)
+    assert "FlatMapGroupsInPandas" in formatted_plan(big)
+
+    with pytest.raises(ValueError, match="exactly one"):
+        pairwise_correlations_auto(r, cfg)
+
+
+def test_cosine_dispatcher_kernel_by_block_size(spark, sf_dir):
+    """Same contract for the embedding near-dup dispatcher: block size
+    below the crossover -> per-pair zip_with plan (JVM); above ->
+    per-block Gram-matrix applyInPandas."""
+    from data_timeseries_java_spark.operators.similarity import (
+        COSINE_MATRIX_CROSSOVER, cosine_pairs_auto)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    small = cosine_pairs_auto(emb, block_col="label", threshold=0.9,
+                              max_block_rows=COSINE_MATRIX_CROSSOVER)
+    assert "InPandas" not in formatted_plan(small)
+
+    big = cosine_pairs_auto(emb, block_col="label", threshold=0.9,
+                            max_block_rows=COSINE_MATRIX_CROSSOVER + 1)
+    assert "FlatMapGroupsInPandas" in formatted_plan(big)
+
+    with pytest.raises(ValueError, match="exactly one"):
+        cosine_pairs_auto(emb)
+
+
+def test_dispatcher_kernels_emit_identical_rows(spark, sf_dir):
+    """Routing is a pure physical-plan choice: both cosine kernels must
+    produce the same rows on the same input."""
+    from data_timeseries_java_spark.operators.similarity import (
+        cosine_pairs_auto)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    small = cosine_pairs_auto(emb, block_col="label", threshold=0.9,
+                              max_block_rows=1)
+    big = cosine_pairs_auto(emb, block_col="label", threshold=0.9,
+                            max_block_rows=10**6)
+    assert small.exceptAll(big).count() == 0
+    assert big.exceptAll(small).count() == 0
