@@ -10,25 +10,76 @@ ordered per key — the same contract as the candle carry-forward
 operator; guard upstream with a watermark.
 
 Environment note: transformWithStateInPandas's driver worker imports
-``google.protobuf``; in environments without protobuf the query fails at
-initialization (the test suite skips with the cause). The
-``applyInPandasWithState`` operators (candles_stream.py) have no such
-dependency and are the engine's production stateful path.
+``google.protobuf``; ``state_api_available()`` gates on that at runtime
+and ``streaming_ema`` raises a directed RuntimeError up front instead of
+failing deep inside query initialization. The ``applyInPandasWithState``
+operators (candles_stream.py) have no such dependency and are the
+engine's production stateful path; the test suite asserts BOTH contracts
+(the real pipeline when protobuf is present, the gate when absent).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+
+def state_api_available() -> bool:
+    """True when the typed-state API's python dependency (protobuf) is
+    importable — transformWithStateInPandas cannot initialize without it."""
+    try:
+        import google.protobuf  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
 EMA_OUT_SCHEMA = "key string, event_time timestamp, price double, ema double"
 _STATE_SCHEMA = "ema double"
+
+
+def _ema_batch(pdf, prev: float | None, alpha: float, price_col: str, key):
+    """Fold one micro-batch through the EMA recursion with pandas' ewm —
+    the same vectorization the batch ``ema`` operator uses, carrying the
+    cross-batch state by prepending the previous EMA as a synthetic
+    seed row (ewm with adjust=False then continues the exact recursion
+    y_t = alpha*x_t + (1-alpha)*y_{t-1}) and dropping it from the output.
+
+    Returns (out_frame, new_prev)."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("event_time")
+    prices = pdf[price_col].astype("float64")
+    if prev is None:
+        series = prices
+        skip = 0
+    else:
+        series = pd.concat([pd.Series([prev]), prices], ignore_index=True)
+        skip = 1
+    ema = series.ewm(alpha=alpha, adjust=False).mean().iloc[skip:]
+    new_prev = float(ema.iloc[-1]) if len(ema) else prev
+    out = pd.DataFrame({
+        "key": key,
+        "event_time": pdf["event_time"].to_numpy(),
+        "price": prices.to_numpy(),
+        "ema": ema.to_numpy(),
+    })
+    return out, new_prev
 
 
 def streaming_ema(ticks: DataFrame, alpha: float = 0.2,
                   price_col: str = "ask",
                   watermark: str = "0 seconds") -> DataFrame:
-    """Per-key streaming EMA over tick prices (ema_0 = first price)."""
-    import pandas as pd
+    """Per-key streaming EMA over tick prices (ema_0 = first price).
+
+    Raises RuntimeError when the typed-state API's protobuf dependency
+    is missing — callers in such environments use
+    :func:`streaming_ema_applyinpandas` (identical semantics).
+    """
+    if not state_api_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires google.protobuf, which "
+            "is not importable here; use streaming_ema_applyinpandas for "
+            "the same EMA semantics on the dependency-free state API")
+    import pandas as pd  # noqa: F401
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -41,16 +92,11 @@ def streaming_ema(ticks: DataFrame, alpha: float = 0.2,
         def handleInputRows(self, key, rows, timerValues):
             (k,) = key
             prev = self._state.get()[0] if self._state.exists() else None
-            out = []
             for pdf in rows:
-                pdf = pdf.sort_values("event_time")
-                for _, r in pdf.iterrows():
-                    x = float(r[price_col])
-                    prev = x if prev is None else alpha * x + (1 - alpha) * prev
-                    out.append((k, r["event_time"], x, prev))
+                out, prev = _ema_batch(pdf, prev, alpha, price_col, k)
+                yield out
             if prev is not None:
                 self._state.update((prev,))
-            yield pd.DataFrame(out, columns=["key", "event_time", "price", "ema"])
 
         def close(self) -> None:
             pass
@@ -74,16 +120,11 @@ def streaming_ema_applyinpandas(ticks: DataFrame, alpha: float = 0.2,
     def process(key, pdf_iter, state: GroupState):
         (k,) = key
         prev = state.get[0] if state.exists else None
-        out = []
         for pdf in pdf_iter:
-            pdf = pdf.sort_values("event_time")
-            for _, r in pdf.iterrows():
-                x = float(r[price_col])
-                prev = x if prev is None else alpha * x + (1 - alpha) * prev
-                out.append((k, r["event_time"], x, prev))
+            out, prev = _ema_batch(pdf, prev, alpha, price_col, k)
+            yield out
         if prev is not None:
             state.update((prev,))
-        yield pd.DataFrame(out, columns=["key", "event_time", "price", "ema"])
 
     return (ticks
             .withWatermark("event_time", watermark)

@@ -13,10 +13,17 @@ import pytest
 from data_timeseries_java_spark.schemas import TICK_SCHEMA
 
 
-def test_streaming_ema_matches_pandas(spark, tmp_path):
+def test_streaming_ema_matches_pandas_or_gates_cleanly(spark, tmp_path):
+    """Both contracts are real assertions — no skip: with protobuf
+    present the typed-state pipeline must match the pandas ewm oracle;
+    without it, streaming_ema must raise the directed RuntimeError
+    up front (not fail deep inside query initialization)."""
     import pandas as pd
 
-    from data_timeseries_java_spark.streaming.ema_stream import streaming_ema
+    from data_timeseries_java_spark.streaming.ema_stream import (
+        state_api_available,
+        streaming_ema,
+    )
 
     d = str(tmp_path)
     t = lambda m: datetime(2024, 8, 1, 0, m, tzinfo=timezone.utc)
@@ -32,13 +39,16 @@ def test_streaming_ema_matches_pandas(spark, tmp_path):
 
     src = (spark.readStream.schema(TICK_SCHEMA)
            .option("maxFilesPerTrigger", 1).parquet(f"{d}/f*"))
-    try:
-        out = streaming_ema(src, alpha=0.3)
-        q = (out.writeStream.format("memory").queryName("ema_stream")
-             .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(120)
-    except Exception as e:  # pragma: no cover
-        pytest.skip(f"transformWithStateInPandas unavailable/broken here: {e}")
+
+    if not state_api_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            streaming_ema(src, alpha=0.3)
+        return
+
+    out = streaming_ema(src, alpha=0.3)
+    q = (out.writeStream.format("memory").queryName("ema_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
 
     got = {r.event_time: r.ema for r in spark.table("ema_stream").collect()}
     want = pd.Series(prices).ewm(alpha=0.3, adjust=False).mean()
