@@ -113,3 +113,62 @@ def test_approx_quantiles_within_tolerance(spark, sf_dir):
         assert lo <= r["p90_approx"] <= hi, (t, "p90")
         lo, hi = exact[t]["p"][4], exact[t]["p"][5]
         assert lo <= r["p99_approx"] <= hi, (t, "p99")
+
+
+def test_aqe_skew_join_splits_hot_key(spark):
+    """SCALE.md's 'AQE skew-split handles hot windows' claim, executed:
+    a join where one key carries ~50x the rows of every other must come
+    back from AQE with the sort-merge join marked skew=true (the hot
+    partition split across tasks), and the result must still match the
+    closed-form oracle. forceOptimizeSkewedJoin is needed because the
+    downstream aggregation's required distribution otherwise vetoes the
+    extra shuffle the split introduces — the same setting a production
+    job with skewed joins feeding aggs would run with."""
+    conf = {
+        # keep the join a shuffle join and make the tiny fixture's hot
+        # partition cross AQE's (byte-based) skew thresholds
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    old = {}
+    for k in conf:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        left = spark.range(100_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit("HOT")).otherwise(
+                F.concat(F.lit("k"), (F.col("id") % 100).cast("string"))
+            ).alias("key"),
+            F.col("id").alias("v"))
+        right = spark.range(2_000).select(
+            F.when(F.col("id") % 4 == 0, F.lit("HOT")).otherwise(
+                F.concat(F.lit("k"), (F.col("id") % 100).cast("string"))
+            ).alias("key"),
+            F.col("id").alias("w"))
+        j = (left.join(right, "key")
+             .groupBy("key").agg(F.count(F.lit(1)).alias("n")))
+        rows = {r.key: r.n for r in j.collect()}
+        final_plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, (
+            "AQE did not split the skewed join:\n" + final_plan)
+        # closed-form oracle: HOT = 50k left (even ids) x 500 right
+        # (ids % 4 == 0). Cold keys live on both sides only for ODD
+        # residues (left cold ids are odd; odd residues are never % 4
+        # == 0): 50 keys, each 1000 left x 20 right.
+        assert rows["HOT"] == 50_000 * 500
+        cold = {k: n for k, n in rows.items() if k != "HOT"}
+        assert len(cold) == 50
+        assert all(n == 1000 * 20 for n in cold.values())
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
