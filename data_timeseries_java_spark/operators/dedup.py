@@ -157,7 +157,8 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 1,
                       num_hashes: int = DEFAULT_NUM_HASHES,
                       band_size: int = DEFAULT_BAND_SIZE,
-                      threshold: float = 0.7) -> DataFrame:
+                      threshold: float = 0.7,
+                      cache_plan: bool = True) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → band →
     candidate pairs → exact-Jaccard verify.
 
@@ -175,13 +176,18 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
     per_doc = sh.groupBy(id_col).agg(
         F.collect_set("shingle").alias("sh_set"),
         *[F.min(md5_min_signature(F.col("shingle"), i)).alias(f"sig_{i}")
-          for i in range(num_hashes)]).cache()
+          for i in range(num_hashes)])
+    if cache_plan:
+        per_doc = per_doc.cache()
     # cache(): the frame feeds banding AND both verification sides;
     # column-pruning makes the three subtrees differ, so Catalyst cannot
     # reuse one exchange and would re-scan + re-shingle the corpus per
     # consumer (4 scans measured). Materializing doc-count-sized
     # signature+set state once is the standard MinHash production shape
-    # (persist/checkpoint on a cluster).
+    # (persist/checkpoint on a cluster). Long-lived sessions that build
+    # this repeatedly pass cache_plan=False (or clear via
+    # spark.catalog.clearCache()) — cache entries live until LRU
+    # eviction otherwise.
     pairs = lsh_candidate_pairs(per_doc, id_col, num_hashes, band_size)
     a = per_doc.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("sh_a"))
     b = per_doc.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("sh_b"))

@@ -206,7 +206,8 @@ def lsh_bucket_signatures(df: DataFrame, planes: DataFrame,
 def ann_lsh_topk(df: DataFrame, query_ids: DataFrame, k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_planes: int = 8, n_tables: int = 4,
-                 dim: int | None = None) -> DataFrame:
+                 dim: int | None = None,
+                 cache_plan: bool = True) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in ANY table with
     the query; exact cosine re-rank on candidates only.
 
@@ -227,9 +228,13 @@ def ann_lsh_topk(df: DataFrame, query_ids: DataFrame, k: int = 10,
     # recomputes the component explode + plane join + two aggregations
     # (plan audit: 5 scans / 15 exchanges / 0 reuse). Signatures are
     # corpus-rows x n_tables — the standard materialized LSH index shape
-    # (persist/checkpoint or a bucketed table on a cluster).
+    # (persist/checkpoint or a bucketed table on a cluster). Service
+    # callers building this repeatedly pass cache_plan=False or clear
+    # via spark.catalog.clearCache().
     sigs = lsh_bucket_signatures(df, planes, id_col, vec_col,
-                                 n_planes, n_tables).cache()
+                                 n_planes, n_tables)
+    if cache_plan:
+        sigs = sigs.cache()
     qsigs = sigs.join(query_ids.withColumnRenamed(id_col, id_col), id_col, "left_semi")
     cand = (qsigs.alias("q").join(sigs.alias("c"),
             (F.col("q.table") == F.col("c.table"))

@@ -1,0 +1,107 @@
+"""Generate a deterministic ~10x replica of sf0.1 for the scaling study
+(SCALE.md "measured slopes" section). Output: .scale10x/ at the repo
+root (gitignored — ~50 MB, regenerate with `python scripts/make_scale10x.py`).
+
+Replication is shaped so each workload's 10x is MEANINGFUL, not a
+degenerate blow-up:
+
+- events: 10 time-shifted copies (whole-month shifts, event_id offset)
+  — a tick stream growing in TIME: same instrument universe, 10x the
+  candle windows. Pair-correlation work should scale ~linearly in
+  windows.
+- documents: 10 copies; replica i suffixes EVERY word with a
+  replica-specific letter, so cross-replica shingle overlap is exactly
+  zero while within-replica near-dup structure is untouched — the
+  corpus dup RATE stays ~constant. (Naive 10x text duplication — or a
+  word rotation, which preserves nearly all n-gram adjacencies —
+  multiplies LSH candidate pairs ~100x and measures a fabricated
+  problem: first measured that way, dedup came out 48x at 10x; with
+  constant dup rate it is ~linear.)
+- embeddings: 10 copies with a small deterministic per-replica
+  perturbation (rotate vector components by i and add i*0.01) — keeps
+  within-replica neighbor structure, decorrelates across replicas.
+
+All other tables are copied as-is so any query can run against the dir.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+
+SRC = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+DST = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".scale10x")
+N_REP = 10
+ID_OFF = 10_000_000
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW reps AS SELECT unnest(range({N_REP})) AS i")
+
+    # events: shift each replica forward by i whole months of data
+    con.execute(f"""
+    COPY (
+      SELECT e.event_id + r.i * {ID_OFF} AS event_id,
+             e.ts + to_microseconds(r.i * span.us) AS ts,
+             e.user_id, e.event_type, e.value, e.props
+      FROM read_parquet('{SRC}/events.parquet') e
+      CROSS JOIN (SELECT epoch_us(max(ts) - min(ts)) + 3600000000 AS us
+                  FROM read_parquet('{SRC}/events.parquet')) span
+      CROSS JOIN reps r
+      ORDER BY ts
+    ) TO '{DST}/events.parquet' (FORMAT PARQUET)
+    """)
+
+    # documents: replica i > 0 suffixes every word with chr(96+i) so
+    # cross-replica shingle sets are disjoint (dup rate stays constant)
+    con.execute(f"""
+    COPY (
+      SELECT d.doc_id + r.i * {ID_OFF} AS doc_id,
+             CASE WHEN r.i = 0 THEN d.text
+                  ELSE array_to_string(
+                    list_transform(words, w -> w || chr(CAST(96 + r.i AS INTEGER))), ' ')
+             END AS text,
+             d.lang, d.source,
+             CAST(length(CASE WHEN r.i = 0 THEN d.text
+                  ELSE array_to_string(
+                    list_transform(words, w -> w || chr(CAST(96 + r.i AS INTEGER))), ' ')
+             END) AS BIGINT) AS n_chars
+      FROM (SELECT *, string_split(text, ' ') AS words
+            FROM read_parquet('{SRC}/documents.parquet')) d
+      CROSS JOIN reps r
+    ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
+    """)
+
+    # embeddings: rotate components by i and nudge by i*0.01
+    con.execute(f"""
+    COPY (
+      SELECT e.vec_id + r.i * {ID_OFF} AS vec_id,
+             CAST(list_concat(emb[(r.i % len(emb)) + 1:],
+                              list_transform(emb[1:(r.i % len(emb))],
+                                             x -> x + r.i * 0.01))
+                  AS FLOAT[]) AS embedding,
+             e.label
+      FROM (SELECT vec_id, embedding AS emb, label
+            FROM read_parquet('{SRC}/embeddings.parquet')) e
+      CROSS JOIN reps r
+    ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"]:
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+
+    for t in ["events", "documents", "embeddings"]:
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{DST}/{t}.parquet')"
+        ).fetchone()[0]
+        print(t, n)
+
+
+if __name__ == "__main__":
+    main()
