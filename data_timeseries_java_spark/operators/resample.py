@@ -204,6 +204,26 @@ def rolling_median(df: DataFrame, key_col: str, time_col: str,
     return df.withColumn(f"median_{n}", med)
 
 
+def realized_volatility(returns: DataFrame,
+                        resolution: str = "1 day") -> DataFrame:
+    """Per (key, tumbling window) realized volatility: sqrt of the sum
+    of squared log returns — the standard high-frequency vol estimator
+    (sum-of-squares is decomposable, so map-side partial aggregation
+    applies; one shuffle on (key, window)).
+
+    Input: the log-returns frame (key, time, value). Output: (key,
+    window_start, n_rets, realized_vol).
+    """
+    w = F.window("time", resolution)
+    return (returns
+            .groupBy("key", w.alias("w"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rets"),
+                 F.sqrt(F.sum(F.col("value") * F.col("value")))
+                 .alias("realized_vol"))
+            .select("key", F.col("w.start").alias("window_start"),
+                    "n_rets", "realized_vol"))
+
+
 def max_drawdown(candles: DataFrame, price: F.Column | None = None) -> DataFrame:
     """Per-key maximum drawdown over the candle series: the largest
     peak-to-trough loss fraction (running max of the close, drawdown =

@@ -850,3 +850,71 @@ JOIN returns b
 GROUP BY a.key, b.key, l.lag
 HAVING count(*) >= 2
 """
+
+
+# ---- realized volatility --------------------------------------------------
+
+
+def q_fx_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily realized volatility per instrument from hourly log returns
+    — see operators.resample.realized_volatility (decomposable
+    sum-of-squares, one shuffle)."""
+    from data_timeseries_java_spark.operators.resample import (
+        realized_volatility)
+
+    rv = realized_volatility(_returns_df(spark, sf_dir), "1 day")
+    return rv.select(
+        "key",
+        _ms(F.col("window_start")).alias("day_ms"),
+        "n_rets",
+        F.round("realized_vol", 6).alias("realized_vol"),
+    )
+
+
+QUERIES["fx_realized_vol"] = q_fx_realized_vol
+
+ORACLE["fx_realized_vol"] = _PRELUDE + """
+SELECT key,
+       (time_ms // 86400000) * 86400000 AS day_ms,
+       CAST(count(*) AS BIGINT) AS n_rets,
+       round(sqrt(sum(ret * ret)), 6) AS realized_vol
+FROM returns
+GROUP BY key, day_ms
+"""
+
+
+# ---- pairwise OLS (hedge ratio) ------------------------------------------
+
+
+def q_fx_pair_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per sliding window, OLS slope/intercept of key2's returns on
+    key1's (pairs-trading hedge ratio) — see
+    operators.correlation.pairwise_regression (JVM regr_slope/
+    regr_intercept, map-side-combinable)."""
+    from data_timeseries_java_spark.operators.correlation import (
+        pairwise_regression)
+
+    r = _returns_df(spark, sf_dir)
+    cfg = CorrelationConfig(window=CORR_WINDOW, slide=CORR_SLIDE)
+    b = pairwise_regression(r, cfg)
+    return b.select(
+        _ms(F.col("window_start")).alias("w_start_ms"),
+        "key1", "key2",
+        F.round("beta", 6).alias("beta"),
+        F.round("alpha", 6).alias("alpha"),
+        F.col("n_points").cast("long").alias("n_points"),
+    )
+
+
+QUERIES["fx_pair_beta"] = q_fx_pair_beta
+
+ORACLE["fx_pair_beta"] = _CORR_BASE.replace(
+    "corr(a.ret, b.ret) AS r", "regr_slope(b.ret, a.ret) AS beta, "
+    "regr_intercept(b.ret, a.ret) AS alpha") + """
+SELECT w_start_ms, key1, key2,
+       round(beta, 6) AS beta,
+       round(alpha, 6) AS alpha,
+       n_points
+FROM pairs
+WHERE beta IS NOT NULL AND NOT isnan(beta)
+"""

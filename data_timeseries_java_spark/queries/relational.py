@@ -333,3 +333,27 @@ FROM sess
 GROUP BY user_id, session_seq
 """,
 }
+
+
+def q_nation_customer_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): per nation, the sorted
+    customer-name roster — collect_list + array_sort + array_join stays
+    entirely JVM-side and matches SQL string_agg with ORDER BY."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+                 F.array_join(F.array_sort(F.collect_list("c_name")), "|")
+                 .alias("roster")))
+
+
+QUERIES["nation_customer_list"] = q_nation_customer_list
+
+ORACLE["nation_customer_list"] = """
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       string_agg(c.c_name, '|' ORDER BY c.c_name) AS roster
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""

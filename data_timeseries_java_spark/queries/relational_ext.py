@@ -659,3 +659,89 @@ SELECT event_type, event_id, epoch_ms(ts) AS ts_ms, value,
                            ROWS BETWEEN {MED_N - 1} PRECEDING AND CURRENT ROW) AS med
 FROM events
 """
+
+
+# ---- customer spend quartiles (ntile / cume_dist / percent_rank) ---------
+
+
+def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions over per-customer spend:
+    quartile (ntile), cumulative distribution, percent rank. Ordering is
+    made deterministic with the key as tiebreak so both engines agree
+    exactly.
+
+    Scale note: an unpartitioned ranking window is inherently a total
+    order (one reducer). It runs on the AGGREGATED per-customer frame —
+    orders shrink by |orders|/|customers| first — which is the only
+    shape where a global ntile is acceptable at 100 TB."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    return spend.select(
+        F.col("o_custkey").alias("custkey"),
+        "spend",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+QUERIES["customer_spend_quartiles"] = q_customer_spend_quartiles
+
+ORACLE["customer_spend_quartiles"] = """
+WITH spend AS (
+  SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT custkey, spend,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(cume_dist() OVER w, 6) AS cume,
+       round(percent_rank() OVER w, 6) AS pct_rank
+FROM spend
+WINDOW w AS (ORDER BY spend DESC, custkey ASC)
+"""
+
+
+# ---- per-user inter-event gap statistics ---------------------------------
+
+
+def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap distribution (lag window + exact
+    median): the sessionization-threshold tuning report. One shuffle on
+    user_id shared by the window pass and the aggregation."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w)))
+    gaps = ev.select("user_id", gap.alias("gap_ms")).where(
+        F.col("gap_ms").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(F.avg("gap_ms"), 6).alias("avg_gap_ms"),
+        F.round(F.expr("percentile(gap_ms, 0.5)"), 6).alias("median_gap_ms"),
+        F.max("gap_ms").cast("long").alias("max_gap_ms"),
+    )
+
+
+QUERIES["event_gap_stats"] = q_event_gap_stats
+
+ORACLE["event_gap_stats"] = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)) AS gap_ms
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       round(avg(gap_ms), 6) AS avg_gap_ms,
+       round(quantile_cont(gap_ms, 0.5), 6) AS median_gap_ms,
+       CAST(max(gap_ms) AS BIGINT) AS max_gap_ms
+FROM gaps
+WHERE gap_ms IS NOT NULL
+GROUP BY user_id
+"""

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from data_timeseries_java_spark.operators.text import (
     LANG_LEXICONS,
@@ -444,3 +445,35 @@ FROM staged
 
 
 ORACLE["pii_scan"] = _pii_oracle_sql()
+
+
+def q_source_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus composition report: doc count, language
+    spread, token-count distribution — the rollup a data-mixture owner
+    reads before weighting sources. All JVM built-ins; one shuffle on
+    source."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    return (docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum(toks).cast("long").alias("total_tokens"),
+        F.round(F.avg(toks), 6).alias("avg_tokens"),
+        F.max(toks).cast("long").alias("max_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    ))
+
+
+QUERIES["source_token_stats"] = q_source_token_stats
+
+ORACLE["source_token_stats"] = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+       CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+       round(avg(n_chars), 6) AS avg_chars
+FROM documents
+GROUP BY source
+"""
