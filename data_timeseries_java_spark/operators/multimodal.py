@@ -238,15 +238,11 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
 
     def run(batches):
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                for i, fr in enumerate(_frames(r["payload"])):
-                    rows.append({
-                        "media_id": r["media_id"],
-                        "frame_idx": i,
-                        "frame_ts_ms": i * frame_interval_ms,
-                        "frame": fr,
-                    })
+            rows = [
+                (mid, i, i * frame_interval_ms, fr)
+                for mid, payload in zip(pdf["media_id"], pdf["payload"])
+                for i, fr in enumerate(_frames(payload))
+            ]
             yield pd.DataFrame(rows, columns=[
                 "media_id", "frame_idx", "frame_ts_ms", "frame"])
 

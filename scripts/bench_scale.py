@@ -1,6 +1,8 @@
 """Scaling study: the four headline heavy queries at sf0.1 (1x) and
-.scale10x (10x), median of 5 steady-state trials each. Prints a table
-for SCALE.md §measured-slopes."""
+each .scale{N}x replica dir present (built by make_scale10x.py — run it
+with SPARK_GRAFT_SCALE_REPS=10/100 first), median of
+$SPARK_GRAFT_TRIALS (default 5) steady-state trials each. Prints a
+table for SCALE.md §measured-slopes."""
 
 from __future__ import annotations
 
@@ -15,7 +17,7 @@ QUERIES = ["dedup_minhash_lsh", "corpus_build", "ann_lsh",
            "fx_pair_correlation"]
 
 
-def bench(spark, qs, name, sf_dir, n=5):
+def bench(spark, qs, name, sf_dir, n):
     trials = []
     for i in range(n + 1):
         df = qs[name](spark, sf_dir)
@@ -31,20 +33,27 @@ def main() -> None:
     from data_timeseries_java_spark.queries import all_queries
     from data_timeseries_java_spark.tables import load_table
 
+    n_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "5"))
     spark = get_spark("bench-scale")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
-    one = "/root/testdata/sf0.1"
-    ten = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".scale10x")
-    for d in (one, ten):
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dirs = [("1x", "/root/testdata/sf0.1")]
+    for reps in (10, 100):
+        d = os.path.join(root, f".scale{reps}x")
+        if os.path.isdir(d):
+            dirs.append((f"{reps}x", d))
+    for _, d in dirs:
         for t in ("events", "documents", "embeddings"):
             load_table(spark, d, t).count()
-    print(f"{'query':24s} {'1x':>8s} {'10x':>8s} {'ratio':>6s}")
+    header = f"{'query':24s}" + "".join(f"{lbl:>9s}" for lbl, _ in dirs) \
+        + "  ratios"
+    print(header)
     for name in QUERIES:
-        t1 = bench(spark, qs, name, one)
-        t10 = bench(spark, qs, name, ten)
-        print(f"{name:24s} {t1:8.3f} {t10:8.3f} {t10 / t1:6.2f}")
+        ts = [bench(spark, qs, name, d, n_trials) for _, d in dirs]
+        ratios = " ".join(f"{t / ts[0]:.2f}" for t in ts[1:])
+        print(f"{name:24s}" + "".join(f"{t:9.3f}" for t in ts)
+              + f"  {ratios}")
 
 
 if __name__ == "__main__":

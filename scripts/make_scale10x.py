@@ -32,10 +32,11 @@ import shutil
 import duckdb
 
 SRC = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
-DST = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".scale10x")
-N_REP = 10
-ID_OFF = 10_000_000
+N_REP = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "10"))
+DST = os.environ.get("SPARK_GRAFT_SCALE_DST") or os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    f".scale{N_REP}x")
+ID_OFF = 100_000_000
 
 
 def main() -> None:

@@ -16,3 +16,22 @@ def test_operator_map_covers_all_queries():
     missing = [k for k in all_queries() if k not in text]
     assert not missing, (
         f"queries missing from OPERATORS.md coverage map: {missing}")
+
+
+def test_driver_prefix_covers_ungated_queries():
+    """The driver's correctness gate samples the first 50 registry
+    entries; every query without a prior driver-verified entry must sit
+    inside that prefix, or it can never get gated. Fails when someone
+    adds a 51st not-yet-gated query — fix by updating _DRIVER_GATED
+    with the latest CORRECTNESS round's names."""
+    from data_timeseries_java_spark.queries import _DRIVER_GATED, all_queries
+
+    keys = list(all_queries())
+    ungated = [k for k in keys if k not in _DRIVER_GATED]
+    assert len(ungated) <= 50, (
+        f"{len(ungated)} not-yet-gated queries exceed the 50-entry "
+        f"driver sample; update _DRIVER_GATED from the newest "
+        f"CORRECTNESS_r*.json")
+    prefix = set(keys[:50])
+    missing = [k for k in ungated if k not in prefix]
+    assert not missing, f"ungated queries outside the prefix: {missing}"

@@ -142,3 +142,23 @@ def test_spark_png_resize_real_path(spark):
     assert all(r.width == 6 and r.height == 5 for r in stats)
     # channel count survives the resize
     assert sorted({r.channels for r in stats}) == [1, 3, 4]
+
+
+def test_roundtrip_property():
+    """Property: decode(encode(x)) == x for every 8-bit image shape the
+    codec owns (hypothesis over dims/channels/content)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        h=st.integers(1, 24), w=st.integers(1, 24),
+        ch=st.sampled_from([1, 3, 4]),
+        data=st.data(),
+    )
+    def run(h, w, ch, data):
+        a = data.draw(arrays(np.uint8, (h, w, ch)))
+        assert (decode_png(encode_png(a)) == a).all()
+
+    run()
