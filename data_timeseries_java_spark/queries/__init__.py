@@ -50,9 +50,10 @@ _DRIVER_GATED = frozenset({
     "fx_bollinger", "fx_candles_bidask", "fx_candles_complete",
     "fx_candles_interpolated", "fx_candles_ohlc", "fx_candles_rollup",
     "fx_corr_threshold", "fx_corr_user_buckets", "fx_drawdown",
-    "fx_ema_returns", "fx_gapfill_rows", "fx_lead_lag", "fx_log_returns",
-    "fx_pair_correlation", "fx_rsi", "fx_sliding_returns", "fx_twap",
-    "fx_workpacket_stats", "lineitem_grouping_sets", "merge_corrections",
+    "fx_ema_returns", "fx_gapfill_rows", "fx_lead_lag",
+    "fx_log_returns", "fx_pair_correlation", "fx_rsi",
+    "fx_sliding_returns", "fx_twap", "fx_workpacket_stats",
+    "lineitem_grouping_sets", "merge_corrections",
     "monthly_order_stats", "moving_avg_range", "moving_median",
     "nation_outer_join", "order_ranks", "orders_flag_filter",
     "orders_with_expensive_items", "part_scalar_functions",
