@@ -25,8 +25,12 @@ def gated_names() -> list[str]:
     names: set[str] = set()
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
         for name, row in json.load(open(path)).items():
+            # hash_match False = a real value mismatch (stays ungated so
+            # it keeps getting sampled); absent/None = rows-only check,
+            # the strongest gate that query can have
             if (row.get("rows_match") and row.get("schema_match")
-                    and row.get("err") is None):
+                    and row.get("err") is None
+                    and row.get("hash_match") is not False):
                 names.add(name)
     return sorted(names)
 
