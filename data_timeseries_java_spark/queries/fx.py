@@ -918,3 +918,41 @@ SELECT w_start_ms, key1, key2,
 FROM pairs
 WHERE beta IS NOT NULL AND NOT isnan(beta)
 """
+
+
+# ---- cross-sectional z-score ---------------------------------------------
+
+
+def q_fx_cross_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional return normalization: at each candle time, each
+    instrument's return standardized against that instant's cross-
+    sectional mean/stddev — the momentum-signal building block. One
+    window pass partitioned by time (instruments per instant is the
+    tiny dimension; the shuffle key is time, which is uniform)."""
+    from pyspark.sql import Window
+
+    r = _returns_df(spark, sf_dir)
+    w = Window.partitionBy("time")
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    n = F.count(F.lit(1)).over(w)
+    return (r.select(
+        "key", _ms(F.col("time")).alias("time_ms"),
+        F.round("value", 6).alias("ret"),
+        n.alias("n_xs"),
+        F.when((n >= 2) & (sd > 0),
+               F.round((F.col("value") - mu) / sd, 6)).alias("zscore"))
+        .withColumn("n_xs", F.col("n_xs").cast("long")))
+
+
+QUERIES["fx_cross_zscore"] = q_fx_cross_zscore
+
+ORACLE["fx_cross_zscore"] = _PRELUDE + """
+SELECT key, time_ms, round(ret, 6) AS ret,
+       CAST(count(*) OVER w AS BIGINT) AS n_xs,
+       CASE WHEN count(*) OVER w >= 2 AND stddev_samp(ret) OVER w > 0
+            THEN round((ret - avg(ret) OVER w) / stddev_samp(ret) OVER w, 6)
+       END AS zscore
+FROM returns
+WINDOW w AS (PARTITION BY time_ms)
+"""
