@@ -4,8 +4,10 @@ at the start of each round, after the driver writes the previous
 round's file — newly gated queries then rotate out of the sampled
 prefix and the next batch of not-yet-gated queries rotates in.
 
-Prints the updated count; edits the file in place between the
-BEGIN/END markers of the frozenset literal.
+Prints the updated count; rewrites the ``_DRIVER_GATED = frozenset({...})``
+literal in place, failing loudly if the literal can't be located (a
+silent no-op would leave the gated set stale and skew the driver's
+sampling prefix).
 """
 
 from __future__ import annotations
@@ -41,10 +43,14 @@ def main() -> None:
         ", ".join(f'"{n}"' for n in names), width=72,
         initial_indent="    ", subsequent_indent="    ")
     src = open(REG).read()
-    new = re.sub(
+    new, n_sub = re.subn(
         r"_DRIVER_GATED = frozenset\(\{.*?\}\)",
         "_DRIVER_GATED = frozenset({\n" + body + ",\n})",
         src, count=1, flags=re.S)
+    if n_sub != 1:
+        raise SystemExit(
+            f"_DRIVER_GATED literal not found in {REG}; refusing the "
+            "silent no-op — update the regex to match the current shape")
     open(REG, "w").write(new)
     print(f"_DRIVER_GATED <- {len(names)} names from "
           f"{len(glob.glob(os.path.join(ROOT, 'CORRECTNESS_r*.json')))} "
