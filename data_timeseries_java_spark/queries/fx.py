@@ -30,6 +30,12 @@ RES = "1 hour"
 RES_MS = 3_600_000
 CORR_WINDOW = "6 hours"
 CORR_SLIDE = "3 hours"
+# the events-as-ticks instrument universe (distinct event_type) — the S3
+# work-packet config constant: like the reference's configured instrument
+# list, it is knowledge the pipeline HAS, not something to re-derive with
+# an eager distinct over the fact table (test_event_type_universe pins it
+# against the data)
+N_EVENT_TYPES = 5
 
 # Shared oracle CTE prelude: events → ticks → live candles → gap rows →
 # carry-forward complete candles → log returns. Window arithmetic is
@@ -230,12 +236,16 @@ def q_fx_pair_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fx_pair_correlation_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1 via the kernel DISPATCHER: the join-vs-matrix choice is made by
-    universe size (probing the same tiny key dimension the candle
-    pipeline broadcasts for gap-fill), not by the caller knowing the
-    crossover. At testdata universe sizes this routes to the F.corr join
-    kernel; past ~400 instruments it flips to the per-window BLAS matrix
-    — plan-pinned at both sizes in tests/test_plans.py. Output and
-    oracle identical to fx_pair_correlation (the routing is a pure
+    universe size. The size is the S3 work-packet constant — the
+    reference pipeline KNOWS its instrument list from config
+    (CorrolationParDoConfig), so the declared query passes the same
+    static hint (``N_EVENT_TYPES``) rather than running an eager
+    distinct over the tick stream at plan-build time (the dispatcher's
+    documented contract). At this universe size it routes to the F.corr
+    join kernel; past ~400 instruments it flips to the per-window BLAS
+    matrix — plan-pinned at both sizes in tests/test_plans.py, and
+    driver-gated at the wide size by fx_corr_wide. Output and oracle
+    identical to fx_pair_correlation (the routing is a pure
     physical-plan choice)."""
     from data_timeseries_java_spark.operators.correlation import (
         pairwise_correlations_auto,
@@ -246,7 +256,7 @@ def q_fx_pair_correlation_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = log_returns(candles_pipeline(ticks, keys, RES))
     cfg = CorrelationConfig(window=CORR_WINDOW, slide=CORR_SLIDE,
                             min_corr=0.0, propagate_nan=True)
-    c = pairwise_correlations_auto(r, cfg, key_dim=keys)
+    c = pairwise_correlations_auto(r, cfg, n_keys=N_EVENT_TYPES)
     return c.select(
         _ms(F.col("window_start")).alias("w_start_ms"),
         "key1", "key2",

@@ -28,6 +28,10 @@ N_QUERIES = 10
 DIM = 64
 N_PLANES = 8
 N_TABLES = 4
+# label cardinality of the driver's embeddings fixture (uniform blocks);
+# used with the parquet footer row count to hint the kernel dispatcher
+# without an eager job (test_embeddings_label_universe pins it)
+EMB_N_LABELS = 10
 
 # vector components with 0-based dim index; DuckDB zips parallel unnests
 _COMP = """
@@ -150,19 +154,25 @@ def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_neardup_cosine_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via the kernel DISPATCHER: per-pair zip_with
-    plan vs per-block BLAS Gram matrix, chosen by the largest block size
-    (probed from a tiny per-label count frame; at production scale that
-    number comes from ANALYZE statistics instead). Plan-pinned at both
-    sizes in tests/test_plans.py; output and oracle identical to
-    neardup_cosine."""
+    plan vs per-block BLAS Gram matrix, chosen by the largest block size.
+    The hint comes from PRECOMPUTED stats — parquet footer row count /
+    the fixture's label cardinality — not from an eager count job over
+    the embeddings corpus at plan-build time (the dispatcher's contract;
+    at production scale the same number comes from ANALYZE/catalog
+    stats). Plan-pinned at both sizes in tests/test_plans.py; output and
+    oracle identical to neardup_cosine."""
     from data_timeseries_java_spark.operators.similarity import (
         cosine_pairs_auto,
     )
+    from data_timeseries_java_spark.tables import parquet_row_count
 
     emb = load_table(spark, sf_dir, "embeddings")
-    block_stats = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    # labels are uniform over EMB_N_LABELS by fixture construction
+    # (asserted in tests); a skewed universe would only shade the
+    # kernel choice — both kernels emit identical rows either way
+    max_block = -(-parquet_row_count(sf_dir, "embeddings") // EMB_N_LABELS)
     return cosine_pairs_auto(emb, block_col="label", threshold=NEARDUP_T,
-                             block_stats=block_stats)
+                             max_block_rows=max_block)
 
 
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:

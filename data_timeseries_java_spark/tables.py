@@ -51,9 +51,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # NTZ-sourced timestamp casts resolve the zone when the consuming
         # query is analyzed, so a cached frame silently shifts if a caller
         # mutated the session timezone after load — fail loudly instead.
-        assert spark.conf.get("spark.sql.session.timeZone") == "UTC", (
-            "session timezone drifted from UTC after load_table; "
-            "NTZ-sourced timestamp columns would shift (see _TS_COLS)")
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            # not `assert` — the guard must survive `python -O`, or the
+            # NTZ timestamp-shift hazard it exists for comes back silently
+            raise RuntimeError(
+                "session timezone drifted from UTC after load_table; "
+                "NTZ-sourced timestamp columns would shift (see _TS_COLS)")
         return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -76,6 +79,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(c, F.col(c).cast("timestamp"))
     _TABLE_CACHE[cache_key] = df
     return df
+
+
+def parquet_row_count(sf_dir: str, name: str) -> int:
+    """Table row count from the parquet FOOTER via pyarrow — a
+    driver-side metadata read (no Spark job, no data scan). This is the
+    'precomputed statistics' input the kernel dispatchers document: at
+    production scale the same number comes from ANALYZE/table-catalog
+    stats; here the footer IS that catalog. Handles both a single
+    ``<name>.parquet`` file and a directory of part files."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    path = _os.path.join(sf_dir, f"{name}.parquet")
+    if _os.path.isdir(path):
+        return sum(pq.ParquetFile(p).metadata.num_rows
+                   for p in _glob.glob(_os.path.join(path, "*.parquet")))
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def load_tables(spark: SparkSession, sf_dir: str,
