@@ -34,6 +34,9 @@ HEADLINE = [
     "top_customers",
     "user_sessions",
     "fx_corr_user_buckets",
+    # 512-instrument universe through the per-window BLAS matrix kernel
+    # (130,816 pairs/window, in-kernel top-N screen)
+    "fx_corr_wide",
     # training-data extensions
     "dedup_minhash_lsh",
     "text_quality",

@@ -444,6 +444,108 @@ FROM pairs
 )
 
 
+# ---- wide universe: 512 instruments through the BLAS matrix kernel ------
+
+# The reference's headline is n=1000 instruments / 499,500 pairs per
+# slide (README.MD:41); this query driver-gates the kernel that carries
+# that headline: 512 event_id-derived instruments (> the measured
+# join-vs-matrix crossover of 400), so pairwise_correlations_auto
+# routes to pairwise_correlations_matrix (plan-pinned in
+# tests/test_plans.py::test_fx_corr_wide_routes_to_matrix_kernel).
+# All 130,816 pairs per window are computed; the emitted result is the
+# top-100 strongest pairs per window (a realistic correlation screen)
+# so the driver hashes thousands of rows, not millions. Ranking is
+# deterministic cross-engine: rank on ROUND(r, 6) with (key1, key2)
+# tie-breaks.
+WIDE_RES = "6 hours"
+WIDE_RES_MS = 6 * 3_600_000
+WIDE_CORR_WINDOW = "2 days"
+WIDE_CORR_SLIDE = "1 day"
+WIDE_SLIDE_MS = 86_400_000
+N_WIDE_KEYS = 512   # event_id % 512 covers the full space at every sf
+WIDE_TOP_N = 100
+
+
+def _wide_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_timeseries_java_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    key = F.format_string("K-%03d", (F.col("event_id") % N_WIDE_KEYS).cast("int"))
+    return ev.select(
+        key.alias("key"),
+        F.col("ts").alias("event_time"),
+        F.col("value").alias("bid"),
+        F.col("value").alias("ask"),
+        F.lit(True).alias("is_live"),
+    )
+
+
+def q_fx_corr_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 at the wide universe via the DISPATCHER: 512 instruments >
+    CORR_MATRIX_CROSSOVER, so this runs the per-window BLAS matrix
+    kernel (one Arrow batch per window, numpy corrcoef over the
+    (points x 512) matrix, vectorized upper-triangle emission). The
+    gap-fill universe is a LAZY range (spark.range -> format_string):
+    the 512-key dimension is synthesized, not distinct-scanned. The
+    top-100 screen ranks INSIDE the kernel (``per_window_top``) — each
+    window ships 100 rows, not its 130,816 pairs, into the final stage
+    (the 100 TB shape; measured 8.5 s -> ~3 s at sf0.01)."""
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+    from data_timeseries_java_spark.operators.correlation import (
+        pairwise_correlations_auto,
+    )
+
+    ticks = _wide_ticks(spark, sf_dir)
+    keys = spark.range(N_WIDE_KEYS).select(
+        F.format_string("K-%03d", F.col("id").cast("int")).alias("key"))
+    r = log_returns(candles_pipeline(ticks, keys, WIDE_RES))
+    cfg = CorrelationConfig(window=WIDE_CORR_WINDOW, slide=WIDE_CORR_SLIDE,
+                            min_corr=0.0, propagate_nan=False)
+    c = pairwise_correlations_auto(r, cfg, n_keys=N_WIDE_KEYS,
+                                   per_window_top=WIDE_TOP_N)
+    return c.select(
+        _ms(F.col("window_start")).alias("w_start_ms"),
+        "key1", "key2",
+        F.round("value", 6).alias("value"),
+        F.col("x_count").cast("long").alias("n_points"),
+        "rank",
+    )
+
+
+QUERIES["fx_corr_wide"] = q_fx_corr_wide
+
+_WIDE_KEY_SQL = "printf('K-%03d', event_id % 512)"
+
+ORACLE["fx_corr_wide"] = (
+    _prelude(_WIDE_KEY_SQL, WIDE_RES_MS) + f""",
+sliding AS (
+  SELECT ((r.time_ms // {WIDE_SLIDE_MS}) * {WIDE_SLIDE_MS})
+           - off.o * {WIDE_SLIDE_MS} AS w_start_ms,
+         r.key, r.time_ms, r.ret
+  FROM returns r CROSS JOIN (SELECT unnest([0, 1]) AS o) off
+),
+pairs AS (
+  SELECT a.w_start_ms, a.key AS key1, b.key AS key2,
+         corr(a.ret, b.ret) AS r, count(*) AS n_points
+  FROM sliding a JOIN sliding b
+    ON a.w_start_ms = b.w_start_ms AND a.time_ms = b.time_ms AND a.key < b.key
+  GROUP BY 1, 2, 3
+  HAVING count(*) >= 2
+),
+ranked AS (
+  SELECT w_start_ms, key1, key2, round(r, 6) AS value, n_points,
+         row_number() OVER (
+           PARTITION BY w_start_ms
+           ORDER BY round(r, 6) DESC, key1 ASC, key2 ASC) AS rank
+  FROM pairs
+  WHERE r IS NOT NULL AND NOT isnan(r)
+)
+SELECT w_start_ms, key1, key2, value, n_points, rank
+FROM ranked WHERE rank <= {WIDE_TOP_N}
+"""
+)
+
+
 # ---- resampling: hierarchical rollup + TWAP -----------------------------
 
 ROLLUP_RES = "4 hours"

@@ -103,7 +103,7 @@ def test_tpch_hard_shapes_plan_clean(spark, sf_dir):
 # queries that intentionally cross into pandas/Arrow execution
 _PANDAS_QUERIES = {"media_decode_features", "media_png_decode",
                    "fx_ema_returns", "neardup_cosine",
-                   "neardup_cosine_auto"}
+                   "neardup_cosine_auto", "fx_corr_wide"}
 
 
 def test_no_query_falls_into_row_python(spark, sf_dir):
@@ -215,6 +215,55 @@ def test_corr_dispatcher_kernel_by_universe_size(spark, sf_dir):
 
     with pytest.raises(ValueError, match="exactly one"):
         pairwise_correlations_auto(r, cfg)
+
+
+def test_fx_corr_wide_routes_to_matrix_kernel(spark, sf_dir):
+    """The driver-gated wide-universe query must actually execute the
+    BLAS matrix kernel (512 keys > crossover), with the top-N screen
+    ranked in-kernel — no O(n²)-pair global sort stage after it."""
+    from data_timeseries_java_spark.queries.fx import q_fx_corr_wide
+
+    plan = formatted_plan(q_fx_corr_wide(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    # operators printed ABOVE the kernel line are downstream of it; the
+    # candle pipeline's carry-forward Windows (upstream) are fine, a
+    # Window over the kernel's output would mean the O(n²) pair space
+    # feeds a global sort after all
+    downstream = plan[:plan.index("FlatMapGroupsInPandas")]
+    assert "Window" not in downstream, (
+        "top-N must rank inside the kernel, not via a post-kernel "
+        "window function over the full pair space")
+
+
+def test_corr_top_n_kernels_agree(spark, sf_dir):
+    """per_window_top parity: the join kernel + rank_top_pairs and the
+    matrix kernel's in-kernel ranking emit the same screen (rank on
+    round(r,6) with key tie-breaks). Values compared with a tolerance —
+    the two kernels' float paths can differ in the last ulp."""
+    from data_timeseries_java_spark.operators.correlation import (
+        CorrelationConfig, pairwise_correlations_auto)
+    from data_timeseries_java_spark.operators.returns import log_returns
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+    from data_timeseries_java_spark.tables import events_as_ticks
+
+    ticks = events_as_ticks(spark, sf_dir)
+    r = log_returns(candles_pipeline(
+        ticks, ticks.select("key").distinct(), "1 hour"))
+    cfg = CorrelationConfig("6 hours", "3 hours", 0.0, True)
+
+    cols = ["window_start", "key1", "key2", "value", "rank"]
+    join_out = (pairwise_correlations_auto(
+        r, cfg, n_keys=1, crossover=10**6, cache_input=False,
+        per_window_top=3).select(*cols).toPandas()
+        .sort_values(cols[:3]).reset_index(drop=True))
+    mat_out = (pairwise_correlations_auto(
+        r, cfg, n_keys=10**6, crossover=1, per_window_top=3)
+        .select(*cols).toPandas()
+        .sort_values(cols[:3]).reset_index(drop=True))
+    assert len(join_out) > 0
+    assert join_out[["window_start", "key1", "key2", "rank"]].equals(
+        mat_out[["window_start", "key1", "key2", "rank"]])
+    assert (join_out["value"] - mat_out["value"]).abs().max() <= 1e-9
 
 
 def test_cosine_dispatcher_kernel_by_block_size(spark, sf_dir):
