@@ -43,27 +43,33 @@ def test_two_phase_shapes(spark, sf_dir):
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
-    """HLL++ at rsd=2%: estimates must land within 3*rsd of exact."""
-    approx = {r["event_type"]: r["approx_users"]
-              for r in all_queries()["approx_distinct_users"](
-                  spark, sf_dir).collect()}
+    """HLL++ at rsd=2%: raw estimates must land within 3*rsd of exact,
+    and the declared query's verifiable claim must therefore hold."""
     ev = load_table(spark, sf_dir, "events")
-    exact = {r["event_type"]: r["n"]
-             for r in ev.groupBy("event_type")
-             .agg(F.count_distinct("user_id").alias("n")).collect()}
-    assert set(approx) == set(exact)
-    for t, n in exact.items():
-        assert abs(approx[t] - n) <= max(1, 0.06 * n), (t, approx[t], n)
+    raw = {r["event_type"]: (r["a"], r["n"])
+           for r in ev.groupBy("event_type").agg(
+               F.approx_count_distinct("user_id", 0.02).alias("a"),
+               F.count_distinct("user_id").alias("n")).collect()}
+    for t, (a, n) in raw.items():
+        assert abs(a - n) <= max(1, 0.06 * n), (t, a, n)
+    claims = all_queries()["approx_distinct_users"](spark, sf_dir).collect()
+    assert len(claims) == len(raw)
+    for r in claims:
+        assert r["within_bound"], r
+        assert r["n_exact"] == raw[r["event_type"]][1]
 
 
 def test_hll_rollup_matches_single_shot(spark, sf_dir):
     """Union of daily DataSketches must estimate like (and near the
     exact value of) a single pass — the mergeability contract that
     makes incremental rollups sound."""
-    rolled = {r["event_type"]: r["approx_users"]
-              for r in all_queries()["hll_user_rollup"](
-                  spark, sf_dir).collect()}
     ev = load_table(spark, sf_dir, "events")
+    rolled = {r["event_type"]: r["n"]
+              for r in ev.groupBy("event_type", F.to_date("ts").alias("d"))
+              .agg(F.hll_sketch_agg("user_id").alias("sk"))
+              .groupBy("event_type")
+              .agg(F.hll_sketch_estimate(
+                  F.hll_union_agg("sk")).alias("n")).collect()}
     single = {r["event_type"]: r["n"]
               for r in ev.groupBy("event_type")
               .agg(F.hll_sketch_estimate(
@@ -72,8 +78,12 @@ def test_hll_rollup_matches_single_shot(spark, sf_dir):
              for r in ev.groupBy("event_type")
              .agg(F.count_distinct("user_id").alias("n")).collect()}
     for t in exact:
-        assert abs(rolled[t] - single[t]) <= max(1, 0.02 * single[t]), t
+        assert rolled[t] == single[t], t
         assert abs(rolled[t] - exact[t]) <= max(2, 0.05 * exact[t]), t
+    # and the declared query's claim columns must agree
+    for r in all_queries()["hll_user_rollup"](spark, sf_dir).collect():
+        assert r["within_bound"] and r["union_matches_single_shot"], r
+        assert r["n_exact"] == exact[r["event_type"]]
 
 
 def test_ols_slope_matches_builtin_regr(spark, sf_dir):
@@ -95,24 +105,29 @@ def test_ols_slope_matches_builtin_regr(spark, sf_dir):
 
 
 def test_approx_quantiles_within_tolerance(spark, sf_dir):
-    """GK sketch at accuracy 1000: each approximate percentile must sit
-    within 1% rank error of the exact distribution (checked by value
-    against exact percentiles one rank-point either side)."""
-    rows = {r["event_type"]: r
-            for r in all_queries()["approx_value_quantiles"](
-                spark, sf_dir).collect()}
+    """GK sketch at accuracy 1000: each raw approximate percentile must
+    sit within 1% rank error of the exact distribution (checked by value
+    against exact percentiles one rank-point either side), and the
+    declared query's rank-interval claims must all hold."""
     ev = load_table(spark, sf_dir, "events")
+    raw = {r["event_type"]: r
+           for r in ev.groupBy("event_type").agg(
+               F.percentile_approx("value", F.array(
+                   F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+                   F.lit(1000)).alias("pa")).collect()}
     exact = {r["event_type"]: r
              for r in ev.groupBy("event_type").agg(
                  F.expr("percentile(value, array(0.49, 0.51, 0.89, "
                         "0.91, 0.98, 1.0))").alias("p")).collect()}
-    for t, r in rows.items():
+    for t, r in raw.items():
         lo, hi = exact[t]["p"][0], exact[t]["p"][1]
-        assert lo <= r["p50_approx"] <= hi, (t, "p50")
+        assert lo <= r["pa"][0] <= hi, (t, "p50")
         lo, hi = exact[t]["p"][2], exact[t]["p"][3]
-        assert lo <= r["p90_approx"] <= hi, (t, "p90")
+        assert lo <= r["pa"][1] <= hi, (t, "p90")
         lo, hi = exact[t]["p"][4], exact[t]["p"][5]
-        assert lo <= r["p99_approx"] <= hi, (t, "p99")
+        assert lo <= r["pa"][2] <= hi, (t, "p99")
+    for r in all_queries()["approx_value_quantiles"](spark, sf_dir).collect():
+        assert r["p50_in_bound"] and r["p90_in_bound"] and r["p99_in_bound"], r
 
 
 def test_aqe_skew_join_splits_hot_key(spark):
