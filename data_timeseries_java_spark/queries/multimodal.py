@@ -1,9 +1,14 @@
-"""Multimodal-column queries over `documents` (text bytes as payloads).
+"""Multimodal-column queries over `documents`.
 
-`media_metadata` is fully oracle-checked (byte length / content hash are
-engine-portable). `media_decode_features` exercises the mapInPandas
-decode plumbing with the deterministic stub codec — it has no SQL
-equivalent, so the driver records the weaker rows-only check for it.
+All three are hash-checked: `media_metadata` on byte length/content
+hash of the raw payloads; `media_decode_features` and
+`media_png_decode` on REAL PNG payloads synthesized per doc_id with
+closed-form pixel recipes, so DuckDB can recompute dimensions and the
+decoded-pixel histogram feature exactly. The deterministic fake codec
+for non-image payloads remains as a unit-tested adapter
+(`tests/test_functions.py::test_fake_decode_adapter_path`) — it keeps
+the batching plumbing exercisable on arbitrary payload bytes but no
+longer carries a driver-gated query.
 """
 
 from __future__ import annotations
@@ -29,11 +34,20 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode path end-to-end: synthesize a spec-conformant PNG per
+    doc_id, decode with the pure-Python codec, and emit dimensions plus
+    the first pixel-histogram feature component. Every output column is
+    closed-form in doc_id (see synthesize_png_media), so the oracle
+    hash-matches genuine decoded-pixel arithmetic. byte_len is excluded
+    from the projection — the zlib-compressed size is deterministic but
+    not SQL-expressible."""
     docs = load_table(spark, sf_dir, "documents")
-    media = documents_as_media(docs)
+    media = synthesize_png_media(
+        docs.select(F.col("doc_id").alias("media_id"))) \
+        .withColumn("modality", F.lit("image"))
     feats = decode_features(media)
     return feats.select(
-        "media_id", "modality", "byte_len", "width", "height", "n_frames",
+        "media_id", "modality", "width", "height", "n_frames",
         F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
     )
 
@@ -64,7 +78,30 @@ SELECT doc_id AS media_id,
        md5(text) AS content_md5
 FROM documents
 """,
-    # media_decode_features: no oracle — Python stub codec, rows-only check
+    # media_decode_features: same closed-form pixel recipe as
+    # media_png_decode. The f0 feature is the L1-normalized histogram
+    # bucket 0 of (pixel % 8): every pixel in row r equals base + r
+    # (base = doc_id % 200, never wraps), so bucket-0 mass = (#rows r in
+    # [0, h) with (base + r) % 8 = 0) / h = (#multiples of 8 in
+    # [base, base + h - 1]) / h, computed via floor-division prefix
+    # counts (base = 0 handled by CASE — no negative floor-div needed).
+    "media_decode_features": """
+WITH d AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 13 AS INT) AS width,
+         CAST(3 + doc_id % 7 AS INT) AS height,
+         CAST(doc_id % 200 AS BIGINT) AS base
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       'image' AS modality,
+       width, height, CAST(1 AS INT) AS n_frames,
+       round(
+         ((base + height - 1) // 8
+          - CASE WHEN base = 0 THEN -1 ELSE (base - 1) // 8 END)
+         / CAST(height AS DOUBLE), 6) AS f0
+FROM d
+""",
     # media_png_decode: pixel recipe is closed-form in doc_id (see
     # synthesize_png_media) — width w = 4+id%13, height h = 3+id%7,
     # channels ch by id%3, pixel[r,*,*] = id%200 + r (never wraps), so

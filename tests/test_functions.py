@@ -88,6 +88,31 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
     assert all(r.frame_ts_ms == r.frame_idx * 1000 for r in fr)
 
 
+def test_fake_decode_adapter_path(spark, sf_dir):
+    """The deterministic fake codec for NON-image payloads (text bytes
+    through documents_as_media) stays a working, unit-tested adapter
+    now that the driver-gated decode query runs real PNGs: dims follow
+    the documented byte-length recipe and the 8-bucket histogram
+    feature is L1-normalized."""
+    from data_timeseries_java_spark.operators.multimodal import (
+        decode_features)
+    from data_timeseries_java_spark.tables import load_table
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).limit(10)
+    payload_by_id = {r.media_id: bytes(r.payload) for r in media.collect()}
+    for r in decode_features(media).collect():
+        n = len(payload_by_id[r.media_id])
+        assert r.byte_len == n
+        assert r.width == 16 + n % 64
+        assert r.height == 16 + (n // 64) % 64
+        assert r.n_frames == 1
+        assert abs(sum(r.feature) - 1.0) < 1e-6
+        hist = [0] * 8
+        for by in payload_by_id[r.media_id]:
+            hist[by % 8] += 1
+        assert abs(r.feature[0] - hist[0] / n) < 1e-6
+
+
 def test_cosine_matrix_equals_hof(spark, sf_dir):
     """Matrix-kernel near-dup must equal the per-pair zip_with plan."""
     from data_timeseries_java_spark.operators.similarity import (
