@@ -15,6 +15,15 @@ so decoding always exercises the unfilter path.
 Exotic inputs a real deployment would hand to libpng/ffmpeg — palette,
 16-bit, interlaced PNG, JPEG, video — raise ``NotImplementedError``
 with the sniffed format named, preserving the honest stub boundary.
+JPEG gets real HEADER metadata (``jpeg_header_stats`` scans the marker
+stream for SOF0/SOF2 — width/height/components are pure-Python-cheap
+even though pixel decode still needs a native codec), so the boundary
+raise is narrowed to pixel decode only.
+
+Error contract: malformed/truncated payloads of a RECOGNIZED format
+raise ``ValueError`` (never a bare ``struct.error``/``zlib.error`` from
+deep inside); unsupported-but-valid formats raise
+``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -106,6 +115,148 @@ def _unfilter(filt: int, cur: np.ndarray, prev: np.ndarray,
     return out.astype(np.uint8)
 
 
+def _png_chunks(data: bytes) -> tuple[tuple, bytearray]:
+    """Walk the chunk stream -> (parsed IHDR, concatenated IDAT).
+
+    Declared chunk lengths are bounds-checked against the remaining
+    buffer, so a truncated or corrupt payload fails with a clear
+    ValueError at the walk — not a struct.error/zlib.error from deep
+    inside an executor (the documented error contract)."""
+    pos, ihdr, idat, saw_iend = 8, None, bytearray(), False
+    while pos + 8 <= len(data):
+        length = struct.unpack(">I", data[pos:pos + 4])[0]
+        tag = data[pos + 4:pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError(
+                f"truncated PNG: chunk {tag!r} declares {length} body "
+                f"bytes but only {len(data) - pos - 12} remain")
+        body = data[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            if length != 13:
+                raise ValueError(f"corrupt PNG: IHDR length {length} != 13")
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            saw_iend = True
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    if not saw_iend:
+        # a dangling partial chunk header (or no IEND at all) means the
+        # stream was cut — fail here, not with a zlib error downstream
+        raise ValueError("truncated PNG: stream ends before IEND")
+    return ihdr, idat
+
+
+def png_header_stats(data: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from the IHDR alone — no inflate, no
+    unfilter: header metadata at scan cost, the shape a 100 TB metadata
+    pass wants. Channel count follows the PNG spec color types
+    (palette reports its 1 index channel)."""
+    if data is None or data[:8] != PNG_MAGIC:
+        raise NotImplementedError("not a PNG payload")
+    ihdr, _ = _png_chunks(data)
+    w, h, _depth, ctype, _comp, _filt, _interlace = ihdr
+    spec_channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+    if ctype not in spec_channels:
+        raise ValueError(f"corrupt PNG: color type {ctype}")
+    return int(w), int(h), spec_channels[ctype]
+
+
+# JPEG markers: SOF segments carry dimensions. C4/C8/CC look like SOFs
+# numerically but are DHT/JPG/DAC.
+_JPEG_STANDALONE = {0xD8, 0x01} | set(range(0xD0, 0xD8))
+
+
+def jpeg_header_stats(data: bytes) -> tuple[int, int, int]:
+    """(width, height, components) from a JPEG marker stream — parses
+    SOF0 (baseline) / SOF2 (progressive) and the other SOFn variants in
+    pure Python. Pixel decode still raises at the codec boundary; this
+    narrows the unsupported surface to the pixels themselves, giving
+    real metadata for the majority format of a multimodal corpus.
+
+    ValueError for malformed/truncated streams, NotImplementedError for
+    non-JPEG payloads (mirrors the PNG error contract)."""
+    if data is None or data[:3] != JPEG_MAGIC:
+        raise NotImplementedError("not a JPEG payload")
+    pos = 2
+    n = len(data)
+    while pos + 2 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError(
+                f"corrupt JPEG: expected marker at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in _JPEG_STANDALONE:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        if pos + 4 > n:
+            raise ValueError("truncated JPEG: marker segment header")
+        seglen = int.from_bytes(data[pos + 2:pos + 4], "big")
+        if seglen < 2 or pos + 2 + seglen > n:
+            raise ValueError(
+                f"truncated JPEG: segment 0xFF{marker:02X} declares "
+                f"{seglen} bytes but only {n - pos - 2} remain")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            body = data[pos + 4:pos + 2 + seglen]
+            if len(body) < 6:
+                raise ValueError("corrupt JPEG: short SOF segment")
+            height = int.from_bytes(body[1:3], "big")
+            width = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            return width, height, int(ncomp)
+        if marker == 0xDA:  # SOS without a preceding SOF
+            break
+        pos += 2 + seglen
+    raise ValueError("corrupt JPEG: no SOF marker before SOS/EOI")
+
+
+def image_header_stats(data: bytes) -> tuple[str, int, int, int]:
+    """Format sniff + (format, width, height, channels) from header
+    bytes only — PNG via IHDR, JPEG via SOF scan. The cheap metadata
+    tier that works for BOTH formats even where pixel decode doesn't."""
+    if data is not None and data[:8] == PNG_MAGIC:
+        return ("png", *png_header_stats(data))
+    if data is not None and data[:3] == JPEG_MAGIC:
+        return ("jpeg", *jpeg_header_stats(data))
+    raise NotImplementedError("unknown image format (not PNG/JPEG)")
+
+
+def encode_jpeg_header(width: int, height: int, channels: int) -> bytes:
+    """Deterministic, structurally valid JPEG byte stream (SOI + JFIF
+    APP0 + SOF0 + SOS + token entropy bytes + EOI) carrying the given
+    dimensions. The entropy-coded data is NOT a decodable image — this
+    is a header-tier fixture so the SOF parser can be oracle-checked in
+    an environment with no JPEG encoder; any real JPEG's header parses
+    the same way."""
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError(f"dims out of JPEG range: {width}x{height}")
+    if channels not in (1, 3):
+        raise ValueError(f"components must be 1 or 3, got {channels}")
+    app0 = (b"JFIF\x00" + b"\x01\x02" + b"\x00"
+            + b"\x00\x01\x00\x01" + b"\x00\x00")
+    sof_body = (b"\x08" + height.to_bytes(2, "big")
+                + width.to_bytes(2, "big") + bytes([channels]))
+    for c in range(channels):
+        sof_body += bytes([c + 1, 0x11, 0x00])
+    sos_body = bytes([channels])
+    for c in range(channels):
+        sos_body += bytes([c + 1, 0x00])
+    sos_body += b"\x00\x3f\x00"
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    return (b"\xff\xd8" + seg(0xE0, app0) + seg(0xC0, sof_body)
+            + seg(0xDA, sos_body) + b"\x00" + b"\xff\xd9")
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """Decode 8-bit gray/RGB/RGBA non-interlaced PNG -> (H, W, C) uint8.
 
@@ -115,30 +266,23 @@ def decode_png(data: bytes) -> np.ndarray:
     if data is None or len(data) == 0:
         raise NotImplementedError("real codec required for empty payload")
     if data[:3] == JPEG_MAGIC:
-        raise NotImplementedError("JPEG codec not available here")
+        raise NotImplementedError(
+            "JPEG pixel decode needs a native codec (header metadata is "
+            "available via jpeg_header_stats)")
     if data[:8] != PNG_MAGIC:
         raise NotImplementedError("unknown image format (not PNG)")
-    pos, ihdr, idat = 8, None, bytearray()
-    while pos + 8 <= len(data):
-        (length,), tag = struct.unpack(">I", data[pos:pos + 4]), \
-            data[pos + 4:pos + 8]
-        body = data[pos + 8:pos + 8 + length]
-        if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif tag == b"IDAT":
-            idat.extend(body)
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
-    if ihdr is None:
-        raise ValueError("PNG missing IHDR")
+    ihdr, idat = _png_chunks(data)
     w, h, depth, ctype, _comp, _filt, interlace = ihdr
     if depth != 8 or ctype not in _CHANNELS or interlace != 0:
         raise NotImplementedError(
             f"PNG subset not supported here: depth={depth} "
             f"color_type={ctype} interlace={interlace}")
     ch = _CHANNELS[ctype]
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     stride = w * ch + 1
     if raw.size != h * stride:
         raise ValueError(f"PNG data size {raw.size} != {h}x{stride}")

@@ -26,7 +26,9 @@ from pyspark.sql import types as T
 from data_timeseries_java_spark.functions.png import (
     PNG_MAGIC,
     decode_png,
+    encode_jpeg_header,
     encode_png,
+    image_header_stats,
     resize_nearest,
 )
 
@@ -166,6 +168,56 @@ def synthesize_png_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                                 "payload": payloads})
 
     return ids.mapInPandas(run, PNG_MEDIA_SCHEMA)
+
+
+JPEG_MEDIA_SCHEMA = "media_id long, payload binary"
+HEADER_STATS_SCHEMA = ("media_id long, format string, width int, "
+                      "height int, channels int")
+
+
+def synthesize_jpeg_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic JPEG header fixture per id (structurally valid
+    SOI/APP0/SOF0/SOS/EOI marker stream — see ``encode_jpeg_header``):
+
+        width      = 4 + id % 13    (4..16)
+        height     = 3 + id % 7     (3..9)
+        components = 1 if id even else 3   (grayscale / YCbCr)
+
+    Closed-form in the id so an external oracle can verify the SOF
+    parse without a JPEG encoder in the environment."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                i = int(mid)
+                payloads.append(encode_jpeg_header(
+                    4 + i % 13, 3 + i % 7, 1 if i % 2 == 0 else 3))
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return ids.mapInPandas(run, JPEG_MEDIA_SCHEMA)
+
+
+def extract_image_headers(media: DataFrame) -> DataFrame:
+    """Header-tier metadata for image payloads: format sniff + width/
+    height/channels from header bytes alone (PNG IHDR walk, JPEG SOF
+    scan — no inflate, no pixel decode). This is the metadata pass that
+    stays cheap at 100 TB and covers JPEG even though its pixel decode
+    raises at the codec boundary."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                fmt, w, h, ch = image_header_stats(payload)
+                rows.append((int(mid), fmt, w, h, ch))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "format", "width", "height", "channels"])
+
+    return media.mapInPandas(run, HEADER_STATS_SCHEMA)
 
 
 def decode_image_stats(media: DataFrame) -> DataFrame:

@@ -1,10 +1,12 @@
 """Multimodal-column queries over `documents`.
 
-All three are hash-checked: `media_metadata` on byte length/content
+All four are hash-checked: `media_metadata` on byte length/content
 hash of the raw payloads; `media_decode_features` and
 `media_png_decode` on REAL PNG payloads synthesized per doc_id with
 closed-form pixel recipes, so DuckDB can recompute dimensions and the
-decoded-pixel histogram feature exactly. The deterministic fake codec
+decoded-pixel histogram feature exactly; `media_jpeg_header` on
+synthesized JPEG marker streams whose SOF dimensions are closed-form
+in the id. The deterministic fake codec
 for non-image payloads remains as a unit-tested adapter
 (`tests/test_functions.py::test_fake_decode_adapter_path`) — it keeps
 the batching plumbing exercisable on arbitrary payload bytes but no
@@ -21,6 +23,8 @@ from data_timeseries_java_spark.operators.multimodal import (
     decode_features,
     decode_image_stats,
     documents_as_media,
+    extract_image_headers,
+    synthesize_jpeg_media,
     synthesize_png_media,
 )
 from data_timeseries_java_spark.tables import load_table
@@ -65,10 +69,24 @@ def q_media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_stats(media)
 
 
+def q_media_jpeg_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG header metadata, oracle-checked: synthesize a structurally
+    valid JPEG marker stream per doc_id (dims closed-form in the id),
+    then recover width/height/components by actually scanning the
+    marker stream for SOF0 — the pure-Python header tier that makes
+    JPEG payloads yield real metadata even though their pixel decode
+    raises at the codec boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_jpeg_media(
+        docs.select(F.col("doc_id").alias("media_id")))
+    return extract_image_headers(media)
+
+
 QUERIES = {
     "media_metadata": q_media_metadata,
     "media_decode_features": q_media_decode_features,
     "media_png_decode": q_media_png_decode,
+    "media_jpeg_header": q_media_jpeg_header,
 }
 
 ORACLE = {
@@ -117,6 +135,14 @@ SELECT doc_id AS media_id,
             * ((3 + doc_id % 7) * (doc_id % 200)
                + ((3 + doc_id % 7) * (3 + doc_id % 7 - 1)) // 2)
             AS BIGINT) AS pixel_sum
+FROM documents
+""",
+    "media_jpeg_header": """
+SELECT doc_id AS media_id,
+       'jpeg' AS format,
+       CAST(4 + doc_id % 13 AS INT) AS width,
+       CAST(3 + doc_id % 7 AS INT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS channels
 FROM documents
 """,
 }

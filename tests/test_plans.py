@@ -102,8 +102,9 @@ def test_tpch_hard_shapes_plan_clean(spark, sf_dir):
 
 # queries that intentionally cross into pandas/Arrow execution
 _PANDAS_QUERIES = {"media_decode_features", "media_png_decode",
-                   "fx_ema_returns", "neardup_cosine",
-                   "neardup_cosine_auto", "fx_corr_wide"}
+                   "media_jpeg_header", "fx_ema_returns",
+                   "neardup_cosine", "neardup_cosine_auto",
+                   "fx_corr_wide"}
 
 
 def test_no_query_falls_into_row_python(spark, sf_dir):

@@ -13,7 +13,11 @@ import pytest
 from data_timeseries_java_spark.functions.png import (
     PNG_MAGIC,
     decode_png,
+    encode_jpeg_header,
     encode_png,
+    image_header_stats,
+    jpeg_header_stats,
+    png_header_stats,
     resize_nearest,
 )
 
@@ -123,6 +127,92 @@ def test_unsupported_png_subset_raises():
     png = PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError, match="depth=16"):
         decode_png(png)
+
+
+def test_malformed_payload_error_contract():
+    """Truncated/corrupt payloads of a RECOGNIZED format must fail with
+    ValueError at the documented boundary — never a struct.error or
+    zlib.error escaping from deep inside (opaque executor failures)."""
+    good = encode_png(np.arange(24, dtype=np.uint8).reshape(2, 4, 3))
+    # truncate mid-IDAT: chunk declares more body bytes than remain
+    with pytest.raises(ValueError, match="truncated PNG"):
+        decode_png(good[:40])
+    # oversized declared length on an otherwise intact stream
+    bad = bytearray(good)
+    bad[8:12] = struct.pack(">I", 10_000)
+    with pytest.raises(ValueError, match="truncated PNG"):
+        decode_png(bytes(bad))
+    # valid chunk walk, corrupt deflate stream inside IDAT
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    png = (PNG_MAGIC + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", b"\x00garbage\xff") + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="corrupt PNG IDAT"):
+        decode_png(png)
+    # short IHDR body caught at the walk, not struct.unpack
+    png = PNG_MAGIC + chunk(b"IHDR", b"\x00\x01") + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="IHDR length"):
+        decode_png(png)
+
+
+def test_png_header_stats_without_decode():
+    a = np.arange(60, dtype=np.uint8).reshape(3, 5, 4)
+    assert png_header_stats(encode_png(a)) == (5, 3, 4)
+    with pytest.raises(NotImplementedError):
+        png_header_stats(b"\xff\xd8\xffJFIF")
+
+
+@pytest.mark.parametrize("w,h,ch", [
+    (1, 1, 1), (16, 9, 3), (640, 480, 3), (65535, 65535, 1)])
+def test_jpeg_sof_roundtrip(w, h, ch):
+    """The SOF scanner recovers exactly the dimensions the fixture
+    encoder wrote — through real APP0/SOF0/SOS marker structure."""
+    payload = encode_jpeg_header(w, h, ch)
+    assert jpeg_header_stats(payload) == (w, h, ch)
+    assert image_header_stats(payload) == ("jpeg", w, h, ch)
+
+
+def test_jpeg_header_error_contract():
+    good = encode_jpeg_header(16, 9, 3)
+    # truncated before the SOF marker completes
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        jpeg_header_stats(good[:8])
+    # SOS reached with no SOF seen: cut the SOF0 segment out
+    sof_at = good.index(b"\xff\xc0")
+    sof_len = 2 + int.from_bytes(good[sof_at + 2:sof_at + 4], "big")
+    no_sof = good[:sof_at] + good[sof_at + sof_len:]
+    with pytest.raises(ValueError, match="no SOF"):
+        jpeg_header_stats(no_sof)
+    with pytest.raises(NotImplementedError):
+        jpeg_header_stats(b"not a jpeg")
+    # pixel decode of a real JPEG stream still raises at the boundary,
+    # but names the header path
+    with pytest.raises(NotImplementedError, match="jpeg_header_stats"):
+        decode_png(good)
+
+
+def test_spark_jpeg_header_path(spark):
+    """synthesize -> extract headers through mapInPandas: closed-form
+    dims recovered for every id."""
+    from data_timeseries_java_spark.operators.multimodal import (
+        extract_image_headers, synthesize_jpeg_media, synthesize_png_media)
+    import pyspark.sql.functions as F
+
+    ids = spark.range(20).select(F.col("id").alias("media_id"))
+    rows = {r.media_id: r
+            for r in extract_image_headers(synthesize_jpeg_media(ids)).collect()}
+    assert len(rows) == 20
+    for i, r in rows.items():
+        assert (r.format, r.width, r.height, r.channels) == (
+            "jpeg", 4 + i % 13, 3 + i % 7, 1 if i % 2 == 0 else 3)
+    # the same operator reads PNG headers (IHDR walk, no inflate)
+    png_rows = {r.media_id: r
+                for r in extract_image_headers(
+                    synthesize_png_media(ids)).collect()}
+    for i, r in png_rows.items():
+        assert (r.format, r.width, r.height) == ("png", 4 + i % 13, 3 + i % 7)
 
 
 def test_spark_png_resize_real_path(spark):
