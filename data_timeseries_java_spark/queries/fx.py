@@ -444,6 +444,60 @@ FROM pairs
 )
 
 
+# ---- include_underlying: carry the raw series with each pair ------------
+
+
+def q_fx_corr_underlying(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 with ``include_underlying=True`` — the reference's
+    ``includeUnderlying`` option (ComputeCorrelationsDoFn.java:197-200):
+    each emitted pair carries its two time-sorted return series. The
+    arrays are serialized as comma-joined micro-scaled integers
+    (round(ret*1e6) as bigint) so both engines hash the same bytes —
+    float-to-string formatting differs across engines, scaled ints
+    don't."""
+    r = _returns_df(spark, sf_dir)
+    cfg = CorrelationConfig(window=CORR_WINDOW, slide=CORR_SLIDE,
+                            min_corr=0.0, propagate_nan=True,
+                            include_underlying=True)
+    c = pairwise_correlations(r, cfg)
+    as_csv = lambda col: F.concat_ws(",", F.transform(  # noqa: E731
+        F.col(col),
+        lambda s: F.round(s["value"] * 1e6, 0).cast("bigint").cast("string")))
+    return c.select(
+        _ms(F.col("window_start")).alias("w_start_ms"),
+        "key1", "key2",
+        F.round("value", 6).alias("value"),
+        F.col("x_count").cast("long").alias("n_points"),
+        "is_nan",
+        as_csv("x_values").alias("x_series"),
+        as_csv("y_values").alias("y_series"),
+    )
+
+
+QUERIES["fx_corr_underlying"] = q_fx_corr_underlying
+
+ORACLE["fx_corr_underlying"] = _PRELUDE + "," + _SLIDING + """,
+pairs AS (
+  SELECT a.w_start_ms, a.key AS key1, b.key AS key2,
+         corr(a.ret, b.ret) AS r, count(*) AS n_points,
+         array_to_string(list(CAST(round(a.ret * 1e6, 0) AS BIGINT)
+                              ORDER BY a.time_ms), ',') AS x_series,
+         array_to_string(list(CAST(round(b.ret * 1e6, 0) AS BIGINT)
+                              ORDER BY b.time_ms), ',') AS y_series
+  FROM sliding a JOIN sliding b
+    ON a.w_start_ms = b.w_start_ms AND a.time_ms = b.time_ms AND a.key < b.key
+  GROUP BY 1, 2, 3
+  HAVING count(*) >= 2
+)
+SELECT w_start_ms, key1, key2,
+       CASE WHEN r IS NULL OR isnan(r) THEN 1.0 ELSE round(r, 6) END AS value,
+       n_points,
+       (r IS NULL OR isnan(r)) AS is_nan,
+       x_series, y_series
+FROM pairs
+"""
+
+
 # ---- wide universe: 512 instruments through the BLAS matrix kernel ------
 
 # The reference's headline is n=1000 instruments / 499,500 pairs per
