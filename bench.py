@@ -63,17 +63,30 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.count()
 
+    # Cache-lifetime policy (plans.materialize): default "cache" is the
+    # builders' normal behavior; "tracked" proves the deterministic-
+    # release path (every cached subtree unpersisted between queries)
+    # times the same; "none" disables materialization entirely.
+    from data_timeseries_java_spark.plans import (
+        TrackingPolicy, cache_policy, materialization, noop_policy)
+    policy_name = os.environ.get("SPARK_GRAFT_MATERIALIZE", "cache")
+
     n_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "5"))
     medians: dict[str, float] = {}
     detail: dict[str, dict] = {}
     for name in HEADLINE:
+        policy = {"cache": cache_policy, "none": noop_policy,
+                  "tracked": TrackingPolicy()}[policy_name]
         trials: list[float] = []
-        for i in range(n_trials + 1):  # trial 0 is the discarded warm-up
-            df = qs[name](spark, sf_dir)
-            t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            if i > 0:
-                trials.append(round(time.time() - t0, 3))
+        with materialization(policy):
+            for i in range(n_trials + 1):  # trial 0 is the discarded warm-up
+                df = qs[name](spark, sf_dir)
+                t0 = time.time()
+                df.write.format("noop").mode("overwrite").save()
+                if i > 0:
+                    trials.append(round(time.time() - t0, 3))
+        if isinstance(policy, TrackingPolicy):
+            policy.unpersist_all()
         medians[name] = round(statistics.median(trials), 3)
         detail[name] = {
             "median": medians[name],

@@ -1,0 +1,213 @@
+"""Streaming benchmark (r3 verdict ask #5): replay the sf0.1 feed
+through every streaming operator and measure steady-state micro-batch
+wall time, throughput, and state-store size.
+
+Replay shape: the events table (as ticks / raw events) and the
+documents table are split time-ordered into N_FILES parquet files; each
+operator consumes them as a file stream with ``maxFilesPerTrigger=1``
+under ``availableNow`` — so a run is N_FILES micro-batches of roughly
+equal input volume, matching the arrival-ordered feed a broker would
+deliver. Metrics come from Spark's own ``StreamingQuery.recentProgress``
+(batchDuration, numInputRows, stateOperators.numRowsTotal) — not
+driver-side stopwatches — so foreachBatch pipelines report the same way
+as native stateful operators.
+
+Prints ONE JSON line:
+  {"metric": "streaming micro-batch wall-clock", "unit": "ms",
+   "operators": {name: {batches, median_batch_ms, max_batch_ms,
+                        rows_per_sec, state_rows}}, "sf": ...}
+
+The medians land in SCALE.md "Streaming state" as the measured backing
+for its O(keys) state claims.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_FILES = 8
+
+
+def _progress_metrics(query) -> dict:
+    """Summarize recentProgress once the query terminates."""
+    batches = []
+    state_rows = 0
+    rows = 0
+    secs = 0.0
+    for p in query.recentProgress:
+        n = p.get("numInputRows", 0)
+        dur = p.get("durationMs", {}).get("triggerExecution")
+        if dur is None or n == 0:
+            continue  # empty bookkeeping triggers
+        batches.append(dur)
+        rows += n
+        secs += dur / 1000.0
+        for so in p.get("stateOperators", []) or []:
+            state_rows = max(state_rows, so.get("numRowsTotal", 0))
+    return {
+        "batches": len(batches),
+        "median_batch_ms": round(statistics.median(batches), 1) if batches else None,
+        "max_batch_ms": max(batches) if batches else None,
+        "rows_per_sec": round(rows / secs, 1) if secs else None,
+        "state_rows": state_rows,
+    }
+
+
+def _run(out_df_or_query, name: str, spark):
+    """Drive a streaming DataFrame (memory sink) or an already-started
+    query (foreachBatch pipelines) to completion; return metrics."""
+    from pyspark.sql import DataFrame
+
+    if isinstance(out_df_or_query, DataFrame):
+        q = (out_df_or_query.writeStream.format("noop")
+             .queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+             .trigger(availableNow=True).start())
+    else:
+        q = out_df_or_query
+    q.awaitTermination(600)
+    m = _progress_metrics(q)
+    q.stop()
+    return m
+
+
+def _write_replay(spark, sf_dir: str, root: str) -> tuple[str, str, str]:
+    """Split events (as ticks + raw) and documents into N_FILES
+    time-ordered files each; documents get a synthetic event time
+    (base + doc_id seconds — the table has no timestamp column)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_timeseries_java_spark.tables import events_as_ticks, load_table
+
+    ticks_dir = f"{root}/ticks"
+    events_dir = f"{root}/events"
+    docs_dir = f"{root}/docs"
+
+    ticks = events_as_ticks(spark, sf_dir).withColumn(
+        "_f", F.ntile(N_FILES).over(Window.orderBy("event_time")))
+    for i in range(1, N_FILES + 1):
+        (ticks.where(F.col("_f") == i).drop("_f").coalesce(1)
+         .write.mode("overwrite").parquet(f"{ticks_dir}/f{i:02d}"))
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_f", F.ntile(N_FILES).over(Window.orderBy("ts")))
+    for i in range(1, N_FILES + 1):
+        (ev.where(F.col("_f") == i).drop("_f").coalesce(1)
+         .write.mode("overwrite").parquet(f"{events_dir}/f{i:02d}"))
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .withColumn("ts", F.timestamp_seconds(
+                F.lit(1460000000) + F.col("doc_id"))))
+    docs = docs.withColumn(
+        "_f", (F.col("doc_id") % N_FILES) + 1)
+    for i in range(1, N_FILES + 1):
+        (docs.where(F.col("_f") == i).drop("_f").coalesce(1)
+         .write.mode("overwrite").parquet(f"{docs_dir}/f{i:02d}"))
+    return ticks_dir, events_dir, docs_dir
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from pyspark.sql import functions as F
+
+    from data_timeseries_java_spark import get_spark
+    from data_timeseries_java_spark.schemas import TICK_SCHEMA
+    from data_timeseries_java_spark.streaming import (
+        streaming_anomalies,
+        streaming_complete_candles,
+        streaming_correlations,
+        streaming_corpus_build,
+        streaming_dedup_content,
+        streaming_dedup_exact,
+        streaming_ema_applyinpandas,
+        streaming_neardup,
+        streaming_ohlc_candles,
+        streaming_realized_volatility,
+        streaming_sessions,
+    )
+    from data_timeseries_java_spark.tables import load_table
+
+    spark = get_spark("bench-stream")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="bench_stream_")
+    work = tempfile.mkdtemp(prefix="bench_stream_work_")
+    ticks_dir, events_dir, docs_dir = _write_replay(spark, sf_dir, root)
+
+    tick_src = lambda: (spark.readStream.schema(TICK_SCHEMA)  # noqa: E731
+                        .option("maxFilesPerTrigger", 1)
+                        .parquet(f"{ticks_dir}/f*"))
+    ev_schema = spark.read.parquet(f"{events_dir}/f01").schema
+    ev_src = lambda: (spark.readStream.schema(ev_schema)  # noqa: E731
+                      .option("maxFilesPerTrigger", 1)
+                      .parquet(f"{events_dir}/f*"))
+    doc_schema = spark.read.parquet(f"{docs_dir}/f01").schema
+    doc_src = lambda: (spark.readStream.schema(doc_schema)  # noqa: E731
+                       .option("maxFilesPerTrigger", 1)
+                       .parquet(f"{docs_dir}/f*"))
+    returns_src = lambda: (tick_src()  # noqa: E731
+                           .select("key", F.col("event_time").alias("time"),
+                                   F.log("ask").alias("value")))
+    eval_docs = (load_table(spark, sf_dir, "documents")
+                 .limit(50).select("doc_id", "text"))
+
+    # (name, builder) — builder returns a streaming DataFrame or a
+    # started StreamingQuery (foreachBatch pipelines)
+    ops = [
+        ("ohlc_candles", lambda: streaming_ohlc_candles(
+            tick_src(), "120 seconds")),
+        ("complete_candles_state", lambda: streaming_complete_candles(
+            tick_src(), "120 seconds")),
+        ("dedup_exact", lambda: streaming_dedup_exact(
+            ev_src(), ["user_id", "event_type"], "ts", "30 minutes")),
+        ("dedup_content", lambda: streaming_dedup_content(
+            doc_src(), "text", "ts", "30 minutes")),
+        ("ema_state", lambda: streaming_ema_applyinpandas(
+            tick_src())),
+        ("sessions", lambda: streaming_sessions(
+            ev_src(), "user_id", "ts", "30 minutes")),
+        ("realized_vol", lambda: streaming_realized_volatility(
+            returns_src(), "1 hour")),
+        ("anomalies_fb", lambda: streaming_anomalies(
+            spark, ev_src(), f"{work}/anomalies")),
+        ("neardup_fb", lambda: streaming_neardup(
+            spark, doc_src(), f"{work}/neardup")),
+        ("corpus_fb", lambda: streaming_corpus_build(
+            spark, doc_src(), eval_docs, f"{work}/corpus")),
+        ("fx_pipeline_fb", lambda: streaming_correlations(
+            spark, tick_src(), f"{work}/fx", "120 seconds")),
+    ]
+
+    results: dict[str, dict] = {}
+    for name, build in ops:
+        t0 = time.time()
+        try:
+            results[name] = _run(build(), name, spark)
+            results[name]["wall_s"] = round(time.time() - t0, 2)
+        except Exception as e:  # record, keep benching the rest
+            results[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(work, ignore_errors=True)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "streaming micro-batch wall-clock",
+        "unit": "ms",
+        "n_files": N_FILES,
+        "operators": results,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

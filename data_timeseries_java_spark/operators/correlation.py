@@ -36,6 +36,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_timeseries_java_spark.plans.materialize import materialize
+
 
 @dataclass
 class CorrelationConfig:
@@ -82,9 +84,7 @@ def pairwise_correlations(returns: DataFrame,
     micro-batch would accumulate.
     """
     cfg = config or CorrelationConfig()
-    w = _windowed(returns, cfg)
-    if cache_input:
-        w = w.cache()
+    w = materialize(_windowed(returns, cfg), cache_input)
     a, b = w.alias("a"), w.alias("b")
     joined = a.join(
         b,
@@ -265,9 +265,7 @@ def pairwise_regression(returns: DataFrame,
     Output: (window_start, window_end, key1, key2, beta, alpha, n_points).
     """
     cfg = config or CorrelationConfig()
-    w = _windowed(returns, cfg)
-    if cache_input:
-        w = w.cache()
+    w = materialize(_windowed(returns, cfg), cache_input)
     a, b = w.alias("a"), w.alias("b")
     joined = a.join(
         b,
@@ -423,8 +421,7 @@ def lead_lag_correlation(returns: DataFrame, max_lag: int = 2,
     pruning differs between the sides, so without materialization the
     whole upstream pipeline runs twice (same trade-off as
     pairwise_correlations)."""
-    if cache_input:
-        returns = returns.cache()
+    returns = materialize(returns, cache_input)
     lags = F.explode(F.array(*[F.lit(k) for k in
                                range(-max_lag, max_lag + 1)])).alias("lag")
     t_ms = F.unix_millis("time")

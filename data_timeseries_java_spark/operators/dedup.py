@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_timeseries_java_spark.operators.text import _floor6, tokens
+from data_timeseries_java_spark.plans.materialize import materialize
 
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BAND_SIZE = 4
@@ -177,8 +178,7 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
         F.collect_set("shingle").alias("sh_set"),
         *[F.min(md5_min_signature(F.col("shingle"), i)).alias(f"sig_{i}")
           for i in range(num_hashes)])
-    if cache_plan:
-        per_doc = per_doc.cache()
+    per_doc = materialize(per_doc, cache_plan)
     # cache(): the frame feeds banding AND both verification sides;
     # column-pruning makes the three subtrees differ, so Catalyst cannot
     # reuse one exchange and would re-scan + re-shingle the corpus per

@@ -31,6 +31,7 @@ from data_timeseries_java_spark.functions.vectors import (  # noqa: E402
     dot as _dot,
     norm as _norm,
 )
+from data_timeseries_java_spark.plans.materialize import materialize
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -231,10 +232,10 @@ def ann_lsh_topk(df: DataFrame, query_ids: DataFrame, k: int = 10,
     # (persist/checkpoint or a bucketed table on a cluster). Service
     # callers building this repeatedly pass cache_plan=False or clear
     # via spark.catalog.clearCache().
-    sigs = lsh_bucket_signatures(df, planes, id_col, vec_col,
-                                 n_planes, n_tables)
-    if cache_plan:
-        sigs = sigs.cache()
+    sigs = materialize(
+        lsh_bucket_signatures(df, planes, id_col, vec_col,
+                              n_planes, n_tables),
+        cache_plan)
     qsigs = sigs.join(query_ids.withColumnRenamed(id_col, id_col), id_col, "left_semi")
     cand = (qsigs.alias("q").join(sigs.alias("c"),
             (F.col("q.table") == F.col("c.table"))

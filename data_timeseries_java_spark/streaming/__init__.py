@@ -25,7 +25,24 @@ from data_timeseries_java_spark.streaming.sessions_stream import (
     sessionize,
     streaming_sessions,
 )
+from data_timeseries_java_spark.streaming.dedup_stream import (
+    streaming_dedup_content,
+    streaming_dedup_exact,
+)
+from data_timeseries_java_spark.streaming.ema_stream import (
+    streaming_ema,
+    streaming_ema_applyinpandas,
+)
+from data_timeseries_java_spark.streaming.pipeline import (
+    streaming_correlations,
+)
+from data_timeseries_java_spark.streaming.vol_stream import (
+    streaming_realized_volatility,
+)
 
 __all__ = ["streaming_ohlc_candles", "streaming_complete_candles",
            "sessionize", "streaming_sessions", "streaming_neardup",
-           "streaming_corpus_build", "streaming_anomalies"]
+           "streaming_corpus_build", "streaming_anomalies",
+           "streaming_dedup_exact", "streaming_dedup_content",
+           "streaming_ema", "streaming_ema_applyinpandas",
+           "streaming_correlations", "streaming_realized_volatility"]
