@@ -34,6 +34,7 @@ from data_timeseries_java_spark.streaming.ema_stream import (
     streaming_ema_applyinpandas,
 )
 from data_timeseries_java_spark.streaming.pipeline import (
+    read_streaming_correlations,
     streaming_correlations,
 )
 from data_timeseries_java_spark.streaming.vol_stream import (
@@ -45,4 +46,5 @@ __all__ = ["streaming_ohlc_candles", "streaming_complete_candles",
            "streaming_corpus_build", "streaming_anomalies",
            "streaming_dedup_exact", "streaming_dedup_content",
            "streaming_ema", "streaming_ema_applyinpandas",
-           "streaming_correlations", "streaming_realized_volatility"]
+           "streaming_correlations", "read_streaming_correlations",
+           "streaming_realized_volatility"]
