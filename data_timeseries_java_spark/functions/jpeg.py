@@ -1,0 +1,541 @@
+"""Pure-Python baseline JPEG codec (ITU-T T.81, numpy-vectorized).
+
+The container ships no PIL/libjpeg/ffmpeg, and the multimodal tier
+needs a REAL pixel path for the majority image format of any web-scale
+corpus — so, like ``functions/png.py``, the codec is implemented from
+the public spec: baseline sequential DCT (SOF0), standard Annex K
+quantization and Huffman tables, JFIF color space. The encoder writes
+4:4:4 (no chroma subsampling — simplest spec-conformant stream); the
+decoder additionally handles 2x1/1x2/2x2 sampling factors and restart
+markers, i.e. the streams real encoders emit for photos. Progressive
+(SOF2), arithmetic coding, and 12-bit precision raise
+``NotImplementedError`` at the boundary — same contract as the PNG
+codec's palette/interlace subset.
+
+Everything heavy is numpy: the DCT/IDCT are one ``einsum`` over all
+blocks, color conversion is array arithmetic; only the entropy coder
+walks Python-level bits (fixture-sized images in tests; a production
+deployment would swap this module for a native codec behind the same
+``decode_image`` seam).
+
+Rounding is floor(x + 0.5) ("round half up") EVERYWHERE — including
+quantization — so decoded pixel values are closed-form expressible in
+an external SQL oracle (DuckDB has no banker's-rounding guarantee for
+numpy parity; FLOOR(x + 0.5) matches exactly).
+
+Reference parity note: the reference repo has no image path at all
+(its payloads are FX ticks); this module serves the multimodal
+extension brief only.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+#: zig-zag scan order: ZIGZAG[i] = (row, col) of the i-th coefficient
+_ZZ = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+_ZZ_FLAT = np.array([r * 8 + c for r, c in _ZZ])          # block index order
+_UNZZ = np.argsort(_ZZ_FLAT)                              # inverse permutation
+
+#: Annex K base quantization tables (luminance, chrominance), zig-zag order
+_QL_BASE = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]).reshape(8, 8)
+_QC_BASE = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]).reshape(8, 8)
+
+# Annex K standard Huffman specs: (BITS[1..16], HUFFVAL)
+_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+         list(range(12)))
+_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+         list(range(12)))
+_AC_L = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_AC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+# orthonormal DCT-II matrix: dct = C @ block @ C.T, idct = C.T @ coef @ C
+_C = np.array([[np.sqrt((1.0 if u == 0 else 2.0) / 8.0)
+                * np.cos((2 * x + 1) * u * np.pi / 16.0)
+                for x in range(8)] for u in range(8)])
+
+
+def _round_half_up(x: np.ndarray) -> np.ndarray:
+    """floor(x + 0.5): deterministic, SQL-expressible (not banker's)."""
+    return np.floor(x + 0.5)
+
+
+def quality_scaled_tables(quality: int = 75) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex K tables (public libjpeg
+    formula): scale = 5000/q below 50 else 200 - 2q; entries clamped to
+    [1, 255]. Returns (luma, chroma) 8x8 int arrays."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality {quality} outside [1, 100]")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    def s(base):
+        q = (base.astype(np.int64) * scale + 50) // 100
+        return np.clip(q, 1, 255)
+    return s(_QL_BASE), s(_QC_BASE)
+
+
+def _build_huffman(bits, values):
+    """BITS/HUFFVAL → {symbol: (code, length)} per T.81 C.2."""
+    out, code = {}, 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _build_huffman_decode(bits, values):
+    """BITS/HUFFVAL → {(length, code): symbol}."""
+    enc = _build_huffman(bits, values)
+    return {(ln, code): sym for sym, (code, ln) in enc.items()}
+
+
+# ---------------------------------------------------------------- encoder
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            b = (self._acc >> self._n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:           # byte stuffing
+                self.out.append(0x00)
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value → (size category, offset bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    size = int(v if v > 0 else -v).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.clip(_round_half_up(np.stack([y, cb, cr], axis=-1)), 0, 255)
+
+
+def _ycbcr_to_rgb(px: np.ndarray) -> np.ndarray:
+    y, cb, cr = px[..., 0], px[..., 1] - 128.0, px[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(_round_half_up(np.stack([r, g, b], axis=-1)), 0, 255)
+
+
+def _plane_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float plane, H/W multiples of 8 → (n_blocks, 8, 8) in
+    raster MCU order."""
+    h, w = plane.shape
+    return (plane.reshape(h // 8, 8, w // 8, 8)
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+
+
+def _pad_edge(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
+    """Encode (H, W) / (H, W, 1) gray or (H, W, 3) RGB uint8 to a
+    baseline JFIF stream (SOF0, 4:4:4, Annex K Huffman tables)."""
+    px = np.asarray(pixels)
+    if px.ndim == 3 and px.shape[2] == 1:
+        px = px[..., 0]
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError(f"unsupported pixel shape {px.shape}")
+    h, w = px.shape[:2]
+    if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
+        raise ValueError(f"dims out of JPEG range: {w}x{h}")
+    ql, qc = quality_scaled_tables(quality)
+
+    if gray:
+        planes = [px.astype(np.float64)]
+    else:
+        ycc = _rgb_to_ycbcr(px.astype(np.float64))
+        planes = [ycc[..., i] for i in range(3)]
+
+    # all components: DCT + quantize, zig-zag order
+    comp_coefs = []
+    for ci, plane in enumerate(planes):
+        q = ql if ci == 0 else qc
+        blocks = _plane_blocks(_pad_edge(plane) - 128.0)
+        coefs = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
+        quant = _round_half_up(coefs / q).astype(np.int64)
+        comp_coefs.append(quant.reshape(-1, 64)[:, _ZZ_FLAT])
+
+    # entropy-code interleaved MCUs (4:4:4 → one block per component)
+    dc_tabs = [_build_huffman(*_DC_L)] + [_build_huffman(*_DC_C)] * 2
+    ac_tabs = [_build_huffman(*_AC_L)] + [_build_huffman(*_AC_C)] * 2
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    n_blocks = comp_coefs[0].shape[0]
+    for b in range(n_blocks):
+        for ci in range(len(planes)):
+            zz = comp_coefs[ci][b]
+            dc_tab, ac_tab = dc_tabs[ci], ac_tabs[ci]
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            size, bits = _magnitude(diff)
+            code, ln = dc_tab[size]
+            bw.write(code, ln)
+            if size:
+                bw.write(bits, size)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_tab[0xF0]      # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                size, bits = _magnitude(v)
+                code, ln = ac_tab[(run << 4) | size]
+                bw.write(code, ln)
+                bw.write(bits, size)
+                run = 0
+                if k == last_nz:
+                    break
+            if last_nz < 63:
+                code, ln = ac_tab[0x00]          # EOB
+                bw.write(code, ln)
+    bw.flush()
+
+    # ------- marker stream
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")                               # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_l = bytes(int(ql.reshape(-1)[_ZZ_FLAT][i]) for i in range(64))
+    out += seg(0xDB, b"\x00" + zz_l)                           # DQT luma
+    if not gray:
+        zz_c = bytes(int(qc.reshape(-1)[_ZZ_FLAT][i]) for i in range(64))
+        out += seg(0xDB, b"\x01" + zz_c)                       # DQT chroma
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += struct.pack(">BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+    out += seg(0xC0, sof)                                      # SOF0
+    def dht(cls, tid, spec):
+        bits, vals = spec
+        return seg(0xC4, bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals))
+    out += dht(0, 0, _DC_L) + dht(1, 0, _AC_L)
+    if not gray:
+        out += dht(0, 1, _DC_C) + dht(1, 1, _AC_C)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)                                      # SOS
+    out += bw.out
+    out += b"\xff\xd9"                                         # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- decoder
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            self._acc = self.data[self.pos]
+            self.pos += 1
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self._n = 0
+
+
+def _decode_huff(br: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: offset bits → signed value."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline sequential JFIF stream → (H, W, C) uint8
+    (C = 1 gray, 3 color). Handles 4:4:4 / 4:2:2 / 4:2:0 sampling and
+    restart markers; raises NotImplementedError for progressive (SOF2),
+    arithmetic coding, hierarchical and 12-bit streams, ValueError for
+    malformed ones."""
+    if data is None or data[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    comps = None
+    h_img = w_img = 0
+    restart_interval = 0
+    scan = None
+
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"corrupt JPEG: expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:          # EOI
+            break
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG: segment header")
+        seg_len = struct.unpack(">H", data[pos:pos + 2])[0]
+        body = data[pos + 2:pos + seg_len]
+        if len(body) != seg_len - 2:
+            raise ValueError("truncated JPEG: segment body")
+        if marker == 0xDB:          # DQT (possibly several per segment)
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                vals = np.frombuffer(body[b + 1:b + 65], dtype=np.uint8)
+                tab = np.zeros(64, dtype=np.float64)
+                tab[_ZZ_FLAT] = vals
+                qtabs[tq] = tab.reshape(8, 8)
+                b += 65
+        elif marker == 0xC4:        # DHT (possibly several per segment)
+            b = 0
+            while b < len(body):
+                cls, tid = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1:b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17:b + 17 + n])
+                htabs[(cls, tid)] = _build_huffman_decode(bits, vals)
+                b += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 baseline
+            prec, h_img, w_img, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG precision")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X})")
+        elif marker == 0xDD:        # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:        # SOS — entropy data follows
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                scan.append((cs, tabs >> 4, tabs & 0x0F))
+            pos += seg_len
+            break
+        pos += seg_len
+
+    if comps is None or scan is None:
+        raise ValueError("corrupt JPEG: missing SOF/SOS")
+    for c in comps:
+        if c["h"] not in (1, 2) or c["v"] not in (1, 2):
+            raise NotImplementedError(
+                f"sampling factors {c['h']}x{c['v']} unsupported")
+
+    # collect entropy-coded bytes (unstuff FF00, stop at a real marker)
+    entropy = bytearray()
+    restarts = []                   # byte offsets where RSTn occurred
+    p = pos
+    while p < len(data) - 1:
+        b = data[p]
+        if b == 0xFF:
+            m = data[p + 1]
+            if m == 0x00:
+                entropy.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= m <= 0xD7:   # restart marker
+                restarts.append(len(entropy))
+                p += 2
+                continue
+            break                   # EOI or next segment
+        entropy.append(b)
+        p += 1
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w_img + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h_img + 8 * vmax - 1) // (8 * vmax)
+
+    # per-component coefficient planes (padded to MCU grid)
+    planes = []
+    for c in comps:
+        pw, ph = mcux * c["h"] * 8, mcuy * c["v"] * 8
+        planes.append(np.zeros((ph, pw), dtype=np.float64))
+
+    scan_by_comp = {cs: (td, ta) for cs, td, ta in scan}
+    br = _BitReader(bytes(entropy))
+    pred = {c["id"]: 0 for c in comps}
+    n_mcu = mcux * mcuy
+    mcu_i = 0
+    restart_iter = iter(restarts)
+    next_restart = next(restart_iter, None)
+    while mcu_i < n_mcu:
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            br.align()
+            if next_restart is not None:
+                br.pos = next_restart
+                br._n = 0
+                next_restart = next(restart_iter, None)
+            pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(mcu_i, mcux)
+        for ci, c in enumerate(comps):
+            td, ta = scan_by_comp[c["id"]]
+            dc_tab = htabs.get((0, td))
+            ac_tab = htabs.get((1, ta))
+            q = qtabs.get(c["tq"])
+            if dc_tab is None or ac_tab is None or q is None:
+                raise ValueError("corrupt JPEG: missing table for scan")
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    zz = np.zeros(64, dtype=np.float64)
+                    size = _decode_huff(br, dc_tab)
+                    diff = _extend(br.bits(size), size)
+                    pred[c["id"]] += diff
+                    zz[0] = pred[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = _decode_huff(br, ac_tab)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break               # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("corrupt JPEG: AC index > 63")
+                        zz[k] = _extend(br.bits(s), s)
+                        k += 1
+                    block = np.zeros(64, dtype=np.float64)
+                    block[_ZZ_FLAT] = zz
+                    coef = block.reshape(8, 8) * q
+                    pix = _C.T @ coef @ _C + 128.0
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+        mcu_i += 1
+
+    # upsample to full resolution and crop
+    full = []
+    for ci, c in enumerate(comps):
+        pl = planes[ci]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            pl = np.repeat(np.repeat(pl, ry, axis=0), rx, axis=1)
+        full.append(pl[:h_img, :w_img])
+
+    if len(full) == 1:
+        out = np.clip(_round_half_up(full[0]), 0, 255)
+        return out.astype(np.uint8)[..., None]
+    ycc = np.stack([np.clip(_round_half_up(p), 0, 255) for p in full],
+                   axis=-1)
+    return _ycbcr_to_rgb(ycc).astype(np.uint8)

@@ -145,10 +145,19 @@ def pairwise_correlations_matrix(returns: DataFrame,
     and shuffles every pair's points; at the reference's n=1000 headline
     (499,500 pairs per slide, README.MD:41) that overhead passes the
     math itself. This path shuffles only O(n x points) rows per window
-    and hands one (points x n) matrix to BLAS. Measured on local[32],
-    12 points/window: n=300 → join 3.7s / matrix 4.3s; n=1000 → join
-    4.7s / matrix 3.9s, with the gap widening in n and points. Rule of
-    thumb: join path below a few hundred instruments, matrix path above.
+    and hands one (points x n) matrix to BLAS.
+
+    Where the crossover actually sits depends on the WINDOW COUNT, not
+    just n — the kernel's parallelism unit is one window, so a scan
+    with few slides starves it (measured, local[32], 12 points/window,
+    2 slides: n=300 join 3.7s / matrix 4.3s; n=1000 join 4.7s / matrix
+    3.9s) while a 23-slide scan at the same points/window flips it
+    (n=200 join 0.68s / matrix 0.57s; n=1000 join 4.5s / matrix 3.9s —
+    scripts/bench_wide_universe.py, SCALE.md "Kernel selection"). The
+    dispatcher's n-only rule keeps the conservative 2-slide pin: the
+    join path is never parallelism-starved, so routing small universes
+    to it bounds the worst case at ~20%, whereas routing a small-window
+    scan to the matrix kernel can cost 2x.
 
     Pairs with fewer than 2 aligned points are skipped, matching the
     join path; series are aligned positionally after time-sort (the
@@ -220,10 +229,24 @@ def pairwise_correlations_matrix(returns: DataFrame,
             "is_nan": isnan,
         }, columns=out_cols)
         if per_window_top is not None:
-            out["_vr"] = np.round(out["value"].to_numpy(), 6)
-            out = (out.sort_values(["_vr", "key1", "key2"],
-                                   ascending=[False, True, True])
-                   .head(per_window_top).drop(columns="_vr"))
+            # top-N without a full O(P log P) sort of the pair space: a
+            # partition pass finds the N-th largest rounded r, only the
+            # >= threshold survivors (N + boundary ties) get the exact
+            # lexicographic ordering. At n=1000 (499,500 pairs/window)
+            # the pandas sort_values this replaces cost more than the
+            # correlation matrix itself (measured 4.8s → 3.3s for the
+            # screened 60-min shape, scripts/bench_wide_universe.py).
+            vr = np.round(out["value"].to_numpy(), 6)
+            k = min(per_window_top, len(out))
+            if k < len(out):
+                thresh = np.partition(vr, len(vr) - k)[len(vr) - k]
+                sel = vr >= thresh
+                out = out.loc[sel]
+                vr = vr[sel]
+            k1 = out["key1"].to_numpy().astype(str)
+            k2 = out["key2"].to_numpy().astype(str)
+            order = np.lexsort((k2, k1, -vr))[:k]
+            out = out.iloc[order]
             out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
         return out
 

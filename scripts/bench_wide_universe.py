@@ -52,6 +52,7 @@ def main() -> None:
     )
     from data_timeseries_java_spark.operators.correlation import (
         pairwise_correlations_matrix,
+        rank_top_pairs,
     )
 
     n_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
@@ -61,29 +62,41 @@ def main() -> None:
     spark = get_spark("bench-wide")
     spark.sparkContext.setLogLevel("ERROR")
 
-    print(f"{'n_keys':>7s} {'pairs/slide':>12s} {'join_s':>8s} "
-          f"{'matrix_s':>9s}  winner")
+    top_n = int(os.environ.get("SPARK_GRAFT_WIDE_TOP", "100"))
+    print(f"{'n_keys':>7s} {'pairs/slide':>12s} {'shape':>10s} "
+          f"{'join_s':>8s} {'matrix_s':>9s}  winner")
     for n in NS:
         rets = synth_returns(spark, n, n_minutes).cache()
         rets.count()  # settle the cache outside the timed region
-        meds = {}
-        kernels = (
-            ("join", lambda: pairwise_correlations(rets, cfg,
-                                                   cache_input=False)),
-            ("matrix", lambda: pairwise_correlations_matrix(rets, cfg)),
-        )
-        for label, kernel in kernels:
-            trials = []
-            for i in range(n_trials + 1):  # trial 0: discarded warm-up
-                df = kernel()
-                t = time.time()
-                df.write.format("noop").mode("overwrite").save()
-                if i:
-                    trials.append(time.time() - t)
-            meds[label] = statistics.median(trials)
-        winner = min(meds, key=meds.get)
-        print(f"{n:7d} {n * (n - 1) // 2:12d} {meds['join']:8.3f} "
-              f"{meds['matrix']:9.3f}  {winner}")
+        # Two output shapes: "full" emits every pair (output-bound for
+        # the matrix kernel — O(windows x n²) rows cross the Arrow
+        # boundary); "screened" is the at-scale usage (top-N per window
+        # ranked in-kernel vs join + rank_top_pairs).
+        shapes = {
+            "full": (
+                lambda: pairwise_correlations(rets, cfg, cache_input=False),
+                lambda: pairwise_correlations_matrix(rets, cfg)),
+            "screened": (
+                lambda: rank_top_pairs(
+                    pairwise_correlations(rets, cfg, cache_input=False),
+                    top_n),
+                lambda: pairwise_correlations_matrix(
+                    rets, cfg, per_window_top=top_n)),
+        }
+        for shape, (join_k, matrix_k) in shapes.items():
+            meds = {}
+            for label, kernel in (("join", join_k), ("matrix", matrix_k)):
+                trials = []
+                for i in range(n_trials + 1):  # trial 0: discarded warm-up
+                    df = kernel()
+                    t = time.time()
+                    df.write.format("noop").mode("overwrite").save()
+                    if i:
+                        trials.append(time.time() - t)
+                meds[label] = statistics.median(trials)
+            winner = min(meds, key=meds.get)
+            print(f"{n:7d} {n * (n - 1) // 2:12d} {shape:>10s} "
+                  f"{meds['join']:8.3f} {meds['matrix']:9.3f}  {winner}")
         rets.unpersist()
 
 
