@@ -209,9 +209,64 @@ def _pad_edge(plane: np.ndarray) -> np.ndarray:
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
+def _encode_block(bw: "_BitWriter", zz: np.ndarray, pred: list, ci: int,
+                  dc_tab: dict, ac_tab: dict) -> None:
+    """Entropy-code one zig-zag block (DC delta + AC RLE) — T.81 F.1.2."""
+    diff = int(zz[0]) - pred[ci]
+    pred[ci] = int(zz[0])
+    size, bits = _magnitude(diff)
+    code, ln = dc_tab[size]
+    bw.write(code, ln)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]      # ZRL
+            bw.write(code, ln)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, ln = ac_tab[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(bits, size)
+        run = 0
+        if k == last_nz:
+            break
+    if last_nz < 63:
+        code, ln = ac_tab[0x00]          # EOB
+        bw.write(code, ln)
+
+
+def _downsample2(plane: np.ndarray) -> np.ndarray:
+    """2x2 box average (round half up) — the chroma decimation step."""
+    p = _pad_even(plane)
+    return _round_half_up(
+        (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2])
+        / 4.0)
+
+
+def _pad_even(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 75,
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
     """Encode (H, W) / (H, W, 1) gray or (H, W, 3) RGB uint8 to a
-    baseline JFIF stream (SOF0, 4:4:4, Annex K Huffman tables)."""
+    baseline JFIF stream (SOF0, Annex K Huffman tables).
+
+    ``subsample=True`` emits 4:2:0 (chroma decimated 2x2, Y sampling
+    2x2) — the layout photo encoders actually produce; default 4:4:4.
+    ``restart_interval`` > 0 inserts DRI/RSTn markers every N MCUs (the
+    error-resilience feature streaming producers use). Both exist
+    primarily so the decoder's real-stream paths are testable without a
+    native encoder in the container."""
     px = np.asarray(pixels)
     if px.ndim == 3 and px.shape[2] == 1:
         px = px[..., 0]
@@ -221,6 +276,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
     h, w = px.shape[:2]
     if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
         raise ValueError(f"dims out of JPEG range: {w}x{h}")
+    if gray:
+        subsample = False            # single component: factors are 1x1
     ql, qc = quality_scaled_tables(quality)
 
     if gray:
@@ -228,55 +285,72 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
     else:
         ycc = _rgb_to_ycbcr(px.astype(np.float64))
         planes = [ycc[..., i] for i in range(3)]
+        if subsample:
+            planes = [planes[0], _downsample2(planes[1]),
+                      _downsample2(planes[2])]
 
-    # all components: DCT + quantize, zig-zag order
-    comp_coefs = []
+    # per-component quantized blocks in raster order + block-grid dims
+    comp_coefs, comp_grid = [], []
     for ci, plane in enumerate(planes):
         q = ql if ci == 0 else qc
-        blocks = _plane_blocks(_pad_edge(plane) - 128.0)
+        if subsample and ci == 0:
+            # Y plane pads to the 16-pixel MCU grid
+            ph, pw = -plane.shape[0] % 16, -plane.shape[1] % 16
+            padded = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+        else:
+            padded = _pad_edge(plane)
+        blocks = _plane_blocks(padded - 128.0)
         coefs = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
         quant = _round_half_up(coefs / q).astype(np.int64)
         comp_coefs.append(quant.reshape(-1, 64)[:, _ZZ_FLAT])
+        comp_grid.append((padded.shape[0] // 8, padded.shape[1] // 8))
 
-    # entropy-code interleaved MCUs (4:4:4 → one block per component)
     dc_tabs = [_build_huffman(*_DC_L)] + [_build_huffman(*_DC_C)] * 2
     ac_tabs = [_build_huffman(*_AC_L)] + [_build_huffman(*_AC_C)] * 2
     bw = _BitWriter()
     pred = [0] * len(planes)
-    n_blocks = comp_coefs[0].shape[0]
-    for b in range(n_blocks):
-        for ci in range(len(planes)):
-            zz = comp_coefs[ci][b]
-            dc_tab, ac_tab = dc_tabs[ci], ac_tabs[ci]
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            size, bits = _magnitude(diff)
-            code, ln = dc_tab[size]
-            bw.write(code, ln)
-            if size:
-                bw.write(bits, size)
-            run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_tab[0xF0]      # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                size, bits = _magnitude(v)
-                code, ln = ac_tab[(run << 4) | size]
-                bw.write(code, ln)
-                bw.write(bits, size)
-                run = 0
-                if k == last_nz:
-                    break
-            if last_nz < 63:
-                code, ln = ac_tab[0x00]          # EOB
-                bw.write(code, ln)
-    bw.flush()
+    entropy = bytearray()
+    rst = 0
+
+    def flush_segment() -> None:
+        nonlocal rst
+        bw.flush()
+        entropy.extend(bw.out)
+        bw.out.clear()
+
+    if not subsample:
+        # one block per component per MCU; MCU grid == block grid
+        n_blocks = comp_coefs[0].shape[0]
+        for b in range(n_blocks):
+            if restart_interval and b and b % restart_interval == 0:
+                flush_segment()
+                entropy.extend((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                pred = [0] * len(planes)
+            for ci in range(len(planes)):
+                _encode_block(bw, comp_coefs[ci][b], pred, ci,
+                              dc_tabs[ci], ac_tabs[ci])
+    else:
+        # 4:2:0 MCU: 4 Y blocks (2x2 raster) + Cb + Cr
+        ybh, ybw = comp_grid[0]
+        mcuy, mcux = ybh // 2, ybw // 2
+        for m in range(mcuy * mcux):
+            if restart_interval and m and m % restart_interval == 0:
+                flush_segment()
+                entropy.extend((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                pred = [0] * len(planes)
+            my, mx = divmod(m, mcux)
+            for by in range(2):
+                for bx in range(2):
+                    yb = (my * 2 + by) * ybw + (mx * 2 + bx)
+                    _encode_block(bw, comp_coefs[0][yb], pred, 0,
+                                  dc_tabs[0], ac_tabs[0])
+            for ci in (1, 2):
+                cb = my * comp_grid[ci][1] + mx
+                _encode_block(bw, comp_coefs[ci][cb], pred, ci,
+                              dc_tabs[ci], ac_tabs[ci])
+    flush_segment()
 
     # ------- marker stream
     def seg(marker: int, body: bytes) -> bytes:
@@ -292,7 +366,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += struct.pack(">BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+        hv = 0x22 if (subsample and ci == 0) else 0x11
+        sof += struct.pack(">BBB", ci + 1, hv, 0 if ci == 0 else 1)
     out += seg(0xC0, sof)                                      # SOF0
     def dht(cls, tid, spec):
         bits, vals = spec
@@ -300,12 +375,14 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
     out += dht(0, 0, _DC_L) + dht(1, 0, _AC_L)
     if not gray:
         out += dht(0, 1, _DC_C) + dht(1, 1, _AC_C)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))  # DRI
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     sos += b"\x00\x3f\x00"
     out += seg(0xDA, sos)                                      # SOS
-    out += bw.out
+    out += entropy
     out += b"\xff\xd9"                                         # EOI
     return bytes(out)
 

@@ -13,12 +13,13 @@ by any standard viewer) using Sub on the first row and Up on the rest,
 so decoding always exercises the unfilter path.
 
 Exotic inputs a real deployment would hand to libpng/ffmpeg — palette,
-16-bit, interlaced PNG, JPEG, video — raise ``NotImplementedError``
-with the sniffed format named, preserving the honest stub boundary.
-JPEG gets real HEADER metadata (``jpeg_header_stats`` scans the marker
-stream for SOF0/SOF2 — width/height/components are pure-Python-cheap
-even though pixel decode still needs a native codec), so the boundary
-raise is narrowed to pixel decode only.
+16-bit, interlaced PNG, video — raise ``NotImplementedError`` with the
+sniffed format named, preserving the honest stub boundary. JPEG gets
+real HEADER metadata here (``jpeg_header_stats`` scans the marker
+stream for SOF0/SOF2) and, since round 4, real baseline PIXEL decode in
+``functions/jpeg.py``; ``decode_image`` dispatches both formats, while
+``decode_png`` itself stays PNG-only (progressive/arithmetic JPEG still
+raises inside the JPEG codec).
 
 Error contract: malformed/truncated payloads of a RECOGNIZED format
 raise ``ValueError`` (never a bare ``struct.error``/``zlib.error`` from
@@ -173,9 +174,10 @@ _JPEG_STANDALONE = {0xD8, 0x01} | set(range(0xD0, 0xD8))
 def jpeg_header_stats(data: bytes) -> tuple[int, int, int]:
     """(width, height, components) from a JPEG marker stream — parses
     SOF0 (baseline) / SOF2 (progressive) and the other SOFn variants in
-    pure Python. Pixel decode still raises at the codec boundary; this
-    narrows the unsupported surface to the pixels themselves, giving
-    real metadata for the majority format of a multimodal corpus.
+    pure Python, at scan cost (no entropy decode). Baseline pixel
+    decode lives in ``functions/jpeg.py``; progressive/arithmetic
+    streams still yield header metadata here while their pixel decode
+    raises.
 
     ValueError for malformed/truncated streams, NotImplementedError for
     non-JPEG payloads (mirrors the PNG error contract)."""
@@ -267,8 +269,8 @@ def decode_png(data: bytes) -> np.ndarray:
         raise NotImplementedError("real codec required for empty payload")
     if data[:3] == JPEG_MAGIC:
         raise NotImplementedError(
-            "JPEG pixel decode needs a native codec (header metadata is "
-            "available via jpeg_header_stats)")
+            "decode_png is PNG-only; JPEG payloads decode via "
+            "functions.jpeg.decode_jpeg (or the decode_image dispatch)")
     if data[:8] != PNG_MAGIC:
         raise NotImplementedError("unknown image format (not PNG)")
     ihdr, idat = _png_chunks(data)
@@ -302,3 +304,19 @@ def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     ri = (np.arange(height) * h) // height
     ci = (np.arange(width) * w) // width
     return pixels[ri[:, None], ci[None, :]]
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Format-dispatching pixel decode: PNG via :func:`decode_png`,
+    JPEG via :func:`functions.jpeg.decode_jpeg` — both pure-Python REAL
+    codecs — anything else raises ``NotImplementedError``. This is the
+    seam a production deployment swaps for a native codec: the
+    multimodal operators call only this."""
+    if data is None or len(data) == 0:
+        raise NotImplementedError("real codec required for empty payload")
+    if data[:8] == PNG_MAGIC:
+        return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from data_timeseries_java_spark.functions.jpeg import decode_jpeg
+        return decode_jpeg(data)
+    raise NotImplementedError("unknown image format (not PNG/JPEG)")

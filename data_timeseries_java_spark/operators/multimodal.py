@@ -25,6 +25,7 @@ from pyspark.sql import types as T
 
 from data_timeseries_java_spark.functions.png import (
     PNG_MAGIC,
+    decode_image,
     decode_png,
     encode_jpeg_header,
     encode_png,
@@ -88,19 +89,19 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
 
 
 def _decode(payload: bytes) -> tuple[int, int, int, list[float]]:
-    """Codec dispatch: PNG -> real pure-Python decode (exact dims +
-    pixel-histogram feature); JPEG/unknown-image magic -> the real
-    decoder raises NotImplementedError; other payloads -> fake."""
-    if payload is not None and payload[:8] == bytes(PNG_MAGIC):
-        pixels = decode_png(payload)
+    """Codec dispatch: PNG and baseline JPEG -> real pure-Python decode
+    (exact dims + pixel-histogram feature); progressive JPEG / unknown
+    image magic -> the real decoder raises NotImplementedError; other
+    payloads -> fake."""
+    if payload is not None and (payload[:8] == bytes(PNG_MAGIC)
+                                or payload[:3] == b"\xff\xd8\xff"):
+        pixels = decode_image(payload)
         h, w, _ch = pixels.shape
         import numpy as np
         hist = np.bincount(pixels.reshape(-1) % 8, minlength=8) \
             .astype("float64")
         hist /= hist.sum() or 1.0
         return w, h, 1, hist.tolist()
-    if payload is not None and payload[:3] == b"\xff\xd8\xff":
-        decode_png(payload)  # raises NotImplementedError (JPEG)
     return _fake_decode(payload)
 
 
@@ -200,6 +201,44 @@ def synthesize_jpeg_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame
     return ids.mapInPandas(run, JPEG_MEDIA_SCHEMA)
 
 
+def synthesize_jpeg_pixel_media(ids: DataFrame,
+                                id_col: str = "media_id") -> DataFrame:
+    """Deterministic REAL JPEG per id — full baseline streams from
+    ``encode_jpeg`` (SOI/DQT/SOF0/DHT/SOS + entropy-coded pixel data),
+    with a closed-form pixel recipe an external oracle can verify:
+
+        width  = 4 + id % 13      (4..16)
+        height = 3 + id % 7       (3..9)
+        pixels = constant gray, value v = id % 256
+
+    Constant gray is chosen because at quality 75 the Annex K luminance
+    DC quantizer is exactly 8 (floor((16*50+50)/100)) and a constant
+    block's only coefficient is DC = 8*(v-128), so quantization is
+    LOSSLESS for every v — the decoded image equals the input exactly
+    and pixel_sum = w*h*v is closed-form in the id. A hash match
+    therefore certifies the whole marker/Huffman/DCT round trip on
+    genuine entropy-coded data, not header parsing. (AC coefficients,
+    subsampling and restart markers are pinned by the codec's own
+    round-trip unit tests — their math is not SQL-expressible.)"""
+    import numpy as np
+    import pandas as pd
+
+    from data_timeseries_java_spark.functions.jpeg import encode_jpeg
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                i = int(mid)
+                w, h, v = 4 + i % 13, 3 + i % 7, i % 256
+                payloads.append(encode_jpeg(
+                    np.full((h, w), v, dtype=np.uint8), quality=75))
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return ids.mapInPandas(run, JPEG_MEDIA_SCHEMA)
+
+
 def extract_image_headers(media: DataFrame) -> DataFrame:
     """Header-tier metadata for image payloads: format sniff + width/
     height/channels from header bytes alone (PNG IHDR walk, JPEG SOF
@@ -222,8 +261,8 @@ def extract_image_headers(media: DataFrame) -> DataFrame:
 
 def decode_image_stats(media: DataFrame) -> DataFrame:
     """REAL image decode -> exact (width, height, channels, pixel_sum).
-    PNG-only by construction; anything else raises at the codec boundary
-    rather than fabricating stats."""
+    PNG and baseline JPEG decode for real; anything else raises at the
+    codec boundary rather than fabricating stats."""
     import numpy as np
     import pandas as pd
 
@@ -231,7 +270,7 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = decode_png(payload)
+                px = decode_image(payload)
                 h, w, ch = px.shape
                 rows.append((int(mid), w, h, ch,
                              int(px.sum(dtype=np.int64))))
@@ -245,10 +284,11 @@ FRAMES_SCHEMA = ("media_id long, frame_idx int, frame_ts_ms long, "
 
 def resize_images(media: DataFrame, width: int = 224,
                   height: int = 224) -> DataFrame:
-    """Resize: PNG payloads are REALLY resized (decode -> vectorized
-    nearest-neighbor index sampling -> re-encode PNG); formats needing a
-    native codec raise inside decode_png; non-image payloads keep the
-    deterministic truncate/pad fake so batch shapes stay exercised."""
+    """Resize: PNG and baseline JPEG payloads are REALLY resized
+    (decode -> vectorized nearest-neighbor index sampling -> re-encode
+    PNG); formats needing a native codec raise inside decode_image;
+    non-image payloads keep the deterministic truncate/pad fake so
+    batch shapes stay exercised."""
     import pandas as pd
 
     target = max(1, width * height // 64)
@@ -257,7 +297,7 @@ def resize_images(media: DataFrame, width: int = 224,
         if payload is None:
             raise NotImplementedError("real codec required")
         if payload[:8] == bytes(PNG_MAGIC) or payload[:3] == b"\xff\xd8\xff":
-            return encode_png(resize_nearest(decode_png(payload),
+            return encode_png(resize_nearest(decode_image(payload),
                                              width, height))
         return (payload * (target // max(len(payload), 1) + 1))[:target]
 

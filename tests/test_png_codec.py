@@ -187,9 +187,8 @@ def test_jpeg_header_error_contract():
         jpeg_header_stats(no_sof)
     with pytest.raises(NotImplementedError):
         jpeg_header_stats(b"not a jpeg")
-    # pixel decode of a real JPEG stream still raises at the boundary,
-    # but names the header path
-    with pytest.raises(NotImplementedError, match="jpeg_header_stats"):
+    # decode_png stays PNG-only and points at the JPEG codec
+    with pytest.raises(NotImplementedError, match="decode_jpeg"):
         decode_png(good)
 
 
