@@ -1,13 +1,15 @@
 """Multimodal columns: opaque binary payloads with typed metadata.
 
 Images/audio/video ride through the engine as ``binary`` columns plus a
-metadata struct (modality, byte size, content hash). PNG images get a
-REAL codec — pure-Python zlib+numpy (``functions/png.py``), no image
-library needed — so decode/resize on PNG payloads produce genuine
-pixel-accurate results. Formats that genuinely need a native library
-(JPEG, video, palette/16-bit PNG) raise ``NotImplementedError`` at the
-codec boundary; non-image payloads fall to a deterministic fake so the
-batching plumbing stays exercised on arbitrary testdata.
+metadata struct (modality, byte size, content hash). PNG, baseline
+JPEG, and PCM WAV get REAL pure-Python codecs (``functions/png.py`` /
+``jpeg.py`` / ``wav.py`` — no native library needed), so decode /
+resize / feature-extraction on those payloads produce genuine
+sample-accurate results. Formats that genuinely need a native library
+(video, progressive JPEG, palette/16-bit PNG, compressed audio) raise
+``NotImplementedError`` at the codec boundary; non-image payloads fall
+to a deterministic fake so the batching plumbing stays exercised on
+arbitrary testdata.
 
 Decode/feature-extract run as ``mapInPandas`` (per-partition Arrow
 batches): at 100 TB this is the right shape — the binary column never
@@ -339,3 +341,82 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
                 "media_id", "frame_idx", "frame_ts_ms", "frame"])
 
     return media.mapInPandas(run, FRAMES_SCHEMA)
+
+
+WAV_MEDIA_SCHEMA = "media_id long, payload binary"
+AUDIO_FEATURES_SCHEMA = ("media_id long, sample_rate int, channels int, "
+                         "n_samples int, mean_amp double, rms double, "
+                         "zero_crossings int")
+
+
+def synthesize_wav_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic REAL WAV payload per id (spec-conformant RIFF PCM16
+    via ``encode_wav``), with a closed-form sample recipe an external
+    oracle can verify:
+
+        offset     d = id % 50
+        amplitude  a = 100 + id % 100      (a > d, so the sign always
+                                            alternates)
+        samples    x[i] = d + a (even i) / d - a (odd i)
+        n          = 2 * (32 + id % 64)    (even → exact integer moments)
+        rate       = 8000 + 1000 * (id % 3)
+
+    The alternating square wave makes every audio feature closed-form:
+    mean = d, mean square = d² + a² (both exact — n is even), and the
+    signal crosses zero between every pair of samples (n - 1 sign
+    changes)."""
+    import numpy as np
+    import pandas as pd
+
+    from data_timeseries_java_spark.functions.wav import encode_wav
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                i = int(mid)
+                d, a = i % 50, 100 + i % 100
+                n = 2 * (32 + i % 64)
+                rate = 8000 + 1000 * (i % 3)
+                x = np.full(n, d, dtype=np.int16)
+                x[0::2] += a
+                x[1::2] -= a
+                payloads.append(encode_wav(x, rate))
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return ids.mapInPandas(run, WAV_MEDIA_SCHEMA)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode WAV payloads and extract waveform features (channel-mean
+    amplitude, RMS, zero-crossing count) via mapInPandas — REAL sample
+    arithmetic on the decoded PCM array, Arrow-batched like the image
+    tier. Floats are rounded floor(x·10⁶ + 0.5)/10⁶ so an external SQL
+    oracle reproduces them bit-for-bit (same contract as the JPEG
+    codec's rounding)."""
+    import numpy as np
+    import pandas as pd
+
+    from data_timeseries_java_spark.functions.wav import decode_wav
+
+    def _r6(x: float) -> float:
+        return float(np.floor(x * 1_000_000 + 0.5) / 1_000_000)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = decode_wav(payload)
+                n, ch = samples.shape
+                mono = samples.astype(np.float64).mean(axis=1)
+                mean = float(mono.mean())
+                rms = float(np.sqrt(np.mean(mono * mono)))
+                zc = int(np.count_nonzero(mono[:-1] * mono[1:] < 0))
+                rows.append((int(mid), rate, ch, n,
+                             _r6(mean), _r6(rms), zc))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "sample_rate", "channels", "n_samples",
+                "mean_amp", "rms", "zero_crossings"])
+
+    return media.mapInPandas(run, AUDIO_FEATURES_SCHEMA)

@@ -20,13 +20,16 @@ from pyspark.sql import functions as F
 
 from data_timeseries_java_spark.operators.multimodal import (
     attach_binary_metadata,
+    audio_features,
     decode_features,
     decode_image_stats,
     documents_as_media,
     extract_image_headers,
+    resize_images,
     synthesize_jpeg_media,
     synthesize_jpeg_pixel_media,
     synthesize_png_media,
+    synthesize_wav_media,
 )
 from data_timeseries_java_spark.tables import load_table
 
@@ -99,12 +102,44 @@ def q_media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_stats(media)
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end resize path, hash-checked: synthesize a real PNG per
+    doc_id → decode → nearest-neighbor resize to 8x6 → re-encode PNG →
+    decode the RESIZED payload back and report its pixel stats. The
+    nearest-neighbor index map is closed-form (ri = (r*h)//6, and the
+    fixture's pixel value depends only on the source row: base + ri),
+    so the oracle recomputes the resized pixel_sum exactly — four codec
+    passes and the resampling arithmetic all sit on the hash path."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_png_media(
+        docs.select(F.col("doc_id").alias("media_id"))) \
+        .withColumn("modality", F.lit("image"))
+    resized = resize_images(media, width=8, height=6).select(
+        "media_id", F.col("resized").alias("payload"))
+    return decode_image_stats(resized)
+
+
+def q_media_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio path end-to-end: synthesize a spec-conformant RIFF
+    PCM16 WAV per doc_id (alternating square wave, closed-form recipe),
+    decode the samples back with the pure-Python WAV codec, and extract
+    waveform features. Mean (= offset d), RMS (= sqrt(d² + a²)) and the
+    zero-crossing count (= n − 1) are all closed-form in doc_id, so the
+    oracle hash-matches genuine decoded-sample arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_wav_media(
+        docs.select(F.col("doc_id").alias("media_id")))
+    return audio_features(media)
+
+
 QUERIES = {
     "media_metadata": q_media_metadata,
     "media_decode_features": q_media_decode_features,
     "media_png_decode": q_media_png_decode,
     "media_jpeg_header": q_media_jpeg_header,
     "media_jpeg_decode": q_media_jpeg_decode,
+    "media_resize": q_media_resize,
+    "media_wav_features": q_media_wav_features,
 }
 
 ORACLE = {
@@ -174,5 +209,49 @@ SELECT doc_id AS media_id,
        CAST((4 + doc_id % 13) * (3 + doc_id % 7) * (doc_id % 256)
             AS BIGINT) AS pixel_sum
 FROM documents
+""",
+    # media_resize: nearest-neighbor to 8x6 — resized pixel[r,*,*] =
+    # base + (r*h)//6 (value depends only on the source row), so
+    # pixel_sum = ch * 8 * SUM_{r=0..5}(base + (r*h)//6)
+    "media_resize": """
+WITH d AS (
+  SELECT doc_id,
+         CAST(3 + doc_id % 7 AS BIGINT) AS h,
+         CAST(doc_id % 200 AS BIGINT) AS base,
+         CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+              AS INT) AS ch
+  FROM documents
+), s AS (
+  SELECT d.doc_id, SUM(d.base + (r.r * d.h) // 6) AS rowsum
+  FROM d CROSS JOIN (SELECT unnest(range(6)) AS r) r
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id AS media_id,
+       CAST(8 AS INT) AS width,
+       CAST(6 AS INT) AS height,
+       d.ch AS channels,
+       CAST(d.ch * 8 * s.rowsum AS BIGINT) AS pixel_sum
+FROM d JOIN s USING (doc_id)
+""",
+    # media_wav_features: alternating square wave d ± a over an even n
+    # → mean = d, mean square = d² + a² (exact), n − 1 sign changes;
+    # floats rounded floor(x·1e6 + 0.5)/1e6 on both engines
+    "media_wav_features": """
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 50 AS DOUBLE) AS off,
+         CAST(100 + doc_id % 100 AS DOUBLE) AS amp,
+         CAST(2 * (32 + doc_id % 64) AS INT) AS n,
+         CAST(8000 + 1000 * (doc_id % 3) AS INT) AS rate
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       rate AS sample_rate,
+       CAST(1 AS INT) AS channels,
+       n AS n_samples,
+       FLOOR(off * 1000000 + 0.5) / 1000000 AS mean_amp,
+       FLOOR(sqrt(off * off + amp * amp) * 1000000 + 0.5) / 1000000 AS rms,
+       CAST(n - 1 AS INT) AS zero_crossings
+FROM d
 """,
 }
