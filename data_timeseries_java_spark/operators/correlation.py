@@ -192,25 +192,40 @@ def pairwise_correlations_matrix(returns: DataFrame,
                     "value", "x_count", "y_count", "is_nan"]
         if per_window_top is not None:
             out_cols = out_cols + ["rank"]
-        # points x instruments matrix, positionally aligned by time
-        mat = pdf.pivot_table(index="time", columns="key", values="value",
-                              aggfunc="first")
+        # points x instruments matrix, positionally aligned by time.
+        # factorize + direct index assignment, NOT pivot_table — the
+        # pandas pivot machinery cost more than the correlation at
+        # n=512 (measured 7.6ms vs 1.7ms per window)
+        ti, _tu = pd.factorize(pdf["time"], sort=True)
+        ki, ku = pd.factorize(pdf["key"], sort=True)
+        m = np.full((len(_tu), len(ku)), np.nan)
+        m[ti, ki] = pdf["value"].to_numpy()
         # drop instruments with <2 observations; require full alignment
-        mat = mat.dropna(axis=1, thresh=2)
-        if mat.shape[1] < 2:
+        col_counts = np.count_nonzero(~np.isnan(m), axis=0)
+        keep_cols = col_counts >= 2
+        m = m[:, keep_cols]
+        keys = np.asarray(ku)[keep_cols]
+        if len(keys) < 2:
             return pd.DataFrame(columns=out_cols)
-        keys = np.asarray(mat.columns)
-        # pairwise aligned-overlap counts via the notna-mask Gram matrix:
-        # min(per-column counts) would overstate the sample size on
-        # non-gap-filled input, and a pair with <2 overlapping points
-        # (but >=2 each) must be DROPPED like the join path drops it,
-        # not emitted as a NaN row
-        mask = mat.notna().to_numpy().astype(np.int64)
-        overlap = mask.T @ mask
-        with np.errstate(all="ignore"):
-            # pairwise-complete correlation (aligned series post gap-fill
-            # are complete anyway)
-            r = mat.corr(method="pearson", min_periods=2).to_numpy()
+        n_pts = m.shape[0]
+        if not np.isnan(m).any():
+            # complete matrix (the post-gap-fill norm): straight BLAS
+            # corrcoef, full overlap counts — no mask Gram matrix needed
+            overlap = np.full((len(keys), len(keys)), n_pts,
+                              dtype=np.int64)
+            with np.errstate(all="ignore"):
+                r = np.corrcoef(m.T)
+        else:
+            # pairwise aligned-overlap counts via the notna-mask Gram
+            # matrix: min(per-column counts) would overstate the sample
+            # size on non-gap-filled input, and a pair with <2
+            # overlapping points (but >=2 each) must be DROPPED like
+            # the join path drops it, not emitted as a NaN row
+            mat = pd.DataFrame(m, columns=keys)
+            mask = (~np.isnan(m)).astype(np.int64)
+            overlap = mask.T @ mask
+            with np.errstate(all="ignore"):
+                r = mat.corr(method="pearson", min_periods=2).to_numpy()
         head = pdf.iloc[0]
         # vectorized upper-triangle extraction — a Python pair loop at
         # n=1000 (499,500 pairs) costs more than the correlation itself
@@ -220,34 +235,42 @@ def pairwise_correlations_matrix(returns: DataFrame,
         npts = overlap[iu, ju]
         keep = (npts >= 2) & np.where(isnan, propagate, np.abs(v) >= min_corr)
         iu, ju, v, isnan, npts = iu[keep], ju[keep], v[keep], isnan[keep], npts[keep]
+        val = np.where(isnan, 1.0, v)
+        rank = None
+        if per_window_top is not None:
+            # top-N entirely on numpy arrays BEFORE any pandas frame or
+            # key-string materialization exists (at n=512 the discarded
+            # 130k-row frame per window cost more than the screen): a
+            # partition pass finds the N-th largest rounded r, then only
+            # the >= threshold survivors (N + boundary ties) get key
+            # strings and the exact lexicographic ordering. At n=1000
+            # (499,500 pairs/window) the pandas sort_values this
+            # replaces cost more than the correlation matrix itself
+            # (measured 4.8s → 3.3s, scripts/bench_wide_universe.py).
+            vr = np.round(val, 6)
+            k = min(per_window_top, len(vr))
+            if k < len(vr):
+                thresh = np.partition(vr, len(vr) - k)[len(vr) - k]
+                sel = vr >= thresh
+                iu, ju, val, isnan, npts, vr = (
+                    iu[sel], ju[sel], val[sel], isnan[sel], npts[sel],
+                    vr[sel])
+            k1s = keys[iu].astype(str)
+            k2s = keys[ju].astype(str)
+            order = np.lexsort((k2s, k1s, -vr))[:k]
+            iu, ju, val, isnan, npts = (iu[order], ju[order], val[order],
+                                        isnan[order], npts[order])
+            rank = np.arange(1, len(iu) + 1, dtype=np.int64)
         out = pd.DataFrame({
             "window_start": head["window_start"],
             "window_end": head["window_end"],
             "key1": keys[iu], "key2": keys[ju],
-            "value": np.where(isnan, 1.0, v),
+            "value": val,
             "x_count": npts.astype("int32"), "y_count": npts.astype("int32"),
             "is_nan": isnan,
-        }, columns=out_cols)
-        if per_window_top is not None:
-            # top-N without a full O(P log P) sort of the pair space: a
-            # partition pass finds the N-th largest rounded r, only the
-            # >= threshold survivors (N + boundary ties) get the exact
-            # lexicographic ordering. At n=1000 (499,500 pairs/window)
-            # the pandas sort_values this replaces cost more than the
-            # correlation matrix itself (measured 4.8s → 3.3s for the
-            # screened 60-min shape, scripts/bench_wide_universe.py).
-            vr = np.round(out["value"].to_numpy(), 6)
-            k = min(per_window_top, len(out))
-            if k < len(out):
-                thresh = np.partition(vr, len(vr) - k)[len(vr) - k]
-                sel = vr >= thresh
-                out = out.loc[sel]
-                vr = vr[sel]
-            k1 = out["key1"].to_numpy().astype(str)
-            k2 = out["key2"].to_numpy().astype(str)
-            order = np.lexsort((k2, k1, -vr))[:k]
-            out = out.iloc[order]
-            out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        }, columns=[c for c in out_cols if c != "rank"])
+        if rank is not None:
+            out["rank"] = rank
         return out
 
     schema = ("window_start timestamp, window_end timestamp, "
