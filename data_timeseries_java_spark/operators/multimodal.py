@@ -2,11 +2,12 @@
 
 Images/audio/video ride through the engine as ``binary`` columns plus a
 metadata struct (modality, byte size, content hash). PNG, baseline
-JPEG, and PCM WAV get REAL pure-Python codecs (``functions/png.py`` /
-``jpeg.py`` / ``wav.py`` — no native library needed), so decode /
-resize / feature-extraction on those payloads produce genuine
-sample-accurate results. Formats that genuinely need a native library
-(video, progressive JPEG, palette/16-bit PNG, compressed audio) raise
+JPEG, PCM WAV, and MJPEG-AVI video get REAL pure-Python codecs
+(``functions/png.py`` / ``jpeg.py`` / ``wav.py`` / ``avi.py`` — no
+native library needed), so decode / resize / feature-extraction /
+frame-demux on those payloads produce genuine sample-accurate results.
+Formats that genuinely need a native library (inter-frame video codecs,
+progressive JPEG, palette/16-bit PNG, compressed audio) raise
 ``NotImplementedError`` at the codec boundary; non-image payloads fall
 to a deterministic fake so the batching plumbing stays exercised on
 arbitrary testdata.
@@ -318,24 +319,43 @@ def resize_images(media: DataFrame, width: int = 224,
 
 def sample_frames(media: DataFrame, n_frames: int = 4,
                   frame_interval_ms: int = 1000) -> DataFrame:
-    """Frame-sampling stub (video → n evenly spaced frames). The fake
-    slices the payload into n chunks; a real decoder (ffmpeg) replaces
-    `_frames`. One input row → n output rows, the real fan-out shape."""
+    """Frame sampling (video → n evenly spaced frames). MJPEG-AVI
+    payloads are REALLY demuxed (``functions/avi.py``): n evenly spaced
+    frames picked from the movi list, timestamps from the container's
+    own frame rate. Other payloads keep the deterministic slice fake so
+    the fan-out plumbing stays exercised; inter-frame codecs would need
+    ffmpeg and raise inside the demuxer. One input row → n output rows,
+    the real fan-out shape."""
     import pandas as pd
+
+    from data_timeseries_java_spark.functions.avi import (
+        avi_header_stats,
+        decode_avi_frames,
+    )
 
     def _frames(payload: bytes):
         if payload is None:
             raise NotImplementedError("real codec required")
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            all_frames = decode_avi_frames(payload)
+            _w, _h, _n, fps = avi_header_stats(payload)
+            step_ms = 1000 // max(fps, 1)
+            # n evenly spaced picks (nearest-index sampling, like
+            # resize_nearest does spatially)
+            idx = [(k * len(all_frames)) // n_frames
+                   for k in range(n_frames)]
+            return [(all_frames[i], i * step_ms) for i in idx]
         step = max(1, len(payload) // n_frames)
-        return [payload[i * step:(i + 1) * step] or payload[-step:]
+        return [(payload[i * step:(i + 1) * step] or payload[-step:],
+                 i * frame_interval_ms)
                 for i in range(n_frames)]
 
     def run(batches):
         for pdf in batches:
             rows = [
-                (mid, i, i * frame_interval_ms, fr)
+                (mid, i, ts, fr)
                 for mid, payload in zip(pdf["media_id"], pdf["payload"])
-                for i, fr in enumerate(_frames(payload))
+                for i, (fr, ts) in enumerate(_frames(payload))
             ]
             yield pd.DataFrame(rows, columns=[
                 "media_id", "frame_idx", "frame_ts_ms", "frame"])
@@ -420,3 +440,70 @@ def audio_features(media: DataFrame) -> DataFrame:
                 "mean_amp", "rms", "zero_crossings"])
 
     return media.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+AVI_MEDIA_SCHEMA = "media_id long, payload binary"
+FRAME_STATS_SCHEMA = ("media_id long, frame_idx int, width int, "
+                      "height int, pixel_sum long")
+
+
+def synthesize_avi_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic REAL video payload per id: a spec-conformant
+    Motion-JPEG AVI (``functions/avi.py``) whose frames are baseline
+    JPEGs from ``encode_jpeg``, with a closed-form recipe:
+
+        width    = 8 + id % 9           (8..16)
+        height   = 6 + id % 5           (6..10)
+        n_frames = 2 + id % 4           (2..5)
+        frame f  = constant gray, value (id + 17*f) % 256
+
+    Constant gray at quality 75 round-trips bit-exact (see
+    synthesize_jpeg_pixel_media), so every frame's pixel_sum is
+    closed-form in (id, f) and an external oracle can verify genuine
+    demux + entropy decode of a real video container."""
+    import numpy as np
+    import pandas as pd
+
+    from data_timeseries_java_spark.functions.avi import encode_avi_mjpeg
+    from data_timeseries_java_spark.functions.jpeg import encode_jpeg
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                i = int(mid)
+                w, h, nf = 8 + i % 9, 6 + i % 5, 2 + i % 4
+                frames = [encode_jpeg(
+                    np.full((h, w), (i + 17 * f) % 256, dtype=np.uint8),
+                    quality=75) for f in range(nf)]
+                payloads.append(encode_avi_mjpeg(frames, w, h, fps=10))
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return ids.mapInPandas(run, AVI_MEDIA_SCHEMA)
+
+
+def video_frame_stats(media: DataFrame) -> DataFrame:
+    """REAL video path: demux the AVI movi list, decode every MJPEG
+    frame with the baseline JPEG codec, and emit per-frame pixel stats.
+    One input row fans out to n_frames output rows (the video shape);
+    mapInPandas keeps the container bytes on the executor."""
+    import numpy as np
+    import pandas as pd
+
+    from data_timeseries_java_spark.functions.avi import decode_avi_frames
+    from data_timeseries_java_spark.functions.jpeg import decode_jpeg
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for fi, frame in enumerate(decode_avi_frames(payload)):
+                    px = decode_jpeg(frame)
+                    h, w, _ch = px.shape
+                    rows.append((int(mid), fi, w, h,
+                                 int(px.sum(dtype=np.int64))))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "width", "height", "pixel_sum"])
+
+    return media.mapInPandas(run, FRAME_STATS_SCHEMA)

@@ -26,10 +26,12 @@ from data_timeseries_java_spark.operators.multimodal import (
     documents_as_media,
     extract_image_headers,
     resize_images,
+    synthesize_avi_media,
     synthesize_jpeg_media,
     synthesize_jpeg_pixel_media,
     synthesize_png_media,
     synthesize_wav_media,
+    video_frame_stats,
 )
 from data_timeseries_java_spark.tables import load_table
 
@@ -132,6 +134,21 @@ def q_media_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(media)
 
 
+def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video path end-to-end: synthesize a Motion-JPEG AVI per
+    doc_id (a genuine RIFF container holding 2-5 baseline JPEG frames),
+    demux the movi list, decode every frame with the pure-Python JPEG
+    codec, and emit per-frame pixel stats. One doc fans out to n_frames
+    rows, and each frame's pixel_sum is closed-form in (doc_id, frame)
+    — a hash match certifies container demux + entropy decode of real
+    video data. Inter-frame codecs (H.264 …) stay behind the
+    NotImplementedError boundary where they belong."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_avi_media(
+        docs.select(F.col("doc_id").alias("media_id")))
+    return video_frame_stats(media)
+
+
 QUERIES = {
     "media_metadata": q_media_metadata,
     "media_decode_features": q_media_decode_features,
@@ -140,6 +157,7 @@ QUERIES = {
     "media_jpeg_decode": q_media_jpeg_decode,
     "media_resize": q_media_resize,
     "media_wav_features": q_media_wav_features,
+    "media_video_frames": q_media_video_frames,
 }
 
 ORACLE = {
@@ -253,5 +271,19 @@ SELECT doc_id AS media_id,
        FLOOR(sqrt(off * off + amp * amp) * 1000000 + 0.5) / 1000000 AS rms,
        CAST(n - 1 AS INT) AS zero_crossings
 FROM d
+""",
+    # media_video_frames: one row per (doc, frame); constant-gray MJPEG
+    # frames at quality 75 decode bit-exact (same DC argument as
+    # media_jpeg_decode), so pixel_sum = w*h*((doc_id + 17*f) % 256)
+    "media_video_frames": """
+SELECT d.doc_id AS media_id,
+       CAST(f.f AS INT) AS frame_idx,
+       CAST(8 + d.doc_id % 9 AS INT) AS width,
+       CAST(6 + d.doc_id % 5 AS INT) AS height,
+       CAST((8 + d.doc_id % 9) * (6 + d.doc_id % 5)
+            * ((d.doc_id + 17 * f.f) % 256) AS BIGINT) AS pixel_sum
+FROM documents d
+JOIN (SELECT unnest(range(5)) AS f) f
+  ON f.f < 2 + d.doc_id % 4
 """,
 }
