@@ -34,6 +34,7 @@ from data_timeseries_java_spark.streaming.ema_stream import (
     streaming_ema_applyinpandas,
 )
 from data_timeseries_java_spark.streaming.pipeline import (
+    compact_correlation_store,
     read_streaming_correlations,
     streaming_correlations,
 )
@@ -47,4 +48,5 @@ __all__ = ["streaming_ohlc_candles", "streaming_complete_candles",
            "streaming_dedup_exact", "streaming_dedup_content",
            "streaming_ema", "streaming_ema_applyinpandas",
            "streaming_correlations", "read_streaming_correlations",
+           "compact_correlation_store",
            "streaming_realized_volatility"]

@@ -20,9 +20,9 @@ standard production pattern for "aggregate of an aggregate" streams:
    latest-batch-per-window at read time. A per-slide partitioned store
    was measured 15-19s/micro-batch at sf0.1 — ~1,100 tiny directories
    rewritten per trigger, pure filesystem cost; the log layout writes
-   one directory and cut the trigger to a 3.5s median (5.3x). Periodic
-   folding into a compacted snapshot is
-   ``sources.writers.compact_parquet``'s job.
+   one directory and cut the trigger to a 3.5s median (5.3x).
+   :func:`compact_correlation_store` periodically folds the log into
+   one superseding batch so the read-time resolve stays bounded.
 
 At 100 TB the same shape holds: the recompute scans only the affected
 time range (min/max predicate reaches the parquet scan) and the pair
@@ -182,3 +182,38 @@ def read_streaming_correlations(spark: SparkSession,
     return (df.withColumn("_latest", latest)
             .where(F.col("batch_id") == F.col("_latest"))
             .drop("batch_id", "_latest"))
+
+
+def compact_correlation_store(spark: SparkSession, work_dir: str) -> dict:
+    """Fold the log-structured correlation store to one superseding
+    batch: resolve the current snapshot (latest batch per window), write
+    it as a single new ``batch_id`` partition numbered above every
+    existing one, then drop the superseded batch directories. Bounds the
+    read-time resolve cost after long runs — the maintenance pass that
+    pairs with ``sources.writers.compact_parquet`` the way minor
+    compaction pairs with an LSM tree.
+
+    Readers racing the final directory removal on plain parquet may see
+    a batch twice; ``read_streaming_correlations`` is idempotent to that
+    (latest-batch filter), so the only hazard window is a reader listing
+    directories mid-delete — on an ACID table format this whole function
+    is a MERGE/OPTIMIZE call instead. Returns {batches_before,
+    batches_after, rows} for observability.
+    """
+    import os
+    import shutil
+
+    corr_path = f"{work_dir}/correlations"
+    batches = sorted(d for d in os.listdir(corr_path)
+                     if d.startswith("batch_id="))
+    if len(batches) <= 1:
+        return {"batches_before": len(batches), "batches_after": len(batches),
+                "rows": None}
+    snapshot = read_streaming_correlations(spark, work_dir)
+    new_id = max(int(b.split("=", 1)[1]) for b in batches) + 1
+    out_dir = f"{corr_path}/batch_id={new_id}"
+    snapshot.write.mode("overwrite").parquet(out_dir)
+    rows = spark.read.parquet(out_dir).count()
+    for b in batches:
+        shutil.rmtree(os.path.join(corr_path, b), ignore_errors=True)
+    return {"batches_before": len(batches), "batches_after": 1, "rows": rows}

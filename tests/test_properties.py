@@ -94,3 +94,58 @@ def test_candle_invariants_random_streams(spark, ticks):
     # every (observed window x key) is covered after gap fill
     n_windows = len({(c.window_start) for c in candles})
     assert all(len(cs) == n_windows for cs in by_key.values())
+
+
+# ---------------------------------------------------------------- codecs
+
+@given(st.integers(0, 255), st.integers(1, 40), st.integers(1, 40))
+@settings(max_examples=40, deadline=None)
+def test_jpeg_constant_gray_exact_any_dims(v, w, h):
+    """Every constant gray value at every dimension round-trips
+    bit-exact at quality 75 (the media_jpeg_decode oracle contract —
+    padding, Huffman, DCT and un-padding all on the path)."""
+    import numpy as np
+
+    from data_timeseries_java_spark.functions.jpeg import (
+        decode_jpeg, encode_jpeg)
+
+    img = np.full((h, w), v, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, 75))
+    assert out.shape == (h, w, 1) and bool(np.all(out[..., 0] == v))
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+       st.integers(1, 4), st.sampled_from([8000, 16000, 44100]))
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_exact_any_pcm(vals, ch, rate):
+    """Arbitrary int16 PCM round-trips bit-exact through the WAV codec
+    at any channel count / sample rate."""
+    import numpy as np
+
+    from data_timeseries_java_spark.functions.wav import (
+        decode_wav, encode_wav)
+
+    n = len(vals) - len(vals) % ch
+    if n == 0:
+        n, vals = ch, (vals * ch)[:ch]
+    arr = np.array(vals[:n], dtype=np.int16).reshape(-1, ch)
+    out, got_rate = decode_wav(encode_wav(arr, rate))
+    assert got_rate == rate and np.array_equal(out, arr)
+
+
+@given(st.lists(st.integers(0, 255), min_size=1, max_size=6),
+       st.integers(1, 16), st.integers(1, 16))
+@settings(max_examples=25, deadline=None)
+def test_avi_demux_returns_frames_verbatim(frame_vals, w, h):
+    """The AVI container returns every MJPEG frame byte-for-byte, in
+    order, for any frame count and dimensions."""
+    import numpy as np
+
+    from data_timeseries_java_spark.functions.avi import (
+        decode_avi_frames, encode_avi_mjpeg)
+    from data_timeseries_java_spark.functions.jpeg import encode_jpeg
+
+    frames = [encode_jpeg(np.full((h, w), v, np.uint8), 75)
+              for v in frame_vals]
+    avi = encode_avi_mjpeg(frames, w, h)
+    assert decode_avi_frames(avi) == frames

@@ -130,3 +130,53 @@ def test_streaming_correlations_sparse_feed_matches_batch(spark):
         assert len(got_map) > 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compact_correlation_store(spark):
+    """Folding the log store to one batch preserves the snapshot
+    exactly and drops superseded directories."""
+    import os
+    import random
+    from datetime import datetime, timezone
+
+    from data_timeseries_java_spark.fixtures import demo_tick_rows
+    from data_timeseries_java_spark.streaming.pipeline import (
+        compact_correlation_store,
+    )
+
+    d = tempfile.mkdtemp(prefix="spipe_compact_")
+    try:
+        rng = random.Random(23)
+        rows = demo_tick_rows()
+        buckets = [[], [], []]
+        for r in rows:
+            buckets[min(r[1].minute // 4, 2)].append(r)
+        for i, b in enumerate(buckets):
+            rng.shuffle(b)
+            spark.createDataFrame(b, TICK_SCHEMA).coalesce(1).write.mode(
+                "overwrite").parquet(f"{d}/in/f{i}")
+        sentinel = [("ZZ-SENTINEL", datetime(2016, 6, 1, tzinfo=timezone.utc),
+                     1.0, 1.0, True)]
+        spark.createDataFrame(sentinel, TICK_SCHEMA).coalesce(1).write.mode(
+            "overwrite").parquet(f"{d}/in/f3")
+        src = (spark.readStream.schema(TICK_SCHEMA)
+               .option("maxFilesPerTrigger", 1).parquet(f"{d}/in/f*"))
+        q = streaming_correlations(spark, src, f"{d}/out",
+                                   resolution="120 seconds", config=CFG)
+        q.awaitTermination(180)
+
+        before = {tuple(r) for r in
+                  read_streaming_correlations(spark, f"{d}/out").collect()}
+        stats = compact_correlation_store(spark, f"{d}/out")
+        assert stats["batches_before"] > 1 and stats["batches_after"] == 1
+        dirs = [x for x in os.listdir(f"{d}/out/correlations")
+                if x.startswith("batch_id=")]
+        assert len(dirs) == 1
+        after = {tuple(r) for r in
+                 read_streaming_correlations(spark, f"{d}/out").collect()}
+        assert after == before and len(after) == stats["rows"]
+        # idempotent: a second compaction is a no-op
+        assert compact_correlation_store(spark, f"{d}/out")[
+            "batches_after"] == 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
