@@ -95,3 +95,51 @@ def test_compact_parquet_keeps_partition_layout(spark, tmpd):
     assert after.where(F.col("day") == 2).count() == 250
     import pathlib
     assert (pathlib.Path(path) / "day=2").is_dir()
+
+
+def test_read_ticks_orc_roundtrip(spark, tmp_path):
+    """ORC sink/source parity with the parquet tick path."""
+    from data_timeseries_java_spark.fixtures import demo_ticks
+    from data_timeseries_java_spark.sources.readers import read_ticks_orc
+
+    ticks = demo_ticks(spark)
+    ticks.write.mode("overwrite").orc(str(tmp_path / "orc"))
+    back = read_ticks_orc(spark, str(tmp_path / "orc"))
+    assert {tuple(r) for r in back.collect()} == \
+        {tuple(r) for r in ticks.collect()}
+
+
+def test_range_clustered_files_are_disjoint(spark, tmp_path):
+    """write_range_clustered: every parquet file covers a disjoint
+    value range of the clustering column (checked from the REAL footer
+    statistics via pyarrow), so range predicates skip whole files."""
+    import pyarrow.parquet as pq
+
+    from data_timeseries_java_spark.sources.writers import (
+        write_range_clustered,
+    )
+
+    df = spark.range(10_000).select(
+        (F.col("id") * 7919 % 10_000).alias("v"),  # shuffled values
+        F.col("id").alias("payload"))
+    out = str(tmp_path / "clustered")
+    write_range_clustered(df, out, ["v"], n_files=4)
+
+    import glob
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "v"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"file ranges overlap: {ranges}"
+    # and a range filter prunes to ~1 file's worth of splits
+    got = spark.read.parquet(out).where(F.col("v") < 100).count()
+    assert got == 100
