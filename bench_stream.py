@@ -160,6 +160,12 @@ def main() -> None:
                                    F.log("ask").alias("value")))
     eval_docs = (load_table(spark, sf_dir, "documents")
                  .limit(50).select("doc_id", "text"))
+    # instrument universe for the fx pipeline's global gap-fill mode
+    # (events are a SPARSE feed: per-key mode would fabricate candles
+    # for globally-dead windows and diverge from batch semantics)
+    universe = [r.key for r in
+                spark.read.parquet(f"{ticks_dir}/f*")
+                .select("key").distinct().collect()]
 
     # (name, builder) — builder returns a streaming DataFrame or a
     # started StreamingQuery (foreachBatch pipelines)
@@ -185,7 +191,8 @@ def main() -> None:
         ("corpus_fb", lambda: streaming_corpus_build(
             spark, doc_src(), eval_docs, f"{work}/corpus")),
         ("fx_pipeline_fb", lambda: streaming_correlations(
-            spark, tick_src(), f"{work}/fx", "120 seconds")),
+            spark, tick_src(), f"{work}/fx", "120 seconds",
+            universe=universe)),
     ]
 
     results: dict[str, dict] = {}
