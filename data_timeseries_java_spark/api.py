@@ -144,3 +144,61 @@ class CorpusEngine:
             quality_min=o.quality_min, time_col=time_col,
             watermark=o.dedup_watermark, decon_k=o.decon_k,
             decon_min_overlap=o.decon_min_overlap)
+
+
+class MediaEngine:
+    """Multimodal tier over (media_id, payload[, modality]) DataFrames —
+    the binary-column sibling of FXEngine/CorpusEngine. Every method is
+    a lazy plan over Arrow-batched codec operators; the four REAL
+    pure-Python codecs (PNG / baseline JPEG / PCM WAV / MJPEG-AVI) are
+    engaged by payload magic, and formats that genuinely need a native
+    library raise ``NotImplementedError`` inside the executor task
+    rather than fabricating output."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def metadata(self, media: DataFrame) -> DataFrame:
+        """Byte length + content hash — JVM built-ins only (the cheap
+        100 TB metadata pass; no payload ever crosses to Python)."""
+        from data_timeseries_java_spark.operators.multimodal import (
+            attach_binary_metadata,
+        )
+        return attach_binary_metadata(media)
+
+    def headers(self, media: DataFrame) -> DataFrame:
+        """Format sniff + width/height/channels from header bytes alone
+        (PNG IHDR walk, JPEG SOF scan — no inflate, no entropy decode)."""
+        from data_timeseries_java_spark.operators.multimodal import (
+            extract_image_headers,
+        )
+        return extract_image_headers(media)
+
+    def decode(self, media: DataFrame) -> DataFrame:
+        """Full pixel decode + feature extraction (PNG/JPEG real)."""
+        from data_timeseries_java_spark.operators.multimodal import (
+            decode_features,
+        )
+        return decode_features(media)
+
+    def resize(self, media: DataFrame, width: int = 224,
+               height: int = 224) -> DataFrame:
+        """Decode → nearest-neighbor resize → re-encode PNG."""
+        from data_timeseries_java_spark.operators.multimodal import (
+            resize_images,
+        )
+        return resize_images(media, width, height)
+
+    def frames(self, media: DataFrame, n_frames: int = 4) -> DataFrame:
+        """Video frame sampling (MJPEG-AVI demuxed for real)."""
+        from data_timeseries_java_spark.operators.multimodal import (
+            sample_frames,
+        )
+        return sample_frames(media, n_frames)
+
+    def audio(self, media: DataFrame) -> DataFrame:
+        """WAV decode + waveform features (mean/RMS/zero crossings)."""
+        from data_timeseries_java_spark.operators.multimodal import (
+            audio_features,
+        )
+        return audio_features(media)

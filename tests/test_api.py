@@ -83,3 +83,40 @@ def test_corpus_engine_matches_declared_queries(spark, sf_dir):
         want = query(spark, sf_dir)
         assert sorted(map(tuple, got.collect())) == \
             sorted(map(tuple, want.collect()))
+
+
+def test_media_engine_facade(spark):
+    """MediaEngine facade routes each modality to its real codec and
+    matches the declared media queries' operators on the same input."""
+    from pyspark.sql import functions as F
+
+    from data_timeseries_java_spark.api import MediaEngine
+    from data_timeseries_java_spark.operators.multimodal import (
+        synthesize_avi_media,
+        synthesize_png_media,
+        synthesize_wav_media,
+    )
+
+    eng = MediaEngine(spark)
+    ids = spark.range(6).select(F.col("id").alias("media_id"))
+
+    png = synthesize_png_media(ids).withColumn("modality", F.lit("image"))
+    meta = {r.media_id: r for r in eng.metadata(png).collect()}
+    assert all(meta[i].byte_len > 0 for i in range(6))
+    heads = {r.media_id: r for r in eng.headers(png).collect()}
+    assert all(heads[i].format == "png" and heads[i].width == 4 + i % 13
+               for i in range(6))
+    feats = {r.media_id: r for r in eng.decode(png).collect()}
+    assert all(feats[i].width == 4 + i % 13 for i in range(6))
+    resized = eng.resize(png, 8, 6).collect()
+    assert all(r.width == 8 and r.height == 6 for r in resized)
+
+    wav = synthesize_wav_media(ids)
+    assert {r.media_id: r.zero_crossings
+            for r in eng.audio(wav).collect()} == \
+        {i: 2 * (32 + i % 64) - 1 for i in range(6)}
+
+    avi = synthesize_avi_media(ids).withColumn("modality", F.lit("video"))
+    frames = eng.frames(avi, n_frames=2).collect()
+    assert len(frames) == 12 and all(
+        bytes(r.frame)[:2] == b"\xff\xd8" for r in frames)
