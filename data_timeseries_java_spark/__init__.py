@@ -11,7 +11,10 @@ Beyond reference parity it adds the operators a large-scale training-data
 pipeline needs: deduplication (exact / MinHash-LSH / SimHash / n-gram
 Jaccard / embedding cosine), similarity search (brute-force and LSH ANN),
 text analysis (language-ID, quality scoring, token counting,
-fingerprinting), and multimodal binary-column plumbing.
+fingerprinting), and a multimodal tier with REAL pure-Python codecs
+(PNG, baseline JPEG, PCM WAV, MJPEG-AVI video) behind Arrow-batched
+decode/resize/feature operators — facades: ``api.FXEngine``,
+``api.CorpusEngine``, ``api.MediaEngine``.
 
 Design target: 100 TB on a 1000-executor cluster. Partition by event date,
 bucket by instrument key, broadcast dimension tables, keep every expression

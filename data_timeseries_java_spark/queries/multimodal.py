@@ -149,6 +149,56 @@ def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frame_stats(media)
 
 
+def q_media_cross_format_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format image dedup — the capability byte-hash dedup cannot
+    have: the same picture stored as PNG and as JPEG has different
+    payload bytes but identical DECODED pixels, and grouping on decoded
+    content finds those duplicates. Fixture: a coarse recipe space
+    (width 4-9, height 3-6, gray value 0-31) so ~500 docs collapse into
+    duplicate classes. A duplicate class contains ids congruent mod 96
+    (= lcm of the recipe moduli), so the format is assigned by
+    (id // 96) % 2 — NOT id parity, which every class member shares —
+    guaranteeing each multi-copy class genuinely spans both PNG and
+    baseline-JPEG containers. Constant gray at quality 75 decodes
+    bit-exact, so both formats decode to identical pixels. Output per
+    duplicate class: copy count and how many distinct container formats
+    the class spans (n_formats = 2 proves the dedup crossed formats).
+    Every column is closed-form in doc_id for the DuckDB oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from data_timeseries_java_spark.functions.jpeg import encode_jpeg
+    from data_timeseries_java_spark.functions.png import encode_png
+    from data_timeseries_java_spark.operators.multimodal import (
+        decode_image_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select(F.col("doc_id").alias("media_id"))
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                i = int(mid)
+                w, h, v = 4 + i % 6, 3 + i % 4, i % 32
+                px = np.full((h, w), v, dtype=np.uint8)
+                is_png = (i // 96) % 2 == 0
+                payload = encode_png(px) if is_png \
+                    else encode_jpeg(px, quality=75)
+                rows.append((i, payload, "png" if is_png else "jpeg"))
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "payload", "fmt"])
+
+    media = ids.mapInPandas(
+        synth, "media_id long, payload binary, fmt string")
+    stats = decode_image_stats(media)
+    return (stats.join(media.select("media_id", "fmt"), "media_id")
+            .groupBy("width", "height", "pixel_sum")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_copies"),
+                 F.count_distinct("fmt").cast("long").alias("n_formats")))
+
+
 QUERIES = {
     "media_metadata": q_media_metadata,
     "media_decode_features": q_media_decode_features,
@@ -158,6 +208,7 @@ QUERIES = {
     "media_resize": q_media_resize,
     "media_wav_features": q_media_wav_features,
     "media_video_frames": q_media_video_frames,
+    "media_cross_format_dedup": q_media_cross_format_dedup,
 }
 
 ORACLE = {
@@ -285,5 +336,18 @@ SELECT d.doc_id AS media_id,
 FROM documents d
 JOIN (SELECT unnest(range(5)) AS f) f
   ON f.f < 2 + d.doc_id % 4
+""",
+    # media_cross_format_dedup: duplicate classes keyed on decoded
+    # content — (width, height, pixel_sum) determines the gray value
+    # uniquely at fixed dims, so the recipe groups directly
+    "media_cross_format_dedup": """
+SELECT CAST(4 + doc_id % 6 AS INT) AS width,
+       CAST(3 + doc_id % 4 AS INT) AS height,
+       CAST((4 + doc_id % 6) * (3 + doc_id % 4) * (doc_id % 32)
+            AS BIGINT) AS pixel_sum,
+       COUNT(*) AS n_copies,
+       COUNT(DISTINCT (doc_id // 96) % 2) AS n_formats
+FROM documents
+GROUP BY 1, 2, 3
 """,
 }
