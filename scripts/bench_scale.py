@@ -14,7 +14,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 QUERIES = ["dedup_minhash_lsh", "corpus_build", "ann_lsh",
-           "fx_pair_correlation"]
+           "fx_pair_correlation", "fx_corr_wide"]
 
 
 def bench(spark, qs, name, sf_dir, n):
