@@ -141,3 +141,21 @@ def test_quality_scaling_bounds():
         quality_scaled_tables(0)
     # monotone: higher quality → finer quantizers
     assert quality_scaled_tables(90)[0].sum() < quality_scaled_tables(50)[0].sum()
+
+
+def test_resize_images_handles_jpeg_payloads(spark):
+    """resize_images decodes JPEG payloads for real (decode_image
+    dispatch) and re-encodes the resized pixels as PNG."""
+    from pyspark.sql import functions as F
+
+    from data_timeseries_java_spark.operators.multimodal import resize_images
+
+    img = np.full((24, 32), 180, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(img, 75)), "image")],
+        "media_id long, payload binary, modality string")
+    out = resize_images(media, width=8, height=6).collect()
+    assert len(out) == 1
+    px = decode_png(bytes(out[0].resized))
+    assert px.shape == (6, 8, 1)
+    assert np.all(px == 180)  # constant gray q75 is bit-exact end to end
