@@ -36,13 +36,15 @@ _MODULES = [fx, relational, relational_ext, tpch_hard, dedup, text,
             similarity, multimodal, corpus, scale]
 
 # Queries with a green three-way match in a prior round's driver
-# CORRECTNESS file (union of CORRECTNESS_r01 + CORRECTNESS_r02). The
+# CORRECTNESS file (union of all CORRECTNESS_r*.json — regenerate with
+# scripts/update_driver_gated.py at the start of each round). The
 # driver samples a prefix of the registry each round, so queries NOT in
 # this set sort first — every declared query ends up with a driver entry
 # across rounds. Newly added queries are absent here and therefore
 # auto-prioritized.
 _DRIVER_GATED = frozenset({
     "above_segment_avg", "ann_ivf", "ann_ivf_trained", "ann_lsh",
+    "approx_distinct_users", "approx_value_quantiles",
     "asof_purchase_click", "bm25_search", "corpus_build",
     "customer_set_ops", "customer_spend_quartiles",
     "customers_without_orders", "dataset_split", "decontaminate",
@@ -54,24 +56,28 @@ _DRIVER_GATED = frozenset({
     "forecast_revenue", "funnel_conversion", "fx_bollinger",
     "fx_candles_bidask", "fx_candles_complete",
     "fx_candles_interpolated", "fx_candles_ohlc", "fx_candles_rollup",
-    "fx_corr_threshold", "fx_corr_user_buckets", "fx_cross_zscore",
-    "fx_drawdown", "fx_ema_returns", "fx_gapfill_rows", "fx_lead_lag",
-    "fx_log_returns", "fx_pair_beta", "fx_pair_correlation",
-    "fx_pair_correlation_auto", "fx_realized_vol", "fx_rsi",
-    "fx_sliding_returns", "fx_twap", "fx_workpacket_stats",
-    "knn_bruteforce", "leakage_safe_split", "lineitem_grouping_sets",
-    "media_metadata", "media_png_decode", "merge_corrections",
-    "min_cost_supplier", "mixture_sample", "monthly_order_stats",
-    "moving_avg_range", "moving_median", "nation_customer_list",
-    "nation_market_share", "nation_outer_join", "neardup_cosine",
-    "neardup_cosine_auto", "order_ranks", "orders_flag_filter",
-    "orders_with_expensive_items", "part_scalar_functions", "pii_scan",
-    "price_quantiles", "pricing_summary", "priority_pivot",
-    "priority_rollup", "profile_lineitem", "range_join_event_candle",
-    "revenue_by_nation", "rich_idle_customers", "salted_event_stats",
-    "scd2_user_status", "sequence_packing", "small_quantity_revenue",
-    "source_token_stats", "status_cube", "stratified_sample",
-    "supplier_share", "text_fingerprint", "text_langid", "text_quality",
+    "fx_corr_threshold", "fx_corr_underlying", "fx_corr_user_buckets",
+    "fx_corr_wide", "fx_cross_zscore", "fx_drawdown", "fx_ema_returns",
+    "fx_gapfill_rows", "fx_lead_lag", "fx_log_returns", "fx_pair_beta",
+    "fx_pair_correlation", "fx_pair_correlation_auto",
+    "fx_realized_vol", "fx_rsi", "fx_sliding_returns", "fx_twap",
+    "fx_workpacket_stats", "hll_user_rollup", "knn_bruteforce",
+    "leakage_safe_split", "lineitem_grouping_sets",
+    "media_cross_format_dedup", "media_decode_features",
+    "media_jpeg_decode", "media_jpeg_header", "media_metadata",
+    "media_png_decode", "media_resize", "media_video_frames",
+    "media_wav_features", "merge_corrections", "min_cost_supplier",
+    "mixture_sample", "monthly_order_stats", "moving_avg_range",
+    "moving_median", "nation_customer_list", "nation_market_share",
+    "nation_outer_join", "neardup_cosine", "neardup_cosine_auto",
+    "order_ranks", "orders_flag_filter", "orders_with_expensive_items",
+    "part_scalar_functions", "pii_scan", "price_quantiles",
+    "pricing_summary", "priority_pivot", "priority_rollup",
+    "profile_lineitem", "range_join_event_candle", "revenue_by_nation",
+    "rich_idle_customers", "salted_event_stats", "scd2_user_status",
+    "sequence_packing", "small_quantity_revenue", "source_token_stats",
+    "status_cube", "stratified_sample", "supplier_share",
+    "text_fingerprint", "text_langid", "text_quality",
     "text_repetition", "text_tokens", "tfidf_top_terms",
     "top_customers", "top_revenue_supplier", "user_sessions",
     "value_trend_ols", "vocabulary_topk", "waiting_suppliers",
