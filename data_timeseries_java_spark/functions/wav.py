@@ -88,6 +88,9 @@ def wav_header_stats(data: bytes) -> tuple[int, int, int, int]:
     if block != ch * bits // 8:
         raise ValueError(f"corrupt WAV: block align {block} != "
                          f"{ch * bits // 8}")
+    if data_len % block != 0:
+        raise ValueError(f"corrupt WAV: data length {data_len} not "
+                         f"aligned to block size {block}")
     return rate, ch, bits, data_len // block
 
 

@@ -199,7 +199,12 @@ def pairwise_correlations_matrix(returns: DataFrame,
         ti, _tu = pd.factorize(pdf["time"], sort=True)
         ki, ku = pd.factorize(pdf["key"], sort=True)
         m = np.full((len(_tu), len(ku)), np.nan)
-        m[ti, ki] = pdf["value"].to_numpy()
+        # duplicate (key, time) observations: keep the FIRST, matching
+        # the join path (and the pre-rewrite pivot aggfunc="first") —
+        # bare fancy-index assignment would silently let the LAST win
+        flat = ti.astype(np.int64) * len(ku) + ki
+        uniq, first = np.unique(flat, return_index=True)
+        m.ravel()[uniq] = pdf["value"].to_numpy()[first]
         # drop instruments with <2 observations; require full alignment
         col_counts = np.count_nonzero(~np.isnan(m), axis=0)
         keep_cols = col_counts >= 2

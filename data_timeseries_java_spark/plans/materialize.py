@@ -17,7 +17,8 @@ ambient hook keeps the builders' signatures stable and lets a caller
 wrap ANY query — including ones that compose several builders — in a
 single policy scope:
 
-    with materialization(tracking_policy() as tracked):
+    tracked = TrackingPolicy()
+    with materialization(tracked):
         result = q(spark, sf_dir)
         result.write...
     tracked.unpersist_all()          # deterministic cache release

@@ -16,11 +16,15 @@ standard production pattern for "aggregate of an aggregate" streams:
    touched windows' returns, never the whole store;
 3. results land log-structured: each batch writes its recomputed
    windows to ONE ``batch_id``-keyed partition (overwrite → idempotent
-   retries), and :func:`read_streaming_correlations` resolves
-   latest-batch-per-window at read time. A per-slide partitioned store
-   was measured 15-19s/micro-batch at sf0.1 — ~1,100 tiny directories
-   rewritten per trigger, pure filesystem cost; the log layout writes
-   one directory and cut the trigger to a 3.5s median (5.3x).
+   retries) plus a tiny ``touched/`` sidecar listing the windows it
+   recomputed, and :func:`read_streaming_correlations` resolves
+   latest-TOUCHING-batch-per-window at read time — the sidecar is what
+   lets an empty recompute (late data dropped every pair of a window
+   below ``min_corr``) supersede the stale rows instead of silently
+   resurrecting them. A per-slide partitioned store was measured
+   15-19s/micro-batch at sf0.1 — ~1,100 tiny directories rewritten per
+   trigger, pure filesystem cost; the log layout writes one directory
+   and cut the trigger to a 3.5s median (5.3x).
    :func:`compact_correlation_store` periodically folds the log into
    one superseding batch so the read-time resolve stays bounded.
 
@@ -62,7 +66,8 @@ def streaming_correlations(spark: SparkSession, ticks: DataFrame,
                            resolution: str = "120 seconds",
                            config: CorrelationConfig | None = None,
                            watermark: str = "0 seconds",
-                           universe: list[str] | None = None):
+                           universe: list[str] | None = None,
+                           max_windows_per_trigger: int = 10_000):
     """Start the full streaming pipeline; returns the StreamingQuery.
 
     Results land log-structured in ``{work_dir}/correlations`` keyed by
@@ -80,10 +85,17 @@ def streaming_correlations(spark: SparkSession, ticks: DataFrame,
     on sparse feeds it inflates the candle/return stream with windows
     batch never emits. Pass the universe for batch parity on sparse
     data.
+
+    ``max_windows_per_trigger`` bounds the per-trigger driver-side
+    touched-window list: it is structurally bounded by
+    (batch time span / slide) + window/slide, but a mis-set slide
+    (seconds where minutes were meant) would silently turn the literal
+    predicate into a multi-megabyte IN-list — fail loudly instead.
     """
     cfg = config or CorrelationConfig()
     returns_path = f"{work_dir}/returns"
     corr_path = f"{work_dir}/correlations"
+    touched_path = f"{work_dir}/touched"
     if universe is not None:
         candles = streaming_complete_candles_global(ticks, universe,
                                                     resolution, watermark)
@@ -107,6 +119,12 @@ def streaming_correlations(spark: SparkSession, ticks: DataFrame,
                            .distinct().collect()))
             if not wins:
                 return
+            if len(wins) > max_windows_per_trigger:
+                raise ValueError(
+                    f"batch {batch_id} touches {len(wins)} sliding "
+                    f"windows (> {max_windows_per_trigger}); check the "
+                    f"slide duration — this list becomes a literal "
+                    f"IN-predicate and must stay small")
             # foreachBatch is at-least-once: a batch re-executed after a
             # failure must not double-append its returns (that would
             # inflate x_count/y_count in recomputed windows). Writing
@@ -150,10 +168,17 @@ def streaming_correlations(spark: SparkSession, ticks: DataFrame,
                     .where(F.col("w_start_ms").isin(wins)))
         # Log-structured store: ONE directory per batch (vs one per
         # touched slide — ~1,100 dirs/trigger measured at sf0.1, 15-19s
-        # of pure filesystem churn). Latest batch wins per window at
-        # read time (read_streaming_correlations).
+        # of pure filesystem churn). Latest TOUCHING batch wins per
+        # window at read time (read_streaming_correlations) — the
+        # sidecar below is the authority on which batch that is, so a
+        # recompute that emits ZERO rows for a window (late data pushed
+        # every pair under min_corr) still supersedes the stale rows.
         affected.write.mode("overwrite").parquet(
             f"{corr_path}/batch_id={batch_id}")
+        (spark.createDataFrame([(int(w),) for w in wins],
+                               "w_start_ms bigint")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(f"{touched_path}/batch_id={batch_id}"))
 
     return (candles.writeStream
             .foreachBatch(process_batch)
@@ -166,22 +191,41 @@ def read_streaming_correlations(spark: SparkSession,
                                 work_dir: str) -> DataFrame:
     """Resolve the log-structured correlation store to its current
     snapshot: for each sliding window, the rows from the LATEST batch
-    that recomputed it (earlier batches' rows for that window are
+    that RECOMPUTED it (earlier batches' rows for that window are
     superseded — a window's full result always comes from one batch).
 
-    One window-function shuffle over the store; a time/window predicate
-    from the caller is pushed into the parquet scan via ``w_start_ms``
-    min/max statistics before the ranking runs. On Delta/Iceberg this
-    read-time resolve disappears into MERGE-maintained tables.
+    "Recomputed" is decided by the ``touched/`` sidecar, not by which
+    batches happen to have rows for the window: a recompute that emitted
+    zero rows (every pair dropped below ``min_corr`` after late data) is
+    an empty-but-authoritative result, and resolving against data rows
+    alone would resurrect the superseded batch's stale rows — and
+    ``compact_correlation_store`` would then fold them into the
+    permanent snapshot.
+
+    The sidecar is O(batches x windows-per-trigger) — broadcast into
+    the join, so the store side stays a single pruned parquet scan. On
+    Delta/Iceberg this read-time resolve disappears into
+    MERGE-maintained tables. Stores written before the sidecar existed
+    fall back to max-batch-per-window over the data rows (documented
+    min_corr staleness caveat applies there).
     """
-    from pyspark.sql import Window
+    import os
 
     corr_path = f"{work_dir}/correlations"
+    touched_path = f"{work_dir}/touched"
     df = spark.read.option("basePath", corr_path).parquet(corr_path)
-    latest = F.max("batch_id").over(Window.partitionBy("w_start_ms"))
-    return (df.withColumn("_latest", latest)
-            .where(F.col("batch_id") == F.col("_latest"))
-            .drop("batch_id", "_latest"))
+    if not os.path.isdir(touched_path):
+        from pyspark.sql import Window
+        latest = F.max("batch_id").over(Window.partitionBy("w_start_ms"))
+        return (df.withColumn("_latest", latest)
+                .where(F.col("batch_id") == F.col("_latest"))
+                .drop("batch_id", "_latest"))
+    touched = (spark.read.option("basePath", touched_path)
+               .parquet(touched_path)
+               .groupBy("w_start_ms")
+               .agg(F.max("batch_id").alias("batch_id")))
+    return (df.join(F.broadcast(touched), ["w_start_ms", "batch_id"])
+            .select([c for c in df.columns if c != "batch_id"]))
 
 
 def compact_correlation_store(spark: SparkSession, work_dir: str) -> dict:
@@ -199,21 +243,51 @@ def compact_correlation_store(spark: SparkSession, work_dir: str) -> dict:
     directories mid-delete — on an ACID table format this whole function
     is a MERGE/OPTIMIZE call instead. Returns {batches_before,
     batches_after, rows} for observability.
+
+    The ``touched/`` sidecar is folded alongside: the compacted batch
+    claims every window any folded batch touched, so a window whose
+    latest state was an empty recompute stays empty after compaction
+    (its stale rows are physically gone and its touch record survives).
+
+    Local filesystem only: the directory shuffle goes through
+    ``os``/``shutil``, which would silently no-op (or worse) on an
+    ``hdfs://``/``s3a://`` store that the rest of the pipeline reaches
+    through Spark writers — refuse URI schemes loudly. On a real
+    cluster this maintenance pass belongs to the table format.
     """
     import os
+    import re
     import shutil
 
-    corr_path = f"{work_dir}/correlations"
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", work_dir)
+    if m and m.group(1) != "file":
+        raise ValueError(
+            f"compact_correlation_store only supports local paths; got "
+            f"scheme {m.group(1)!r} — use the table format's own "
+            f"compaction (OPTIMIZE/rewrite_data_files) on remote stores")
+    local_dir = work_dir[len("file://"):] if m else work_dir
+    corr_path = f"{local_dir}/correlations"
+    touched_path = f"{local_dir}/touched"
     batches = sorted(d for d in os.listdir(corr_path)
                      if d.startswith("batch_id="))
     if len(batches) <= 1:
         return {"batches_before": len(batches), "batches_after": len(batches),
                 "rows": None}
-    snapshot = read_streaming_correlations(spark, work_dir)
+    snapshot = read_streaming_correlations(spark, local_dir)
     new_id = max(int(b.split("=", 1)[1]) for b in batches) + 1
     out_dir = f"{corr_path}/batch_id={new_id}"
     snapshot.write.mode("overwrite").parquet(out_dir)
     rows = spark.read.parquet(out_dir).count()
+    if os.path.isdir(touched_path):
+        touched_batches = sorted(d for d in os.listdir(touched_path)
+                                 if d.startswith("batch_id="))
+        all_touched = (spark.read.option("basePath", touched_path)
+                       .parquet(touched_path)
+                       .select("w_start_ms").distinct())
+        all_touched.coalesce(1).write.mode("overwrite").parquet(
+            f"{touched_path}/batch_id={new_id}")
+        for b in touched_batches:
+            shutil.rmtree(os.path.join(touched_path, b), ignore_errors=True)
     for b in batches:
         shutil.rmtree(os.path.join(corr_path, b), ignore_errors=True)
     return {"batches_before": len(batches), "batches_after": 1, "rows": rows}

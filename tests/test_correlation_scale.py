@@ -50,6 +50,22 @@ def test_pair_count_law(returns):
     assert full, f"no full window had {expect} pairs: {per_window}"
 
 
+def test_matrix_kernel_duplicate_observations(spark, returns):
+    """At-least-once delivery replays (key, time) observations; the
+    kernel must collapse duplicates to ONE matrix cell (keep-first)
+    instead of letting fancy-index assignment double-count or let the
+    last replica win — result and overlap counts must equal the
+    deduplicated input's."""
+    dup = returns.unionAll(returns)  # every observation delivered twice
+    clean = {(r.window_start, r.key1, r.key2): (round(r.value, 9),
+                                                r.x_count, r.is_nan)
+             for r in pairwise_correlations_matrix(returns, CFG).collect()}
+    with_dups = {(r.window_start, r.key1, r.key2): (round(r.value, 9),
+                                                    r.x_count, r.is_nan)
+                 for r in pairwise_correlations_matrix(dup, CFG).collect()}
+    assert clean == with_dups
+
+
 def test_matrix_path_matches_join_path(returns):
     join_out = {(r.window_start, r.key1, r.key2): r
                 for r in pairwise_correlations(returns, CFG).collect()}

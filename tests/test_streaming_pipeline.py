@@ -132,6 +132,138 @@ def test_streaming_correlations_sparse_feed_matches_batch(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_empty_recompute_supersedes_stale_rows(spark):
+    """A batch that RECOMPUTES a window but emits zero rows (late data
+    pushed every pair under min_corr) must supersede the previous
+    batch's rows — the touched/ sidecar, not row presence, decides the
+    latest batch per window. Before the sidecar, the resolve served the
+    stale rows forever and compaction made them permanent."""
+    import os
+    from datetime import datetime, timezone
+
+    from data_timeseries_java_spark.streaming.pipeline import (
+        compact_correlation_store,
+    )
+
+    corr_schema = ("window_start timestamp, window_end timestamp, "
+                   "key1 string, key2 string, value double, "
+                   "x_count int, y_count int, is_nan boolean, "
+                   "w_start_ms long")
+    t = datetime(2016, 1, 4, 9, 0, tzinfo=timezone.utc)
+    d = tempfile.mkdtemp(prefix="spipe_tomb_")
+    try:
+        def write_batch(bid, rows, wins):
+            spark.createDataFrame(rows, corr_schema).write.mode(
+                "overwrite").parquet(f"{d}/correlations/batch_id={bid}")
+            spark.createDataFrame([(w,) for w in wins],
+                                  "w_start_ms long").write.mode(
+                "overwrite").parquet(f"{d}/touched/batch_id={bid}")
+
+        # batch 0: windows 1000 and 2000 each have one pair row
+        row = lambda w: (t, t, "A", "B", 0.9, 5, 5, False, w)
+        write_batch(0, [row(1000), row(2000)], [1000, 2000])
+        # batch 1: recomputes window 1000, result is EMPTY (tombstone)
+        write_batch(1, [], [1000])
+
+        got = read_streaming_correlations(spark, d)
+        assert {r.w_start_ms for r in got.collect()} == {2000}
+
+        stats = compact_correlation_store(spark, d)
+        assert stats["batches_after"] == 1 and stats["rows"] == 1
+        after = read_streaming_correlations(spark, d)
+        assert {r.w_start_ms for r in after.collect()} == {2000}
+        # the tombstoned window's touch record survives compaction
+        touched = spark.read.parquet(f"{d}/touched")
+        assert {r.w_start_ms for r in touched.collect()} == {1000, 2000}
+        assert len([x for x in os.listdir(f"{d}/touched")
+                    if x.startswith("batch_id=")]) == 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compact_rejects_remote_uri(spark):
+    from data_timeseries_java_spark.streaming.pipeline import (
+        compact_correlation_store,
+    )
+
+    with pytest.raises(ValueError, match="local paths"):
+        compact_correlation_store(spark, "s3a://bucket/corr-store")
+    with pytest.raises(ValueError, match="local paths"):
+        compact_correlation_store(spark, "hdfs://nn/corr-store")
+
+
+def test_long_run_store_stays_bounded_under_compaction(spark):
+    """>=50 micro-batches across 5 stream restarts with compaction
+    between runs: the batch-directory count stays bounded by
+    (1 compacted + files-per-run) instead of growing with history, and
+    the final resolved snapshot still matches the batch engine."""
+    import os
+    import random
+    from datetime import datetime, timedelta, timezone
+
+    from data_timeseries_java_spark.streaming.pipeline import (
+        compact_correlation_store,
+    )
+
+    d = tempfile.mkdtemp(prefix="spipe_long_")
+    try:
+        t0 = datetime(2016, 1, 4, 9, 0, tzinfo=timezone.utc)
+        rng = random.Random(7)
+        all_rows = []
+        n_files, per_run = 50, 10
+        max_dirs_seen = 0
+        for run in range(n_files // per_run):
+            # files arrive incrementally: each run discovers only its
+            # own per_run new files (the checkpoint skips earlier ones)
+            for i in range(run * per_run, (run + 1) * per_run):
+                chunk = []
+                for s in (5, 65):   # two ticks per 120s window per key
+                    for k in ("EUR/USD", "USD/JPY"):
+                        tt = t0 + timedelta(seconds=i * 120 + s)
+                        px = 1.0 + rng.random() * 0.1
+                        chunk.append((k, tt, px, px + 0.001, True))
+                all_rows.extend(chunk)
+                spark.createDataFrame(chunk, TICK_SCHEMA).coalesce(1) \
+                    .write.mode("overwrite").parquet(f"{d}/in/f{i:02d}")
+            if run == n_files // per_run - 1:
+                sentinel = [("ZZ-SENTINEL",
+                             datetime(2016, 6, 1, tzinfo=timezone.utc),
+                             1.0, 1.0, True)]
+                spark.createDataFrame(sentinel, TICK_SCHEMA).coalesce(1) \
+                    .write.mode("overwrite").parquet(f"{d}/in/zz")
+            src = (spark.readStream.schema(TICK_SCHEMA)
+                   .option("maxFilesPerTrigger", 1)
+                   .parquet(f"{d}/in/*"))
+            q = streaming_correlations(spark, src, f"{d}/out",
+                                       resolution="120 seconds", config=CFG)
+            q.awaitTermination(180)
+            n_dirs = len([x for x in os.listdir(f"{d}/out/correlations")
+                          if x.startswith("batch_id=")])
+            max_dirs_seen = max(max_dirs_seen, n_dirs)
+            # bound: 1 compacted carry-over + one batch per file in this
+            # run (+ sentinel file on the last run)
+            assert n_dirs <= per_run + 2, n_dirs
+            compact_correlation_store(spark, f"{d}/out")
+            assert len([x for x in os.listdir(f"{d}/out/correlations")
+                        if x.startswith("batch_id=")]) == 1
+        assert max_dirs_seen > 1  # the runs really were incremental
+
+        got = (read_streaming_correlations(spark, f"{d}/out")
+               .where(~F.col("key1").startswith("ZZ-")
+                      & ~F.col("key2").startswith("ZZ-")))
+        ticks = spark.createDataFrame(all_rows, TICK_SCHEMA)
+        candles = candles_pipeline(ticks, ticks.select("key").distinct(),
+                                   "120 seconds")
+        want = pairwise_correlations(log_returns(candles), CFG)
+        got_map = {(r.w_start_ms, r.key1, r.key2): round(r.value, 9)
+                   for r in got.collect()}
+        want_map = {(int(r.window_start.timestamp() * 1000), r.key1, r.key2):
+                    round(r.value, 9) for r in want.collect()}
+        assert got_map == want_map and len(got_map) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_compact_correlation_store(spark):
     """Folding the log store to one batch preserves the snapshot
     exactly and drops superseded directories."""

@@ -59,6 +59,26 @@ def test_error_contract():
         wav_header_stats(bytes(float_fmt))
 
 
+def test_unaligned_data_chunk_is_value_error():
+    """A data chunk whose byte length is not a multiple of block-align
+    must raise the codec's ValueError contract, not leak a raw numpy
+    reshape/frombuffer error from decode_wav."""
+    good = encode_wav(np.zeros(16, np.int16), sample_rate=8000)
+    # stereo 16-bit: block align 4; chop 2 bytes off the data chunk and
+    # rewrite the RIFF/data sizes so the container itself stays valid
+    stereo = encode_wav(np.zeros((16, 2), np.int16))
+    trimmed = bytearray(stereo[:-2])
+    data_size = struct.unpack("<I", stereo[40:44])[0]
+    trimmed[40:44] = struct.pack("<I", data_size - 2)
+    trimmed[4:8] = struct.pack("<I", struct.unpack("<I", stereo[4:8])[0] - 2)
+    with pytest.raises(ValueError, match="not .*aligned|aligned"):
+        wav_header_stats(bytes(trimmed))
+    with pytest.raises(ValueError):
+        decode_wav(bytes(trimmed))
+    # and the aligned original still decodes
+    assert decode_wav(good)[0].shape == (16, 1)
+
+
 def test_spark_audio_features_path(spark):
     """synthesize → decode → features through mapInPandas: the closed
     form the media_wav_features oracle uses, checked in-process."""
