@@ -24,10 +24,10 @@ def duck(sf_dir):
 def test_query_matches_oracle(name, spark, sf_dir, duck):
     queries = all_queries()
     oracles = all_oracles()
+    # every declared query MUST ship a DuckDB oracle — a silent
+    # rows-only fallback here would mask a new query added unverified
+    assert name in oracles, f"{name} declared without an oracle"
     sdf = queries[name](spark, sf_dir).toPandas()
-    if name not in oracles:
-        assert len(sdf) >= 0  # rows-only contract
-        return
     ddf = duck.execute(oracles[name]).fetchdf()
     problems = compare(name, sdf, ddf)
     assert not problems, problems
