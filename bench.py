@@ -45,6 +45,13 @@ HEADLINE = [
     "ann_lsh",
     # composed end-to-end corpus pipeline (fused single-scan plan)
     "corpus_build",
+    # media codec tier (pure-Python codecs, Arrow-batched mapInPandas;
+    # these time synthesize+decode end-to-end — decode-only docs/s and
+    # MB/s ceilings live in bench_media.py and SCALE.md)
+    "media_jpeg_decode",
+    "media_resize",
+    "media_wav_features",
+    "media_video_frames",
 ]
 
 

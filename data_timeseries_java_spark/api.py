@@ -153,10 +153,19 @@ class MediaEngine:
     pure-Python codecs (PNG / baseline JPEG / PCM WAV / MJPEG-AVI) are
     engaged by payload magic, and formats that genuinely need a native
     library raise ``NotImplementedError`` inside the executor task
-    rather than fabricating output."""
+    rather than fabricating output.
 
-    def __init__(self, spark: SparkSession):
+    ``image_decoder`` (``bytes -> (h, w, c) uint8 ndarray``) swaps the
+    pixel codec under every pixel-inflating method (``decode`` /
+    ``resize`` / ``image_stats`` / ``frame_stats``) without forking any
+    operator — on a real cluster install PIL/libjpeg-turbo and inject
+    it here; the pure-Python codecs stay the dependency-free default
+    (and its measured throughput ceiling is published in SCALE.md)."""
+
+    def __init__(self, spark: SparkSession,
+                 image_decoder=None):
         self.spark = spark
+        self.image_decoder = image_decoder
 
     def metadata(self, media: DataFrame) -> DataFrame:
         """Byte length + content hash — JVM built-ins only (the cheap
@@ -179,7 +188,7 @@ class MediaEngine:
         from data_timeseries_java_spark.operators.multimodal import (
             decode_features,
         )
-        return decode_features(media)
+        return decode_features(media, decoder=self.image_decoder)
 
     def resize(self, media: DataFrame, width: int = 224,
                height: int = 224) -> DataFrame:
@@ -187,7 +196,22 @@ class MediaEngine:
         from data_timeseries_java_spark.operators.multimodal import (
             resize_images,
         )
-        return resize_images(media, width, height)
+        return resize_images(media, width, height,
+                             decoder=self.image_decoder)
+
+    def image_stats(self, media: DataFrame) -> DataFrame:
+        """Exact (width, height, channels, pixel_sum) per image."""
+        from data_timeseries_java_spark.operators.multimodal import (
+            decode_image_stats,
+        )
+        return decode_image_stats(media, decoder=self.image_decoder)
+
+    def frame_stats(self, media: DataFrame) -> DataFrame:
+        """Demux video + per-frame pixel stats (MJPEG-AVI real)."""
+        from data_timeseries_java_spark.operators.multimodal import (
+            video_frame_stats,
+        )
+        return video_frame_stats(media, decoder=self.image_decoder)
 
     def frames(self, media: DataFrame, n_frames: int = 4) -> DataFrame:
         """Video frame sampling (MJPEG-AVI demuxed for real)."""

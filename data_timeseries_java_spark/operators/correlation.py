@@ -154,10 +154,12 @@ def pairwise_correlations_matrix(returns: DataFrame,
     3.9s) while a 23-slide scan at the same points/window flips it
     (n=200 join 0.68s / matrix 0.57s; n=1000 join 4.5s / matrix 3.9s —
     scripts/bench_wide_universe.py, SCALE.md "Kernel selection"). The
-    dispatcher's n-only rule keeps the conservative 2-slide pin: the
-    join path is never parallelism-starved, so routing small universes
-    to it bounds the worst case at ~20%, whereas routing a small-window
-    scan to the matrix kernel can cost 2x.
+    dispatcher keeps the conservative 2-slide pin unless the caller
+    passes the ``n_windows`` hint: with >=CORR_MANY_WINDOWS slides it
+    routes matrix from n=200 (the measured winning shape); without the
+    hint, routing small universes to the join bounds the worst case at
+    ~20%, whereas routing a small-window scan to the matrix kernel can
+    cost 2x.
 
     Pairs with fewer than 2 aligned points are skipped, matching the
     join path; series are aligned positionally after time-sort (the
@@ -346,12 +348,24 @@ def pairwise_regression(returns: DataFrame,
 # above it the per-window BLAS matrix wins, widening with n and points.
 CORR_MATRIX_CROSSOVER = 400
 
+# Window COUNT moves the crossover, because one window is the matrix
+# kernel's parallelism unit: with >=16 slides in flight the kernel
+# saturates the executors and already wins at n=200 (measured,
+# scripts/bench_wide_universe.py, 23 slides: join 0.57s / matrix 0.44s
+# full pairs, 0.71s / 0.38s screened — SCALE.md "Wide-universe axis").
+# With few slides it is parallelism-starved and the 2-slide pin above
+# applies. 16 is half the local[32] task slots — the smallest window
+# count where the measured 23-slide behavior is safely extrapolable.
+CORR_MATRIX_CROSSOVER_MANY_WINDOWS = 200
+CORR_MANY_WINDOWS = 16
+
 
 def pairwise_correlations_auto(returns: DataFrame,
                                config: CorrelationConfig | None = None,
                                *, n_keys: int | None = None,
                                key_dim: DataFrame | None = None,
                                crossover: int = CORR_MATRIX_CROSSOVER,
+                               n_windows: int | None = None,
                                cache_input: bool = True,
                                per_window_top: int | None = None) -> DataFrame:
     """Kernel dispatcher: route to the F.corr join plan (small universe)
@@ -367,6 +381,15 @@ def pairwise_correlations_auto(returns: DataFrame,
       already builds for gap-fill; probing it is one distinct-count over
       instruments (rows = universe size, not data size).
 
+    ``n_windows`` (optional hint, computable from the caller's scan
+    span / slide — e.g. a daily scan at a 5-min slide is 287 windows):
+    when the scan carries at least ``CORR_MANY_WINDOWS`` slides, the
+    matrix kernel has enough per-window parallelism units to win from
+    ``CORR_MATRIX_CROSSOVER_MANY_WINDOWS`` keys, so routing engages it
+    below the conservative 2-slide crossover. Without the hint the
+    n-only rule keeps the conservative pin (mis-routing small-n to the
+    join costs ~20%; mis-routing a few-window scan to matrix costs ~2x).
+
     Both kernels emit identical rows (equality-tested in the suite), so
     the routing is a pure physical-plan choice.
     """
@@ -376,6 +399,10 @@ def pairwise_correlations_auto(returns: DataFrame,
             "key_dim= (tiny instrument dimension to probe)")
     if n_keys is None:
         n_keys = key_dim.select(key_dim.columns[0]).distinct().count()
+    if (n_windows is not None and n_windows >= CORR_MANY_WINDOWS
+            and n_keys >= CORR_MATRIX_CROSSOVER_MANY_WINDOWS):
+        return pairwise_correlations_matrix(returns, config,
+                                            per_window_top=per_window_top)
     if n_keys <= crossover:
         out = pairwise_correlations(returns, config,
                                     cache_input=cache_input)

@@ -16,11 +16,22 @@ Decode/feature-extract run as ``mapInPandas`` (per-partition Arrow
 batches): at 100 TB this is the right shape — the binary column never
 leaves the executor, batches amortize Python crossing, and partition
 sizing (``spark.sql.files.maxPartitionBytes``) bounds memory per task.
+
+Pluggable decoder: the pixel-inflating operators
+(``decode_image_stats`` / ``resize_images`` / ``decode_features`` /
+``video_frame_stats``) accept ``decoder: bytes -> (h, w, c) uint8
+ndarray``, defaulting to the pure-Python codecs. On a real cluster the
+Python Huffman/DCT loop is the measured throughput ceiling (SCALE.md
+"Media codec throughput"), and a native decoder (PIL / libjpeg-turbo /
+pyturbojpeg) drops in through this hook without forking any operator —
+the callable is cloudpickled to executors like any other UDF closure.
+Header-only passes never inflate pixels and take no decoder.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
+from typing import Callable, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -35,6 +46,11 @@ from data_timeseries_java_spark.functions.png import (
     image_header_stats,
     resize_nearest,
 )
+
+# payload bytes -> (height, width, channels) uint8 pixel array; raise
+# NotImplementedError at a codec boundary, ValueError on corrupt bytes
+# (the same contract the pure-Python codecs implement)
+ImageDecoder = Callable[[bytes], "object"]
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
@@ -91,14 +107,17 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     return width, height, n_frames, [h / total for h in hist]
 
 
-def _decode(payload: bytes) -> tuple[int, int, int, list[float]]:
-    """Codec dispatch: PNG and baseline JPEG -> real pure-Python decode
-    (exact dims + pixel-histogram feature); progressive JPEG / unknown
-    image magic -> the real decoder raises NotImplementedError; other
-    payloads -> fake."""
+def _decode(payload: bytes,
+            decoder: Optional[ImageDecoder] = None
+            ) -> tuple[int, int, int, list[float]]:
+    """Codec dispatch: PNG and baseline JPEG -> real pixel decode
+    (exact dims + pixel-histogram feature) through ``decoder``
+    (pure-Python codecs by default); progressive JPEG / unknown image
+    magic -> the decoder raises NotImplementedError; other payloads ->
+    fake."""
     if payload is not None and (payload[:8] == bytes(PNG_MAGIC)
                                 or payload[:3] == b"\xff\xd8\xff"):
-        pixels = decode_image(payload)
+        pixels = (decoder or decode_image)(payload)
         h, w, _ch = pixels.shape
         import numpy as np
         hist = np.bincount(pixels.reshape(-1) % 8, minlength=8) \
@@ -108,9 +127,11 @@ def _decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     return _fake_decode(payload)
 
 
-def decode_features(media: DataFrame) -> DataFrame:
+def decode_features(media: DataFrame,
+                    decoder: Optional[ImageDecoder] = None) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batch iterator).
-    Batch shape: input/output pandas DataFrames per partition chunk."""
+    Batch shape: input/output pandas DataFrames per partition chunk.
+    ``decoder`` swaps the pixel codec (see module docstring)."""
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -118,7 +139,7 @@ def decode_features(media: DataFrame) -> DataFrame:
             rows = []
             for mid, payload, modality in zip(
                     pdf["media_id"], pdf["payload"], pdf["modality"]):
-                w, h, nf, feat = _decode(payload)
+                w, h, nf, feat = _decode(payload, decoder)
                 rows.append({
                     "media_id": mid,
                     "modality": modality,
@@ -262,18 +283,23 @@ def extract_image_headers(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, HEADER_STATS_SCHEMA)
 
 
-def decode_image_stats(media: DataFrame) -> DataFrame:
+def decode_image_stats(media: DataFrame,
+                       decoder: Optional[ImageDecoder] = None) -> DataFrame:
     """REAL image decode -> exact (width, height, channels, pixel_sum).
     PNG and baseline JPEG decode for real; anything else raises at the
-    codec boundary rather than fabricating stats."""
+    codec boundary rather than fabricating stats. ``decoder`` swaps the
+    pixel codec (see module docstring) — a native decoder must honor
+    the same (h, w, c) uint8 contract for the stats to be identical."""
     import numpy as np
     import pandas as pd
+
+    dec = decoder or decode_image
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = decode_image(payload)
+                px = dec(payload)
                 h, w, ch = px.shape
                 rows.append((int(mid), w, h, ch,
                              int(px.sum(dtype=np.int64))))
@@ -286,22 +312,24 @@ FRAMES_SCHEMA = ("media_id long, frame_idx int, frame_ts_ms long, "
 
 
 def resize_images(media: DataFrame, width: int = 224,
-                  height: int = 224) -> DataFrame:
+                  height: int = 224,
+                  decoder: Optional[ImageDecoder] = None) -> DataFrame:
     """Resize: PNG and baseline JPEG payloads are REALLY resized
     (decode -> vectorized nearest-neighbor index sampling -> re-encode
-    PNG); formats needing a native codec raise inside decode_image;
+    PNG); formats needing a native codec raise inside the decoder;
     non-image payloads keep the deterministic truncate/pad fake so
-    batch shapes stay exercised."""
+    batch shapes stay exercised. ``decoder`` swaps the pixel codec
+    (see module docstring)."""
     import pandas as pd
 
     target = max(1, width * height // 64)
+    dec = decoder or decode_image
 
     def _resize(payload: bytes) -> bytes:
         if payload is None:
             raise NotImplementedError("real codec required")
         if payload[:8] == bytes(PNG_MAGIC) or payload[:3] == b"\xff\xd8\xff":
-            return encode_png(resize_nearest(decode_image(payload),
-                                             width, height))
+            return encode_png(resize_nearest(dec(payload), width, height))
         return (payload * (target // max(len(payload), 1) + 1))[:target]
 
     def run(batches):
@@ -483,23 +511,27 @@ def synthesize_avi_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     return ids.mapInPandas(run, AVI_MEDIA_SCHEMA)
 
 
-def video_frame_stats(media: DataFrame) -> DataFrame:
+def video_frame_stats(media: DataFrame,
+                      decoder: Optional[ImageDecoder] = None) -> DataFrame:
     """REAL video path: demux the AVI movi list, decode every MJPEG
     frame with the baseline JPEG codec, and emit per-frame pixel stats.
     One input row fans out to n_frames output rows (the video shape);
-    mapInPandas keeps the container bytes on the executor."""
+    mapInPandas keeps the container bytes on the executor. ``decoder``
+    swaps the per-frame JPEG codec (see module docstring)."""
     import numpy as np
     import pandas as pd
 
     from data_timeseries_java_spark.functions.avi import decode_avi_frames
     from data_timeseries_java_spark.functions.jpeg import decode_jpeg
 
+    dec = decoder or decode_jpeg
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 for fi, frame in enumerate(decode_avi_frames(payload)):
-                    px = decode_jpeg(frame)
+                    px = dec(frame)
                     h, w, _ch = px.shape
                     rows.append((int(mid), fi, w, h,
                                  int(px.sum(dtype=np.int64))))

@@ -520,11 +520,12 @@ N_WIDE_KEYS = 512   # event_id % 512 covers the full space at every sf
 WIDE_TOP_N = 100
 
 
-def _wide_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _wide_ticks(spark: SparkSession, sf_dir: str,
+                n_keys: int = N_WIDE_KEYS) -> DataFrame:
     from data_timeseries_java_spark.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    key = F.format_string("K-%03d", (F.col("event_id") % N_WIDE_KEYS).cast("int"))
+    key = F.format_string("K-%03d", (F.col("event_id") % n_keys).cast("int"))
     return ev.select(
         key.alias("key"),
         F.col("ts").alias("event_time"),
@@ -534,28 +535,25 @@ def _wide_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_fx_corr_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C1 at the wide universe via the DISPATCHER: 512 instruments >
-    CORR_MATRIX_CROSSOVER, so this runs the per-window BLAS matrix
-    kernel (one Arrow batch per window, numpy corrcoef over the
-    (points x 512) matrix, vectorized upper-triangle emission). The
-    gap-fill universe is a LAZY range (spark.range -> format_string):
-    the 512-key dimension is synthesized, not distinct-scanned. The
-    top-100 screen ranks INSIDE the kernel (``per_window_top``) — each
-    window ships 100 rows, not its 130,816 pairs, into the final stage
-    (the 100 TB shape; measured 8.5 s -> ~3 s at sf0.01)."""
+def _wide_corr_screen(spark: SparkSession, sf_dir: str,
+                      n_keys: int) -> DataFrame:
+    """Shared body of fx_corr_wide (n=512) and fx_corr_headline
+    (n=1000): candles → returns → dispatcher → matrix kernel with the
+    in-kernel top-100 screen. The gap-fill universe is a LAZY range
+    (spark.range -> format_string): the key dimension is synthesized,
+    not distinct-scanned."""
     from data_timeseries_java_spark.operators.candles import candles_pipeline
     from data_timeseries_java_spark.operators.correlation import (
         pairwise_correlations_auto,
     )
 
-    ticks = _wide_ticks(spark, sf_dir)
-    keys = spark.range(N_WIDE_KEYS).select(
+    ticks = _wide_ticks(spark, sf_dir, n_keys)
+    keys = spark.range(n_keys).select(
         F.format_string("K-%03d", F.col("id").cast("int")).alias("key"))
     r = log_returns(candles_pipeline(ticks, keys, WIDE_RES))
     cfg = CorrelationConfig(window=WIDE_CORR_WINDOW, slide=WIDE_CORR_SLIDE,
                             min_corr=0.0, propagate_nan=False)
-    c = pairwise_correlations_auto(r, cfg, n_keys=N_WIDE_KEYS,
+    c = pairwise_correlations_auto(r, cfg, n_keys=n_keys,
                                    per_window_top=WIDE_TOP_N)
     return c.select(
         _ms(F.col("window_start")).alias("w_start_ms"),
@@ -566,12 +564,42 @@ def q_fx_corr_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fx_corr_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 at the wide universe via the DISPATCHER: 512 instruments >
+    CORR_MATRIX_CROSSOVER, so this runs the per-window BLAS matrix
+    kernel (one Arrow batch per window, numpy corrcoef over the
+    (points x 512) matrix, vectorized upper-triangle emission). The
+    top-100 screen ranks INSIDE the kernel (``per_window_top``) — each
+    window ships 100 rows, not its 130,816 pairs, into the final stage
+    (the 100 TB shape; measured 8.5 s -> ~3 s at sf0.01)."""
+    return _wide_corr_screen(spark, sf_dir, N_WIDE_KEYS)
+
+
+def q_fx_corr_headline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's PUBLISHED workload size: n=1000 instruments →
+    (1000² − 1000)/2 = 499,500 correlation pairs per slide
+    (README.MD:41 'pairwise correlations (499,500 with the default 1000
+    tickers)'), through the same matrix kernel + in-kernel top-100
+    screen as fx_corr_wide. Driver-gating this size proves the kernel
+    at the exact headline scale, not a scaled-down stand-in.
+
+    At sf0.001 every derived instrument ticks exactly once, so every
+    return series is flat, every pairwise correlation is NaN, and with
+    propagate_nan=False the result is EMPTY — the oracle derives the
+    same empty set, so the hash check is trivially green there; sf0.01
+    (the driver's gate) is where the 499,500-pair space materializes."""
+    return _wide_corr_screen(spark, sf_dir, N_HEADLINE_KEYS)
+
+
+N_HEADLINE_KEYS = 1000  # /root/reference/README.MD:41 — 499,500 pairs/slide
+
 QUERIES["fx_corr_wide"] = q_fx_corr_wide
+QUERIES["fx_corr_headline"] = q_fx_corr_headline
 
 _WIDE_KEY_SQL = "printf('K-%03d', event_id % 512)"
+_HEADLINE_KEY_SQL = "printf('K-%03d', event_id % 1000)"
 
-ORACLE["fx_corr_wide"] = (
-    _prelude(_WIDE_KEY_SQL, WIDE_RES_MS) + f""",
+_WIDE_CORR_BODY = f""",
 sliding AS (
   SELECT ((r.time_ms // {WIDE_SLIDE_MS}) * {WIDE_SLIDE_MS})
            - off.o * {WIDE_SLIDE_MS} AS w_start_ms,
@@ -597,7 +625,10 @@ ranked AS (
 SELECT w_start_ms, key1, key2, value, n_points, rank
 FROM ranked WHERE rank <= {WIDE_TOP_N}
 """
-)
+
+ORACLE["fx_corr_wide"] = _prelude(_WIDE_KEY_SQL, WIDE_RES_MS) + _WIDE_CORR_BODY
+ORACLE["fx_corr_headline"] = (
+    _prelude(_HEADLINE_KEY_SQL, WIDE_RES_MS) + _WIDE_CORR_BODY)
 
 
 # ---- resampling: hierarchical rollup + TWAP -----------------------------

@@ -120,3 +120,51 @@ def test_media_engine_facade(spark):
     frames = eng.frames(avi, n_frames=2).collect()
     assert len(frames) == 12 and all(
         bytes(r.frame)[:2] == b"\xff\xd8" for r in frames)
+
+
+def test_media_engine_pluggable_decoder(spark):
+    """A 'native' decoder injected through MediaEngine(image_decoder=)
+    replaces the pure-Python codec under every pixel-inflating method
+    without forking operators: a delegating stub produces IDENTICAL
+    downstream rows, and a pixel-shifting stub provably runs (stats
+    shift by exactly w*h), on both the image and the video path."""
+    from pyspark.sql import functions as F
+
+    from data_timeseries_java_spark.api import MediaEngine
+    from data_timeseries_java_spark.operators.multimodal import (
+        synthesize_avi_media,
+        synthesize_png_media,
+    )
+
+    def native_like(payload):
+        # stands in for PIL/libjpeg-turbo: same (h, w, c) uint8 contract
+        from data_timeseries_java_spark.functions.png import decode_image
+        return decode_image(payload)
+
+    def shifted(payload):
+        from data_timeseries_java_spark.functions.png import decode_image
+        px = decode_image(payload)
+        return (px.astype("int32") + 1).clip(max=255).astype("uint8")
+
+    ids = spark.range(6).select(F.col("id").alias("media_id"))
+    png = synthesize_png_media(ids).withColumn("modality", F.lit("image"))
+    avi = synthesize_avi_media(ids).withColumn("modality", F.lit("video"))
+
+    default_eng = MediaEngine(spark)
+    native_eng = MediaEngine(spark, image_decoder=native_like)
+    shift_eng = MediaEngine(spark, image_decoder=shifted)
+
+    for method, data in (("image_stats", png), ("decode", png),
+                         ("resize", png), ("frame_stats", avi)):
+        want = sorted(map(tuple, getattr(default_eng, method)(data).collect()))
+        got = sorted(map(tuple, getattr(native_eng, method)(data).collect()))
+        assert got == want, method
+
+    # the injected codec is genuinely on the data path: +1 per pixel
+    # shifts pixel_sum by exactly width*height*channels
+    base = {r.media_id: r for r in default_eng.image_stats(png).collect()}
+    shift = {r.media_id: r for r in shift_eng.image_stats(png).collect()}
+    for i in base:
+        b, s = base[i], shift[i]
+        # gradient pixels stay < 255 for small ids, so no clipping
+        assert s.pixel_sum == b.pixel_sum + b.width * b.height * b.channels

@@ -107,7 +107,7 @@ _PANDAS_QUERIES = {"media_decode_features", "media_png_decode",
                    "media_video_frames", "media_cross_format_dedup",
                    "fx_ema_returns",
                    "neardup_cosine", "neardup_cosine_auto",
-                   "fx_corr_wide"}
+                   "fx_corr_wide", "fx_corr_headline"}
 
 
 def test_no_query_falls_into_row_python(spark, sf_dir):
@@ -219,6 +219,39 @@ def test_corr_dispatcher_kernel_by_universe_size(spark, sf_dir):
 
     with pytest.raises(ValueError, match="exactly one"):
         pairwise_correlations_auto(r, cfg)
+
+
+def test_corr_dispatcher_window_count_hint(spark, sf_dir):
+    """Window count moves the join-vs-matrix crossover (SCALE.md
+    wide-universe table: matrix already wins at n=200 with 23 slides);
+    the n_windows hint must engage the matrix kernel below the
+    conservative n-only crossover, and must NOT engage it when the scan
+    has too few slides for per-window parallelism."""
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+    from data_timeseries_java_spark.operators.correlation import (
+        CorrelationConfig, pairwise_correlations_auto)
+    from data_timeseries_java_spark.operators.returns import log_returns
+    from data_timeseries_java_spark.tables import events_as_ticks
+
+    ticks = events_as_ticks(spark, sf_dir)
+    r = log_returns(candles_pipeline(
+        ticks, ticks.select("key").distinct(), "1 hour"))
+    cfg = CorrelationConfig("6 hours", "3 hours", 0.0, True)
+
+    # the measured winning shape: n=200, 23 slides -> matrix
+    many = pairwise_correlations_auto(r, cfg, n_keys=200, n_windows=23,
+                                      cache_input=False)
+    assert "FlatMapGroupsInPandas" in formatted_plan(many)
+
+    # same n, parallelism-starved scan (2 slides) -> join kernel
+    few = pairwise_correlations_auto(r, cfg, n_keys=200, n_windows=2,
+                                     cache_input=False)
+    assert "InPandas" not in formatted_plan(few)
+
+    # small universe: many windows alone must not flip the routing
+    small = pairwise_correlations_auto(r, cfg, n_keys=50, n_windows=100,
+                                       cache_input=False)
+    assert "InPandas" not in formatted_plan(small)
 
 
 def test_fx_corr_wide_routes_to_matrix_kernel(spark, sf_dir):
