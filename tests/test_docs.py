@@ -35,3 +35,24 @@ def test_driver_prefix_covers_ungated_queries():
     prefix = set(keys[:50])
     missing = [k for k in ungated if k not in prefix]
     assert not missing, f"ungated queries outside the prefix: {missing}"
+
+
+def test_readme_quickstart_examples_run(spark):
+    """Every ```python block in README.md's Quickstart section executes
+    verbatim (shared namespace, in order) and its result frames are
+    non-empty — the entry-path examples cannot rot."""
+    import re
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "README.md")
+    text = open(path).read()
+    section = text.split("## Quickstart", 1)[1].split("\n## ", 1)[0]
+    blocks = re.findall(r"```python\n(.*?)```", section, flags=re.S)
+    assert len(blocks) == 3, "expected one example per facade"
+    ns: dict = {}
+    for block in blocks:
+        exec(compile(block, "README.md", "exec"), ns)  # noqa: S102
+    # the examples' own spark is the shared test session (getOrCreate)
+    for var in ("corr", "kept", "splits", "packs", "meta", "stats",
+                "resized"):
+        assert ns[var].count() > 0, f"README example frame {var} is empty"
