@@ -60,27 +60,23 @@ def encode_png(pixels: np.ndarray) -> bytes:
     if arr.ndim != 3 or arr.shape[2] not in _COLOR_TYPE:
         raise ValueError(f"expected (H,W,{{1,3,4}}) uint8, got {arr.shape}")
     h, w, ch = arr.shape
-    bpp = ch  # bytes per pixel at bit depth 8
-    raw = bytearray()
-    prev = np.zeros((w, ch), dtype=np.uint8)
-    for r in range(h):
-        row = arr[r]
-        if r == 0:
-            # Sub: delta vs pixel to the left (first pixel vs zero)
-            left = np.vstack([np.zeros((1, ch), np.uint8), row[:-1]])
-            raw.append(1)
-            raw.extend((row.astype(np.int16) - left).astype(np.uint8)
-                       .tobytes())
-        else:
-            # Up: delta vs the row above
-            raw.append(2)
-            raw.extend((row.astype(np.int16) - prev.astype(np.int16))
-                       .astype(np.uint8).tobytes())
-        prev = row
+    # whole-image filtering in one shot (uint8 subtraction wraps mod
+    # 256, exactly the PNG filter arithmetic) — a per-row Python loop
+    # here was the measured hot spot of the encode-bound resize lane
+    flat = arr.reshape(h, w * ch)
+    filtered = np.empty((h, 1 + w * ch), dtype=np.uint8)
+    # row 0 — Sub: delta vs the pixel to the left (first pixel vs zero)
+    filtered[0, 0] = 1
+    left = np.concatenate([np.zeros((1, ch), np.uint8), arr[0][:-1]])
+    filtered[0, 1:] = (arr[0] - left).reshape(-1)
+    if h > 1:
+        # rows 1.. — Up: delta vs the row above
+        filtered[1:, 0] = 2
+        filtered[1:, 1:] = flat[1:] - flat[:-1]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPE[ch], 0, 0, 0)
     return (PNG_MAGIC
             + _chunk(b"IHDR", ihdr)
-            + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _chunk(b"IDAT", zlib.compress(filtered.tobytes(), 6))
             + _chunk(b"IEND", b""))
 
 
@@ -289,6 +285,19 @@ def decode_png(data: bytes) -> np.ndarray:
     if raw.size != h * stride:
         raise ValueError(f"PNG data size {raw.size} != {h}x{stride}")
     rows = raw.reshape(h, stride)
+    fbytes = rows[:, 0]
+    # fast path for the dominant layout (this encoder's own output and
+    # most simple encoders'): every row after the first uses Up, whose
+    # unfilter is a column cumsum mod 256 — one vectorized pass instead
+    # of h sequential row steps
+    if h > 1 and np.all(fbytes[1:] == 2) and fbytes[0] in (0, 1, 2):
+        first = _unfilter(int(fbytes[0]), rows[0, 1:],
+                          np.zeros(w * ch, dtype=np.uint8), ch)
+        acc = rows[:, 1:].astype(np.uint32)
+        acc[0] = first
+        out = (np.cumsum(acc, axis=0, dtype=np.uint64) & 0xFF) \
+            .astype(np.uint8)
+        return out.reshape(h, w, ch)
     out = np.empty((h, w * ch), dtype=np.uint8)
     prev = np.zeros(w * ch, dtype=np.uint8)
     for r in range(h):

@@ -161,6 +161,18 @@ IMAGE_STATS_SCHEMA = ("media_id long, width int, height int, channels int, "
                       "pixel_sum long")
 
 
+def _spread(ids: DataFrame) -> DataFrame:
+    """Round-robin the id stream across the cluster before a codec
+    fan-out. The id source is typically one small parquet file (one
+    input split), which would serialize the ENTIRE synthesize+decode
+    lane into a single task — measured 6.8 s for media_video_frames at
+    sf0.1 with ~0.1 ms/frame codec cost, i.e. parallelism-starved, not
+    codec-bound. Shuffling a few thousand longs costs microseconds;
+    real payload tables read from many splits and never need this."""
+    sc = ids.sparkSession.sparkContext
+    return ids.repartition(sc.defaultParallelism)
+
+
 def synthesize_png_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     """Deterministic PNG payload per id — REAL spec-conformant PNG bytes
     via ``encode_png``, with dimensions/pixels that are closed-form
@@ -192,7 +204,7 @@ def synthesize_png_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
             yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
                                 "payload": payloads})
 
-    return ids.mapInPandas(run, PNG_MEDIA_SCHEMA)
+    return _spread(ids).mapInPandas(run, PNG_MEDIA_SCHEMA)
 
 
 JPEG_MEDIA_SCHEMA = "media_id long, payload binary"
@@ -222,7 +234,7 @@ def synthesize_jpeg_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame
             yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
                                 "payload": payloads})
 
-    return ids.mapInPandas(run, JPEG_MEDIA_SCHEMA)
+    return _spread(ids).mapInPandas(run, JPEG_MEDIA_SCHEMA)
 
 
 def synthesize_jpeg_pixel_media(ids: DataFrame,
@@ -260,7 +272,7 @@ def synthesize_jpeg_pixel_media(ids: DataFrame,
             yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
                                 "payload": payloads})
 
-    return ids.mapInPandas(run, JPEG_MEDIA_SCHEMA)
+    return _spread(ids).mapInPandas(run, JPEG_MEDIA_SCHEMA)
 
 
 def extract_image_headers(media: DataFrame) -> DataFrame:
@@ -433,7 +445,7 @@ def synthesize_wav_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
             yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
                                 "payload": payloads})
 
-    return ids.mapInPandas(run, WAV_MEDIA_SCHEMA)
+    return _spread(ids).mapInPandas(run, WAV_MEDIA_SCHEMA)
 
 
 def audio_features(media: DataFrame) -> DataFrame:
@@ -508,7 +520,7 @@ def synthesize_avi_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
             yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
                                 "payload": payloads})
 
-    return ids.mapInPandas(run, AVI_MEDIA_SCHEMA)
+    return _spread(ids).mapInPandas(run, AVI_MEDIA_SCHEMA)
 
 
 def video_frame_stats(media: DataFrame,

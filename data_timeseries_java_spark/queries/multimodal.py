@@ -190,7 +190,9 @@ def q_media_cross_format_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows,
                                columns=["media_id", "payload", "fmt"])
 
-    media = ids.mapInPandas(
+    from data_timeseries_java_spark.operators.multimodal import _spread
+
+    media = _spread(ids).mapInPandas(
         synth, "media_id long, payload binary, fmt string")
     stats = decode_image_stats(media)
     return (stats.join(media.select("media_id", "fmt"), "media_id")

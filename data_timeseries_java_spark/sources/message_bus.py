@@ -15,8 +15,20 @@ unchanged off the bus.
 The Kafka reader itself is a thin composition (``kafka_tick_stream``);
 it needs a broker + the Kafka connector jar at runtime, so tests drive
 the SAME parse transform through a file-replayed wire-format stream
-with out-of-order delivery (tests/test_stream_sources.py) — the
-broker-side config is the only untested line.
+with out-of-order delivery (tests/test_stream_sources.py).
+
+CONTRACT-TEST BOUNDARY (stated explicitly): no test in this repo
+executes against a live broker — the sandbox has neither a Kafka
+broker nor the spark-sql-kafka connector jar, and the reference
+likewise only *names* its bus (Pub/Sub in README.MD:23) without
+integration-testing it. What IS tested is everything this repo owns:
+the wire format, the parse transform (including malformed-payload
+drops and out-of-order delivery), and stream==batch equivalence over
+replayed captures. What is NOT is Spark's own Kafka connector config
+(``format("kafka")`` options in ``kafka_tick_stream``) — a deployment
+would cover that line with a testcontainers-style broker in its own
+CI; everything downstream of the connector's (key, value, timestamp)
+output shape is already exercised here.
 
 Event time comes from the PAYLOAD (the tick's own timestamp), never the
 bus ingestion timestamp — watermarks must follow trade time, or a
