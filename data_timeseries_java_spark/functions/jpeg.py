@@ -31,6 +31,7 @@ extension brief only.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -139,10 +140,27 @@ def _build_huffman(bits, values):
     return out
 
 
-def _build_huffman_decode(bits, values):
-    """BITS/HUFFVAL → {(length, code): symbol}."""
+def _build_huffman_lut(bits, values):
+    """BITS/HUFFVAL → flat 2^16 lookup list: entry = (symbol << 5) |
+    code_length for every 16-bit word that starts with that code, 0 for
+    prefixes matching no code.  T.81 caps code length at 16, so one
+     16-bit peek resolves any symbol; canonical Huffman is prefix-free,
+    so the fill ranges never overlap.  Returned as a plain list —
+    scalar indexing on a list is ~3x faster than on an ndarray, and the
+    decode loop is pure scalar.  Memoized on the table spec: building
+    the 64k table costs ~1 ms, which would dominate thumbnail-sized
+    decodes, and real streams overwhelmingly ship the Annex K tables."""
+    return _lut_cached(tuple(bits), tuple(values))
+
+
+@lru_cache(maxsize=64)
+def _lut_cached(bits: tuple, values: tuple):
     enc = _build_huffman(bits, values)
-    return {(ln, code): sym for sym, (code, ln) in enc.items()}
+    lut = np.zeros(65536, dtype=np.int32)
+    for sym, (code, ln) in enc.items():
+        lo = code << (16 - ln)
+        lut[lo:lo + (1 << (16 - ln))] = (sym << 5) | ln
+    return lut.tolist()
 
 
 # ---------------------------------------------------------------- encoder
@@ -189,10 +207,13 @@ def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
 
 def _ycbcr_to_rgb(px: np.ndarray) -> np.ndarray:
     y, cb, cr = px[..., 0], px[..., 1] - 128.0, px[..., 2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(_round_half_up(np.stack([r, g, b], axis=-1)), 0, 255)
+    out = np.empty(px.shape, dtype=np.float64)
+    out[..., 0] = y + 1.402 * cr
+    out[..., 1] = y - 0.344136 * cb - 0.714136 * cr
+    out[..., 2] = y + 1.772 * cb
+    out += 0.5
+    np.floor(out, out)                       # round half up, in place
+    return np.clip(out, 0, 255, out)
 
 
 def _plane_blocks(plane: np.ndarray) -> np.ndarray:
@@ -389,51 +410,6 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 75,
 
 # ---------------------------------------------------------------- decoder
 
-class _BitReader:
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self._acc = 0
-        self._n = 0
-
-    def bit(self) -> int:
-        if self._n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated JPEG entropy stream")
-            self._acc = self.data[self.pos]
-            self.pos += 1
-            self._n = 8
-        self._n -= 1
-        return (self._acc >> self._n) & 1
-
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
-
-    def align(self) -> None:
-        self._n = 0
-
-
-def _decode_huff(br: _BitReader, table: dict) -> int:
-    code, length = 0, 0
-    while length < 16:
-        code = (code << 1) | br.bit()
-        length += 1
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG Huffman code")
-
-
-def _extend(bits: int, size: int) -> int:
-    """T.81 F.2.2.1 EXTEND: offset bits → signed value."""
-    if size == 0:
-        return 0
-    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
-
-
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline sequential JFIF stream → (H, W, C) uint8
     (C = 1 gray, 3 color). Handles 4:4:4 / 4:2:2 / 4:2:0 sampling and
@@ -483,7 +459,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(body[b + 1:b + 17])
                 n = sum(bits)
                 vals = list(body[b + 17:b + 17 + n])
-                htabs[(cls, tid)] = _build_huffman_decode(bits, vals)
+                htabs[(cls, tid)] = _build_huffman_lut(bits, vals)
                 b += 17 + n
         elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 baseline
             prec, h_img, w_img, nc = struct.unpack(">BHHB", body[:6])
@@ -518,94 +494,158 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 f"sampling factors {c['h']}x{c['v']} unsupported")
 
     # collect entropy-coded bytes (unstuff FF00, stop at a real marker)
-    entropy = bytearray()
-    restarts = []                   # byte offsets where RSTn occurred
-    p = pos
-    while p < len(data) - 1:
-        b = data[p]
-        if b == 0xFF:
-            m = data[p + 1]
-            if m == 0x00:
-                entropy.append(0xFF)
-                p += 2
-                continue
-            if 0xD0 <= m <= 0xD7:   # restart marker
-                restarts.append(len(entropy))
-                p += 2
-                continue
-            break                   # EOI or next segment
-        entropy.append(b)
-        p += 1
+    # — vectorized: locate every 0xFF, classify its successor, cut at
+    # the first real marker, then np.delete the stuffed/RST bytes
+    tail = np.frombuffer(data, dtype=np.uint8, offset=pos)
+    ff = np.nonzero(tail[:-1] == 0xFF)[0] if len(tail) > 1 else \
+        np.empty(0, dtype=np.int64)
+    succ = tail[ff + 1]
+    stuffed = succ == 0x00
+    rst = (succ >= 0xD0) & (succ <= 0xD7)
+    real = np.nonzero(~stuffed & ~rst)[0]
+    end = ff[real[0]] if len(real) else len(tail)
+    keep_ff = ff[(ff < end) & stuffed]
+    rst_ff = ff[(ff < end) & rst]
+    # drop the 0x00 after each stuffed FF and both bytes of each RSTn
+    drop = np.concatenate([keep_ff + 1, rst_ff, rst_ff + 1])
+    drop = drop[drop < end]
+    entropy = np.delete(tail[:end], drop).tobytes()
+    # restart offsets in the unstuffed stream: RST position minus bytes
+    # dropped before it
+    if len(rst_ff):
+        dropped_before = np.searchsorted(np.sort(drop), rst_ff)
+        restarts = (rst_ff - dropped_before).tolist()
+    else:
+        restarts = []
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w_img + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h_img + 8 * vmax - 1) // (8 * vmax)
 
-    # per-component coefficient planes (padded to MCU grid)
-    planes = []
-    for c in comps:
-        pw, ph = mcux * c["h"] * 8, mcuy * c["v"] * 8
-        planes.append(np.zeros((ph, pw), dtype=np.float64))
-
+    # Entropy decode: LUT Huffman over an integer bit accumulator.  One
+    # 16-bit peek resolves any code; value bits come from the same
+    # accumulator.  The scalar walk only COLLECTS coefficients (scatter
+    # lists) — un-zigzag, dequantize, IDCT and plane assembly all run
+    # afterwards as one vectorized numpy pass per component.
     scan_by_comp = {cs: (td, ta) for cs, td, ta in scan}
-    br = _BitReader(bytes(entropy))
-    pred = {c["id"]: 0 for c in comps}
+    luts = []
+    for c in comps:
+        td, ta = scan_by_comp[c["id"]]
+        dc_lut = htabs.get((0, td))
+        ac_lut = htabs.get((1, ta))
+        if dc_lut is None or ac_lut is None or c["tq"] not in qtabs:
+            raise ValueError("corrupt JPEG: missing table for scan")
+        luts.append((dc_lut, ac_lut))
+    hv_counts = [c["h"] * c["v"] for c in comps]
+    n_comp = len(comps)
     n_mcu = mcux * mcuy
-    mcu_i = 0
+    buf = entropy
+    nbits_real = 8 * len(buf)
+    buf += b"\x00" * 8                     # tail pad; overrun detected below
+    dc_vals: list[list] = [[] for _ in comps]   # absolute DC per block
+    ac_packed: list[list] = [[] for _ in comps]  # (block*64+k) << 16 | v
+    bases = [0] * n_comp                   # running flat offset per comp
+    pred = [0] * n_comp
+    acc = nacc = bpos = 0
     restart_iter = iter(restarts)
     next_restart = next(restart_iter, None)
-    while mcu_i < n_mcu:
-        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-            br.align()
-            if next_restart is not None:
-                br.pos = next_restart
-                br._n = 0
-                next_restart = next(restart_iter, None)
-            pred = {c["id"]: 0 for c in comps}
-        my, mx = divmod(mcu_i, mcux)
-        for ci, c in enumerate(comps):
-            td, ta = scan_by_comp[c["id"]]
-            dc_tab = htabs.get((0, td))
-            ac_tab = htabs.get((1, ta))
-            q = qtabs.get(c["tq"])
-            if dc_tab is None or ac_tab is None or q is None:
-                raise ValueError("corrupt JPEG: missing table for scan")
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    zz = np.zeros(64, dtype=np.float64)
-                    size = _decode_huff(br, dc_tab)
-                    diff = _extend(br.bits(size), size)
-                    pred[c["id"]] += diff
-                    zz[0] = pred[c["id"]]
+    try:
+        for mcu_i in range(n_mcu):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                acc = nacc = 0
+                if next_restart is not None:
+                    bpos = next_restart
+                    next_restart = next(restart_iter, None)
+                pred = [0] * n_comp
+            for ci in range(n_comp):
+                dc_lut, ac_lut = luts[ci]
+                dcs = dc_vals[ci]
+                packed = ac_packed[ci]
+                base = bases[ci]
+                p = pred[ci]
+                for _ in range(hv_counts[ci]):
+                    while nacc < 16:
+                        acc = (acc << 8) | buf[bpos]
+                        bpos += 1
+                        nacc += 8
+                    e = dc_lut[(acc >> (nacc - 16)) & 0xFFFF]
+                    if e == 0:
+                        raise ValueError("invalid JPEG Huffman code")
+                    s = e >> 5
+                    nacc -= e & 31
+                    if s:
+                        while nacc < s:
+                            acc = (acc << 8) | buf[bpos]
+                            bpos += 1
+                            nacc += 8
+                        v = (acc >> (nacc - s)) & ((1 << s) - 1)
+                        nacc -= s
+                        if v < 1 << (s - 1):        # T.81 F.2.2.1 EXTEND
+                            v += (-1 << s) + 1
+                        p += v
+                    dcs.append(p)
                     k = 1
                     while k < 64:
-                        rs = _decode_huff(br, ac_tab)
-                        r, s = rs >> 4, rs & 0x0F
+                        while nacc < 16:
+                            acc = (acc << 8) | buf[bpos]
+                            bpos += 1
+                            nacc += 8
+                        e = ac_lut[(acc >> (nacc - 16)) & 0xFFFF]
+                        if e == 0:
+                            raise ValueError("invalid JPEG Huffman code")
+                        nacc -= e & 31
+                        rs = e >> 5
+                        s = rs & 0x0F
                         if s == 0:
-                            if r == 15:
+                            if rs == 0xF0:          # ZRL
                                 k += 16
                                 continue
-                            break               # EOB
-                        k += r
+                            break                   # EOB
+                        k += rs >> 4
                         if k > 63:
                             raise ValueError("corrupt JPEG: AC index > 63")
-                        zz[k] = _extend(br.bits(s), s)
+                        while nacc < s:
+                            acc = (acc << 8) | buf[bpos]
+                            bpos += 1
+                            nacc += 8
+                        v = (acc >> (nacc - s)) & ((1 << s) - 1)
+                        nacc -= s
+                        if v < 1 << (s - 1):
+                            v += (-1 << s) + 1
+                        packed.append(((base + k) << 16) | (v & 0xFFFF))
                         k += 1
-                    block = np.zeros(64, dtype=np.float64)
-                    block[_ZZ_FLAT] = zz
-                    coef = block.reshape(8, 8) * q
-                    pix = _C.T @ coef @ _C + 128.0
-                    y0 = (my * c["v"] + by) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
-        mcu_i += 1
+                    base += 64
+                    acc &= (1 << nacc) - 1
+                bases[ci] = base
+                pred[ci] = p
+            if 8 * bpos - nacc > nbits_real:
+                raise ValueError("truncated JPEG entropy stream")
+    except IndexError:
+        raise ValueError("truncated JPEG entropy stream") from None
 
-    # upsample to full resolution and crop
+    # vectorized reconstruction: scatter → un-zigzag → dequant → batched
+    # IDCT (two broadcast matmuls over all blocks) → MCU-grid assembly
     full = []
     for ci, c in enumerate(comps):
-        pl = planes[ci]
-        ry, rx = vmax // c["v"], hmax // c["h"]
+        n = n_mcu * hv_counts[ci]
+        zz = np.zeros((n, 64), dtype=np.float64)
+        zz[:, 0] = dc_vals[ci]
+        if ac_packed[ci]:
+            pk = np.array(ac_packed[ci], dtype=np.int64)
+            zz.reshape(-1)[pk >> 16] = \
+                (pk & 0xFFFF).astype(np.uint16).astype(np.int16)
+        coef = zz[:, _UNZZ].reshape(n, 8, 8) * qtabs[c["tq"]]
+        pix = _C.T @ coef @ _C + 128.0
+        ch, cv = c["h"], c["v"]
+        j = np.arange(n)
+        mcu, within = j // (ch * cv), j % (ch * cv)
+        grid = np.empty((mcuy * cv, mcux * ch, 8, 8))
+        grid[(mcu // mcux) * cv + within // ch,
+             (mcu % mcux) * ch + within % ch] = pix
+        pl = grid.transpose(0, 2, 1, 3).reshape(mcuy * cv * 8, mcux * ch * 8)
+        # upsample to full resolution and crop
+        ry, rx = vmax // cv, hmax // ch
         if ry > 1 or rx > 1:
             pl = np.repeat(np.repeat(pl, ry, axis=0), rx, axis=1)
         full.append(pl[:h_img, :w_img])
