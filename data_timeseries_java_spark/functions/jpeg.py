@@ -165,36 +165,182 @@ def _lut_cached(bits: tuple, values: tuple):
 
 # ---------------------------------------------------------------- encoder
 
-class _BitWriter:
-    def __init__(self) -> None:
-        self.out = bytearray()
-        self._acc = 0
-        self._n = 0
-
-    def write(self, code: int, length: int) -> None:
-        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
-        self._n += length
-        while self._n >= 8:
-            self._n -= 8
-            b = (self._acc >> self._n) & 0xFF
-            self.out.append(b)
-            if b == 0xFF:           # byte stuffing
-                self.out.append(0x00)
-        self._acc &= (1 << self._n) - 1
-
-    def flush(self) -> None:
-        if self._n:
-            pad = 8 - self._n
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+#: below this many blocks the scalar emitter beats the vectorized
+#: scan's fixed numpy overhead (measured crossover; fixture-sized
+#: thumbnails stay on the scalar path)
+_SCALAR_ENCODE_CUTOFF = 32
 
 
-def _magnitude(v: int) -> tuple[int, int]:
-    """value → (size category, offset bits) per T.81 F.1.2.1."""
-    if v == 0:
-        return 0, 0
-    size = int(v if v > 0 else -v).bit_length()
-    bits = v if v >= 0 else v + (1 << size) - 1
-    return size, bits
+@lru_cache(maxsize=8)
+def _enc_table_dicts():
+    return (_build_huffman(*_DC_L), _build_huffman(*_DC_C),
+            _build_huffman(*_AC_L), _build_huffman(*_AC_C))
+
+
+def _encode_scan_scalar(seq_coefs, seq_comp, seg_id) -> bytes:
+    """Sequential reference emitter over the same interleaved block
+    sequence as `_encode_scan` — byte-identical output, lower constant
+    cost for thumbnail-sized images."""
+    dcl, dcc, acl, acc_ = _enc_table_dicts()
+    bw = _BitWriter()
+    out = bytearray()
+    n_comp = int(seq_comp.max()) + 1
+    pred = [0] * n_comp
+    cur_seg = 0
+    for i in range(len(seq_coefs)):
+        s = int(seg_id[i])
+        if s != cur_seg:
+            bw.flush()
+            out += bw.out
+            bw.out.clear()
+            out += bytes((0xFF, 0xD0 + (s - 1) % 8))
+            pred = [0] * n_comp
+            cur_seg = s
+        ci = int(seq_comp[i])
+        _encode_block(bw, seq_coefs[i], pred, ci,
+                      dcl if ci == 0 else dcc, acl if ci == 0 else acc_)
+    bw.flush()
+    out += bw.out
+    return bytes(out)
+
+
+@lru_cache(maxsize=8)
+def _enc_table_arrays():
+    """Annex K encode tables as (codes, lengths) int64 arrays indexed
+    by symbol — (dc_luma, dc_chroma, ac_luma, ac_chroma) — so token
+    lookup is one fancy-index over the whole token stream."""
+    out = []
+    for spec, size in ((_DC_L, 12), (_DC_C, 12), (_AC_L, 256), (_AC_C, 256)):
+        enc = _build_huffman(*spec)
+        codes = np.zeros(size, dtype=np.int64)
+        lens = np.zeros(size, dtype=np.int64)
+        for sym, (code, ln) in enc.items():
+            codes[sym], lens[sym] = code, ln
+        out.append((codes, lens))
+    return tuple(out)
+
+
+def _bit_size(v: np.ndarray) -> np.ndarray:
+    """Vectorized T.81 F.1.2.1 size category: bit_length(|v|)."""
+    return np.frexp(np.abs(v).astype(np.float64))[1].astype(np.int64)
+
+
+def _pack_chunks(chunks: np.ndarray, lens: np.ndarray) -> bytes:
+    """Concatenate variable-length bit chunks MSB-first into a
+    byte-aligned stream: 1-bit padding (T.81 F.1.2.3) + FF00 byte
+    stuffing.  The fill loops over BIT POSITION WITHIN A CHUNK (≤27
+    iterations of whole-array ops), never over tokens."""
+    if not len(lens):
+        return b""
+    offs = np.cumsum(lens) - lens
+    total = int(offs[-1] + lens[-1])
+    bits = np.ones(-(-total // 8) * 8, dtype=np.uint8)
+    for i in range(int(lens.max())):
+        m = lens > i
+        bits[offs[m] + i] = (chunks[m] >> (lens[m] - 1 - i)) & 1
+    by = np.packbits(bits)
+    ffs = np.nonzero(by == 0xFF)[0]
+    if len(ffs):
+        by = np.insert(by, ffs + 1, 0)
+    return by.tobytes()
+
+
+def _encode_scan(seq_coefs: np.ndarray, seq_comp: np.ndarray,
+                 seg_id: np.ndarray) -> bytes:
+    """Entropy-code interleaved zig-zag blocks (T.81 F.1.2), fully
+    vectorized.  Every token (DC, ZRL, AC coefficient, EOB) gets an
+    ordering key (block, slot-within-block) — DC at slot 0, an AC
+    coefficient at its zig-zag index, the ZRLs ahead of it at the
+    positions of the 16-zero runs they stand for, EOB at 64 — so one
+    lexsort reproduces the sequential emission order exactly.  Huffman
+    code + magnitude bits are fused into one chunk per token and
+    packed per restart segment (DC prediction resets at segment
+    boundaries; RSTn markers cycle D0..D7)."""
+    (dcl_c, dcl_l), (dcc_c, dcc_l), (acl_c, acl_l), (acc_c, acc_l) = \
+        _enc_table_arrays()
+    n = len(seq_coefs)
+    # --- DC tokens: per-component, per-segment delta with reset
+    dc = seq_coefs[:, 0]
+    diff = np.empty(n, dtype=np.int64)
+    for ci in range(int(seq_comp.max()) + 1):
+        m = seq_comp == ci
+        d = dc[m]
+        seg = seg_id[m]
+        first = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            first[1:] = seg[1:] != seg[:-1]
+        prev = np.empty_like(d)
+        prev[0] = 0
+        prev[1:] = d[:-1]
+        diff[m] = np.where(first, d, d - prev)
+    dc_size = _bit_size(diff)
+    dc_bits = np.where(diff >= 0, diff, diff + (1 << dc_size) - 1)
+    luma = seq_comp == 0
+    dc_code = np.where(luma, dcl_c[dc_size], dcc_c[dc_size])
+    dc_clen = np.where(luma, dcl_l[dc_size], dcc_l[dc_size])
+    tok_block = [np.arange(n)]
+    tok_slot = [np.zeros(n, dtype=np.int64)]
+    tok_chunk = [(dc_code << dc_size) | dc_bits]
+    tok_len = [dc_clen + dc_size]
+    # --- AC coefficient tokens (+ preceding ZRLs) from the nonzeros
+    bi, kk = np.nonzero(seq_coefs[:, 1:])
+    k = kk + 1
+    v = seq_coefs[bi, k]
+    first_in_block = np.ones(len(bi), dtype=bool)
+    if len(bi) > 1:
+        first_in_block[1:] = bi[1:] != bi[:-1]
+    prevk = np.empty_like(k)
+    if len(k):
+        prevk[0] = 0
+        prevk[1:] = k[:-1]
+    prevk = np.where(first_in_block, 0, prevk)
+    run = k - prevk - 1
+    size = _bit_size(v)
+    rs = ((run % 16) << 4) | size
+    vb = np.where(v >= 0, v, v + (1 << size) - 1)
+    ac_luma = seq_comp[bi] == 0
+    code = np.where(ac_luma, acl_c[rs], acc_c[rs])
+    clen = np.where(ac_luma, acl_l[rs], acc_l[rs])
+    tok_block.append(bi)
+    tok_slot.append(k.astype(np.int64))
+    tok_chunk.append((code << size) | vb)
+    tok_len.append(clen + size)
+    n_zrl = run // 16
+    if n_zrl.any():
+        rep = np.repeat(np.arange(len(bi)), n_zrl)
+        ends = np.cumsum(n_zrl)
+        j = np.arange(len(rep)) - np.repeat(ends - n_zrl, n_zrl)
+        zb = bi[rep]
+        tok_block.append(zb)
+        tok_slot.append(prevk[rep] + 16 * (j + 1))
+        z_luma = seq_comp[zb] == 0
+        tok_chunk.append(np.where(z_luma, acl_c[0xF0], acc_c[0xF0]))
+        tok_len.append(np.where(z_luma, acl_l[0xF0], acc_l[0xF0]))
+    # --- EOB where the last nonzero AC lands before 63
+    last_k = np.zeros(n, dtype=np.int64)
+    if len(bi):
+        np.maximum.at(last_k, bi, k)
+    eob = np.nonzero(last_k < 63)[0]
+    tok_block.append(eob)
+    tok_slot.append(np.full(len(eob), 64, dtype=np.int64))
+    e_luma = seq_comp[eob] == 0
+    tok_chunk.append(np.where(e_luma, acl_c[0x00], acc_c[0x00]))
+    tok_len.append(np.where(e_luma, acl_l[0x00], acc_l[0x00]))
+    # --- order, then pack per restart segment
+    block = np.concatenate(tok_block)
+    order = np.lexsort((np.concatenate(tok_slot), block))
+    chunks = np.concatenate(tok_chunk)[order]
+    lens = np.concatenate(tok_len)[order]
+    tseg = seg_id[block[order]]
+    out = bytearray()
+    bounds = np.nonzero(np.diff(tseg))[0] + 1
+    start = 0
+    for si, stop in enumerate(list(bounds) + [len(lens)]):
+        if si:
+            out += bytes((0xFF, 0xD0 + (si - 1) % 8))
+        out += _pack_chunks(chunks[start:stop], lens[start:stop])
+        start = stop
+    return bytes(out)
 
 
 def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
@@ -228,6 +374,42 @@ def _pad_edge(plane: np.ndarray) -> np.ndarray:
     h, w = plane.shape
     ph, pw = -h % 8, -w % 8
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+class _BitWriter:
+    """Scalar MSB-first bit emitter with FF00 stuffing — the small-image
+    encode path; `_encode_scan` is the vectorized equivalent and the
+    two are asserted byte-identical in tests."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            b = (self._acc >> self._n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:           # byte stuffing
+                self.out.append(0x00)
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value → (size category, offset bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    size = int(v if v > 0 else -v).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
 
 
 def _encode_block(bw: "_BitWriter", zz: np.ndarray, pred: list, ci: int,
@@ -326,52 +508,39 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 75,
         comp_coefs.append(quant.reshape(-1, 64)[:, _ZZ_FLAT])
         comp_grid.append((padded.shape[0] // 8, padded.shape[1] // 8))
 
-    dc_tabs = [_build_huffman(*_DC_L)] + [_build_huffman(*_DC_C)] * 2
-    ac_tabs = [_build_huffman(*_AC_L)] + [_build_huffman(*_AC_C)] * 2
-    bw = _BitWriter()
-    pred = [0] * len(planes)
-    entropy = bytearray()
-    rst = 0
-
-    def flush_segment() -> None:
-        nonlocal rst
-        bw.flush()
-        entropy.extend(bw.out)
-        bw.out.clear()
-
+    # interleave blocks into MCU emission order, then entropy-code the
+    # whole scan in one vectorized pass (_encode_scan)
+    ncp = len(planes)
     if not subsample:
         # one block per component per MCU; MCU grid == block grid
-        n_blocks = comp_coefs[0].shape[0]
-        for b in range(n_blocks):
-            if restart_interval and b and b % restart_interval == 0:
-                flush_segment()
-                entropy.extend((0xFF, 0xD0 + rst))
-                rst = (rst + 1) % 8
-                pred = [0] * len(planes)
-            for ci in range(len(planes)):
-                _encode_block(bw, comp_coefs[ci][b], pred, ci,
-                              dc_tabs[ci], ac_tabs[ci])
+        n_b = comp_coefs[0].shape[0]
+        seq_coefs = np.stack(comp_coefs, axis=1).reshape(-1, 64)
+        seq_comp = np.tile(np.arange(ncp), n_b)
+        mcu_of = np.repeat(np.arange(n_b), ncp)
     else:
         # 4:2:0 MCU: 4 Y blocks (2x2 raster) + Cb + Cr
         ybh, ybw = comp_grid[0]
         mcuy, mcux = ybh // 2, ybw // 2
-        for m in range(mcuy * mcux):
-            if restart_interval and m and m % restart_interval == 0:
-                flush_segment()
-                entropy.extend((0xFF, 0xD0 + rst))
-                rst = (rst + 1) % 8
-                pred = [0] * len(planes)
-            my, mx = divmod(m, mcux)
-            for by in range(2):
-                for bx in range(2):
-                    yb = (my * 2 + by) * ybw + (mx * 2 + bx)
-                    _encode_block(bw, comp_coefs[0][yb], pred, 0,
-                                  dc_tabs[0], ac_tabs[0])
-            for ci in (1, 2):
-                cb = my * comp_grid[ci][1] + mx
-                _encode_block(bw, comp_coefs[ci][cb], pred, ci,
-                              dc_tabs[ci], ac_tabs[ci])
-    flush_segment()
+        n_mcu = mcuy * mcux
+        m = np.arange(n_mcu)
+        my, mx = m // mcux, m % mcux
+        y00 = (my * 2) * ybw + mx * 2
+        cb = my * comp_grid[1][1] + mx
+        seq_coefs = np.empty((n_mcu * 6, 64), dtype=np.int64)
+        seq_coefs[0::6] = comp_coefs[0][y00]
+        seq_coefs[1::6] = comp_coefs[0][y00 + 1]
+        seq_coefs[2::6] = comp_coefs[0][y00 + ybw]
+        seq_coefs[3::6] = comp_coefs[0][y00 + ybw + 1]
+        seq_coefs[4::6] = comp_coefs[1][cb]
+        seq_coefs[5::6] = comp_coefs[2][cb]
+        seq_comp = np.tile(np.array([0, 0, 0, 0, 1, 2]), n_mcu)
+        mcu_of = np.repeat(m, 6)
+    seg_id = mcu_of // restart_interval if restart_interval \
+        else np.zeros(len(mcu_of), dtype=np.int64)
+    if len(seq_coefs) <= _SCALAR_ENCODE_CUTOFF:
+        entropy = _encode_scan_scalar(seq_coefs, seq_comp, seg_id)
+    else:
+        entropy = _encode_scan(seq_coefs, seq_comp, seg_id)
 
     # ------- marker stream
     def seg(marker: int, body: bytes) -> bytes:

@@ -159,3 +159,35 @@ def test_resize_images_handles_jpeg_payloads(spark):
     px = decode_png(bytes(out[0].resized))
     assert px.shape == (6, 8, 1)
     assert np.all(px == 180)  # constant gray q75 is bit-exact end to end
+
+
+def test_scalar_and_vectorized_entropy_coders_are_byte_identical():
+    """encode_jpeg dispatches small images to a sequential emitter and
+    larger ones to the vectorized `_encode_scan`; both must produce the
+    same bytes on either side of the cutoff, across gray/color,
+    subsampling, restart intervals and quality extremes."""
+    from data_timeseries_java_spark.functions import jpeg as J
+
+    rng = np.random.default_rng(11)
+    for trial in range(30):
+        h, w = int(rng.integers(1, 80)), int(rng.integers(1, 80))
+        color = bool(rng.integers(0, 2))
+        img = rng.integers(
+            0, 255, (h, w, 3) if color else (h, w)).astype(np.uint8)
+        kw = {}
+        if color and rng.random() < 0.3:
+            kw["subsample"] = True
+        if rng.random() < 0.3:
+            kw["restart_interval"] = int(rng.integers(1, 5))
+        q = int(rng.integers(1, 101))
+        old_cutoff = J._SCALAR_ENCODE_CUTOFF
+        try:
+            J._SCALAR_ENCODE_CUTOFF = 0          # force vector path
+            vec = J.encode_jpeg(img, q, **kw)
+            J._SCALAR_ENCODE_CUTOFF = 10 ** 9    # force scalar path
+            sca = J.encode_jpeg(img, q, **kw)
+        finally:
+            J._SCALAR_ENCODE_CUTOFF = old_cutoff
+        assert vec == sca, (h, w, color, kw, q)
+        # and the stream round-trips through the decoder
+        assert decode_jpeg(vec).shape[:2] == (h, w)
