@@ -15,6 +15,9 @@ from data_timeseries_java_spark.streaming.candles_stream import (
 from data_timeseries_java_spark.streaming.anomaly_stream import (
     streaming_anomalies,
 )
+from data_timeseries_java_spark.streaming.asof_stream import (
+    streaming_asof_join,
+)
 from data_timeseries_java_spark.streaming.corpus_stream import (
     streaming_corpus_build,
 )
@@ -49,4 +52,4 @@ __all__ = ["streaming_ohlc_candles", "streaming_complete_candles",
            "streaming_ema", "streaming_ema_applyinpandas",
            "streaming_correlations", "read_streaming_correlations",
            "compact_correlation_store",
-           "streaming_realized_volatility"]
+           "streaming_realized_volatility", "streaming_asof_join"]
