@@ -482,6 +482,94 @@ def audio_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
+RAMP_WAV_SCHEMA = "media_id long, payload binary, target_rate int"
+RESAMPLE_SCHEMA = ("media_id long, src_rate int, target_rate int, "
+                   "n_in int, n_out int, resampled_sum long")
+
+
+def synthesize_ramp_wav_media(ids: DataFrame,
+                              id_col: str = "media_id") -> DataFrame:
+    """Deterministic REAL WAV per id carrying a LINEAR RAMP — the
+    fixture whose linear-interpolation resample is closed-form:
+
+        base   b = id % 40
+        slope  s = 1 + id % 3
+        x[i]   = b + s*i            (int16, max 40 + 3*79 < 2^15)
+        n_in   = 48 + id % 32
+        src    = 8000 Hz;  target = 4000 + 1000 * (id % 5)
+
+    Linear interpolation of a linear ramp at position p is exactly
+    b + s*p, so every resampled sample — and therefore the round-trip
+    sum — is SQL-expressible (``queries/multimodal.py``
+    media_wav_resample oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    from data_timeseries_java_spark.functions.wav import encode_wav
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads, targets = [], []
+            for mid in pdf[id_col]:
+                i = int(mid)
+                b, s = i % 40, 1 + i % 3
+                n = 48 + i % 32
+                x = (b + s * np.arange(n)).astype(np.int16)
+                payloads.append(encode_wav(x, 8000))
+                targets.append(4000 + 1000 * (i % 5))
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads,
+                                "target_rate": pd.Series(targets,
+                                                         dtype="int32")})
+
+    return _spread(ids).mapInPandas(run, RAMP_WAV_SCHEMA)
+
+
+def resample_audio(media: DataFrame,
+                   target_col: str = "target_rate") -> DataFrame:
+    """REAL sample-rate conversion: decode PCM, linear-interpolate each
+    channel onto the target-rate time grid (position of output sample j
+    is ``j * src/target`` in input samples; output length keeps every
+    position inside the input: ``(n_in-1)*target//src + 1``), quantize
+    round-half-up to int16, re-encode as WAV at the target rate, decode
+    the round-trip and emit its sample sum — certifying interpolate +
+    encode + decode on genuine PCM data. The training-pipeline shape:
+    audio corpora are normalized to one rate before feature extraction;
+    per-payload Python cost rides the same Arrow-batched ``mapInPandas``
+    lane (and decoder seam) as the image tier."""
+    import numpy as np
+    import pandas as pd
+
+    from data_timeseries_java_spark.functions.wav import (
+        decode_wav, encode_wav)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, tgt in zip(pdf["media_id"], pdf["payload"],
+                                         pdf[target_col]):
+                x, src = decode_wav(payload)
+                tgt = int(tgt)
+                n_in, ch = x.shape
+                n_out = (n_in - 1) * tgt // src + 1
+                pos = np.arange(n_out) * (src / tgt)
+                i0 = np.floor(pos).astype(np.int64)
+                frac = pos - i0
+                i1 = np.minimum(i0 + 1, n_in - 1)
+                xf = x.astype(np.float64)
+                y = xf[i0] + (xf[i1] - xf[i0]) * frac[:, None]
+                yq = np.floor(y + 0.5).astype(np.int16)
+                rt, rrate = decode_wav(encode_wav(yq, tgt))
+                assert rrate == tgt
+                rows.append((int(mid), src, tgt, n_in, n_out,
+                             int(rt.astype(np.int64).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "src_rate", "target_rate",
+                "n_in", "n_out", "resampled_sum"])
+
+    return media.mapInPandas(run, RESAMPLE_SCHEMA)
+
+
 AVI_MEDIA_SCHEMA = "media_id long, payload binary"
 FRAME_STATS_SCHEMA = ("media_id long, frame_idx int, width int, "
                       "height int, pixel_sum long")

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from data_timeseries_java_spark.operators.dedup import (
     DEFAULT_BAND_SIZE,
     DEFAULT_NUM_HASHES,
+    containment_dedup,
     exact_duplicates,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
@@ -22,6 +23,7 @@ from data_timeseries_java_spark.tables import load_table
 
 SHINGLE_K = 2
 JACCARD_T = 0.7
+CONTAINMENT_T = 0.8
 NGRAM_T = 0.5
 SIMHASH_BITS = 32
 
@@ -43,11 +45,11 @@ sh AS (
 """
 
 
-def _minhash_sql(num_hashes: int = DEFAULT_NUM_HASHES,
-                 band_size: int = DEFAULT_BAND_SIZE,
-                 threshold: float = JACCARD_T) -> str:
-    # lane-sliced digests, mirroring functions/hashing.md5_min_signature:
-    # component i = 8-hex-char lane i%4 of md5('i//4:' || shingle)
+def _lsh_prefix(num_hashes: int, band_size: int) -> str:
+    """Shared CTE chain through banded candidates + shingle sets —
+    mirrors shingles → md5 lane signatures → banding → candidate join
+    (functions/hashing.md5_min_signature lane slicing: component i =
+    8-hex-char lane i%4 of md5('i//4:' || shingle))."""
     sig_cols = ",\n         ".join(
         f"min(substr(md5('{i // 4}:' || shingle), {1 + 8 * (i % 4)}, 8)) "
         f"AS sig_{i}" for i in range(num_hashes))
@@ -74,7 +76,13 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 ),
-ssets AS (SELECT doc_id, list(shingle) AS sh_set FROM sh GROUP BY doc_id),
+ssets AS (SELECT doc_id, list(shingle) AS sh_set FROM sh GROUP BY doc_id)"""
+
+
+def _minhash_sql(num_hashes: int = DEFAULT_NUM_HASHES,
+                 band_size: int = DEFAULT_BAND_SIZE,
+                 threshold: float = JACCARD_T) -> str:
+    return f"""{_lsh_prefix(num_hashes, band_size)},
 scored AS (
   SELECT c.id_a, c.id_b,
          len(list_intersect(a.sh_set, b.sh_set))
@@ -86,6 +94,28 @@ scored AS (
 )
 SELECT id_a, id_b, floor(jac * 1000000) / 1000000 AS jaccard
 FROM scored WHERE jac >= {threshold}
+"""
+
+
+def _containment_sql(num_hashes: int = DEFAULT_NUM_HASHES,
+                     band_size: int = DEFAULT_BAND_SIZE,
+                     threshold: float = 0.8) -> str:
+    return f"""{_lsh_prefix(num_hashes, band_size)},
+scored AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(a.sh_set, b.sh_set))
+           / least(len(a.sh_set), len(b.sh_set)) AS cont,
+         len(list_intersect(a.sh_set, b.sh_set))
+           / (len(a.sh_set) + len(b.sh_set)
+              - len(list_intersect(a.sh_set, b.sh_set))) AS jac
+  FROM cand c
+  JOIN ssets a ON a.doc_id = c.id_a
+  JOIN ssets b ON b.doc_id = c.id_b
+)
+SELECT id_a, id_b,
+       floor(cont * 1000000) / 1000000 AS containment,
+       floor(jac * 1000000) / 1000000 AS jaccard
+FROM scored WHERE cont >= {threshold}
 """
 
 
@@ -153,6 +183,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(docs, k=SHINGLE_K, threshold=JACCARD_T)
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-in-doc near-dup: banded candidates scored by containment
+    |A∩B| / min(|A|,|B|) — catches a short doc embedded in a long one
+    (quotes, boilerplate wrapping) that Jaccard dilutes below
+    threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_dedup(docs, k=SHINGLE_K, threshold=CONTAINMENT_T)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, bits=SIMHASH_BITS)
@@ -167,6 +206,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_containment": q_dedup_containment,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
 }
@@ -185,6 +225,7 @@ SELECT h.doc_id, h.content_hash, g.keeper_id, g.group_size,
 FROM hashed h JOIN groups g ON h.content_hash = g.content_hash
 """,
     "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_containment": _containment_sql(threshold=0.8),
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": _NGRAM_SQL,
 }

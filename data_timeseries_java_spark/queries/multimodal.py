@@ -25,11 +25,13 @@ from data_timeseries_java_spark.operators.multimodal import (
     decode_image_stats,
     documents_as_media,
     extract_image_headers,
+    resample_audio,
     resize_images,
     synthesize_avi_media,
     synthesize_jpeg_media,
     synthesize_jpeg_pixel_media,
     synthesize_png_media,
+    synthesize_ramp_wav_media,
     synthesize_wav_media,
     video_frame_stats,
 )
@@ -134,6 +136,22 @@ def q_media_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(media)
 
 
+def q_media_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL sample-rate conversion end-to-end: synthesize a linear-ramp
+    PCM16 WAV per doc_id, decode, linear-interpolate onto a per-doc
+    target rate (4-8 kHz), quantize, re-encode, decode the round trip
+    and sum its samples. Linear interpolation of a linear ramp at
+    position p is exactly base + slope*p, and the operator's float
+    expression tree is mirrored term-for-term in the oracle, so the
+    round-trip sum hash-matches genuine interpolate+encode+decode
+    arithmetic — the audio-normalization pass every speech corpus runs
+    before feature extraction."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_ramp_wav_media(
+        docs.select(F.col("doc_id").alias("media_id")))
+    return resample_audio(media)
+
+
 def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video path end-to-end: synthesize a Motion-JPEG AVI per
     doc_id (a genuine RIFF container holding 2-5 baseline JPEG frames),
@@ -209,6 +227,7 @@ QUERIES = {
     "media_jpeg_decode": q_media_jpeg_decode,
     "media_resize": q_media_resize,
     "media_wav_features": q_media_wav_features,
+    "media_wav_resample": q_media_wav_resample,
     "media_video_frames": q_media_video_frames,
     "media_cross_format_dedup": q_media_cross_format_dedup,
 }
@@ -324,6 +343,40 @@ SELECT doc_id AS media_id,
        FLOOR(sqrt(off * off + amp * amp) * 1000000 + 0.5) / 1000000 AS rms,
        CAST(n - 1 AS INT) AS zero_crossings
 FROM d
+""",
+    # media_wav_resample: linear ramp b + s*i resampled 8000 -> t Hz by
+    # linear interpolation = b + s*pos at pos = j*(8000/t); the SQL
+    # mirrors the operator's float tree term for term — x0 = b + s*i0
+    # (exact small-int float), + s*frac, + 0.5, floor — so the quantized
+    # samples and their sum are bit-identical. n_out keeps every output
+    # position inside the input: (n_in-1)*t // 8000 + 1 (integer
+    # arithmetic on both engines).
+    "media_wav_resample": """
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 40 AS DOUBLE) AS b,
+         CAST(1 + doc_id % 3 AS DOUBLE) AS s,
+         CAST(48 + doc_id % 32 AS BIGINT) AS n_in,
+         CAST(4000 + 1000 * (doc_id % 5) AS BIGINT) AS t
+  FROM documents
+),
+dims AS (SELECT *, (n_in - 1) * t // 8000 + 1 AS n_out FROM d),
+j AS (SELECT unnest(range(100)) AS j),
+samp AS (
+  SELECT doc_id,
+         FLOOR((b + s * FLOOR(j.j * (8000.0 / t)))
+               + s * (j.j * (8000.0 / t) - FLOOR(j.j * (8000.0 / t)))
+               + 0.5) AS y
+  FROM dims JOIN j ON j.j < dims.n_out
+)
+SELECT dims.doc_id AS media_id,
+       CAST(8000 AS INT) AS src_rate,
+       CAST(t AS INT) AS target_rate,
+       CAST(n_in AS INT) AS n_in,
+       CAST(n_out AS INT) AS n_out,
+       CAST(sum(samp.y) AS BIGINT) AS resampled_sum
+FROM dims JOIN samp ON samp.doc_id = dims.doc_id
+GROUP BY dims.doc_id, t, n_in, n_out
 """,
     # media_video_frames: one row per (doc, frame); constant-gray MJPEG
     # frames at quality 75 decode bit-exact (same DC argument as
