@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from data_timeseries_java_spark.operators.multimodal import (
     attach_binary_metadata,
     audio_features,
+    audio_spectrum,
     decode_features,
     decode_image_stats,
     documents_as_media,
@@ -152,6 +153,21 @@ def q_media_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_audio(media)
 
 
+def q_media_wav_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frequency-domain path: decode the square-wave WAV fixture
+    and run an rFFT. An alternating wave d ± a concentrates ALL its
+    energy in exactly two bins — DC (magnitude d) and Nyquist
+    (magnitude a) — so dominant bin = n/2, its magnitude = a, and the
+    non-DC spectral centroid = rate/2, all closed-form in doc_id. A
+    hash match certifies a genuine FFT over genuinely decoded samples
+    (numerical dust in the zero bins sits at ~1e-13 and vanishes under
+    the tier's 1e-6 rounding contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_wav_media(
+        docs.select(F.col("doc_id").alias("media_id")))
+    return audio_spectrum(media)
+
+
 def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video path end-to-end: synthesize a Motion-JPEG AVI per
     doc_id (a genuine RIFF container holding 2-5 baseline JPEG frames),
@@ -228,6 +244,7 @@ QUERIES = {
     "media_resize": q_media_resize,
     "media_wav_features": q_media_wav_features,
     "media_wav_resample": q_media_wav_resample,
+    "media_wav_spectrum": q_media_wav_spectrum,
     "media_video_frames": q_media_video_frames,
     "media_cross_format_dedup": q_media_cross_format_dedup,
 }
@@ -342,6 +359,27 @@ SELECT doc_id AS media_id,
        FLOOR(off * 1000000 + 0.5) / 1000000 AS mean_amp,
        FLOOR(sqrt(off * off + amp * amp) * 1000000 + 0.5) / 1000000 AS rms,
        CAST(n - 1 AS INT) AS zero_crossings
+FROM d
+""",
+    # media_wav_spectrum: alternating square wave d ± a → rFFT energy
+    # in exactly two bins: DC magnitude d, Nyquist (bin n/2) magnitude
+    # a; non-DC centroid = rate/2. All closed-form in doc_id.
+    "media_wav_spectrum": """
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 50 AS DOUBLE) AS off,
+         CAST(100 + doc_id % 100 AS DOUBLE) AS amp,
+         CAST(2 * (32 + doc_id % 64) AS INT) AS n,
+         CAST(8000 + 1000 * (doc_id % 3) AS INT) AS rate
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       rate AS sample_rate,
+       n AS n_samples,
+       FLOOR(off * 1000000 + 0.5) / 1000000 AS dc_mag,
+       CAST(n / 2 AS INT) AS dominant_bin,
+       FLOOR(amp * 1000000 + 0.5) / 1000000 AS dominant_mag,
+       FLOOR(rate / 2.0 * 1000000 + 0.5) / 1000000 AS spectral_centroid
 FROM d
 """,
     # media_wav_resample: linear ramp b + s*i resampled 8000 -> t Hz by

@@ -104,7 +104,7 @@ def test_tpch_hard_shapes_plan_clean(spark, sf_dir):
 _PANDAS_QUERIES = {"media_decode_features", "media_png_decode",
                    "media_jpeg_header", "media_jpeg_decode",
                    "media_resize", "media_wav_features",
-                   "media_wav_resample",
+                   "media_wav_resample", "media_wav_spectrum",
                    "media_video_frames", "media_cross_format_dedup",
                    "fx_ema_returns",
                    "neardup_cosine", "neardup_cosine_auto",
