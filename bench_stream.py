@@ -125,6 +125,7 @@ def main() -> None:
     from data_timeseries_java_spark.schemas import TICK_SCHEMA
     from data_timeseries_java_spark.streaming import (
         streaming_anomalies,
+        streaming_asof_join,
         streaming_complete_candles,
         streaming_correlations,
         streaming_corpus_build,
@@ -184,6 +185,12 @@ def main() -> None:
             ev_src(), "user_id", "ts", "30 minutes")),
         ("realized_vol", lambda: streaming_realized_volatility(
             returns_src(), "1 hour")),
+        ("asof_join_state", lambda: streaming_asof_join(
+            tick_src().select("key", "event_time",
+                              F.col("ask").alias("qty")),
+            tick_src().where(F.minute("event_time") % 5 == 0)
+            .select("key", "event_time", F.col("bid").alias("px")),
+            watermark="10 minutes")),
         ("anomalies_fb", lambda: streaming_anomalies(
             spark, ev_src(), f"{work}/anomalies")),
         ("neardup_fb", lambda: streaming_neardup(
