@@ -226,3 +226,20 @@ class MediaEngine:
             audio_features,
         )
         return audio_features(media)
+
+    def spectrum(self, media: DataFrame) -> DataFrame:
+        """WAV decode + rFFT features (DC magnitude, dominant bin,
+        spectral centroid)."""
+        from data_timeseries_java_spark.operators.multimodal import (
+            audio_spectrum,
+        )
+        return audio_spectrum(media)
+
+    def resample(self, media: DataFrame,
+                 target_col: str = "target_rate") -> DataFrame:
+        """Sample-rate conversion: decode → linear-interpolate onto the
+        per-row target rate → re-encode; emits the round-trip sum."""
+        from data_timeseries_java_spark.operators.multimodal import (
+            resample_audio,
+        )
+        return resample_audio(media, target_col)

@@ -115,6 +115,22 @@ def test_media_engine_facade(spark):
     assert {r.media_id: r.zero_crossings
             for r in eng.audio(wav).collect()} == \
         {i: 2 * (32 + i % 64) - 1 for i in range(6)}
+    # square wave d ± a: all spectral energy sits at Nyquist (bin n/2)
+    spec = {r.media_id: r for r in eng.spectrum(wav).collect()}
+    assert all(spec[i].dominant_bin == (2 * (32 + i % 64)) // 2
+               and spec[i].dominant_mag == 100 + i % 100
+               and spec[i].spectral_centroid == spec[i].sample_rate / 2
+               for i in range(6))
+
+    from data_timeseries_java_spark.operators.multimodal import (
+        synthesize_ramp_wav_media,
+    )
+    ramp = synthesize_ramp_wav_media(ids)
+    res = {r.media_id: r for r in eng.resample(ramp).collect()}
+    assert all(res[i].target_rate == 4000 + 1000 * (i % 5)
+               and res[i].n_out == (res[i].n_in - 1)
+               * res[i].target_rate // 8000 + 1
+               for i in range(6))
 
     avi = synthesize_avi_media(ids).withColumn("modality", F.lit("video"))
     frames = eng.frames(avi, n_frames=2).collect()
