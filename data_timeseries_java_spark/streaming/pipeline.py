@@ -16,15 +16,21 @@ standard production pattern for "aggregate of an aggregate" streams:
    touched windows' returns, never the whole store;
 3. results land log-structured: each batch writes its recomputed
    windows to ONE ``batch_id``-keyed partition (overwrite → idempotent
-   retries) plus a tiny ``touched/`` sidecar listing the windows it
-   recomputed, and :func:`read_streaming_correlations` resolves
-   latest-TOUCHING-batch-per-window at read time — the sidecar is what
+   retries). The batch's TOUCH CLAIM rides in the same write as marker
+   rows (``key1 IS NULL``, one per recomputed window):
+   :func:`read_streaming_correlations` resolves
+   latest-TOUCHING-batch-per-window from the markers, which is what
    lets an empty recompute (late data dropped every pair of a window
    below ``min_corr``) supersede the stale rows instead of silently
    resurrecting them. A per-slide partitioned store was measured
    15-19s/micro-batch at sf0.1 — ~1,100 tiny directories rewritten per
    trigger, pure filesystem cost; the log layout writes one directory
-   and cut the trigger to a 3.5s median (5.3x).
+   and cut the trigger to a 3.5s median (5.3x). A first marker design
+   wrote a separate ``touched/`` sidecar per batch — measured at
+   ANOTHER ~3.5s/trigger (a whole extra Spark job + parquet commit for
+   a handful of longs); in-band markers put the claim in the write
+   that already happens, restoring the 3.7s median, and work on remote
+   stores where a driver-side sidecar listing would not.
    :func:`compact_correlation_store` periodically folds the log into
    one superseding batch so the read-time resolve stays bounded.
 
@@ -95,7 +101,6 @@ def streaming_correlations(spark: SparkSession, ticks: DataFrame,
     cfg = config or CorrelationConfig()
     returns_path = f"{work_dir}/returns"
     corr_path = f"{work_dir}/correlations"
-    touched_path = f"{work_dir}/touched"
     if universe is not None:
         candles = streaming_complete_candles_global(ticks, universe,
                                                     resolution, watermark)
@@ -170,15 +175,20 @@ def streaming_correlations(spark: SparkSession, ticks: DataFrame,
         # touched slide — ~1,100 dirs/trigger measured at sf0.1, 15-19s
         # of pure filesystem churn). Latest TOUCHING batch wins per
         # window at read time (read_streaming_correlations) — the
-        # sidecar below is the authority on which batch that is, so a
+        # marker rows unioned below (key1 IS NULL, one per touched
+        # window) are the authority on which batch that is, so a
         # recompute that emits ZERO rows for a window (late data pushed
         # every pair under min_corr) still supersedes the stale rows.
-        affected.write.mode("overwrite").parquet(
+        # In-band markers, NOT a separate sidecar write: a second tiny
+        # parquet job per trigger measured ~3.5s of pure job/commit
+        # overhead at sf0.1 (doubling the trigger).
+        markers = (spark.createDataFrame([(int(w),) for w in wins],
+                                         "w_start_ms bigint")
+                   .select(*[F.col("w_start_ms") if f.name == "w_start_ms"
+                             else F.lit(None).cast(f.dataType).alias(f.name)
+                             for f in affected.schema.fields]))
+        affected.unionByName(markers).write.mode("overwrite").parquet(
             f"{corr_path}/batch_id={batch_id}")
-        (spark.createDataFrame([(int(w),) for w in wins],
-                               "w_start_ms bigint")
-         .coalesce(1).write.mode("overwrite")
-         .parquet(f"{touched_path}/batch_id={batch_id}"))
 
     return (candles.writeStream
             .foreachBatch(process_batch)
@@ -194,37 +204,48 @@ def read_streaming_correlations(spark: SparkSession,
     that RECOMPUTED it (earlier batches' rows for that window are
     superseded — a window's full result always comes from one batch).
 
-    "Recomputed" is decided by the ``touched/`` sidecar, not by which
-    batches happen to have rows for the window: a recompute that emitted
-    zero rows (every pair dropped below ``min_corr`` after late data) is
-    an empty-but-authoritative result, and resolving against data rows
+    "Recomputed" is decided by the batches' marker rows (``key1 IS
+    NULL``, one per window each batch touched — written in-band with
+    the batch's data), not by which batches happen to have data rows
+    for the window: a recompute that emitted zero pair rows (every pair
+    dropped below ``min_corr`` after late data) is an
+    empty-but-authoritative result, and resolving against data rows
     alone would resurrect the superseded batch's stale rows — and
     ``compact_correlation_store`` would then fold them into the
     permanent snapshot.
 
-    The sidecar is O(batches x windows-per-trigger) — broadcast into
+    The marker set is O(batches x windows-per-trigger) — broadcast into
     the join, so the store side stays a single pruned parquet scan. On
     Delta/Iceberg this read-time resolve disappears into
-    MERGE-maintained tables. Stores written before the sidecar existed
-    fall back to max-batch-per-window over the data rows (documented
-    min_corr staleness caveat applies there).
+    MERGE-maintained tables. Two legacy layouts still resolve: a
+    ``touched/`` parquet sidecar (the first marker design — an extra
+    ~3.5s write job per trigger, since removed), and marker-less
+    stores, which fall back to max-batch-per-window over the data rows
+    (documented min_corr staleness caveat applies there).
     """
     import os
 
     corr_path = f"{work_dir}/correlations"
     touched_path = f"{work_dir}/touched"
     df = spark.read.option("basePath", corr_path).parquet(corr_path)
-    if not os.path.isdir(touched_path):
+    data = df.where(F.col("key1").isNotNull())
+    if os.path.isdir(touched_path):          # legacy sidecar store
+        touched = (spark.read.option("basePath", touched_path)
+                   .parquet(touched_path)
+                   .groupBy("w_start_ms")
+                   .agg(F.max("batch_id").alias("batch_id")))
+        return (data.join(F.broadcast(touched), ["w_start_ms", "batch_id"])
+                .select([c for c in df.columns if c != "batch_id"]))
+    marks = df.where(F.col("key1").isNull()).select("w_start_ms", "batch_id")
+    if marks.limit(1).count() == 0:          # pre-marker store
         from pyspark.sql import Window
         latest = F.max("batch_id").over(Window.partitionBy("w_start_ms"))
-        return (df.withColumn("_latest", latest)
+        return (data.withColumn("_latest", latest)
                 .where(F.col("batch_id") == F.col("_latest"))
                 .drop("batch_id", "_latest"))
-    touched = (spark.read.option("basePath", touched_path)
-               .parquet(touched_path)
-               .groupBy("w_start_ms")
+    touched = (marks.groupBy("w_start_ms")
                .agg(F.max("batch_id").alias("batch_id")))
-    return (df.join(F.broadcast(touched), ["w_start_ms", "batch_id"])
+    return (data.join(F.broadcast(touched), ["w_start_ms", "batch_id"])
             .select([c for c in df.columns if c != "batch_id"]))
 
 
@@ -244,10 +265,13 @@ def compact_correlation_store(spark: SparkSession, work_dir: str) -> dict:
     is a MERGE/OPTIMIZE call instead. Returns {batches_before,
     batches_after, rows} for observability.
 
-    The ``touched/`` sidecar is folded alongside: the compacted batch
-    claims every window any folded batch touched, so a window whose
-    latest state was an empty recompute stays empty after compaction
-    (its stale rows are physically gone and its touch record survives).
+    Touch claims are folded alongside: the compacted batch carries one
+    marker row for every window any folded batch touched, so a window
+    whose latest state was an empty recompute stays empty after
+    compaction (its stale rows are physically gone and its touch claim
+    survives). A legacy ``touched/`` sidecar, if present, is folded
+    into the compacted batch's markers and removed — compaction
+    migrates old stores to the in-band layout.
 
     Local filesystem only: the directory shuffle goes through
     ``os``/``shutil``, which would silently no-op (or worse) on an
@@ -270,24 +294,30 @@ def compact_correlation_store(spark: SparkSession, work_dir: str) -> dict:
     touched_path = f"{local_dir}/touched"
     batches = sorted(d for d in os.listdir(corr_path)
                      if d.startswith("batch_id="))
-    if len(batches) <= 1:
+    if len(batches) <= 1 and not os.path.isdir(touched_path):
         return {"batches_before": len(batches), "batches_after": len(batches),
                 "rows": None}
     snapshot = read_streaming_correlations(spark, local_dir)
-    new_id = max(int(b.split("=", 1)[1]) for b in batches) + 1
+    store = (spark.read.option("basePath", corr_path).parquet(corr_path))
+    all_touched = (store.where(F.col("key1").isNull())
+                   .select("w_start_ms"))
+    if os.path.isdir(touched_path):          # fold the legacy sidecar in
+        all_touched = all_touched.unionByName(
+            spark.read.option("basePath", touched_path)
+            .parquet(touched_path).select("w_start_ms"))
+    all_touched = all_touched.distinct()
+    dtypes = {f.name: f.dataType for f in snapshot.schema.fields}
+    markers = all_touched.select(
+        *[F.col("w_start_ms") if c == "w_start_ms"
+          else F.lit(None).cast(dtypes[c]).alias(c)
+          for c in snapshot.columns])
+    new_id = max((int(b.split("=", 1)[1]) for b in batches), default=0) + 1
     out_dir = f"{corr_path}/batch_id={new_id}"
-    snapshot.write.mode("overwrite").parquet(out_dir)
-    rows = spark.read.parquet(out_dir).count()
+    snapshot.unionByName(markers).write.mode("overwrite").parquet(out_dir)
+    rows = (spark.read.parquet(out_dir)
+            .where(F.col("key1").isNotNull()).count())
     if os.path.isdir(touched_path):
-        touched_batches = sorted(d for d in os.listdir(touched_path)
-                                 if d.startswith("batch_id="))
-        all_touched = (spark.read.option("basePath", touched_path)
-                       .parquet(touched_path)
-                       .select("w_start_ms").distinct())
-        all_touched.coalesce(1).write.mode("overwrite").parquet(
-            f"{touched_path}/batch_id={new_id}")
-        for b in touched_batches:
-            shutil.rmtree(os.path.join(touched_path, b), ignore_errors=True)
+        shutil.rmtree(touched_path, ignore_errors=True)
     for b in batches:
         shutil.rmtree(os.path.join(corr_path, b), ignore_errors=True)
     return {"batches_before": len(batches), "batches_after": 1, "rows": rows}

@@ -132,32 +132,33 @@ def test_streaming_correlations_sparse_feed_matches_batch(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+_CORR_SCHEMA = ("window_start timestamp, window_end timestamp, "
+                "key1 string, key2 string, value double, "
+                "x_count int, y_count int, is_nan boolean, "
+                "w_start_ms long")
+
+
 def test_empty_recompute_supersedes_stale_rows(spark):
-    """A batch that RECOMPUTES a window but emits zero rows (late data
-    pushed every pair under min_corr) must supersede the previous
-    batch's rows — the touched/ sidecar, not row presence, decides the
-    latest batch per window. Before the sidecar, the resolve served the
-    stale rows forever and compaction made them permanent."""
-    import os
+    """A batch that RECOMPUTES a window but emits zero pair rows (late
+    data pushed every pair under min_corr) must supersede the previous
+    batch's rows — the in-band marker rows (key1 IS NULL), not data-row
+    presence, decide the latest batch per window. Without markers the
+    resolve served the stale rows forever and compaction made them
+    permanent."""
     from datetime import datetime, timezone
 
     from data_timeseries_java_spark.streaming.pipeline import (
         compact_correlation_store,
     )
 
-    corr_schema = ("window_start timestamp, window_end timestamp, "
-                   "key1 string, key2 string, value double, "
-                   "x_count int, y_count int, is_nan boolean, "
-                   "w_start_ms long")
     t = datetime(2016, 1, 4, 9, 0, tzinfo=timezone.utc)
     d = tempfile.mkdtemp(prefix="spipe_tomb_")
     try:
         def write_batch(bid, rows, wins):
-            spark.createDataFrame(rows, corr_schema).write.mode(
+            marks = [(None, None, None, None, None, None, None, None, w)
+                     for w in wins]
+            spark.createDataFrame(rows + marks, _CORR_SCHEMA).write.mode(
                 "overwrite").parquet(f"{d}/correlations/batch_id={bid}")
-            spark.createDataFrame([(w,) for w in wins],
-                                  "w_start_ms long").write.mode(
-                "overwrite").parquet(f"{d}/touched/batch_id={bid}")
 
         # batch 0: windows 1000 and 2000 each have one pair row
         row = lambda w: (t, t, "A", "B", 0.9, 5, 5, False, w)
@@ -172,11 +173,50 @@ def test_empty_recompute_supersedes_stale_rows(spark):
         assert stats["batches_after"] == 1 and stats["rows"] == 1
         after = read_streaming_correlations(spark, d)
         assert {r.w_start_ms for r in after.collect()} == {2000}
-        # the tombstoned window's touch record survives compaction
-        touched = spark.read.parquet(f"{d}/touched")
-        assert {r.w_start_ms for r in touched.collect()} == {1000, 2000}
-        assert len([x for x in os.listdir(f"{d}/touched")
-                    if x.startswith("batch_id=")]) == 1
+        # the tombstoned window's touch claim survives compaction
+        marks = (spark.read.option("basePath", f"{d}/correlations")
+                 .parquet(f"{d}/correlations").where("key1 IS NULL"))
+        assert {r.w_start_ms for r in marks.collect()} == {1000, 2000}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_legacy_sidecar_store_resolves_and_migrates(spark):
+    """Stores written by the interim touched/-sidecar layout still
+    resolve (sidecar authority), and compaction migrates them to the
+    in-band marker layout, removing the sidecar directory."""
+    import os
+    from datetime import datetime, timezone
+
+    from data_timeseries_java_spark.streaming.pipeline import (
+        compact_correlation_store,
+    )
+
+    t = datetime(2016, 1, 4, 9, 0, tzinfo=timezone.utc)
+    d = tempfile.mkdtemp(prefix="spipe_legacy_")
+    try:
+        def write_batch(bid, rows, wins):
+            spark.createDataFrame(rows, _CORR_SCHEMA).write.mode(
+                "overwrite").parquet(f"{d}/correlations/batch_id={bid}")
+            spark.createDataFrame([(w,) for w in wins],
+                                  "w_start_ms long").write.mode(
+                "overwrite").parquet(f"{d}/touched/batch_id={bid}")
+
+        row = lambda w: (t, t, "A", "B", 0.9, 5, 5, False, w)
+        write_batch(0, [row(1000), row(2000)], [1000, 2000])
+        write_batch(1, [], [1000])           # sidecar-only tombstone
+
+        got = read_streaming_correlations(spark, d)
+        assert {r.w_start_ms for r in got.collect()} == {2000}
+
+        stats = compact_correlation_store(spark, d)
+        assert stats["batches_after"] == 1 and stats["rows"] == 1
+        assert not os.path.isdir(f"{d}/touched")   # migrated
+        after = read_streaming_correlations(spark, d)
+        assert {r.w_start_ms for r in after.collect()} == {2000}
+        marks = (spark.read.option("basePath", f"{d}/correlations")
+                 .parquet(f"{d}/correlations").where("key1 IS NULL"))
+        assert {r.w_start_ms for r in marks.collect()} == {1000, 2000}
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
