@@ -27,10 +27,17 @@ from pyspark.sql import functions as F
 def asof_join(left: DataFrame, right: DataFrame,
               on: str, left_time: str = "time", right_time: str = "time",
               right_cols: list[str] | None = None,
-              suffix: str = "_asof") -> DataFrame:
+              suffix: str = "_asof",
+              tolerance: str | None = None) -> DataFrame:
     """For each left row: attach the right row with the greatest
     ``right_time <= left_time`` for the same ``on`` key (inner
-    semantics: left rows with no prior right row are dropped)."""
+    semantics: left rows with no prior right row are dropped).
+
+    ``tolerance`` (an INTERVAL string, e.g. ``"5 minutes"``) drops
+    matches older than ``left_time - tolerance`` — the stale-quote
+    guard of pandas ``merge_asof(tolerance=)``. Applied as a
+    post-filter on the matched timestamp, so the plan stays the single
+    union + last-value window."""
     right_cols = right_cols or [c for c in right.columns
                                 if c not in (on, right_time)]
     l = left.withColumn("_t", F.col(left_time)).withColumn("_side", F.lit(1))
@@ -56,9 +63,14 @@ def asof_join(left: DataFrame, right: DataFrame,
         F.last(right_time + suffix, ignorenulls=True).over(w)
          .alias(right_time + suffix),
     )
-    return (filled.where((F.col("_side") == 1)
-                         & F.col(right_time + suffix).isNotNull())
-            .drop("_side"))
+    out = (filled.where((F.col("_side") == 1)
+                        & F.col(right_time + suffix).isNotNull())
+           .drop("_side"))
+    if tolerance is not None:
+        out = out.where(
+            F.col(right_time + suffix)
+            >= F.col(left_time) - F.expr(f"INTERVAL {tolerance}"))
+    return out
 
 
 def scd2_build(df: DataFrame, key_col: str, attr_col: str,

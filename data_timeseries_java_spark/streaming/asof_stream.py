@@ -44,17 +44,27 @@ def streaming_asof_join(left: DataFrame, right: DataFrame, on: str = "key",
                         right_time: str = "event_time",
                         right_cols: list[str] | None = None,
                         suffix: str = "_asof",
-                        watermark: str = "0 seconds") -> DataFrame:
+                        watermark: str = "0 seconds",
+                        tolerance: str | None = None) -> DataFrame:
     """Keyed streaming as-of join (inner, ``right_time <= left_time``).
 
     ``left`` / ``right`` are streaming DataFrames sharing the key column
     ``on``. Payload columns must be atomic non-timestamp types (they
     ride through keyed state); the matched right row's timestamp is
     returned as ``right_time + suffix``. Output schema = left columns +
-    suffixed right value columns, exactly like the batch operator."""
+    suffixed right value columns, exactly like the batch operator.
+    ``tolerance`` (e.g. ``"5 minutes"``) drops matches older than
+    ``left_time - tolerance`` — same stale-quote guard as the batch
+    operator's ``tolerance=``."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from data_timeseries_java_spark.streaming.candles_stream import (
+        _resolution_ms,
+    )
+
+    tol_ms = _resolution_ms(tolerance) if tolerance is not None else None
 
     lcols = [c for c in left.columns if c not in (on, left_time)]
     rcols = right_cols if right_cols is not None else \
@@ -149,6 +159,8 @@ def streaming_asof_join(left: DataFrame, right: DataFrame, on: str = "key",
             ri = bisect_right(r_ts, t) - 1     # latest right with t_r <= t
             if ri < 0:
                 continue                        # inner: no prior right row
+            if tol_ms is not None and r_ts[ri] < t - tol_ms:
+                continue                        # match too stale
             out.append((k, t, *[v[i] for v in l_vals],
                         *[v[ri] for v in r_vals], r_ts[ri]))
 

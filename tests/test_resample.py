@@ -82,3 +82,29 @@ def test_asof_join_semantics(spark):
     assert out[("A", 5)] == (50.0, 5)    # simultaneous row matches (<=)
     assert out[("A", 10)] == (70.0, 7)   # latest prior
     assert ("B", 3) not in out           # no prior right row → dropped
+
+
+def test_asof_join_tolerance(spark):
+    """tolerance= drops matches older than left_time - tolerance (the
+    pandas merge_asof stale-quote guard)."""
+    from datetime import datetime, timezone
+
+    from data_timeseries_java_spark.operators.temporal import asof_join
+
+    t = lambda m: datetime(2024, 9, 1, 0, m, tzinfo=timezone.utc)
+    left = spark.createDataFrame(
+        [("A", t(5), 1.0), ("A", t(30), 2.0)],
+        "k string, ts timestamp, v double")
+    right = spark.createDataFrame(
+        [("A", t(4), 40.0)], "k string, ts timestamp, r double")
+    out = {x.ts.minute: x.r_asof
+           for x in asof_join(left, right, on="k", left_time="ts",
+                              right_time="ts",
+                              tolerance="10 minutes").collect()}
+    assert out == {5: 40.0}   # the minute-30 match is 26 min stale
+    # boundary: exactly tolerance-old still matches
+    out2 = {x.ts.minute: x.r_asof
+            for x in asof_join(left, right, on="k", left_time="ts",
+                               right_time="ts",
+                               tolerance="26 minutes").collect()}
+    assert out2 == {5: 40.0, 30: 40.0}

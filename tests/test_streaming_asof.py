@@ -113,3 +113,34 @@ def test_streaming_asof_inner_semantics(spark, tmp_path):
             for r in _run(spark, d, "asof_s2", watermark="0 seconds")
             .where(F.col("key") != "ZZ").collect()}
     assert rows == {("K", 2, 2.0, 200.0)}
+
+
+def test_streaming_asof_tolerance(spark, tmp_path):
+    """tolerance= drops stale matches, mirroring the batch operator."""
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [("K", _t(5), 1.0), ("K", _t(30), 2.0)],
+        TRADE_SCHEMA).coalesce(1).write.parquet(f"{d}/trades/f0")
+    spark.createDataFrame(
+        [("K", _t(4), 40.0)],
+        QUOTE_SCHEMA).coalesce(1).write.parquet(f"{d}/quotes/f0")
+    spark.createDataFrame(
+        [("ZZ", _t(59), 0.0)], TRADE_SCHEMA).coalesce(1).write.parquet(
+        f"{d}/trades/f1")
+    spark.createDataFrame(
+        [("ZZ", _t(59), 0.0)], QUOTE_SCHEMA).coalesce(1).write.parquet(
+        f"{d}/quotes/f1")
+    trades = (spark.readStream.schema(TRADE_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(f"{d}/trades/f*"))
+    quotes = (spark.readStream.schema(QUOTE_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(f"{d}/quotes/f*"))
+    out = streaming_asof_join(trades, quotes, on="key",
+                              watermark="0 seconds",
+                              tolerance="10 minutes")
+    q = (out.writeStream.format("memory").queryName("asof_tol")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {(r.event_time.minute, r.px_asof)
+            for r in spark.table("asof_tol")
+            .where(F.col("key") != "ZZ").collect()}
+    assert rows == {(5, 40.0)}   # minute-30 trade's only match is stale
