@@ -163,6 +163,46 @@ def _lut_cached(bits: tuple, values: tuple):
     return lut.tolist()
 
 
+def _build_ac_fast_lut(bits, values):
+    """AC fast path (the libjpeg-style combined table): when a code's
+    length + its value-bit count fit in 16 bits, ONE peek yields the
+    fully-decoded token.  Entry packing:
+
+        (total_bits << 26) | (typ << 24) | (run << 20) | (value + 32768)
+
+    typ 0 = coefficient (value is the EXTENDed signed coefficient),
+    1 = EOB, 2 = ZRL; entry 0 = fall back to the two-step path (long
+    code, or value bits spilling past the 16-bit peek).  Built
+    vectorized per symbol and memoized — real streams ship Annex K."""
+    return _ac_fast_cached(tuple(bits), tuple(values))
+
+
+@lru_cache(maxsize=64)
+def _ac_fast_cached(bits: tuple, values: tuple):
+    enc = _build_huffman(bits, values)
+    lut = np.zeros(65536, dtype=np.int64)
+    for sym, (code, ln) in enc.items():
+        run, s = sym >> 4, sym & 0x0F
+        lo = code << (16 - ln)
+        span = 1 << (16 - ln)
+        if sym == 0x00:                       # EOB
+            lut[lo:lo + span] = (ln << 26) | (1 << 24) | 32768
+        elif sym == 0xF0:                     # ZRL
+            lut[lo:lo + span] = (ln << 26) | (2 << 24) | 32768
+        elif s and ln + s <= 16:
+            total = ln + s
+            rem = 16 - total                  # don't-care tail bits
+            vbits = np.arange(1 << s, dtype=np.int64)
+            vals = np.where(vbits < (1 << (s - 1)),
+                            vbits - (1 << s) + 1, vbits)   # EXTEND
+            entries = (total << 26) | (run << 20) | (vals + 32768)
+            idx = ((lo + (vbits << rem))[:, None]
+                   + np.arange(1 << rem, dtype=np.int64)[None, :]).ravel()
+            lut[idx] = np.repeat(entries, 1 << rem)
+        # else: value bits spill past the peek — slow path (entry 0)
+    return lut.tolist()
+
+
 # ---------------------------------------------------------------- encoder
 
 #: below this many blocks the scalar emitter beats the vectorized
@@ -628,7 +668,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(body[b + 1:b + 17])
                 n = sum(bits)
                 vals = list(body[b + 17:b + 17 + n])
-                htabs[(cls, tid)] = _build_huffman_lut(bits, vals)
+                htabs[(cls, tid)] = (tuple(bits), tuple(vals))
                 b += 17 + n
         elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 baseline
             prec, h_img, w_img, nc = struct.unpack(">BHHB", body[:6])
@@ -701,11 +741,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     luts = []
     for c in comps:
         td, ta = scan_by_comp[c["id"]]
-        dc_lut = htabs.get((0, td))
-        ac_lut = htabs.get((1, ta))
-        if dc_lut is None or ac_lut is None or c["tq"] not in qtabs:
+        dc_spec = htabs.get((0, td))
+        ac_spec = htabs.get((1, ta))
+        if dc_spec is None or ac_spec is None or c["tq"] not in qtabs:
             raise ValueError("corrupt JPEG: missing table for scan")
-        luts.append((dc_lut, ac_lut))
+        luts.append((_build_huffman_lut(*dc_spec),
+                     _build_huffman_lut(*ac_spec),
+                     _build_ac_fast_lut(*ac_spec)))
     hv_counts = [c["h"] * c["v"] for c in comps]
     n_comp = len(comps)
     n_mcu = mcux * mcuy
@@ -728,7 +770,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     next_restart = next(restart_iter, None)
                 pred = [0] * n_comp
             for ci in range(n_comp):
-                dc_lut, ac_lut = luts[ci]
+                dc_lut, ac_lut, ac_fast = luts[ci]
                 dcs = dc_vals[ci]
                 packed = ac_packed[ci]
                 base = bases[ci]
@@ -760,6 +802,25 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                             acc = (acc << 8) | buf[bpos]
                             bpos += 1
                             nacc += 8
+                        # fast path: one peek resolves code AND value
+                        e = ac_fast[(acc >> (nacc - 16)) & 0xFFFF]
+                        if e:
+                            nacc -= e >> 26
+                            typ = (e >> 24) & 3
+                            if typ:
+                                if typ == 2:        # ZRL
+                                    k += 16
+                                    continue
+                                break               # EOB
+                            k += (e >> 20) & 15
+                            if k > 63:
+                                raise ValueError(
+                                    "corrupt JPEG: AC index > 63")
+                            packed.append(((base + k) << 16)
+                                          | ((e + 32768) & 0xFFFF))
+                            k += 1
+                            continue
+                        # slow path: long code or value spills the peek
                         e = ac_lut[(acc >> (nacc - 16)) & 0xFFFF]
                         if e == 0:
                             raise ValueError("invalid JPEG Huffman code")
