@@ -745,3 +745,68 @@ FROM gaps
 WHERE gap_ms IS NOT NULL
 GROUP BY user_id
 """
+
+
+# ---- cohort retention: acquisition-month cohorts over orders ----
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: customers grouped by first-order month
+    (the acquisition cohort), tracked by how many distinct customers
+    order again N months later. Month arithmetic is integer
+    (year*12 + month) on both engines so no calendar-function semantics
+    can diverge. Cohort sizes come from a broadcast of the per-customer
+    first-month frame (customer-count-sized); the retention fraction is
+    floor-rounded at 1e-6 per the engine's oracle contract."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .alias("ym"))
+    first = orders.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    sizes = (first.groupBy("cohort_ym")
+             .agg(F.count_distinct("o_custkey").alias("cohort_size")))
+    ret = (orders.join(F.broadcast(first), "o_custkey")
+           .groupBy("cohort_ym",
+                    (F.col("ym") - F.col("cohort_ym")).alias("months_since"))
+           .agg(F.count_distinct("o_custkey").alias("n_customers")))
+    return (ret.join(F.broadcast(sizes), "cohort_ym")
+            .select(
+                F.format_string(
+                    "%04d-%02d", (F.col("cohort_ym") / 12).cast("int"),
+                    F.col("cohort_ym") % 12 + 1).alias("cohort_month"),
+                F.col("months_since").cast("int").alias("months_since"),
+                F.col("n_customers").cast("long").alias("n_customers"),
+                F.col("cohort_size").cast("long").alias("cohort_size"),
+                (F.floor(F.col("n_customers") / F.col("cohort_size")
+                         * 1_000_000) / 1_000_000).alias("retention")))
+
+
+QUERIES["cohort_retention"] = q_cohort_retention
+
+ORACLE["cohort_retention"] = """
+WITH o AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS ym
+  FROM orders
+),
+first AS (
+  SELECT o_custkey, min(ym) AS cohort_ym FROM o GROUP BY o_custkey
+),
+sizes AS (
+  SELECT cohort_ym, count(DISTINCT o_custkey) AS cohort_size
+  FROM first GROUP BY cohort_ym
+),
+ret AS (
+  SELECT f.cohort_ym, o.ym - f.cohort_ym AS months_since,
+         count(DISTINCT o.o_custkey) AS n
+  FROM o JOIN first f ON f.o_custkey = o.o_custkey
+  GROUP BY f.cohort_ym, o.ym - f.cohort_ym
+)
+SELECT printf('%04d-%02d', r.cohort_ym // 12, r.cohort_ym % 12 + 1)
+         AS cohort_month,
+       CAST(r.months_since AS INT) AS months_since,
+       CAST(r.n AS BIGINT) AS n_customers,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       floor(r.n / s.cohort_size * 1000000) / 1000000 AS retention
+FROM ret r JOIN sizes s ON s.cohort_ym = r.cohort_ym
+"""
