@@ -500,3 +500,105 @@ SELECT label,
 FROM per_dim
 GROUP BY label
 """
+
+
+# ---- signed random projection sketch (int-exact, fully hash-checked) ----
+
+SRP_PLANES = 16
+SRP_DIM = 64        # the embeddings fixture's dimension (TESTDATA.md)
+
+
+def _srp_signs() -> list[list[int]]:
+    """Deterministic ±1 projection matrix shared VERBATIM by the Spark
+    plan and the DuckDB oracle: sign[j][i] = +1 iff the first hex char
+    of md5("j:i") has its top bit set (same md5-lane convention as the
+    MinHash/CMS tiers). Python-precomputed so both engines consume
+    identical literals — no hash-function parity to trust."""
+    import hashlib
+
+    return [[1 if hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0]
+             in "89abcdef" else -1
+             for i in range(SRP_DIM)]
+            for j in range(SRP_PLANES)]
+
+
+def q_embedding_srp_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection sketch over int8-QUANTIZED embeddings:
+    quantization (the engine's existing floor-half-up contract) makes
+    every projection an exact INTEGER dot product, so the 16-bit sign
+    fingerprint, the projection sum and the L1 mass are all
+    order-insensitive and bit-identical across engines — the
+    cosine-sketch analogue of the CMS tier's fully-hash-checked-sketch
+    pattern (proj sign agreement estimates cosine angle; Charikar's
+    SimHash for dense vectors). All JVM higher-order functions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    absmax = F.aggregate(
+        x, F.lit(0.0),
+        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))))
+    scale = absmax / F.lit(127.0)
+    q = F.transform(
+        x, lambda v: F.floor(v.cast("double") / scale + 0.5).cast("long"))
+    base = emb.where(absmax > 0).select("vec_id", q.alias("qv"))
+    signs = _srp_signs()
+    projs = [
+        F.aggregate(
+            F.zip_with(F.col("qv"),
+                       F.array(*[F.lit(s) for s in signs[j]]),
+                       lambda a, b: a * b),
+            F.lit(0).cast("long"), lambda acc, v: acc + v).alias(f"p{j}")
+        for j in range(SRP_PLANES)]
+    p = base.select("vec_id", *projs)
+    bits = F.concat(*[F.when(F.col(f"p{j}") >= 0, F.lit("1"))
+                      .otherwise(F.lit("0"))
+                      for j in range(SRP_PLANES)])
+    total = sum((F.col(f"p{j}") for j in range(SRP_PLANES)), F.lit(0))
+    l1 = sum((F.abs(F.col(f"p{j}")) for j in range(SRP_PLANES)), F.lit(0))
+    return p.select("vec_id", bits.alias("srp_bits"),
+                    total.cast("long").alias("proj_sum"),
+                    l1.cast("long").alias("proj_l1"))
+
+
+QUERIES["embedding_srp_sketch"] = q_embedding_srp_sketch
+
+
+def _srp_sql() -> str:
+    signs = _srp_signs()
+    proj_exprs = ",\n       ".join(
+        "(" + " + ".join(f"({s} * qv[{i + 1}])"
+                         for i, s in enumerate(signs[j])) + f") AS p{j}"
+        for j in range(SRP_PLANES))
+    bit_concat = " || ".join(
+        f"CASE WHEN p{j} >= 0 THEN '1' ELSE '0' END"
+        for j in range(SRP_PLANES))
+    p_sum = " + ".join(f"p{j}" for j in range(SRP_PLANES))
+    p_l1 = " + ".join(f"abs(p{j})" for j in range(SRP_PLANES))
+    return f"""
+WITH sc AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xe,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) / 127.0
+           AS scale
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(xe, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+           AS qv
+  FROM sc WHERE scale > 0
+),
+p AS (
+  SELECT vec_id,
+       {proj_exprs}
+  FROM q
+)
+SELECT vec_id,
+       {bit_concat} AS srp_bits,
+       CAST({p_sum} AS BIGINT) AS proj_sum,
+       CAST({p_l1} AS BIGINT) AS proj_l1
+FROM p
+"""
+
+
+ORACLE["embedding_srp_sketch"] = _srp_sql()
