@@ -230,3 +230,37 @@ def test_streaming_global_gapfill_skips_empty_windows(spark, tmp_path):
     assert s == b
     # 2 observed windows x 2 keys; nothing for the empty windows 1-2
     assert len(s) == 4
+
+
+def test_multimodal_operators_compose_with_streams(spark, tmp_path):
+    """The codec tier is mapInPandas end to end, so the SAME operators
+    run unchanged over a streaming source — the shape a live media
+    ingest pipeline needs (file/bus stream of payloads → decode →
+    sink). Pin it: decode_features over a payload file stream equals
+    the batch pass over the same files."""
+    from pyspark.sql import functions as F
+
+    from data_timeseries_java_spark.operators.multimodal import (
+        decode_features,
+        synthesize_png_media,
+    )
+
+    d = str(tmp_path)
+    ids = spark.range(8).select(F.col("id").alias("media_id"))
+    media = synthesize_png_media(ids).withColumn(
+        "modality", F.lit("image"))
+    media.coalesce(1).write.parquet(f"{d}/m/f0")
+
+    batch = {(r.media_id, r.width, r.height, round(r.feature[0], 6))
+             for r in decode_features(
+                 spark.read.parquet(f"{d}/m/f0")).collect()}
+
+    src = (spark.readStream.schema(media.schema)
+           .option("maxFilesPerTrigger", 1).parquet(f"{d}/m/f*"))
+    q = (decode_features(src).writeStream.format("memory")
+         .queryName("media_stream").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    stream = {(r.media_id, r.width, r.height, round(r.feature[0], 6))
+              for r in spark.table("media_stream").collect()}
+    assert stream == batch and len(stream) == 8
