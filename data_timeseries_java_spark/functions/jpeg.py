@@ -153,8 +153,8 @@ def _build_huffman_lut(bits, values):
     return _lut_cached(tuple(bits), tuple(values))
 
 
-@lru_cache(maxsize=64)
-def _lut_cached(bits: tuple, values: tuple):
+@lru_cache(maxsize=8)    # ~2 MB/entry as a Python list; 8 covers the 4
+def _lut_cached(bits: tuple, values: tuple):    # Annex K tables twice over
     enc = _build_huffman(bits, values)
     lut = np.zeros(65536, dtype=np.int32)
     for sym, (code, ln) in enc.items():
@@ -177,8 +177,8 @@ def _build_ac_fast_lut(bits, values):
     return _ac_fast_cached(tuple(bits), tuple(values))
 
 
-@lru_cache(maxsize=64)
-def _ac_fast_cached(bits: tuple, values: tuple):
+@lru_cache(maxsize=8)    # same bound: varied adversarial custom tables
+def _ac_fast_cached(bits: tuple, values: tuple):    # must not pin ~100 MB
     enc = _build_huffman(bits, values)
     lut = np.zeros(65536, dtype=np.int64)
     for sym, (code, ln) in enc.items():

@@ -44,29 +44,32 @@ _MODULES = [fx, relational, relational_ext, tpch_hard, dedup, text,
 # auto-prioritized.
 _DRIVER_GATED = frozenset({
     "above_segment_avg", "ann_ivf", "ann_ivf_trained", "ann_lsh",
-    "approx_distinct_users", "approx_value_quantiles",
-    "asof_purchase_click", "bm25_search", "corpus_build",
-    "customer_set_ops", "customer_spend_quartiles",
-    "customers_without_orders", "dataset_split", "decontaminate",
-    "dedup_clusters", "dedup_exact", "dedup_fuzzy", "dedup_keep_list",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_segments",
-    "dedup_simhash", "distinct_suppliers", "distinct_users_by_type",
-    "dominant_part_suppliers", "embedding_quantize", "embedding_stats",
+    "approx_distinct_users", "approx_topk_cms",
+    "approx_value_quantiles", "asof_purchase_click", "bm25_search",
+    "cohort_retention", "corpus_build", "customer_set_ops",
+    "customer_spend_quartiles", "customers_without_orders",
+    "dataset_split", "decontaminate", "dedup_clusters",
+    "dedup_containment", "dedup_exact", "dedup_fuzzy",
+    "dedup_keep_list", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_segments", "dedup_simhash", "distinct_suppliers",
+    "distinct_users_by_type", "dominant_part_suppliers",
+    "embedding_quantize", "embedding_srp_sketch", "embedding_stats",
     "event_anomalies", "event_gap_stats", "events_json_props",
     "forecast_revenue", "funnel_conversion", "fx_bollinger",
     "fx_candles_bidask", "fx_candles_complete",
     "fx_candles_interpolated", "fx_candles_ohlc", "fx_candles_rollup",
-    "fx_corr_threshold", "fx_corr_underlying", "fx_corr_user_buckets",
-    "fx_corr_wide", "fx_cross_zscore", "fx_drawdown", "fx_ema_returns",
-    "fx_gapfill_rows", "fx_lead_lag", "fx_log_returns", "fx_pair_beta",
-    "fx_pair_correlation", "fx_pair_correlation_auto",
-    "fx_realized_vol", "fx_rsi", "fx_sliding_returns", "fx_twap",
-    "fx_workpacket_stats", "hll_user_rollup", "knn_bruteforce",
-    "leakage_safe_split", "lineitem_grouping_sets",
-    "media_cross_format_dedup", "media_decode_features",
-    "media_jpeg_decode", "media_jpeg_header", "media_metadata",
-    "media_png_decode", "media_resize", "media_video_frames",
-    "media_wav_features", "merge_corrections", "min_cost_supplier",
+    "fx_corr_headline", "fx_corr_threshold", "fx_corr_underlying",
+    "fx_corr_user_buckets", "fx_corr_wide", "fx_cross_zscore",
+    "fx_drawdown", "fx_ema_returns", "fx_gapfill_rows", "fx_lead_lag",
+    "fx_log_returns", "fx_pair_beta", "fx_pair_correlation",
+    "fx_pair_correlation_auto", "fx_realized_vol", "fx_rsi",
+    "fx_sliding_returns", "fx_twap", "fx_workpacket_stats",
+    "hll_user_rollup", "knn_bruteforce", "leakage_safe_split",
+    "lineitem_grouping_sets", "media_cross_format_dedup",
+    "media_decode_features", "media_jpeg_decode", "media_jpeg_header",
+    "media_metadata", "media_png_decode", "media_resize",
+    "media_video_frames", "media_wav_features", "media_wav_resample",
+    "media_wav_spectrum", "merge_corrections", "min_cost_supplier",
     "mixture_sample", "monthly_order_stats", "moving_avg_range",
     "moving_median", "nation_customer_list", "nation_market_share",
     "nation_outer_join", "neardup_cosine", "neardup_cosine_auto",

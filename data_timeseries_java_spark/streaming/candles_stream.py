@@ -99,10 +99,19 @@ def streaming_ohlc_candles(ticks: DataFrame, resolution: str = "120 seconds",
 
 
 def _resolution_ms(resolution: str) -> int:
-    qty, unit = resolution.split()
-    mult = {"second": 1000, "seconds": 1000, "minute": 60_000,
-            "minutes": 60_000, "hour": 3_600_000, "hours": 3_600_000}[unit]
-    return int(qty) * mult
+    try:
+        qty, unit = resolution.split()
+        mult = {"millisecond": 1, "milliseconds": 1,
+                "second": 1000, "seconds": 1000, "minute": 60_000,
+                "minutes": 60_000, "hour": 3_600_000, "hours": 3_600_000,
+                "day": 86_400_000, "days": 86_400_000,
+                "week": 604_800_000, "weeks": 604_800_000}[unit]
+        return int(qty) * mult
+    except (ValueError, KeyError) as e:
+        raise ValueError(
+            f"duration {resolution!r} must be '<int> <unit>' with unit in "
+            f"milliseconds/seconds/minutes/hours/days/weeks "
+            f"(singular or plural)") from e
 
 
 def streaming_complete_candles(ticks: DataFrame,

@@ -221,7 +221,13 @@ def read_streaming_correlations(spark: SparkSession,
     ``touched/`` parquet sidecar (the first marker design — an extra
     ~3.5s write job per trigger, since removed), and marker-less
     stores, which fall back to max-batch-per-window over the data rows
-    (documented min_corr staleness caveat applies there).
+    (documented min_corr staleness caveat applies there). A MIXED
+    store — a pre-migration run resumed under the in-band code, so the
+    sidecar covers old batches and in-band markers cover new ones — is
+    resolved by UNIONING both claim sources (max batch_id per window
+    across sidecar + markers); short-circuiting on sidecar presence
+    would silently drop every post-resume batch's rows and serve stale
+    superseded rows, and compaction would make that loss permanent.
     """
     import os
 
@@ -229,14 +235,11 @@ def read_streaming_correlations(spark: SparkSession,
     touched_path = f"{work_dir}/touched"
     df = spark.read.option("basePath", corr_path).parquet(corr_path)
     data = df.where(F.col("key1").isNotNull())
-    if os.path.isdir(touched_path):          # legacy sidecar store
-        touched = (spark.read.option("basePath", touched_path)
-                   .parquet(touched_path)
-                   .groupBy("w_start_ms")
-                   .agg(F.max("batch_id").alias("batch_id")))
-        return (data.join(F.broadcast(touched), ["w_start_ms", "batch_id"])
-                .select([c for c in df.columns if c != "batch_id"]))
     marks = df.where(F.col("key1").isNull()).select("w_start_ms", "batch_id")
+    if os.path.isdir(touched_path):          # legacy/mixed sidecar store
+        marks = marks.unionByName(
+            spark.read.option("basePath", touched_path)
+            .parquet(touched_path).select("w_start_ms", "batch_id"))
     if marks.limit(1).count() == 0:          # pre-marker store
         from pyspark.sql import Window
         latest = F.max("batch_id").over(Window.partitionBy("w_start_ms"))
@@ -294,7 +297,11 @@ def compact_correlation_store(spark: SparkSession, work_dir: str) -> dict:
     touched_path = f"{local_dir}/touched"
     batches = sorted(d for d in os.listdir(corr_path)
                      if d.startswith("batch_id="))
-    if len(batches) <= 1 and not os.path.isdir(touched_path):
+    # No batches => nothing to fold (even if a legacy touched/ sidecar
+    # is present — reading the empty correlations dir would fail with
+    # unable-to-infer-schema); one batch with no sidecar is already
+    # compact.
+    if not batches or (len(batches) == 1 and not os.path.isdir(touched_path)):
         return {"batches_before": len(batches), "batches_after": len(batches),
                 "rows": None}
     snapshot = read_streaming_correlations(spark, local_dir)

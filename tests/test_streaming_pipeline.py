@@ -221,6 +221,76 @@ def test_legacy_sidecar_store_resolves_and_migrates(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_mixed_sidecar_and_inband_store_resolves(spark):
+    """A pre-migration store (touched/ sidecar) RESUMED under the
+    in-band-marker code: old batches' claims live only in the sidecar,
+    new batches' claims only in-band. The resolve must union both claim
+    sources (max batch_id per window across sidecar + markers) — a
+    sidecar-presence short-circuit would drop every post-resume batch's
+    rows and serve the superseded rows, and compaction would then make
+    the loss permanent."""
+    import os
+    from datetime import datetime, timezone
+
+    from data_timeseries_java_spark.streaming.pipeline import (
+        compact_correlation_store,
+    )
+
+    t = datetime(2016, 1, 4, 9, 0, tzinfo=timezone.utc)
+    d = tempfile.mkdtemp(prefix="spipe_mixed_")
+    try:
+        row = lambda w, c: (t, t, "A", "B", c, 5, 5, False, w)
+        # batch 0: legacy layout — data rows + sidecar claim, no markers
+        spark.createDataFrame([row(1000, 0.5), row(2000, 0.5)],
+                              _CORR_SCHEMA).write.mode(
+            "overwrite").parquet(f"{d}/correlations/batch_id=0")
+        spark.createDataFrame([(1000,), (2000,)],
+                              "w_start_ms long").write.mode(
+            "overwrite").parquet(f"{d}/touched/batch_id=0")
+        # batch 1: post-resume layout — in-band markers, sidecar untouched.
+        # Recomputes window 1000 with a NEW value and tombstones 2000.
+        marks = [(None, None, None, None, None, None, None, None, w)
+                 for w in (1000, 2000)]
+        spark.createDataFrame([row(1000, 0.9)] + marks,
+                              _CORR_SCHEMA).write.mode(
+            "overwrite").parquet(f"{d}/correlations/batch_id=1")
+
+        got = {(r.w_start_ms, r.value)
+               for r in read_streaming_correlations(spark, d).collect()}
+        assert got == {(1000, 0.9)}
+
+        stats = compact_correlation_store(spark, d)
+        assert stats["batches_after"] == 1 and stats["rows"] == 1
+        assert not os.path.isdir(f"{d}/touched")
+        after = {(r.w_start_ms, r.value)
+                 for r in read_streaming_correlations(spark, d).collect()}
+        assert after == {(1000, 0.9)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compact_empty_store_with_sidecar_is_noop(spark):
+    """Zero batch directories but a touched/ sidecar present: compaction
+    must early-return instead of failing on the unreadable empty
+    correlations directory."""
+    import os
+
+    from data_timeseries_java_spark.streaming.pipeline import (
+        compact_correlation_store,
+    )
+
+    d = tempfile.mkdtemp(prefix="spipe_empty_")
+    try:
+        os.makedirs(f"{d}/correlations")
+        spark.createDataFrame([(1000,)], "w_start_ms long").write.mode(
+            "overwrite").parquet(f"{d}/touched/batch_id=0")
+        stats = compact_correlation_store(spark, d)
+        assert stats == {"batches_before": 0, "batches_after": 0,
+                         "rows": None}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_compact_rejects_remote_uri(spark):
     from data_timeseries_java_spark.streaming.pipeline import (
         compact_correlation_store,
