@@ -86,10 +86,16 @@ def main() -> None:
         TrackingPolicy, cache_policy, materialization, noop_policy)
     policy_name = os.environ.get("SPARK_GRAFT_MATERIALIZE", "cache")
 
+    # isolation hook: SPARK_GRAFT_QUERIES="a,b" runs only those lanes
+    # (regression bisection — e.g. candle lanes without the media lanes)
+    only = os.environ.get("SPARK_GRAFT_QUERIES")
+    headline = ([q for q in HEADLINE if q in set(only.split(","))]
+                if only else HEADLINE)
+
     n_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "5"))
     medians: dict[str, float] = {}
     detail: dict[str, dict] = {}
-    for name in HEADLINE:
+    for name in headline:
         policy = {"cache": cache_policy, "none": noop_policy,
                   "tracked": TrackingPolicy()}[policy_name]
         trials: list[float] = []

@@ -419,6 +419,73 @@ def segment_duplication(df: DataFrame, text_col: str = "text",
     )
 
 
+def segment_duplication_cdc(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            avg_seg_len: int = 8,
+                            min_seg_tokens: int = 4) -> DataFrame:
+    """Segment-level duplication with CONTENT-DEFINED chunk boundaries —
+    the boundary-straddling fix for :func:`segment_duplication`.
+
+    Fixed ``pos DIV seg_len`` chunking misses duplicated regions that
+    straddle chunk boundaries: the two copies of a region sit at
+    different offsets, so their fixed chunks cover different sub-spans
+    and hash differently (and overlapping fixed-stride windows do NOT
+    fix this — a common window requires the copies' offsets to agree
+    mod the stride). Content-defined chunking cuts AFTER any token
+    whose md5-lane hash ≡ 0 (mod ``avg_seg_len``), so chunk boundaries
+    are a function of the TEXT, not the position: both copies of a
+    duplicated region chunk identically, and every interior chunk of
+    the region collides across documents no matter the alignment — the
+    rolling-hash chunking used by CDC dedup stores (LBFS/Venti lineage)
+    applied to the ExactSubstr problem of Lee et al. 2022.
+
+    Chunks shorter than ``min_seg_tokens`` are excluded from both
+    counts (a 1-token chunk is just a shared boundary token — a
+    trivial collision, not evidence of duplication). Expected chunk
+    length is ``avg_seg_len`` tokens.
+
+    Shape at 100 TB: posexplode → one running-sum window per document
+    (shuffle keyed by doc, the same partitioning the per-doc rollup
+    needs) → segment-hash aggregation → collision-count join back.
+    Linear in token count, never all-pairs; md5 boundaries make the
+    entire chunking reproducible in an external SQL engine, so the
+    result is hash-checked rather than claim-checked."""
+    from pyspark.sql import Window
+
+    t = tokens(F.col(text_col))
+    marker = (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+              .cast("long") % avg_seg_len == 0).cast("int")
+    toks_e = (df.select(F.col(id_col), F.posexplode(t).alias("pos", "tok"))
+              .withColumn("m", marker))
+    # boundary token ENDS its chunk: chunk index = markers strictly before
+    w = (Window.partitionBy(id_col).orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    toks_e = toks_e.withColumn(
+        "seg_idx", F.coalesce(F.sum("m").over(w), F.lit(0)))
+    segs = (toks_e.groupBy(id_col, "seg_idx")
+            .agg(F.md5(F.concat_ws(" ", F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"]))).alias("seg_hash"),
+                F.count(F.lit(1)).alias("n_toks"))
+            .where(F.col("n_toks") >= min_seg_tokens))
+    seg_docs = segs.groupBy("seg_hash").agg(
+        F.count_distinct(id_col).alias("n_docs_with_seg"))
+    per_doc = (segs.join(seg_docs, "seg_hash")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_segments"),
+                    F.count(F.when(F.col("n_docs_with_seg") > 1, F.lit(1)))
+                    .alias("n_dup_segments")))
+    frac = _floor6(F.col("n_dup_segments")
+                   / F.greatest(F.col("n_segments"), F.lit(1)))
+    return per_doc.select(
+        id_col,
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.col("n_dup_segments").cast("long").alias("n_dup_segments"),
+        frac.alias("dup_segment_frac"),
+        (F.col("n_dup_segments") > 0).alias("has_dup_segment"),
+    )
+
+
 def fuzzy_duplicates(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", k: int = 2,
                      num_hashes: int = DEFAULT_NUM_HASHES,

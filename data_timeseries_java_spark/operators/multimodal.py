@@ -341,7 +341,11 @@ def resize_images(media: DataFrame, width: int = 224,
         if payload is None:
             raise NotImplementedError("real codec required")
         if payload[:8] == bytes(PNG_MAGIC) or payload[:3] == b"\xff\xd8\xff":
-            return encode_png(resize_nearest(dec(payload), width, height))
+            # level 1: the re-encode is the lane's measured bound and a
+            # resized thumbnail is a throughput artifact, not an archive
+            # — decoded pixels are identical at every zlib level
+            return encode_png(resize_nearest(dec(payload), width, height),
+                              level=1)
         return (payload * (target // max(len(payload), 1) + 1))[:target]
 
     def run(batches):

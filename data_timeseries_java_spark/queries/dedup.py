@@ -386,6 +386,79 @@ FROM per_doc
 """
 
 
+CDC_SEG_LEN = 8
+CDC_MIN_TOKS = 4
+
+
+def q_dedup_segments_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking segment duplication — the boundary-
+    straddling-duplicate fix over fixed chunking; see
+    operators.dedup.segment_duplication_cdc."""
+    from data_timeseries_java_spark.operators.dedup import (
+        segment_duplication_cdc,
+    )
+
+    return segment_duplication_cdc(load_table(spark, sf_dir, "documents"),
+                                   avg_seg_len=CDC_SEG_LEN,
+                                   min_seg_tokens=CDC_MIN_TOKS)
+
+
+QUERIES["dedup_segments_cdc"] = q_dedup_segments_cdc
+
+# Same chunking rebuilt in SQL: md5-lane boundary marker per token
+# (Spark conv(substr(md5,1,8),16,10) == DuckDB 0x-cast), chunk index =
+# running count of markers over strictly-preceding positions.
+ORACLE["dedup_segments_cdc"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+tok_e AS (
+  SELECT doc_id, s['pos'] AS pos, s['tok'] AS tok,
+         CASE WHEN (('0x' || substr(md5(s['tok']), 1, 8))::BIGINT)
+                   % {CDC_SEG_LEN} = 0 THEN 1 ELSE 0 END AS m
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(t)),
+                                 i -> {{'pos': i, 'tok': t[i+1]}})) AS s
+    FROM toks WHERE len(t) > 0
+  )
+),
+seg_toks AS (
+  SELECT doc_id, pos, tok,
+         COALESCE(SUM(m) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS seg_idx
+  FROM tok_e
+),
+segs AS (
+  SELECT doc_id, seg_idx,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS seg_hash,
+         count(*) AS n_toks
+  FROM seg_toks
+  GROUP BY doc_id, seg_idx
+  HAVING count(*) >= {CDC_MIN_TOKS}
+),
+seg_docs AS (
+  SELECT seg_hash, count(DISTINCT doc_id) AS n_docs_with_seg
+  FROM segs GROUP BY seg_hash
+),
+per_doc AS (
+  SELECT s.doc_id,
+         count(*) AS n_segments,
+         count(CASE WHEN d.n_docs_with_seg > 1 THEN 1 END) AS n_dup_segments
+  FROM segs s JOIN seg_docs d USING (seg_hash)
+  GROUP BY s.doc_id
+)
+SELECT doc_id,
+       CAST(n_segments AS BIGINT) AS n_segments,
+       CAST(n_dup_segments AS BIGINT) AS n_dup_segments,
+       floor(n_dup_segments / greatest(n_segments, 1) * 1.0 * 1000000) / 1000000 AS dup_segment_frac,
+       n_dup_segments > 0 AS has_dup_segment
+FROM per_doc
+"""
+
+
 # ---- fuzzy (edit-distance) near-dup over LSH candidates ----------------
 
 FUZZY_MIN_SIM = 0.8

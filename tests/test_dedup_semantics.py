@@ -41,3 +41,64 @@ def test_jaccard_threshold_misses_the_same_pair(spark):
     out = minhash_lsh_dedup(_docs(spark), k=2, threshold=0.7,
                             cache_plan=False).collect()
     assert out == []
+
+
+# ---- boundary-straddling exact-substring duplicates --------------------
+
+# A long duplicated region planted at offset 0 in doc 1 and offset 3 in
+# doc 2 (unique filler everywhere else). Fixed 8-token chunking misses
+# it: doc 2's chunks cover the region at a 3-token phase shift, so no
+# fixed chunk hash collides. Content-defined chunking cuts on the
+# TOKENS, so both copies chunk identically and their interior chunks
+# collide regardless of alignment.
+_REGION = ("november lima yankee sierra golf victor bravo charlie echo "
+           "delta papa quebec romeo uniform whiskey xray kilo oscar "
+           "mike hotel india juliett foxtrot tango alpha zulu")
+_PAD2 = "one two three"
+_FILL1 = "red green blue cyan magenta yellow umber teal navy coral"
+_FILL2 = "stone brick cedar maple birch aspen alder willow elm oak"
+
+
+def _straddle_docs(spark):
+    return spark.createDataFrame(
+        [(1, _REGION + " " + _FILL1),
+         (2, _PAD2 + " " + _REGION + " " + _FILL2)],
+        "doc_id long, text string")
+
+
+def test_fixed_chunking_misses_straddling_duplicate(spark):
+    from data_timeseries_java_spark.operators.dedup import (
+        segment_duplication,
+    )
+
+    out = {r.doc_id: r for r in
+           segment_duplication(_straddle_docs(spark), seg_len=8).collect()}
+    assert not out[1].has_dup_segment and not out[2].has_dup_segment
+
+
+def test_cdc_chunking_catches_straddling_duplicate(spark):
+    from data_timeseries_java_spark.operators.dedup import (
+        segment_duplication_cdc,
+    )
+
+    out = {r.doc_id: r for r in
+           segment_duplication_cdc(_straddle_docs(spark),
+                                   avg_seg_len=8).collect()}
+    # interior chunks of the shared region collide in BOTH docs even
+    # though the copies sit at different offsets
+    assert out[1].has_dup_segment and out[2].has_dup_segment
+    assert out[1].n_dup_segments >= 1 and out[2].n_dup_segments >= 1
+
+
+def test_cdc_chunking_no_false_positives(spark):
+    from data_timeseries_java_spark.operators.dedup import (
+        segment_duplication_cdc,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, _FILL1 + " " + _FILL1.upper().lower()[::-1]),
+         (2, _FILL2 + " stone brick")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           segment_duplication_cdc(docs, avg_seg_len=8).collect()}
+    assert all(not r.has_dup_segment for r in out.values())
