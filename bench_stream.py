@@ -52,10 +52,17 @@ def _progress_metrics(query) -> dict:
         secs += dur / 1000.0
         for so in p.get("stateOperators", []) or []:
             state_rows = max(state_rows, so.get("numRowsTotal", 0))
+    half = len(batches) // 2
     return {
         "batches": len(batches),
         "median_batch_ms": round(statistics.median(batches), 1) if batches else None,
         "max_batch_ms": max(batches) if batches else None,
+        # flatness probe: a stateful operator whose state (or per-key
+        # history) grows with the run shows late >> early
+        "early_half_median_ms": round(statistics.median(batches[:half]), 1)
+        if half else None,
+        "late_half_median_ms": round(statistics.median(batches[half:]), 1)
+        if half else None,
         "rows_per_sec": round(rows / secs, 1) if secs else None,
         "state_rows": state_rows,
     }
@@ -117,6 +124,57 @@ def _write_replay(spark, sf_dir: str, root: str) -> tuple[str, str, str]:
     return ticks_dir, events_dir, docs_dir
 
 
+ASOF_KEYS = 10_000
+ASOF_BATCHES = 16
+
+
+def _write_asof_wide(spark, root: str) -> tuple[str, str]:
+    """Two-stream fixture for the wide as-of state stress: ASOF_KEYS
+    instrument keys x ASOF_BATCHES one-minute batches. Left = one row
+    per key per batch; right = one quote per key every 4 batches. Rows
+    carry a per-(key, batch) md5 jitter of 0-30 s and each file is
+    written in md5 order, so arrival is out-of-order WITHIN every
+    micro-batch (the 2-minute watermark keeps the disorder inside the
+    unsealed horizon — nothing is dropped)."""
+    from pyspark.sql import functions as F
+
+    base_ms = 1_460_000_000_000
+    left_dir = f"{root}/asof_left"
+    right_dir = f"{root}/asof_right"
+    jitter = (F.conv(F.substring(F.md5(F.concat_ws(
+        ":", "k", "b")), 1, 8), 16, 10).cast("long") % 30_000)
+    keys = F.concat(F.lit("K"), F.format_string("%05d", F.col("k")))
+    base = time.time() - 10_000
+    for b in range(ASOF_BATCHES):
+        rows = (spark.range(ASOF_KEYS).select(
+            F.col("id").alias("k"), F.lit(b).alias("b"))
+            .select(
+                keys.alias("key"),
+                F.timestamp_millis(F.lit(base_ms + b * 60_000) + jitter)
+                .alias("event_time"),
+                (F.col("k") + F.lit(float(b))).cast("double").alias("qty")))
+        (rows.orderBy(F.md5(F.concat_ws("|", "key")))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(f"{left_dir}/f{b:02d}"))
+        quotes = (spark.range(ASOF_KEYS).select(
+            F.col("id").alias("k"), F.lit(b).alias("b"))
+            .where((F.col("k") + b) % 4 == 0)
+            .select(
+                keys.alias("key"),
+                F.timestamp_millis(F.lit(base_ms + b * 60_000 + 5_000)
+                                   + jitter).alias("event_time"),
+                (F.col("k") * 2.0).cast("double").alias("px")))
+        (quotes.orderBy(F.md5(F.concat_ws("|", "key")))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(f"{right_dir}/f{b:02d}"))
+        import glob as _glob
+        import os as _os
+        for d in (left_dir, right_dir):
+            for p in _glob.glob(f"{d}/f{b:02d}/*"):
+                _os.utime(p, (base + b * 10, base + b * 10))
+    return left_dir, right_dir
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from pyspark.sql import functions as F
@@ -144,6 +202,7 @@ def main() -> None:
     root = tempfile.mkdtemp(prefix="bench_stream_")
     work = tempfile.mkdtemp(prefix="bench_stream_work_")
     ticks_dir, events_dir, docs_dir = _write_replay(spark, sf_dir, root)
+    asof_left, asof_right = _write_asof_wide(spark, root)
 
     tick_src = lambda: (spark.readStream.schema(TICK_SCHEMA)  # noqa: E731
                         .option("maxFilesPerTrigger", 1)
@@ -191,6 +250,20 @@ def main() -> None:
             tick_src().where(F.minute("event_time") % 5 == 0)
             .select("key", "event_time", F.col("bid").alias("px")),
             watermark="10 minutes")),
+        # 10k-key out-of-order stress: state must stay O(keys) (one
+        # state row per key; per-key history bounded by the watermark
+        # horizon, not the run length) and trigger time must stay flat
+        # as history grows — late_half_median_ms vs early_half_median_ms
+        ("asof_join_wide_state", lambda: streaming_asof_join(
+            (spark.readStream
+             .schema("key string, event_time timestamp, qty double")
+             .option("maxFilesPerTrigger", 1)
+             .parquet(f"{asof_left}/f*")),
+            (spark.readStream
+             .schema("key string, event_time timestamp, px double")
+             .option("maxFilesPerTrigger", 1)
+             .parquet(f"{asof_right}/f*")),
+            watermark="2 minutes")),
         ("anomalies_fb", lambda: streaming_anomalies(
             spark, ev_src(), f"{work}/anomalies")),
         ("neardup_fb", lambda: streaming_neardup(

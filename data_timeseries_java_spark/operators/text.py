@@ -163,6 +163,85 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: winnowing position encoding: v = hash * 2^20 + (2^20 - 1 - pos)
+#: minimizes (hash asc, pos desc) as ONE int64 min — no argmin needed.
+#: Caps docs at 2^20 grams; hash is 32 bits, so v < 2^52 (exact int64).
+_WINNOW_M = 1 << 20
+
+
+def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           k: int = 3, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every k-gram of the token stream, then in
+    every window of ``w`` consecutive k-gram hashes keep the minimum
+    (rightmost position on ties). Guarantees: any shared token run of
+    length >= w + k - 1 yields at least one shared fingerprint, and
+    fingerprint density is ~2/(w+1) — position-robust near-dup
+    signatures at a fraction of the full shingle set's size.
+
+    Per doc: gram/fingerprint counts, density, and how many of its
+    fingerprint hashes also appear in another document (the MOSS
+    plagiarism signal).
+
+    Shape at 100 TB: k-grams via ``lead`` windows over the posexploded
+    token stream (linear — no per-doc HOF quadratics), the
+    rightmost-min-per-window via a single trailing ROWS window min over
+    an integer encoding (hash * M + (M-1-pos)) — one shuffle on doc,
+    reused by every window pass and the final rollup; the cross-doc
+    stage is a hash-collision count, never all-pairs. md5-lane hashes
+    keep the whole pipeline reproducible in an external SQL engine."""
+    from pyspark.sql import Window
+
+    t = tokens(F.col(text_col))
+    toks_e = df.select(F.col(id_col), F.posexplode(t).alias("pos", "tok"))
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    gram = F.concat_ws(" ", F.col("tok"),
+                       *[F.lead("tok", i).over(wd) for i in range(1, k)])
+    grams = (toks_e.select(id_col, "pos", gram.alias("gram"))
+             .where(F.length("gram") -
+                    F.length(F.regexp_replace("gram", " ", "")) == k - 1))
+    h = (F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long"))
+    v = (h * _WINNOW_M + (F.lit(_WINNOW_M - 1) - F.col("pos")))
+    trail = (Window.partitionBy(id_col).orderBy("pos")
+             .rowsBetween(-(w - 1), 0))
+    sel = (grams.select(id_col, "pos", v.alias("v"))
+           .withColumn("sel_v", F.min("v").over(trail))
+           # only complete windows select (complete grams sit at dense
+           # positions 0..n-k, so pos >= w-1 <=> a full w-window ends
+           # here; earlier prefixes are sub-windows of the first one)
+           .where(F.col("pos") >= w - 1))
+    fps = (sel.select(
+        F.col(id_col),
+        (F.lit(_WINNOW_M - 1) - (F.col("sel_v") % _WINNOW_M)).alias("fp_pos"),
+        # integer DIV, not `/`: float division of a ~2^52 int can round
+        # the quotient across the +1 boundary before the long cast
+        F.expr(f"sel_v DIV {_WINNOW_M}").alias("fp_hash"))
+        .distinct())
+    fp_docs = fps.groupBy("fp_hash").agg(
+        F.count_distinct(id_col).alias("n_docs_with_fp"))
+    n_grams = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    per_doc = (fps.join(fp_docs, "fp_hash")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_fingerprints"),
+                    F.count_distinct(F.when(F.col("n_docs_with_fp") > 1,
+                                            F.col("fp_hash")))
+                    .alias("n_shared_fp")))
+    return (n_grams.join(per_doc, id_col, "left")
+            .select(
+                id_col,
+                F.col("n_grams").cast("long").alias("n_grams"),
+                F.coalesce("n_fingerprints", F.lit(0)).cast("long")
+                .alias("n_fingerprints"),
+                _floor6(F.coalesce("n_fingerprints", F.lit(0))
+                        / F.greatest(F.col("n_grams"), F.lit(1)))
+                .alias("fp_density"),
+                F.coalesce("n_shared_fp", F.lit(0)).cast("long")
+                .alias("n_shared_fp"),
+                (F.coalesce("n_shared_fp", F.lit(0)) > 0)
+                .alias("has_shared_fp")))
+
+
 def repetition_signals(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Gopher/C4-style repetition quality signals per document: fraction
@@ -226,6 +305,60 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
         ((top_token_frac > 0.2)
          | (top_bigram_frac > 0.18)
          | (distinct_token_ratio < 0.5)).alias("is_repetitive"),
+    )
+
+
+def bigram_lm_score(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Model-free perplexity proxy: score every document by the average
+    log-probability of its token bigrams under the CORPUS's own bigram
+    language model, P(w2|w1) = c(w1 w2) / c(w1 ·) — the classic
+    KenLM-style quality signal used to rank web text for LLM training
+    (CCNet / Wenzek et al. 2020 rank by LM perplexity; this is the
+    self-contained MLE analogue needing no external model). Low
+    (more negative) scores mark documents whose token transitions are
+    unusual for the corpus — boilerplate, shuffled text, non-language.
+
+    Per doc: bigram count, avg log-prob (floor-quantized), a
+    ``perplexity_bucket`` decile-ish integer bucket (floor(-avg)), and
+    the count of singleton bigrams (transitions seen nowhere else).
+
+    Shape at 100 TB: two global aggregations (bigram counts, unigram
+    continuation counts) joined back to the per-doc bigram stream —
+    three hash aggregations and two hash joins, all linear; the model
+    tables stay distributed (no driver collect), so vocabulary size is
+    unbounded. Every count is an integer and the only float op is
+    ln(c2/c1) at output — reproducible in an external SQL engine."""
+    t = tokens(F.col(text_col))
+    big = F.filter(
+        F.zip_with(t, F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                   lambda x, y: F.when(y.isNotNull(),
+                                       F.concat(x, F.lit(" "), y))),
+        lambda s: s.isNotNull())
+    doc_big = df.select(F.col(id_col), F.explode(big).alias("bg"))
+    # corpus model: c2 = bigram occurrences, c1 = first-token
+    # continuation occurrences (= sum of its bigram counts)
+    c2 = doc_big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    w1 = F.substring_index("bg", " ", 1)
+    c1 = (doc_big.select(w1.alias("w1"))
+          .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+    scored = (doc_big.join(c2, "bg")
+              .withColumn("w1", w1)
+              .join(c1, "w1")
+              .withColumn("lp", F.log(F.col("c2") / F.col("c1"))))
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("lp").alias("sum_lp"),
+        F.count(F.when(F.col("c2") == 1, F.lit(1)))
+        .alias("n_singleton_bigrams"))
+    avg_lp = _floor6(F.col("sum_lp") / F.col("n_bigrams"))
+    return per_doc.select(
+        id_col,
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        avg_lp.alias("avg_logprob"),
+        F.floor(-avg_lp).cast("long").alias("perplexity_bucket"),
+        F.col("n_singleton_bigrams").cast("long")
+        .alias("n_singleton_bigrams"),
     )
 
 

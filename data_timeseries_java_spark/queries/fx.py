@@ -283,8 +283,115 @@ def q_fx_corr_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.abs(F.col("value")) >= 0.5))
 
 
+# One stream run per (session, sf_dir): every declared-query sweep
+# (plan guards, oracle tier, the driver) builds all queries, and the
+# replay result is a deterministic function of the input table — rerun
+# the stream once, then serve the materialized sink.
+_STREAM_REPLAY_SINKS: dict[tuple, str] = {}
+
+
+def q_fx_candles_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fx_candles_complete pipeline executed through the STREAMING
+    lane: the events tick feed is replayed as a file stream (3
+    time-bucketed files, rows shuffled WITHIN each file so intra-batch
+    arrival order is scrambled), run through the keyed-state global
+    gap-fill candle operator (`streaming/candles_stream.py` —
+    applyInPandasWithState, watermark-sealed windows, far-future
+    sentinel flushes the tail), and the sink is compared against the
+    SAME DuckDB oracle as the batch query — a three-way hash match on
+    a stream-PRODUCED result, not just a stream==batch pytest claim.
+
+    Reference parity: the reference is a streaming-first Dataflow
+    pipeline (`FXTimeSeriesPipelineDemo.java`); this entry gates the
+    engine's equivalent streaming path through the driver's correctness
+    gate. Building this query RUNS the stream (exempt from the
+    laziness guard like the iterative queries); the returned DataFrame
+    itself is a plain pruned parquet scan of the sink."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_timeseries_java_spark.streaming.candles_stream import (
+        streaming_complete_candles_global,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    sink = _STREAM_REPLAY_SINKS.get(cache_key)
+    if sink is None or not os.path.isdir(sink):
+        ticks, keys_df = _ticks_and_keys(spark, sf_dir)
+        universe = sorted(r[0] for r in keys_df.collect())
+        t0_ms, t1_ms = ticks.select(
+            F.min(_ms(F.col("event_time"))),
+            F.max(_ms(F.col("event_time")))).first()
+        work = tempfile.mkdtemp(prefix="fx_stream_replay_")
+        n_files = 3
+        span = max(t1_ms - t0_ms + 1, 1)
+        bucket = F.least(
+            F.lit(n_files - 1),
+            F.floor((_ms(F.col("event_time")) - F.lit(t0_ms))
+                    * n_files / F.lit(span)))
+        # time-bucketed files in mtime order (the file source triggers
+        # oldest-first, so the 0-delay watermark only ever moves past
+        # SEALED data); rows shuffled within each file by md5 so the
+        # stateful operator sees scrambled arrival order per batch
+        base = _time.time() - 1000
+        for i in range(n_files):
+            (ticks.where(bucket == i)
+             .orderBy(F.md5(F.concat_ws(":", "key",
+                                        _ms(F.col("event_time")))))
+             .coalesce(1).write.mode("overwrite")
+             .parquet(f"{work}/in/f{i}"))
+            for p in glob.glob(f"{work}/in/f{i}/*"):
+                os.utime(p, (base + i * 10, base + i * 10))
+        # far-future sentinel: pushes the watermark past every real
+        # window so the keyed state flushes; its own (never-sealed)
+        # window stays in state and its key is filtered from the sink
+        sent = spark.createDataFrame(
+            [("ZZ-SENTINEL",)], "key string").select(
+            "key",
+            F.timestamp_millis(F.lit(t1_ms + 30 * 86_400_000))
+            .alias("event_time"),
+            F.lit(1.0).alias("bid"), F.lit(1.0).alias("ask"),
+            F.lit(True).alias("is_live"))
+        sent.coalesce(1).write.mode("overwrite").parquet(
+            f"{work}/in/f{n_files}")
+        for p in glob.glob(f"{work}/in/f{n_files}/*"):
+            os.utime(p, (base + n_files * 10, base + n_files * 10))
+
+        src = (spark.readStream.schema(ticks.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
+        candles = streaming_complete_candles_global(src, universe, RES)
+        out = f"{work}/out"
+        q = (candles.writeStream
+             .foreachBatch(lambda df, bid:
+                           df.write.mode("append").parquet(out))
+             .option("checkpointLocation", f"{work}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+        sink = out
+        _STREAM_REPLAY_SINKS[cache_key] = sink
+    flat = (spark.read.parquet(sink)
+            .where(~F.col("key").startswith("ZZ-")))
+    return flat.select(
+        "key",
+        _ms(F.col("window_start")).alias("w_start_ms"),
+        F.col("is_live"),
+        _ms(F.col("open_time")).alias("open_time_ms"),
+        F.col("open_ask").alias("open_price"),
+        _ms(F.col("close_time")).alias("close_time_ms"),
+        F.col("close_ask").alias("close_price"),
+        F.col("min_ask").alias("min_price"),
+        F.col("max_ask").alias("max_price"),
+    )
+
+
 QUERIES = {
     "fx_candles_ohlc": q_fx_candles_ohlc,
+    "fx_candles_stream_replay": q_fx_candles_stream_replay,
     "fx_gapfill_rows": q_fx_gapfill_rows,
     "fx_candles_complete": q_fx_candles_complete,
     "fx_log_returns": q_fx_log_returns,
@@ -329,6 +436,13 @@ SELECT key, w_start_ms, w_start_ms + {RES_MS} - 1 AS event_time_ms,
 FROM missing
 """,
     "fx_candles_complete": _PRELUDE + """
+SELECT key, w_start_ms, is_live, open_time_ms, open_price,
+       close_time_ms, close_price, min_price, max_price
+FROM complete
+""",
+    # the stream-replay result must hash-match the BATCH oracle —
+    # stream==batch parity checked by the driver, not just pytest
+    "fx_candles_stream_replay": _PRELUDE + """
 SELECT key, w_start_ms, is_live, open_time_ms, open_price,
        close_time_ms, close_price, min_price, max_price
 FROM complete
@@ -1152,4 +1266,54 @@ SELECT key, time_ms, round(ret, 6) AS ret,
        END AS zscore
 FROM returns
 WINDOW w AS (PARTITION BY time_ms)
+"""
+
+
+# ---- CUSUM change-point detection over per-key returns -----------------
+
+CUSUM_THRESHOLD = 0.5
+
+
+def q_fx_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM mean-shift statistics per (key, candle-close) —
+    see operators.returns.cusum_changepoints (prefix-sum closed form of
+    Page's recursive detector; three window aggregates, one shuffle)."""
+    from data_timeseries_java_spark.operators.returns import (
+        cusum_changepoints,
+    )
+
+    r = _returns_df(spark, sf_dir)
+    out = cusum_changepoints(r, drift=0.0, threshold=CUSUM_THRESHOLD)
+    return out.select(
+        "key", _ms(F.col("time")).alias("time_ms"),
+        "cusum_pos", "cusum_neg", "alarm_pos", "alarm_neg")
+
+
+QUERIES["fx_cusum"] = q_fx_cusum
+
+# Same closed form: prefix sums, then running min/max over the SAME
+# ordered frame — cumulative windows evaluate in identical ascending
+# order on both engines, so the doubles match bit-for-bit.
+ORACLE["fx_cusum"] = _PRELUDE + f"""
+, prefix AS (
+  SELECT key, time_ms,
+         SUM(ret) OVER (PARTITION BY key ORDER BY time_ms
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS p
+  FROM returns
+),
+cusum AS (
+  SELECT key, time_ms,
+         p - MIN(p) OVER w AS s_pos,
+         MAX(p) OVER w - p AS s_neg
+  FROM prefix
+  WINDOW w AS (PARTITION BY key ORDER BY time_ms
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT key, time_ms,
+       floor(s_pos * 1000000) / 1000000 AS cusum_pos,
+       floor(s_neg * 1000000) / 1000000 AS cusum_neg,
+       floor(s_pos * 1000000) / 1000000 > {CUSUM_THRESHOLD} AS alarm_pos,
+       floor(s_neg * 1000000) / 1000000 > {CUSUM_THRESHOLD} AS alarm_neg
+FROM cusum
 """

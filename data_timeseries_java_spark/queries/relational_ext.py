@@ -810,3 +810,50 @@ SELECT printf('%04d-%02d', r.cohort_ym // 12, r.cohort_ym % 12 + 1)
        floor(r.n / s.cohort_size * 1000000) / 1000000 AS retention
 FROM ret r JOIN sizes s ON s.cohort_ym = r.cohort_ym
 """
+
+
+# ---- seasonal (hour-of-day) activity profile ---------------------------
+
+
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality per event type: activity share, value
+    level, and intra-hour spread — the profile a drift monitor compares
+    fresh traffic against. One scan, one aggregation, one broadcast-
+    size window over the 5x24 profile grid."""
+    from pyspark.sql import Window
+
+    from data_timeseries_java_spark.operators.text import _floor6
+
+    ev = load_table(spark, sf_dir, "events")
+    g = (ev.groupBy("event_type", F.hour("ts").alias("hour"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("value").alias("s"),
+              F.min("value").alias("mn"),
+              F.max("value").alias("mx")))
+    w = Window.partitionBy("event_type")
+    return g.select(
+        "event_type",
+        F.col("hour").cast("int").alias("hour"),
+        F.col("n").cast("long").alias("n_events"),
+        _floor6(F.col("n") / F.sum("n").over(w)).alias("share_of_type"),
+        _floor6(F.col("s") / F.col("n")).alias("avg_value"),
+        _floor6(F.col("mx") - F.col("mn")).alias("value_spread"),
+    )
+
+
+QUERIES["seasonal_profile"] = q_seasonal_profile
+
+ORACLE["seasonal_profile"] = """
+WITH g AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hour,
+         count(*) AS n, sum(value) AS s, min(value) AS mn, max(value) AS mx
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour,
+       CAST(n AS BIGINT) AS n_events,
+       floor(n / (SUM(n) OVER (PARTITION BY event_type)) * 1000000)
+         / 1000000 AS share_of_type,
+       floor(s / n * 1000000) / 1000000 AS avg_value,
+       floor((mx - mn) * 1000000) / 1000000 AS value_spread
+FROM g
+"""

@@ -477,3 +477,146 @@ SELECT source,
 FROM documents
 GROUP BY source
 """
+
+
+# ---- winnowing fingerprints (MOSS) -------------------------------------
+
+WINNOW_K = 3
+WINNOW_W = 4
+_WM = 1 << 20
+
+
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint stats + cross-doc sharing — see
+    operators.text.winnowing_fingerprints."""
+    from data_timeseries_java_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    return winnowing_fingerprints(load_table(spark, sf_dir, "documents"),
+                                  k=WINNOW_K, w=WINNOW_W)
+
+
+QUERIES["text_winnowing"] = q_text_winnowing
+
+# Same algorithm rebuilt in SQL: md5-lane k-gram hashes, rightmost-min-
+# per-window via MIN over the integer encoding h*M + (M-1-pos) in a
+# trailing ROWS window (one int64 min replaces the argmin), integer
+# DIV/% decode, distinct fingerprints, collision-count rollup.
+ORACLE["text_winnowing"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+tok_e AS (
+  SELECT doc_id, s['pos'] AS pos, s['tok'] AS tok
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(t)),
+                                 i -> {{'pos': i, 'tok': t[i+1]}})) AS s
+    FROM toks WHERE len(t) > 0
+  )
+),
+grams AS (
+  SELECT doc_id, pos,
+         tok || ' ' || lead(tok, 1) OVER win || ' ' || lead(tok, 2) OVER win AS gram
+  FROM tok_e
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, {WINNOW_K - 1}) OVER win IS NOT NULL
+),
+vs AS (
+  SELECT doc_id, pos,
+         (('0x' || substr(md5(gram), 1, 8))::BIGINT) * {_WM}
+         + ({_WM - 1} - pos) AS v
+  FROM grams
+),
+sel AS (
+  SELECT doc_id, pos,
+         MIN(v) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                      AND CURRENT ROW) AS sel_v
+  FROM vs
+  QUALIFY pos >= {WINNOW_W - 1}
+),
+fps AS (
+  SELECT DISTINCT doc_id,
+         {_WM - 1} - (sel_v % {_WM}) AS fp_pos,
+         sel_v // {_WM} AS fp_hash
+  FROM sel
+),
+fp_docs AS (
+  SELECT fp_hash, count(DISTINCT doc_id) AS nd FROM fps GROUP BY fp_hash
+),
+gram_counts AS (
+  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+),
+per_doc AS (
+  SELECT f.doc_id,
+         count(*) AS n_fingerprints,
+         count(DISTINCT CASE WHEN d.nd > 1 THEN f.fp_hash END) AS n_shared_fp
+  FROM fps f JOIN fp_docs d USING (fp_hash)
+  GROUP BY f.doc_id
+)
+SELECT g.doc_id,
+       CAST(g.n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_fingerprints, 0) AS BIGINT) AS n_fingerprints,
+       floor(COALESCE(p.n_fingerprints, 0) / greatest(g.n_grams, 1)
+             * 1.0 * 1000000) / 1000000 AS fp_density,
+       CAST(COALESCE(p.n_shared_fp, 0) AS BIGINT) AS n_shared_fp,
+       COALESCE(p.n_shared_fp, 0) > 0 AS has_shared_fp
+FROM gram_counts g LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+# ---- corpus bigram-LM quality score (perplexity proxy) -----------------
+
+
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average bigram log-probability per doc under the corpus's own
+    MLE bigram model — see operators.text.bigram_lm_score."""
+    from data_timeseries_java_spark.operators.text import bigram_lm_score
+
+    return bigram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["text_bigram_lm"] = q_text_bigram_lm
+
+# Identical model in SQL: bigram occurrences / first-token continuation
+# occurrences, ln at the end — integers everywhere else.
+ORACLE["text_bigram_lm"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+doc_big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks WHERE len(t) >= 2
+),
+c2 AS (SELECT bg, count(*) AS c2 FROM doc_big GROUP BY bg),
+c1 AS (
+  SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c1
+  FROM doc_big GROUP BY 1
+),
+scored AS (
+  SELECT d.doc_id, ln(c2.c2 * 1.0 / c1.c1) AS lp, c2.c2
+  FROM doc_big d
+  JOIN c2 USING (bg)
+  JOIN c1 ON string_split(d.bg, ' ')[1] = c1.w1
+),
+per_doc AS (
+  SELECT doc_id,
+         count(*) AS n_bigrams,
+         sum(lp) AS sum_lp,
+         count(CASE WHEN c2 = 1 THEN 1 END) AS n_singleton_bigrams
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       floor(sum_lp / n_bigrams * 1000000) / 1000000 AS avg_logprob,
+       CAST(floor(-(floor(sum_lp / n_bigrams * 1000000) / 1000000))
+            AS BIGINT) AS perplexity_bucket,
+       CAST(n_singleton_bigrams AS BIGINT) AS n_singleton_bigrams
+FROM per_doc
+"""

@@ -102,3 +102,69 @@ def test_cdc_chunking_no_false_positives(spark):
     out = {r.doc_id: r for r in
            segment_duplication_cdc(docs, avg_seg_len=8).collect()}
     assert all(not r.has_dup_segment for r in out.values())
+
+
+# ---- winnowing fingerprints (MOSS) -------------------------------------
+
+
+def test_winnowing_guarantee_shared_run(spark):
+    """The MOSS guarantee: a shared token run of length >= w + k - 1
+    (here 4 + 3 - 1 = 6) yields at least one shared fingerprint, at ANY
+    alignment of the two copies."""
+    from data_timeseries_java_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    shared = "november lima yankee sierra golf victor"      # 6 tokens
+    docs = spark.createDataFrame(
+        [(1, shared + " red green blue cyan magenta"),
+         (2, "stone brick cedar " + shared + " maple birch")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           winnowing_fingerprints(docs, k=3, w=4).collect()}
+    assert out[1].n_shared_fp >= 1 and out[2].n_shared_fp >= 1
+    assert out[1].has_shared_fp and out[2].has_shared_fp
+
+
+def test_winnowing_density_and_no_false_sharing(spark):
+    from data_timeseries_java_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "red green blue cyan magenta yellow umber teal navy coral"),
+         (2, "stone brick cedar maple birch aspen alder willow elm oak")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           winnowing_fingerprints(docs, k=3, w=4).collect()}
+    for r in out.values():
+        assert r.n_grams == 8            # 10 tokens -> 8 trigrams
+        assert 1 <= r.n_fingerprints <= r.n_grams
+        assert r.n_shared_fp == 0 and not r.has_shared_fp
+
+
+def test_cusum_detects_mean_shift(spark):
+    """A flat series then a level shift: the positive CUSUM statistic
+    must cross the threshold only after the shift (and the negative one
+    never)."""
+    from datetime import datetime, timedelta, timezone
+
+    from data_timeseries_java_spark.operators.returns import (
+        cusum_changepoints,
+    )
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    vals = [0.0] * 10 + [0.2] * 10          # shift at index 10
+    rows = [("A", t0 + timedelta(minutes=i), v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, time timestamp, value double")
+    out = sorted(cusum_changepoints(df, threshold=0.5).collect(),
+                 key=lambda r: r.time)
+    alarms = [r.alarm_pos for r in out]
+    assert not any(alarms[:11])             # quiet before/at the shift
+    assert alarms[-1]                       # fired by the end
+    assert alarms.index(True) >= 12         # needs >2 shifted points
+    assert not any(r.alarm_neg for r in out)
+    # statistic is recoverable: S+ at the end = 10 * 0.2 (within the
+    # output's floor-6 quantization of the binary-float sum)
+    assert abs(out[-1].cusum_pos - 2.0) < 2e-6

@@ -126,7 +126,11 @@ def test_no_query_falls_into_row_python(spark, sf_dir):
 # Queries whose *algorithm* is iterative (convergence-checked label
 # propagation) — building them necessarily runs distributed jobs; the
 # driver only coordinates the loop. Everything else must be a pure plan.
-_ITERATIVE_QUERIES = {"dedup_clusters", "dedup_keep_list"}
+# fx_candles_stream_replay EXECUTES a streaming query at build time by
+# design (its declared result is the materialized stream sink) — the
+# one entry that gates the streaming lane through the driver's oracle.
+_ITERATIVE_QUERIES = {"dedup_clusters", "dedup_keep_list",
+                      "fx_candles_stream_replay"}
 
 
 
