@@ -422,7 +422,8 @@ def segment_duplication(df: DataFrame, text_col: str = "text",
 def segment_duplication_cdc(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
                             avg_seg_len: int = 8,
-                            min_seg_tokens: int = 4) -> DataFrame:
+                            min_seg_tokens: int = 4,
+                            cache_plan: bool = True) -> DataFrame:
     """Segment-level duplication with CONTENT-DEFINED chunk boundaries —
     the boundary-straddling fix for :func:`segment_duplication`.
 
@@ -468,6 +469,10 @@ def segment_duplication_cdc(df: DataFrame, text_col: str = "text",
                 lambda s: s["tok"]))).alias("seg_hash"),
                 F.count(F.lit(1)).alias("n_toks"))
             .where(F.col("n_toks") >= min_seg_tokens))
+    # two consumers (collision counts + per-doc rollup) with different
+    # pruning defeat exchange reuse — materialize the chunk table once
+    # (O(tokens/seg_len) rows) instead of re-tokenizing the corpus
+    segs = materialize(segs, cache_plan)
     seg_docs = segs.groupBy("seg_hash").agg(
         F.count_distinct(id_col).alias("n_docs_with_seg"))
     per_doc = (segs.join(seg_docs, "seg_hash")

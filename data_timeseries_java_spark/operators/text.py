@@ -171,7 +171,8 @@ _WINNOW_M = 1 << 20
 
 def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
-                           k: int = 3, w: int = 4) -> DataFrame:
+                           k: int = 3, w: int = 4,
+                           cache_plan: bool = True) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
     the MOSS algorithm): hash every k-gram of the token stream, then in
     every window of ``w`` consecutive k-gram hashes keep the minimum
@@ -218,6 +219,11 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
         # the quotient across the +1 boundary before the long cast
         F.expr(f"sel_v DIV {_WINNOW_M}").alias("fp_hash"))
         .distinct())
+    # fps feeds both the collision count and the per-doc rollup —
+    # materialize the ~2/(w+1)-density fingerprint set once instead of
+    # re-tokenizing + re-windowing the corpus per consumer
+    from data_timeseries_java_spark.plans.materialize import materialize
+    fps = materialize(fps, cache_plan)
     fp_docs = fps.groupBy("fp_hash").agg(
         F.count_distinct(id_col).alias("n_docs_with_fp"))
     n_grams = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
@@ -309,7 +315,8 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
 
 
 def bigram_lm_score(df: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    cache_plan: bool = True) -> DataFrame:
     """Model-free perplexity proxy: score every document by the average
     log-probability of its token bigrams under the CORPUS's own bigram
     language model, P(w2|w1) = c(w1 w2) / c(w1 ·) — the classic
@@ -323,12 +330,17 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
     ``perplexity_bucket`` decile-ish integer bucket (floor(-avg)), and
     the count of singleton bigrams (transitions seen nowhere else).
 
-    Shape at 100 TB: two global aggregations (bigram counts, unigram
-    continuation counts) joined back to the per-doc bigram stream —
-    three hash aggregations and two hash joins, all linear; the model
-    tables stay distributed (no driver collect), so vocabulary size is
-    unbounded. Every count is an integer and the only float op is
-    ln(c2/c1) at output — reproducible in an external SQL engine."""
+    Shape at 100 TB: ONE corpus scan builds the per-(doc, bigram) count
+    table, which is materialized and feeds everything else — the global
+    bigram counts c2 aggregate it, the continuation counts c1 aggregate
+    c2 (c1(w) = Σ c2(w ·), no second pass over text), and the scoring
+    join runs over the same cached table with count-weighted
+    log-probs (Σ lp·cnt ≡ the per-occurrence sum). Model tables stay
+    distributed (no driver collect), so vocabulary size is unbounded;
+    every count is an integer and the only float op is ln(c2/c1) at
+    output — reproducible in an external SQL engine."""
+    from data_timeseries_java_spark.plans.materialize import materialize
+
     t = tokens(F.col(text_col))
     big = F.filter(
         F.zip_with(t, F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
@@ -336,19 +348,21 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
                                        F.concat(x, F.lit(" "), y))),
         lambda s: s.isNotNull())
     doc_big = df.select(F.col(id_col), F.explode(big).alias("bg"))
-    # corpus model: c2 = bigram occurrences, c1 = first-token
-    # continuation occurrences (= sum of its bigram counts)
-    c2 = doc_big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    db = doc_big.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    db = materialize(db, cache_plan)
+    # corpus model: c2 = bigram occurrences; c1 = first-token
+    # continuation occurrences, derived FROM c2 (Σ of its bigrams)
+    c2 = db.groupBy("bg").agg(F.sum("cnt").alias("c2"))
     w1 = F.substring_index("bg", " ", 1)
-    c1 = (doc_big.select(w1.alias("w1"))
-          .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
-    scored = (doc_big.join(c2, "bg")
+    c1 = (c2.select(w1.alias("w1"), "c2")
+          .groupBy("w1").agg(F.sum("c2").alias("c1")))
+    scored = (db.join(c2, "bg")
               .withColumn("w1", w1)
               .join(c1, "w1")
               .withColumn("lp", F.log(F.col("c2") / F.col("c1"))))
     per_doc = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum("lp").alias("sum_lp"),
+        F.sum("cnt").alias("n_bigrams"),
+        F.sum(F.col("lp") * F.col("cnt")).alias("sum_lp"),
         F.count(F.when(F.col("c2") == 1, F.lit(1)))
         .alias("n_singleton_bigrams"))
     avg_lp = _floor6(F.col("sum_lp") / F.col("n_bigrams"))

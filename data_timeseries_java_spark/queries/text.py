@@ -594,21 +594,22 @@ doc_big AS (
                                i -> t[i] || ' ' || t[i+1])) AS bg
   FROM toks WHERE len(t) >= 2
 ),
-c2 AS (SELECT bg, count(*) AS c2 FROM doc_big GROUP BY bg),
+db AS (SELECT doc_id, bg, count(*) AS cnt FROM doc_big GROUP BY 1, 2),
+c2 AS (SELECT bg, sum(cnt) AS c2 FROM db GROUP BY bg),
 c1 AS (
-  SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c1
-  FROM doc_big GROUP BY 1
+  SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1
+  FROM c2 GROUP BY 1
 ),
 scored AS (
-  SELECT d.doc_id, ln(c2.c2 * 1.0 / c1.c1) AS lp, c2.c2
-  FROM doc_big d
+  SELECT d.doc_id, d.cnt, c2.c2, ln(c2.c2 * 1.0 / c1.c1) AS lp
+  FROM db d
   JOIN c2 USING (bg)
   JOIN c1 ON string_split(d.bg, ' ')[1] = c1.w1
 ),
 per_doc AS (
   SELECT doc_id,
-         count(*) AS n_bigrams,
-         sum(lp) AS sum_lp,
+         sum(cnt) AS n_bigrams,
+         sum(lp * cnt) AS sum_lp,
          count(CASE WHEN c2 = 1 THEN 1 END) AS n_singleton_bigrams
   FROM scored GROUP BY doc_id
 )
