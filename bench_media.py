@@ -18,7 +18,8 @@ ceiling:
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_MEDIA_REPLICATE (default 1; 10 = the SCALE.md 10x point),
-SPARK_GRAFT_TRIALS (default 3).
+SPARK_GRAFT_TRIALS (default 3), SPARK_GRAFT_MEDIA_LANES (comma list —
+run a lane subset for isolation bisection).
 
 Prints ONE JSON line:
 {"metric": "media codec throughput", "lanes": {name: {docs_per_s,
@@ -120,6 +121,11 @@ def main() -> None:
         ("png_128", synth_big("png", big_image_ids()),
          lambda m: decode_image_stats(m), 128 * 128),
     ]
+
+    only = os.environ.get("SPARK_GRAFT_MEDIA_LANES")
+    if only:
+        keep = set(only.split(","))
+        lanes_def = [l for l in lanes_def if l[0] in keep]
 
     lanes: dict[str, dict] = {}
     try:

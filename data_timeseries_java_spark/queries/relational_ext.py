@@ -857,3 +857,62 @@ SELECT event_type, hour,
        floor((mx - mn) * 1000000) / 1000000 AS value_spread
 FROM g
 """
+
+
+# ---- robust (MAD) outlier detection ------------------------------------
+
+
+def q_event_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier flags via the modified z-score
+    0.6745·(v − median)/MAD (Iglewicz-Hoaglin): unlike the mean/stddev
+    z-score in `event_anomalies`, the median/MAD profile does not let
+    the outliers inflate their own baseline. Exact medians; two window
+    aggregates over the SAME partitioning, so one shuffle and one sort
+    serve both passes."""
+    from pyspark.sql import Window
+
+    from data_timeseries_java_spark.operators.text import _floor6
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    d1 = ev.select(
+        "event_id", "event_type", "value",
+        F.median("value").over(w).alias("med"))
+    d2 = d1.withColumn(
+        "mad", F.median(F.abs(F.col("value") - F.col("med"))).over(w))
+    z = _floor6(F.lit(0.6745) * (F.col("value") - F.col("med"))
+                / F.col("mad"))
+    return d2.select(
+        "event_id", "event_type", "value",
+        _floor6(F.col("med")).alias("med"),
+        _floor6(F.col("mad")).alias("mad"),
+        F.when(F.col("mad") > 0, z).alias("modified_z"),
+        F.coalesce(F.when(F.col("mad") > 0, F.abs(z) > 3.5),
+                   F.lit(False)).alias("is_outlier"),
+    )
+
+
+QUERIES["event_mad_outliers"] = q_event_mad_outliers
+
+ORACLE["event_mad_outliers"] = """
+WITH d1 AS (
+  SELECT event_id, event_type, value,
+         median(value) OVER (PARTITION BY event_type) AS med
+  FROM events
+),
+d2 AS (
+  SELECT *,
+         median(abs(value - med)) OVER (PARTITION BY event_type) AS mad
+  FROM d1
+)
+SELECT event_id, event_type, value,
+       floor(med * 1000000) / 1000000 AS med,
+       floor(mad * 1000000) / 1000000 AS mad,
+       CASE WHEN mad > 0
+            THEN floor(0.6745 * (value - med) / mad * 1000000) / 1000000
+       END AS modified_z,
+       COALESCE(CASE WHEN mad > 0 THEN
+         abs(floor(0.6745 * (value - med) / mad * 1000000) / 1000000) > 3.5
+       END, FALSE) AS is_outlier
+FROM d2
+"""
