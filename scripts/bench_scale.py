@@ -14,7 +14,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 QUERIES = ["dedup_minhash_lsh", "corpus_build", "ann_lsh",
-           "fx_pair_correlation", "fx_corr_wide"]
+           "fx_pair_correlation", "fx_corr_wide",
+           # round-6 additions: the new text/dedup operators' decades
+           "text_winnowing", "text_bigram_lm", "dedup_segments_cdc",
+           "fx_cusum"]
 
 
 def bench(spark, qs, name, sf_dir, n):
