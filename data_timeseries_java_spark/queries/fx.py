@@ -1317,3 +1317,120 @@ SELECT key, time_ms,
        floor(s_neg * 1000000) / 1000000 > {CUSUM_THRESHOLD} AS alarm_neg
 FROM cusum
 """
+
+
+# ---- autocorrelation function (ACF) ------------------------------------
+
+ACF_MAX_LAG = 3
+
+
+def q_fx_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-series autocorrelation at lags 1..3 per instrument — the
+    standard momentum/mean-reversion diagnostic. One (key)-partitioned
+    sort provides all three lag columns; stacking lags into rows keeps
+    the corr aggregation a single hash agg per (key, lag)."""
+    from pyspark.sql import Window
+
+    r = _returns_df(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("time")
+    lagged = r.select(
+        "key", "value",
+        *[F.lag("value", i).over(w).alias(f"lag{i}")
+          for i in range(1, ACF_MAX_LAG + 1)])
+    stacked = lagged.select(
+        "key",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("lag"), F.col("value").alias("x"),
+                     F.col(f"lag{i}").alias("y"))
+            for i in range(1, ACF_MAX_LAG + 1)])).alias("s")
+    ).select("key", "s.lag", "s.x", "s.y").where(F.col("y").isNotNull())
+    return (stacked.groupBy("key", "lag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.corr("x", "y"), 6).alias("acf"))
+            .select("key", F.col("lag").cast("int").alias("lag"),
+                    F.col("n").cast("long").alias("n"), "acf"))
+
+
+QUERIES["fx_autocorr"] = q_fx_autocorr
+
+ORACLE["fx_autocorr"] = _PRELUDE + f"""
+, lagged AS (
+  SELECT key, ret AS x, lag, lag(ret, lag) OVER
+         (PARTITION BY key, lag ORDER BY time_ms) AS y
+  FROM returns CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag)
+)
+SELECT key, CAST(lag AS INT) AS lag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(corr(x, y), 6) AS acf
+FROM lagged
+WHERE y IS NOT NULL
+GROUP BY key, lag
+"""
+
+
+# ---- variance-ratio test (Lo-MacKinlay) --------------------------------
+
+VR_K = 4
+
+
+def q_fx_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance ratio per instrument: VR(k) =
+    Var(k-period non-overlapping return sums) / (k · Var(1-period)) —
+    ≈1 under a random walk, <1 mean-reverting, >1 trending. Buckets are
+    row_number DIV k over the time-sorted series (deterministic on both
+    engines); only complete buckets enter the k-period variance."""
+    from pyspark.sql import Window
+
+    r = _returns_df(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("time")
+    b = r.select("key", "value",
+                 ((F.row_number().over(w) - 1) / VR_K)
+                 .cast("long").alias("bucket"))
+    agg = (b.groupBy("key", "bucket")
+           .agg(F.sum("value").alias("ksum"),
+                F.count(F.lit(1)).alias("cnt")))
+    kvar = (agg.where(F.col("cnt") == VR_K)
+            .groupBy("key")
+            .agg(F.var_samp("ksum").alias("var_k"),
+                 F.count(F.lit(1)).alias("n_buckets")))
+    base = r.groupBy("key").agg(F.var_samp("value").alias("var_1"),
+                                F.count(F.lit(1)).alias("n_points"))
+    vr = F.round(F.col("var_k") / (F.lit(VR_K) * F.col("var_1")), 6)
+    return (base.join(kvar, "key")
+            .select("key",
+                    F.col("n_points").cast("long").alias("n_points"),
+                    F.col("n_buckets").cast("long").alias("n_buckets"),
+                    F.round("var_1", 6).alias("var_1"),
+                    F.round("var_k", 6).alias("var_k"),
+                    vr.alias("variance_ratio")))
+
+
+QUERIES["fx_variance_ratio"] = q_fx_variance_ratio
+
+ORACLE["fx_variance_ratio"] = _PRELUDE + f"""
+, b AS (
+  SELECT key, ret,
+         (row_number() OVER (PARTITION BY key ORDER BY time_ms) - 1)
+           // {VR_K} AS bucket
+  FROM returns
+),
+agg AS (
+  SELECT key, bucket, sum(ret) AS ksum, count(*) AS cnt
+  FROM b GROUP BY key, bucket
+),
+kvar AS (
+  SELECT key, var_samp(ksum) AS var_k, count(*) AS n_buckets
+  FROM agg WHERE cnt = {VR_K} GROUP BY key
+),
+base AS (
+  SELECT key, var_samp(ret) AS var_1, count(*) AS n_points
+  FROM returns GROUP BY key
+)
+SELECT key,
+       CAST(n_points AS BIGINT) AS n_points,
+       CAST(n_buckets AS BIGINT) AS n_buckets,
+       round(var_1, 6) AS var_1,
+       round(var_k, 6) AS var_k,
+       round(var_k / ({VR_K} * var_1), 6) AS variance_ratio
+FROM base JOIN kvar USING (key)
+"""

@@ -621,3 +621,64 @@ SELECT doc_id,
        CAST(n_singleton_bigrams AS BIGINT) AS n_singleton_bigrams
 FROM per_doc
 """
+
+
+# ---- unigram token entropy ---------------------------------------------
+
+
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution (nats),
+    via H = ln(n) − (Σ c·ln c)/n — counts stay integers and the only
+    float work is one ln per DISTINCT token. Low entropy flags
+    repetitive/boilerplate docs (complements the Gopher repetition
+    ratios); H = 0 for single-token docs, ln(n) for all-distinct.
+    One scan, two hash aggregations on the doc key."""
+    from data_timeseries_java_spark.operators.text import _floor6, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id",
+                       F.explode(tokens(F.col("text"))).alias("tok"))
+    cnts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = cnts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * F.log("c")).alias("clogc"))
+    h = _floor6(F.log("n") - F.col("clogc") / F.col("n"))
+    max_h = F.log("n")
+    return per_doc.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        h.alias("entropy"),
+        # normalized to [0,1]; single-token docs define 0/0 := 0
+        F.when(F.col("n") > 1, _floor6((F.log("n") - F.col("clogc")
+                                        / F.col("n")) / max_h))
+        .otherwise(F.lit(0.0)).alias("entropy_norm"),
+    )
+
+
+QUERIES["text_entropy"] = q_text_entropy
+
+ORACLE["text_entropy"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS tok
+  FROM documents
+),
+cnts AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+),
+per_doc AS (
+  SELECT doc_id, sum(c) AS n, count(*) AS n_distinct,
+         sum(c * ln(c)) AS clogc
+  FROM cnts GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       floor((ln(n) - clogc / n) * 1000000) / 1000000 AS entropy,
+       CASE WHEN n > 1
+            THEN floor((ln(n) - clogc / n) / ln(n) * 1000000) / 1000000
+            ELSE 0.0 END AS entropy_norm
+FROM per_doc
+"""
