@@ -149,3 +149,33 @@ def test_avi_demux_returns_frames_verbatim(frame_vals, w, h):
               for v in frame_vals]
     avi = encode_avi_mjpeg(frames, w, h)
     assert decode_avi_frames(avi) == frames
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(min_value=0, max_value=30),
+                min_size=8, max_size=60))
+def test_winnowing_invariants_random_docs(spark, word_ids):
+    """Structural invariants of winnowing on random token streams:
+    every fingerprint is one of the doc's k-gram hashes at a valid
+    position, and every complete window of w consecutive grams contains
+    at least one selected position (the covering property that makes
+    the density ~2/(w+1))."""
+    from data_timeseries_java_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    k, w = 3, 4
+    text = " ".join(f"w{i}" for i in word_ids)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = winnowing_fingerprints(docs, k=k, w=w).collect()[0]
+    n_grams = len(word_ids) - k + 1
+    assert row.n_grams == n_grams
+    if n_grams >= w:
+        # density bound: selections can't exceed one per window START
+        # and must cover every window (>= ceil(n_windows / w) picks)
+        n_windows = n_grams - w + 1
+        assert 1 <= row.n_fingerprints <= n_windows
+        assert row.n_fingerprints >= (n_windows + w - 1) // w
+    else:
+        assert row.n_fingerprints == 0
