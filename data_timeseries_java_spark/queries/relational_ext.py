@@ -916,3 +916,115 @@ SELECT event_id, event_type, value,
        END, FALSE) AS is_outlier
 FROM d2
 """
+
+
+# ---- streaming as-of join through the driver gate ----------------------
+
+_ASOF_REPLAY_SINKS: dict[tuple, str] = {}
+
+
+def q_asof_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The purchase→latest-prior-click as-of join executed through the
+    STREAMING lane: purchases and clicks replayed as two time-bucketed
+    file streams (rows shuffled within each file), joined by the
+    keyed-state streaming as-of operator (`streaming/asof_stream.py` —
+    watermark-sealed emission, state = unsealed rows + latest sealed
+    right per key), and the sink hash-matched against the SAME DuckDB
+    ASOF JOIN oracle as the batch query — the second stream-produced
+    result under the driver's correctness gate, covering the two-stream
+    stateful operator the candle replay doesn't. Building this query
+    RUNS the stream (laziness-guard exempt); the declared result is a
+    pruned parquet scan of the sink."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_timeseries_java_spark.streaming.asof_stream import (
+        streaming_asof_join,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    sink = _ASOF_REPLAY_SINKS.get(cache_key)
+    if sink is None or not os.path.isdir(sink):
+        ev = load_table(spark, sf_dir, "events")
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value")
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "user_id", "ts", "value")
+        t0_ms, t1_ms = ev.select(
+            F.min(F.unix_millis("ts")), F.max(F.unix_millis("ts"))).first()
+        span = max(t1_ms - t0_ms + 1, 1)
+        n_files = 3
+        work = tempfile.mkdtemp(prefix="asof_stream_replay_")
+        base = _time.time() - 1000
+
+        def write_buckets(df, sub):
+            bucket = F.least(
+                F.lit(n_files - 1),
+                F.floor((F.unix_millis("ts") - F.lit(t0_ms))
+                        * n_files / F.lit(span)))
+            for i in range(n_files):
+                (df.where(bucket == i)
+                 .orderBy(F.md5(F.concat_ws(":", "user_id",
+                                            F.unix_millis("ts"))))
+                 .coalesce(1).write.mode("overwrite")
+                 .parquet(f"{work}/{sub}/f{i}"))
+                for p in glob.glob(f"{work}/{sub}/f{i}/*"):
+                    os.utime(p, (base + i * 10, base + i * 10))
+
+        write_buckets(purchases, "left")
+        write_buckets(clicks, "right")
+        # far-future sentinel purchase (user -1) advances the shared
+        # watermark past every real event so all pending lefts emit; its
+        # own row stays unsealed/filtered
+        sent = spark.createDataFrame([(-1, -1)],
+                                     "event_id long, user_id int").select(
+            "event_id", "user_id",
+            F.timestamp_millis(F.lit(t1_ms + 30 * 86_400_000)).alias("ts"),
+            F.lit(0.0).alias("value"))
+        sent.coalesce(1).write.mode("overwrite").parquet(
+            f"{work}/left/f{n_files}")
+        for p in glob.glob(f"{work}/left/f{n_files}/*"):
+            os.utime(p, (base + n_files * 10, base + n_files * 10))
+
+        lsrc = (spark.readStream.schema(purchases.schema)
+                .option("maxFilesPerTrigger", 1).parquet(f"{work}/left/f*"))
+        rsrc = (spark.readStream.schema(clicks.schema)
+                .option("maxFilesPerTrigger", 1).parquet(f"{work}/right/f*"))
+        joined = streaming_asof_join(lsrc, rsrc, on="user_id",
+                                     left_time="ts", right_time="ts")
+        out = f"{work}/out"
+        q = (joined.writeStream
+             .foreachBatch(lambda df, bid:
+                           df.write.mode("append").parquet(out))
+             .option("checkpointLocation", f"{work}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        shutil.rmtree(f"{work}/left", ignore_errors=True)
+        shutil.rmtree(f"{work}/right", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+        sink = out
+        _ASOF_REPLAY_SINKS[cache_key] = sink
+    j = spark.read.parquet(sink).where(F.col("user_id") >= 0)
+    return j.select(
+        "event_id", "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "value",
+        F.col("value_asof").alias("last_click_value"),
+        F.unix_millis("ts_asof").alias("last_click_ts_ms"),
+    )
+
+
+QUERIES["asof_stream_replay"] = q_asof_stream_replay
+
+# the stream-produced join must hash-match the BATCH ASOF JOIN oracle
+ORACLE["asof_stream_replay"] = """
+SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms, p.value,
+       c.value AS last_click_value,
+       epoch_ms(c.ts) AS last_click_ts_ms
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
