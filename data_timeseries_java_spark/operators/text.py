@@ -169,29 +169,11 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 _WINNOW_M = 1 << 20
 
 
-def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
-                           id_col: str = "doc_id",
-                           k: int = 3, w: int = 4,
-                           cache_plan: bool = True) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
-    the MOSS algorithm): hash every k-gram of the token stream, then in
-    every window of ``w`` consecutive k-gram hashes keep the minimum
-    (rightmost position on ties). Guarantees: any shared token run of
-    length >= w + k - 1 yields at least one shared fingerprint, and
-    fingerprint density is ~2/(w+1) — position-robust near-dup
-    signatures at a fraction of the full shingle set's size.
-
-    Per doc: gram/fingerprint counts, density, and how many of its
-    fingerprint hashes also appear in another document (the MOSS
-    plagiarism signal).
-
-    Shape at 100 TB: k-grams via ``lead`` windows over the posexploded
-    token stream (linear — no per-doc HOF quadratics), the
-    rightmost-min-per-window via a single trailing ROWS window min over
-    an integer encoding (hash * M + (M-1-pos)) — one shuffle on doc,
-    reused by every window pass and the final rollup; the cross-doc
-    stage is a hash-collision count, never all-pairs. md5-lane hashes
-    keep the whole pipeline reproducible in an external SQL engine."""
+def _winnow_tables(df: DataFrame, text_col: str, id_col: str,
+                   k: int, w: int) -> tuple[DataFrame, DataFrame]:
+    """Shared winnowing core → (fps, grams): the distinct fingerprint
+    table (id, fp_pos, fp_hash) and the positional k-gram table. See
+    :func:`winnowing_fingerprints` for the algorithm and plan shape."""
     from pyspark.sql import Window
 
     t = tokens(F.col(text_col))
@@ -219,6 +201,65 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
         # the quotient across the +1 boundary before the long cast
         F.expr(f"sel_v DIV {_WINNOW_M}").alias("fp_hash"))
         .distinct())
+    return fps, grams
+
+
+def winnowing_contamination(corpus: DataFrame, eval_docs: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            k: int = 3, w: int = 4,
+                            min_shared: int = 2) -> DataFrame:
+    """Eval-set decontamination on winnowing fingerprints: corpus
+    documents sharing >= ``min_shared`` fingerprint hashes with ANY
+    held-out eval document. Complements ``dedup.ngram_contamination``
+    (full k-gram overlap): winnowing's guarantee — any shared run of
+    length >= w + k - 1 leaves a shared fingerprint — holds at ~2/(w+1)
+    of the shingle volume, so the eval side's signature set (the
+    broadcast side) is ~3x smaller for the same contamination recall on
+    runs of that length.
+
+    Shape at 100 TB: each side is the linear winnowing pass; the eval
+    fingerprint set is tiny (benchmarks, not corpora) and broadcasts
+    into one hash join against the corpus fingerprint stream; one
+    rollup groupBy. Never all-pairs."""
+    c_fps, _ = _winnow_tables(corpus, text_col, id_col, k, w)
+    e_fps, _ = _winnow_tables(eval_docs, text_col, id_col, k, w)
+    e_set = (e_fps.select(F.col(id_col).alias("eval_id"), "fp_hash")
+             .distinct())
+    hits = c_fps.join(F.broadcast(e_set), "fp_hash")
+    return (hits.groupBy(id_col)
+            .agg(F.count_distinct("fp_hash").alias("n_shared_fp"),
+                 F.count_distinct("eval_id").alias("n_eval_docs"))
+            .where(F.col("n_shared_fp") >= min_shared)
+            .select(id_col,
+                    F.col("n_shared_fp").cast("long").alias("n_shared_fp"),
+                    F.col("n_eval_docs").cast("long").alias("n_eval_docs")))
+
+
+def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           k: int = 3, w: int = 4,
+                           cache_plan: bool = True) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every k-gram of the token stream, then in
+    every window of ``w`` consecutive k-gram hashes keep the minimum
+    (rightmost position on ties). Guarantees: any shared token run of
+    length >= w + k - 1 yields at least one shared fingerprint, and
+    fingerprint density is ~2/(w+1) — position-robust near-dup
+    signatures at a fraction of the full shingle set's size.
+
+    Per doc: gram/fingerprint counts, density, and how many of its
+    fingerprint hashes also appear in another document (the MOSS
+    plagiarism signal).
+
+    Shape at 100 TB: k-grams via ``lead`` windows over the posexploded
+    token stream (linear — no per-doc HOF quadratics), the
+    rightmost-min-per-window via a single trailing ROWS window min over
+    an integer encoding (hash * M + (M-1-pos)) — one shuffle on doc,
+    reused by every window pass and the final rollup; the cross-doc
+    stage is a hash-collision count, never all-pairs. md5-lane hashes
+    keep the whole pipeline reproducible in an external SQL engine."""
+    fps, grams = _winnow_tables(df, text_col, id_col, k, w)
     # fps feeds both the collision count and the per-doc rollup —
     # materialize the ~2/(w+1)-density fingerprint set once instead of
     # re-tokenizing + re-windowing the corpus per consumer

@@ -682,3 +682,79 @@ SELECT doc_id,
             ELSE 0.0 END AS entropy_norm
 FROM per_doc
 """
+
+
+# ---- winnowing-fingerprint decontamination -----------------------------
+
+WINNOW_DECON_EVAL_MAX_ID = 50   # same held-out split as `decontaminate`
+WINNOW_DECON_MIN_SHARED = 2
+
+
+def q_decontaminate_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus docs sharing winnowing fingerprints with the held-out
+    eval docs (0..49) — see operators.text.winnowing_contamination."""
+    from data_timeseries_java_spark.operators.text import (
+        winnowing_contamination,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") >= WINNOW_DECON_EVAL_MAX_ID)
+    eval_docs = docs.where(F.col("doc_id") < WINNOW_DECON_EVAL_MAX_ID)
+    return winnowing_contamination(corpus, eval_docs,
+                                   k=WINNOW_K, w=WINNOW_W,
+                                   min_shared=WINNOW_DECON_MIN_SHARED)
+
+
+QUERIES["decontaminate_winnow"] = q_decontaminate_winnow
+
+# Winnowing is per-document, so the oracle computes ONE fingerprint
+# table over all docs and splits corpus/eval in the join predicate —
+# identical results to the two-subset Spark plan.
+ORACLE["decontaminate_winnow"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+tok_e AS (
+  SELECT doc_id, s['pos'] AS pos, s['tok'] AS tok
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(t)),
+                                 i -> {{'pos': i, 'tok': t[i+1]}})) AS s
+    FROM toks WHERE len(t) > 0
+  )
+),
+grams AS (
+  SELECT doc_id, pos,
+         tok || ' ' || lead(tok, 1) OVER win || ' ' || lead(tok, 2) OVER win AS gram
+  FROM tok_e
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, {WINNOW_K - 1}) OVER win IS NOT NULL
+),
+vs AS (
+  SELECT doc_id, pos,
+         (('0x' || substr(md5(gram), 1, 8))::BIGINT) * {_WM}
+         + ({_WM - 1} - pos) AS v
+  FROM grams
+),
+sel AS (
+  SELECT doc_id, pos,
+         MIN(v) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                      AND CURRENT ROW) AS sel_v
+  FROM vs
+  QUALIFY pos >= {WINNOW_W - 1}
+),
+fps AS (
+  SELECT DISTINCT doc_id, sel_v // {_WM} AS fp_hash
+  FROM sel
+)
+SELECT c.doc_id,
+       CAST(count(DISTINCT c.fp_hash) AS BIGINT) AS n_shared_fp,
+       CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
+FROM fps c JOIN fps e ON c.fp_hash = e.fp_hash
+WHERE c.doc_id >= {WINNOW_DECON_EVAL_MAX_ID}
+  AND e.doc_id < {WINNOW_DECON_EVAL_MAX_ID}
+GROUP BY c.doc_id
+HAVING count(DISTINCT c.fp_hash) >= {WINNOW_DECON_MIN_SHARED}
+"""
