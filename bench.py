@@ -89,8 +89,15 @@ def main() -> None:
     # isolation hook: SPARK_GRAFT_QUERIES="a,b" runs only those lanes
     # (regression bisection — e.g. candle lanes without the media lanes)
     only = os.environ.get("SPARK_GRAFT_QUERIES")
-    headline = ([q for q in HEADLINE if q in set(only.split(","))]
-                if only else HEADLINE)
+    if only:
+        requested = [q for q in only.split(",") if q]
+        unknown = sorted(set(requested) - set(HEADLINE))
+        if unknown:   # a typo'd lane must not silently "pass" bisection
+            raise SystemExit(
+                f"SPARK_GRAFT_QUERIES names not in HEADLINE: {unknown}")
+        headline = [q for q in HEADLINE if q in set(requested)]
+    else:
+        headline = HEADLINE
 
     n_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "5"))
     medians: dict[str, float] = {}

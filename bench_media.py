@@ -124,7 +124,11 @@ def main() -> None:
 
     only = os.environ.get("SPARK_GRAFT_MEDIA_LANES")
     if only:
-        keep = set(only.split(","))
+        keep = {x for x in only.split(",") if x}
+        unknown = sorted(keep - {l[0] for l in lanes_def})
+        if unknown:   # typo'd lane names must fail, not silently skip
+            raise SystemExit(
+                f"SPARK_GRAFT_MEDIA_LANES names unknown: {unknown}")
         lanes_def = [l for l in lanes_def if l[0] in keep]
 
     lanes: dict[str, dict] = {}

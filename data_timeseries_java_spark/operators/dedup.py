@@ -442,8 +442,11 @@ def segment_duplication_cdc(df: DataFrame, text_col: str = "text",
 
     Chunks shorter than ``min_seg_tokens`` are excluded from both
     counts (a 1-token chunk is just a shared boundary token — a
-    trivial collision, not evidence of duplication). Expected chunk
-    length is ``avg_seg_len`` tokens.
+    trivial collision, not evidence of duplication). Every tokenized
+    document still gets an output row — one whose chunks are ALL too
+    short reports 0 segments / not-duplicated rather than vanishing
+    (a keep-list join must see it). Expected chunk length is
+    ``avg_seg_len`` tokens.
 
     Shape at 100 TB: posexplode → one running-sum window per document
     (shuffle keyed by doc, the same partitioning the per-doc rollup
@@ -480,14 +483,21 @@ def segment_duplication_cdc(df: DataFrame, text_col: str = "text",
                .agg(F.count(F.lit(1)).alias("n_segments"),
                     F.count(F.when(F.col("n_docs_with_seg") > 1, F.lit(1)))
                     .alias("n_dup_segments")))
-    frac = _floor6(F.col("n_dup_segments")
-                   / F.greatest(F.col("n_segments"), F.lit(1)))
-    return per_doc.select(
+    # every tokenized doc gets a row — a doc whose every chunk is
+    # shorter than min_seg_tokens reports 0/0/not-duplicated rather
+    # than silently vanishing (a keep-list join must see it); the
+    # universe is a map-side size() probe, no second explode
+    universe = (df.where(F.size(t) > 0).select(F.col(id_col)))
+    out = universe.join(per_doc, id_col, "left")
+    n_seg = F.coalesce("n_segments", F.lit(0))
+    n_dup = F.coalesce("n_dup_segments", F.lit(0))
+    frac = _floor6(n_dup / F.greatest(n_seg, F.lit(1)))
+    return out.select(
         id_col,
-        F.col("n_segments").cast("long").alias("n_segments"),
-        F.col("n_dup_segments").cast("long").alias("n_dup_segments"),
+        n_seg.cast("long").alias("n_segments"),
+        n_dup.cast("long").alias("n_dup_segments"),
         frac.alias("dup_segment_frac"),
-        (F.col("n_dup_segments") > 0).alias("has_dup_segment"),
+        (n_dup > 0).alias("has_dup_segment"),
     )
 
 

@@ -188,7 +188,14 @@ def _winnow_tables(df: DataFrame, text_col: str, id_col: str,
     v = (h * _WINNOW_M + (F.lit(_WINNOW_M - 1) - F.col("pos")))
     trail = (Window.partitionBy(id_col).orderBy("pos")
              .rowsBetween(-(w - 1), 0))
-    sel = (grams.select(id_col, "pos", v.alias("v"))
+    # hard cap: the encoding packs pos into the low 20 bits, so grams
+    # past the first 2^20 would borrow from the hash field and corrupt
+    # fingerprints SILENTLY (the oracle mirrors the same formula, so
+    # the gate couldn't catch it). Fingerprints therefore cover the
+    # first 2^20 (~1M) grams of a document — an explicit, mirrored
+    # truncation instead of undefined arithmetic.
+    capped = grams.where(F.col("pos") < _WINNOW_M)
+    sel = (capped.select(id_col, "pos", v.alias("v"))
            .withColumn("sel_v", F.min("v").over(trail))
            # only complete windows select (complete grams sit at dense
            # positions 0..n-k, so pos >= w-1 <=> a full w-window ends
@@ -259,7 +266,7 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
     reused by every window pass and the final rollup; the cross-doc
     stage is a hash-collision count, never all-pairs. md5-lane hashes
     keep the whole pipeline reproducible in an external SQL engine."""
-    fps, grams = _winnow_tables(df, text_col, id_col, k, w)
+    fps, _ = _winnow_tables(df, text_col, id_col, k, w)
     # fps feeds both the collision count and the per-doc rollup —
     # materialize the ~2/(w+1)-density fingerprint set once instead of
     # re-tokenizing + re-windowing the corpus per consumer
@@ -267,7 +274,13 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
     fps = materialize(fps, cache_plan)
     fp_docs = fps.groupBy("fp_hash").agg(
         F.count_distinct(id_col).alias("n_docs_with_fp"))
-    n_grams = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    # n_grams is closed-form in the token count (max(len - k + 1, 0)) —
+    # a stateless map-side scan, NOT a second explode + per-doc window
+    # over the full token stream just to count rows
+    t = tokens(F.col(text_col))
+    n_grams = (df.select(F.col(id_col),
+                         (F.size(t) - (k - 1)).alias("n_grams"))
+               .where(F.col("n_grams") >= 1))
     per_doc = (fps.join(fp_docs, "fp_hash")
                .groupBy(id_col)
                .agg(F.count(F.lit(1)).alias("n_fingerprints"),

@@ -449,13 +449,16 @@ per_doc AS (
          count(CASE WHEN d.n_docs_with_seg > 1 THEN 1 END) AS n_dup_segments
   FROM segs s JOIN seg_docs d USING (seg_hash)
   GROUP BY s.doc_id
-)
-SELECT doc_id,
-       CAST(n_segments AS BIGINT) AS n_segments,
-       CAST(n_dup_segments AS BIGINT) AS n_dup_segments,
-       floor(n_dup_segments / greatest(n_segments, 1) * 1.0 * 1000000) / 1000000 AS dup_segment_frac,
-       n_dup_segments > 0 AS has_dup_segment
-FROM per_doc
+),
+universe AS (SELECT doc_id FROM toks WHERE len(t) > 0)
+SELECT u.doc_id,
+       CAST(COALESCE(p.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(p.n_dup_segments, 0) AS BIGINT) AS n_dup_segments,
+       floor(COALESCE(p.n_dup_segments, 0)
+             / greatest(COALESCE(p.n_segments, 0), 1) * 1.0 * 1000000)
+         / 1000000 AS dup_segment_frac,
+       COALESCE(p.n_dup_segments, 0) > 0 AS has_dup_segment
+FROM universe u LEFT JOIN per_doc p USING (doc_id)
 """
 
 

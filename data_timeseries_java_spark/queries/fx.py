@@ -307,7 +307,6 @@ def q_fx_candles_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate. Building this query RUNS the stream (exempt from the
     laziness guard like the iterative queries); the returned DataFrame
     itself is a plain pruned parquet scan of the sink."""
-    import glob
     import os
     import shutil
     import tempfile
@@ -315,6 +314,12 @@ def q_fx_candles_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_timeseries_java_spark.streaming.candles_stream import (
         streaming_complete_candles_global,
+    )
+    from data_timeseries_java_spark.streaming.replay import (
+        read_replay_sink,
+        run_to_parquet_sink,
+        write_replay_buckets,
+        write_sentinel_file,
     )
 
     cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
@@ -327,24 +332,10 @@ def q_fx_candles_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(_ms(F.col("event_time")))).first()
         work = tempfile.mkdtemp(prefix="fx_stream_replay_")
         n_files = 3
-        span = max(t1_ms - t0_ms + 1, 1)
-        bucket = F.least(
-            F.lit(n_files - 1),
-            F.floor((_ms(F.col("event_time")) - F.lit(t0_ms))
-                    * n_files / F.lit(span)))
-        # time-bucketed files in mtime order (the file source triggers
-        # oldest-first, so the 0-delay watermark only ever moves past
-        # SEALED data); rows shuffled within each file by md5 so the
-        # stateful operator sees scrambled arrival order per batch
         base = _time.time() - 1000
-        for i in range(n_files):
-            (ticks.where(bucket == i)
-             .orderBy(F.md5(F.concat_ws(":", "key",
-                                        _ms(F.col("event_time")))))
-             .coalesce(1).write.mode("overwrite")
-             .parquet(f"{work}/in/f{i}"))
-            for p in glob.glob(f"{work}/in/f{i}/*"):
-                os.utime(p, (base + i * 10, base + i * 10))
+        write_replay_buckets(ticks, "event_time", f"{work}/in", n_files,
+                             t0_ms, t1_ms - t0_ms + 1, base,
+                             ["key", "event_time"])
         # far-future sentinel: pushes the watermark past every real
         # window so the keyed state flushes; its own (never-sealed)
         # window stays in state and its key is filtered from the sink
@@ -355,26 +346,16 @@ def q_fx_candles_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("event_time"),
             F.lit(1.0).alias("bid"), F.lit(1.0).alias("ask"),
             F.lit(True).alias("is_live"))
-        sent.coalesce(1).write.mode("overwrite").parquet(
-            f"{work}/in/f{n_files}")
-        for p in glob.glob(f"{work}/in/f{n_files}/*"):
-            os.utime(p, (base + n_files * 10, base + n_files * 10))
+        write_sentinel_file(sent, f"{work}/in", n_files, base)
 
         src = (spark.readStream.schema(ticks.schema)
                .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
         candles = streaming_complete_candles_global(src, universe, RES)
-        out = f"{work}/out"
-        q = (candles.writeStream
-             .foreachBatch(lambda df, bid:
-                           df.write.mode("append").parquet(out))
-             .option("checkpointLocation", f"{work}/ckpt")
-             .trigger(availableNow=True).start())
-        q.awaitTermination(600)
+        sink = run_to_parquet_sink(candles, f"{work}/out", f"{work}/ckpt")
         shutil.rmtree(f"{work}/in", ignore_errors=True)
         shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
-        sink = out
         _STREAM_REPLAY_SINKS[cache_key] = sink
-    flat = (spark.read.parquet(sink)
+    flat = (read_replay_sink(spark, sink)
             .where(~F.col("key").startswith("ZZ-")))
     return flat.select(
         "key",

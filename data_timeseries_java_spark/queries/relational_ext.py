@@ -935,7 +935,6 @@ def q_asof_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateful operator the candle replay doesn't. Building this query
     RUNS the stream (laziness-guard exempt); the declared result is a
     pruned parquet scan of the sink."""
-    import glob
     import os
     import shutil
     import tempfile
@@ -943,6 +942,12 @@ def q_asof_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_timeseries_java_spark.streaming.asof_stream import (
         streaming_asof_join,
+    )
+    from data_timeseries_java_spark.streaming.replay import (
+        read_replay_sink,
+        run_to_parquet_sink,
+        write_replay_buckets,
+        write_sentinel_file,
     )
 
     cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
@@ -955,27 +960,14 @@ def q_asof_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "ts", "value")
         t0_ms, t1_ms = ev.select(
             F.min(F.unix_millis("ts")), F.max(F.unix_millis("ts"))).first()
-        span = max(t1_ms - t0_ms + 1, 1)
         n_files = 3
         work = tempfile.mkdtemp(prefix="asof_stream_replay_")
         base = _time.time() - 1000
-
-        def write_buckets(df, sub):
-            bucket = F.least(
-                F.lit(n_files - 1),
-                F.floor((F.unix_millis("ts") - F.lit(t0_ms))
-                        * n_files / F.lit(span)))
-            for i in range(n_files):
-                (df.where(bucket == i)
-                 .orderBy(F.md5(F.concat_ws(":", "user_id",
-                                            F.unix_millis("ts"))))
-                 .coalesce(1).write.mode("overwrite")
-                 .parquet(f"{work}/{sub}/f{i}"))
-                for p in glob.glob(f"{work}/{sub}/f{i}/*"):
-                    os.utime(p, (base + i * 10, base + i * 10))
-
-        write_buckets(purchases, "left")
-        write_buckets(clicks, "right")
+        span = t1_ms - t0_ms + 1
+        write_replay_buckets(purchases, "ts", f"{work}/left", n_files,
+                             t0_ms, span, base, ["user_id", "ts"])
+        write_replay_buckets(clicks, "ts", f"{work}/right", n_files,
+                             t0_ms, span, base, ["user_id", "ts"])
         # far-future sentinel purchase (user -1) advances the shared
         # watermark past every real event so all pending lefts emit; its
         # own row stays unsealed/filtered
@@ -984,10 +976,7 @@ def q_asof_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "user_id",
             F.timestamp_millis(F.lit(t1_ms + 30 * 86_400_000)).alias("ts"),
             F.lit(0.0).alias("value"))
-        sent.coalesce(1).write.mode("overwrite").parquet(
-            f"{work}/left/f{n_files}")
-        for p in glob.glob(f"{work}/left/f{n_files}/*"):
-            os.utime(p, (base + n_files * 10, base + n_files * 10))
+        write_sentinel_file(sent, f"{work}/left", n_files, base)
 
         lsrc = (spark.readStream.schema(purchases.schema)
                 .option("maxFilesPerTrigger", 1).parquet(f"{work}/left/f*"))
@@ -995,19 +984,12 @@ def q_asof_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .option("maxFilesPerTrigger", 1).parquet(f"{work}/right/f*"))
         joined = streaming_asof_join(lsrc, rsrc, on="user_id",
                                      left_time="ts", right_time="ts")
-        out = f"{work}/out"
-        q = (joined.writeStream
-             .foreachBatch(lambda df, bid:
-                           df.write.mode("append").parquet(out))
-             .option("checkpointLocation", f"{work}/ckpt")
-             .trigger(availableNow=True).start())
-        q.awaitTermination(600)
+        sink = run_to_parquet_sink(joined, f"{work}/out", f"{work}/ckpt")
         shutil.rmtree(f"{work}/left", ignore_errors=True)
         shutil.rmtree(f"{work}/right", ignore_errors=True)
         shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
-        sink = out
         _ASOF_REPLAY_SINKS[cache_key] = sink
-    j = spark.read.parquet(sink).where(F.col("user_id") >= 0)
+    j = read_replay_sink(spark, sink).where(F.col("user_id") >= 0)
     return j.select(
         "event_id", "user_id",
         F.unix_millis("ts").alias("ts_ms"),

@@ -529,6 +529,7 @@ vs AS (
          (('0x' || substr(md5(gram), 1, 8))::BIGINT) * {_WM}
          + ({_WM - 1} - pos) AS v
   FROM grams
+  WHERE pos < 1048576
 ),
 sel AS (
   SELECT doc_id, pos,
@@ -548,7 +549,7 @@ fp_docs AS (
   SELECT fp_hash, count(DISTINCT doc_id) AS nd FROM fps GROUP BY fp_hash
 ),
 gram_counts AS (
-  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+  SELECT doc_id, len(t) - 2 AS n_grams FROM toks WHERE len(t) - 2 >= 1
 ),
 per_doc AS (
   SELECT f.doc_id,
@@ -736,6 +737,7 @@ vs AS (
          (('0x' || substr(md5(gram), 1, 8))::BIGINT) * {_WM}
          + ({_WM - 1} - pos) AS v
   FROM grams
+  WHERE pos < 1048576
 ),
 sel AS (
   SELECT doc_id, pos,

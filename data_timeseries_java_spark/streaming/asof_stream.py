@@ -64,7 +64,8 @@ def streaming_asof_join(left: DataFrame, right: DataFrame, on: str = "key",
         _resolution_ms,
     )
 
-    tol_ms = _resolution_ms(tolerance) if tolerance is not None else None
+    tol_us = (_resolution_ms(tolerance) * 1000
+              if tolerance is not None else None)
 
     lcols = [c for c in left.columns if c not in (on, left_time)]
     rcols = right_cols if right_cols is not None else \
@@ -125,18 +126,23 @@ def streaming_asof_join(left: DataFrame, right: DataFrame, on: str = "key",
             r_vals = [[] for _ in rcols]
 
         for pdf in pdf_iter:
-            t_ms = (pdf["_et"].astype("datetime64[ns]").astype("int64")
-                    // 1_000_000).tolist()
+            # MICROsecond event times: parquet/Spark timestamps are µs
+            # precision, so the join order matches the batch operator
+            # exactly (an earlier ms truncation made sub-ms pairs tie
+            # here that full-precision engines order — a latent
+            # data-dependent divergence)
+            t_us = (pdf["_et"].astype("datetime64[ns]").astype("int64")
+                    // 1_000).tolist()
             side = pdf["_side"].tolist()
             lp = [pdf[f"_l_{c}"].tolist() for c in lcols]
             rp = [pdf[f"_r_{c}"].tolist() for c in rcols]
             for i in range(len(pdf)):
                 if side[i]:
-                    l_ts.append(t_ms[i])
+                    l_ts.append(t_us[i])
                     for j in range(len(lcols)):
                         l_vals[j].append(l_cast[j](lp[j][i]))
                 else:
-                    r_ts.append(t_ms[i])
+                    r_ts.append(t_us[i])
                     for j in range(len(rcols)):
                         r_vals[j].append(r_cast[j](rp[j][i]))
 
@@ -151,7 +157,7 @@ def streaming_asof_join(left: DataFrame, right: DataFrame, on: str = "key",
             l_ts = [l_ts[i] for i in order]
             l_vals = [[v[i] for i in order] for v in l_vals]
 
-        wm = state.getCurrentWatermarkMs()
+        wm = state.getCurrentWatermarkMs() * 1000   # state times are µs
         out = []
         n_emit = bisect_right(l_ts, wm)
         for i in range(n_emit):
@@ -159,7 +165,7 @@ def streaming_asof_join(left: DataFrame, right: DataFrame, on: str = "key",
             ri = bisect_right(r_ts, t) - 1     # latest right with t_r <= t
             if ri < 0:
                 continue                        # inner: no prior right row
-            if tol_ms is not None and r_ts[ri] < t - tol_ms:
+            if tol_us is not None and r_ts[ri] < t - tol_us:
                 continue                        # match too stale
             out.append((k, t, *[v[i] for v in l_vals],
                         *[v[ri] for v in r_vals], r_ts[ri]))
@@ -175,14 +181,16 @@ def streaming_asof_join(left: DataFrame, right: DataFrame, on: str = "key",
         state.update((l_ts, r_ts, *l_vals, *r_vals))
         if l_ts:
             # flush when the watermark passes the oldest pending left
-            state.setTimeoutTimestamp(l_ts[0])
+            # (timeout API is ms; round µs up so the timeout never
+            # fires a hair before the row is actually sealed)
+            state.setTimeoutTimestamp(-(-l_ts[0] // 1000))
 
         pdf = pd.DataFrame(out, columns=["_k", "_lt"]
                            + [f"_l_{c}" for c in lcols]
                            + [f"_r_{c}" for c in rcols] + ["_rt"])
         for c in ("_lt", "_rt"):
             pdf[c] = pd.to_datetime(
-                pdf[c], unit="ms", utc=True).dt.tz_localize(None)
+                pdf[c], unit="us", utc=True).dt.tz_localize(None)
         pdf.columns = out_cols
         yield pdf
 

@@ -1,0 +1,84 @@
+"""File-stream replay scaffolding shared by the driver-gated streaming
+queries (``fx_candles_stream_replay``, ``asof_stream_replay``): write a
+bounded table as time-bucketed parquet files whose WITHIN-file row
+order is md5-scrambled (so the stateful operators see out-of-order
+arrival inside every micro-batch) and whose file mtimes ascend (so the
+file source triggers oldest-first and a 0-delay watermark only ever
+moves past sealed data), then drive the streaming result into a
+parquet sink with idempotent per-batch writes.
+
+Sink layout: one ``batch_id=N`` directory per micro-batch, written with
+``overwrite`` — a foreachBatch retry (at-least-once semantics) replaces
+its own output instead of double-appending, the same idempotency
+pattern as the streaming correlation store (``streaming/pipeline.py``).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_replay_buckets(df: DataFrame, ts_col: str, path: str,
+                         n_files: int, t0_ms: int, span_ms: int,
+                         base_mtime: float,
+                         shuffle_cols: list[str]) -> None:
+    """Split ``df`` into ``n_files`` time-range buckets under ``path``
+    (files ``f0..f{n-1}``), each written in md5-of-``shuffle_cols``
+    order with ascending mtimes starting at ``base_mtime``."""
+    bucket = F.least(
+        F.lit(n_files - 1),
+        F.floor((F.unix_millis(ts_col) - F.lit(t0_ms))
+                * n_files / F.lit(max(span_ms, 1))))
+    for i in range(n_files):
+        (df.where(bucket == i)
+         .orderBy(F.md5(F.concat_ws(":", *shuffle_cols)))
+         .coalesce(1).write.mode("overwrite").parquet(f"{path}/f{i}"))
+        _set_mtime(f"{path}/f{i}", base_mtime + i * 10)
+
+
+def write_sentinel_file(df: DataFrame, path: str, index: int,
+                        base_mtime: float) -> None:
+    """Write a sentinel frame as file ``f{index}`` with the LATEST
+    mtime, so it forms the final micro-batch and its far-future event
+    time pushes the watermark past every real row (flushing pending
+    keyed state); the sentinel's own never-sealed rows are the
+    caller's to filter from the sink."""
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/f{index}")
+    _set_mtime(f"{path}/f{index}", base_mtime + index * 10)
+
+
+def _set_mtime(d: str, t: float) -> None:
+    for p in glob.glob(f"{d}/*"):
+        os.utime(p, (t, t))
+
+
+def run_to_parquet_sink(stream_df: DataFrame, out: str, checkpoint: str,
+                        timeout_s: int = 600) -> str:
+    """Drive a streaming DataFrame to completion (availableNow) into a
+    log-structured parquet sink: each micro-batch overwrites its own
+    ``batch_id=N`` directory (idempotent under foreachBatch's
+    at-least-once retries). Raises on timeout instead of returning a
+    partial sink — the caller caches the path, so a silent timeout
+    would serve incomplete results for the rest of the session."""
+    q = (stream_df.writeStream
+         .foreachBatch(lambda df, bid: df.write.mode("overwrite")
+                       .parquet(f"{out}/batch_id={bid}"))
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream replay did not finish within {timeout_s}s; refusing "
+            f"to serve the partial sink at {out}")
+    return out
+
+
+def read_replay_sink(spark: SparkSession, out: str) -> DataFrame:
+    """Read the log-structured sink back as one frame (batch_id is a
+    write-side idempotency detail, not part of the result)."""
+    return (spark.read.option("basePath", out).parquet(out)
+            .drop("batch_id"))

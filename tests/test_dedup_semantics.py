@@ -104,6 +104,25 @@ def test_cdc_chunking_no_false_positives(spark):
     assert all(not r.has_dup_segment for r in out.values())
 
 
+def test_cdc_short_docs_still_reported(spark):
+    """A doc whose every content-defined chunk is shorter than
+    min_seg_tokens must still get a row (0 segments, not duplicated) —
+    a keep-list join must distinguish 'not duplicated' from 'missing'."""
+    from data_timeseries_java_spark.operators.dedup import (
+        segment_duplication_cdc,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"),                                    # 2 tokens
+         (2, _FILL1 + " " + _FILL2)],                        # 20 tokens
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           segment_duplication_cdc(docs, avg_seg_len=8).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_segments == 0 and not out[1].has_dup_segment
+    assert out[1].dup_segment_frac == 0.0
+
+
 # ---- winnowing fingerprints (MOSS) -------------------------------------
 
 
