@@ -1415,3 +1415,69 @@ SELECT key,
        round(var_k / ({VR_K} * var_1), 6) AS variance_ratio
 FROM base JOIN kvar USING (key)
 """
+
+
+# ---- triangulated cross rate -------------------------------------------
+
+CROSS_BASE = "click"     # the events-as-ticks universe plays A/USD
+CROSS_QUOTE = "view"     # and B/USD; the cross is A/B = (A/USD)/(B/USD)
+
+
+def q_fx_cross_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangulated cross rate: two instruments quoted against a common
+    numeraire are joined per candle window and divided — the standard
+    synthesis of an unquoted pair (EUR/JPY from EUR/USD and USD/JPY).
+    Runs on the carry-forward complete candles so the cross is defined
+    in every window either leg ticked; emits the cross close and its
+    log-return. One window-aligned equi-join of two slices of the same
+    candle frame — no extra scan of the tick stream."""
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+
+    ticks, keys = _ticks_and_keys(spark, sf_dir)
+    c = candles_pipeline(ticks, keys, RES).select(
+        "key", _ms(F.col("window_start")).alias("w_start_ms"),
+        F.col("close.ask").alias("close"), "is_live")
+    a = (c.where(F.col("key") == CROSS_BASE)
+         .select("w_start_ms", F.col("close").alias("a_close"),
+                 F.col("is_live").alias("a_live")))
+    b = (c.where(F.col("key") == CROSS_QUOTE)
+         .select("w_start_ms", F.col("close").alias("b_close"),
+                 F.col("is_live").alias("b_live")))
+    j = (a.join(b, "w_start_ms")
+         .where((F.col("a_close") > 0) & (F.col("b_close") > 0)))
+    cross = F.col("a_close") / F.col("b_close")
+    from pyspark.sql import Window
+    w = Window.orderBy("w_start_ms")
+    ret = F.log(cross / F.lag(cross).over(w))
+    return j.select(
+        "w_start_ms",
+        F.round(cross, 6).alias("cross_close"),
+        (F.col("a_live") & F.col("b_live")).alias("both_live"),
+        F.round(ret, 6).alias("cross_ret"),
+    )
+
+
+QUERIES["fx_cross_rate"] = q_fx_cross_rate
+
+ORACLE["fx_cross_rate"] = _PRELUDE + f"""
+, a AS (
+  SELECT w_start_ms, close_price AS a_close, is_live AS a_live
+  FROM filled WHERE key = '{CROSS_BASE}'
+),
+b AS (
+  SELECT w_start_ms, close_price AS b_close, is_live AS b_live
+  FROM filled WHERE key = '{CROSS_QUOTE}'
+),
+j AS (
+  SELECT a.w_start_ms, a_close, b_close, a_live, b_live,
+         a_close / b_close AS cross_px
+  FROM a JOIN b USING (w_start_ms)
+  WHERE a_close > 0 AND b_close > 0
+)
+SELECT w_start_ms,
+       round(cross_px, 6) AS cross_close,
+       (a_live AND b_live) AS both_live,
+       round(ln(cross_px / lag(cross_px) OVER (ORDER BY w_start_ms)), 6)
+         AS cross_ret
+FROM j
+"""
