@@ -85,6 +85,18 @@ class FXEngine:
         return self.correlate(self.returns(
             self.complete_candles(ticks, instruments)))
 
+    def changepoints(self, returns: DataFrame,
+                     drift: float = 0.0,
+                     threshold: float = 0.5) -> DataFrame:
+        """Two-sided CUSUM mean-shift statistics over the return stream
+        (operators.returns.cusum_changepoints)."""
+        from data_timeseries_java_spark.operators.returns import (
+            cusum_changepoints,
+        )
+
+        return cusum_changepoints(returns, drift=drift,
+                                  threshold=threshold)
+
 
 @dataclass
 class CorpusOptions:

@@ -184,3 +184,18 @@ def test_media_engine_pluggable_decoder(spark):
         b, s = base[i], shift[i]
         # gradient pixels stay < 255 for small ids, so no clipping
         assert s.pixel_sum == b.pixel_sum + b.width * b.height * b.channels
+
+
+def test_engine_changepoints(spark):
+    """FXEngine.changepoints runs the CUSUM detector over the engine's
+    own return stream and carries the expected columns."""
+    from data_timeseries_java_spark.api import FXEngine, PipelineOptions
+    from data_timeseries_java_spark.fixtures import demo_ticks
+
+    eng = FXEngine(spark, PipelineOptions(candle_resolution="120 seconds"))
+    r = eng.returns(eng.complete_candles(demo_ticks(spark)))
+    cp = eng.changepoints(r, threshold=0.1)
+    rows = cp.collect()
+    assert rows and set(cp.columns) == {
+        "key", "time", "cusum_pos", "cusum_neg", "alarm_pos", "alarm_neg"}
+    assert all(r2.cusum_pos >= 0 and r2.cusum_neg >= 0 for r2 in rows)
