@@ -1010,3 +1010,52 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 """
+
+
+# ---- winsorization (percentile clipping) -------------------------------
+
+
+def q_event_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize event values at the per-type p01/p99: the standard
+    outlier-clipping pass a feature pipeline runs before training.
+    Exact interpolated percentiles as window aggregates over the same
+    partitioning — one shuffle serves the bounds and the clip."""
+    from pyspark.sql import Window
+
+    from data_timeseries_java_spark.operators.text import _floor6
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    lo = F.expr("percentile(value, 0.01)").over(w)
+    hi = F.expr("percentile(value, 0.99)").over(w)
+    d = ev.select("event_id", "event_type", "value",
+                  lo.alias("lo"), hi.alias("hi"))
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return d.select(
+        "event_id", "event_type", "value",
+        _floor6(F.col("lo")).alias("p01"),
+        _floor6(F.col("hi")).alias("p99"),
+        _floor6(clipped).alias("value_winsorized"),
+        (F.col("value") < F.col("lo")).alias("clipped_low"),
+        (F.col("value") > F.col("hi")).alias("clipped_high"),
+    )
+
+
+QUERIES["event_winsorize"] = q_event_winsorize
+
+ORACLE["event_winsorize"] = """
+WITH d AS (
+  SELECT event_id, event_type, value,
+         quantile_cont(value, 0.01) OVER (PARTITION BY event_type) AS lo,
+         quantile_cont(value, 0.99) OVER (PARTITION BY event_type) AS hi
+  FROM events
+)
+SELECT event_id, event_type, value,
+       floor(lo * 1000000) / 1000000 AS p01,
+       floor(hi * 1000000) / 1000000 AS p99,
+       floor(least(greatest(value, lo), hi) * 1000000) / 1000000
+         AS value_winsorized,
+       value < lo AS clipped_low,
+       value > hi AS clipped_high
+FROM d
+"""
