@@ -1362,11 +1362,16 @@ def q_fx_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines); only complete buckets enter the k-period variance."""
     from pyspark.sql import Window
 
+    from data_timeseries_java_spark.plans.materialize import materialize
+
     r = _returns_df(spark, sf_dir)
     w = Window.partitionBy("key").orderBy("time")
-    b = r.select("key", "value",
-                 ((F.row_number().over(w) - 1) / VR_K)
-                 .cast("long").alias("bucket"))
+    # b feeds BOTH variance levels — materialize it once, or Catalyst
+    # rebuilds the whole candle pipeline per consumer (14 exchanges
+    # measured -> 8 after)
+    b = materialize(r.select("key", "value",
+                             ((F.row_number().over(w) - 1) / VR_K)
+                             .cast("long").alias("bucket")), True)
     agg = (b.groupBy("key", "bucket")
            .agg(F.sum("value").alias("ksum"),
                 F.count(F.lit(1)).alias("cnt")))
@@ -1374,7 +1379,7 @@ def q_fx_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("key")
             .agg(F.var_samp("ksum").alias("var_k"),
                  F.count(F.lit(1)).alias("n_buckets")))
-    base = r.groupBy("key").agg(F.var_samp("value").alias("var_1"),
+    base = b.groupBy("key").agg(F.var_samp("value").alias("var_1"),
                                 F.count(F.lit(1)).alias("n_points"))
     vr = F.round(F.col("var_k") / (F.lit(VR_K) * F.col("var_1")), 6)
     return (base.join(kvar, "key")
@@ -1433,10 +1438,15 @@ def q_fx_cross_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     candle frame — no extra scan of the tick stream."""
     from data_timeseries_java_spark.operators.candles import candles_pipeline
 
+    from data_timeseries_java_spark.plans.materialize import materialize
+
     ticks, keys = _ticks_and_keys(spark, sf_dir)
-    c = candles_pipeline(ticks, keys, RES).select(
+    # both legs slice the SAME candle frame — materialize it once, or
+    # Catalyst rebuilds the full candle pipeline per leg (16 exchanges
+    # measured -> 7 after)
+    c = materialize(candles_pipeline(ticks, keys, RES).select(
         "key", _ms(F.col("window_start")).alias("w_start_ms"),
-        F.col("close.ask").alias("close"), "is_live")
+        F.col("close.ask").alias("close"), "is_live"), True)
     a = (c.where(F.col("key") == CROSS_BASE)
          .select("w_start_ms", F.col("close").alias("a_close"),
                  F.col("is_live").alias("a_live")))
