@@ -186,6 +186,7 @@ def main() -> None:
         streaming_asof_join,
         streaming_complete_candles,
         streaming_correlations,
+        streaming_cms_topk,
         streaming_corpus_build,
         streaming_dedup_content,
         streaming_dedup_exact,
@@ -270,6 +271,8 @@ def main() -> None:
             spark, doc_src(), f"{work}/neardup")),
         ("corpus_fb", lambda: streaming_corpus_build(
             spark, doc_src(), eval_docs, f"{work}/corpus")),
+        ("cms_topk_fb", lambda: streaming_cms_topk(
+            spark, ev_src(), f"{work}/topk", key_col="user_id")),
         ("fx_pipeline_fb", lambda: streaming_correlations(
             spark, tick_src(), f"{work}/fx", "120 seconds",
             universe=universe)),

@@ -41,6 +41,11 @@ from data_timeseries_java_spark.streaming.pipeline import (
     read_streaming_correlations,
     streaming_correlations,
 )
+from data_timeseries_java_spark.streaming.topk_stream import (
+    compact_topk_store,
+    read_streaming_topk,
+    streaming_cms_topk,
+)
 from data_timeseries_java_spark.streaming.vol_stream import (
     streaming_realized_volatility,
 )
@@ -52,4 +57,6 @@ __all__ = ["streaming_ohlc_candles", "streaming_complete_candles",
            "streaming_ema", "streaming_ema_applyinpandas",
            "streaming_correlations", "read_streaming_correlations",
            "compact_correlation_store",
-           "streaming_realized_volatility", "streaming_asof_join"]
+           "streaming_realized_volatility", "streaming_asof_join",
+           "streaming_cms_topk", "read_streaming_topk",
+           "compact_topk_store"]

@@ -1,0 +1,156 @@
+"""Streaming count-min-sketch heavy hitters: per micro-batch, write a
+PARTIAL sketch (the batch's depth x width counter grid contributions
+plus its top-M candidate keys with their batch counts) to a
+log-structured store; resolve at read time by SUMMING the grid partials
+— CMS counters are plain sums, so the merged grid is BIT-IDENTICAL to
+the batch sketch over the concatenated input (``operators/skew.
+cms_heavy_hitters`` with the same md5 lanes) — and estimating every
+candidate against the merged grid.
+
+State is bounded by construction: each batch persists depth x width
+grid cells + at most ``candidates_per_batch`` candidate rows,
+independent of stream length or key cardinality; ``compact_topk_store``
+folds history into one partial (grids sum, candidate unions dedupe), so
+the store stays O(depth x width + distinct candidates).
+
+Approximation contract (inherited from every bounded-memory top-k):
+the ESTIMATES are exact CMS over the full stream; the CANDIDATE
+enumeration can miss a key that is globally heavy but never prominent
+within any single batch (never in a batch's top-M). With M comfortably
+above k (default 8x) this is the standard space-saving trade;
+``candidates_per_batch=None`` keeps every key seen (exact candidate
+recall, candidate-linear state — the right setting when per-batch key
+cardinality is modest).
+
+Reference parity note: the reference has no sketch tier at all; this
+pairs the engine's batch sketch family (CMS / HLL / GK) with the
+streaming lane. Stream==batch equality is the test contract
+(``tests/test_streaming_topk.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _bucket(key: F.Column, r: F.Column, width: int) -> F.Column:
+    """Same md5 lane as the batch sketch (skew.cms_heavy_hitters):
+    first 8 md5 hex chars of "r:key" mod width."""
+    return (F.conv(F.substring(
+        F.md5(F.concat_ws(":", r, key)), 1, 8),
+        16, 10).cast("long") % width)
+
+
+def streaming_cms_topk(spark: SparkSession, events: DataFrame,
+                       work_dir: str, key_col: str = "user_id",
+                       depth: int = 4, width: int = 256,
+                       candidates_per_batch: int | None = 160):
+    """Start the streaming sketch; returns the StreamingQuery.
+
+    Each micro-batch appends ONE ``batch_id`` partition holding its
+    grid contributions (rows tagged kind='grid') and its candidate
+    counts (kind='cand', top ``candidates_per_batch`` keys by batch
+    count). Overwrite-per-batch keeps foreachBatch retries idempotent.
+    Read the current top-k with :func:`read_streaming_topk`."""
+    store = f"{work_dir}/topk"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        per_key = (batch_df.groupBy(F.col(key_col).cast("string")
+                                    .alias("key"))
+                   .agg(F.count(F.lit(1)).alias("n")))
+        if candidates_per_batch is not None:
+            cand = (per_key.orderBy(F.desc("n"), "key")
+                    .limit(candidates_per_batch))
+        else:
+            cand = per_key
+        rows = per_key.select(
+            "key", "n",
+            F.explode(F.array(*[F.lit(r) for r in range(depth)]))
+            .alias("r"))
+        grid = (rows.select(F.col("r"),
+                            _bucket(F.col("key"), F.col("r"), width)
+                            .alias("bucket"), "n")
+                .groupBy("r", "bucket").agg(F.sum("n").alias("c")))
+        out = (grid.select(F.lit("grid").alias("kind"),
+                           F.lit(None).cast("string").alias("key"),
+                           "r", "bucket", F.col("c"))
+               .unionByName(cand.select(
+                   F.lit("cand").alias("kind"), "key",
+                   F.lit(None).cast("int").alias("r"),
+                   F.lit(None).cast("long").alias("bucket"),
+                   F.col("n").alias("c"))))
+        out.write.mode("overwrite").parquet(f"{store}/batch_id={batch_id}")
+
+    return (events.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", f"{work_dir}/checkpoint")
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_streaming_topk(spark: SparkSession, work_dir: str,
+                        depth: int = 4, width: int = 256,
+                        k: int = 20) -> DataFrame:
+    """Resolve the store to the current top-k: sum the grid partials
+    (== the batch sketch's grid over the whole stream, counters are
+    sums), estimate each DISTINCT candidate as min over its lanes, and
+    rank. Output matches ``cms_heavy_hitters`` minus the exact-count
+    columns (an unbounded stream has no exact counter)."""
+    store = f"{work_dir}/topk"
+    df = spark.read.option("basePath", store).parquet(store)
+    grid = (df.where(F.col("kind") == "grid")
+            .groupBy("r", "bucket").agg(F.sum("c").alias("c")))
+    cands = (df.where(F.col("kind") == "cand")
+             .select("key").distinct())
+    lanes = cands.select(
+        "key",
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"))
+    lanes = lanes.select("key", "r",
+                         _bucket(F.col("key"), F.col("r"), width)
+                         .alias("bucket"))
+    est = (lanes.join(F.broadcast(grid), ["r", "bucket"])
+           .groupBy("key").agg(F.min("c").alias("cms_estimate")))
+    return (est.orderBy(F.desc("cms_estimate"), "key").limit(k)
+            .select("key",
+                    F.col("cms_estimate").cast("long").alias("cms_estimate")))
+
+
+def compact_topk_store(spark: SparkSession, work_dir: str) -> dict:
+    """Fold all batch partials into one: grids sum cell-wise, candidate
+    sets union (their stored per-batch counts are only enumeration
+    hints — estimates always come from the merged grid). Same local-
+    path contract as the correlation store's compactor."""
+    import os
+    import re
+    import shutil
+
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", work_dir)
+    if m and m.group(1) != "file":
+        raise ValueError(
+            f"compact_topk_store only supports local paths; got scheme "
+            f"{m.group(1)!r}")
+    local = work_dir[len("file://"):] if m else work_dir
+    store = f"{local}/topk"
+    batches = sorted(d for d in os.listdir(store)
+                     if d.startswith("batch_id="))
+    if len(batches) <= 1:
+        return {"batches_before": len(batches),
+                "batches_after": len(batches)}
+    df = spark.read.option("basePath", store).parquet(store)
+    grid = (df.where(F.col("kind") == "grid")
+            .groupBy("r", "bucket").agg(F.sum("c").alias("c")))
+    cand = (df.where(F.col("kind") == "cand")
+            .groupBy("key").agg(F.sum("c").alias("c")))
+    folded = (grid.select(F.lit("grid").alias("kind"),
+                          F.lit(None).cast("string").alias("key"),
+                          "r", "bucket", "c")
+              .unionByName(cand.select(
+                  F.lit("cand").alias("kind"), "key",
+                  F.lit(None).cast("int").alias("r"),
+                  F.lit(None).cast("long").alias("bucket"), "c")))
+    new_id = max(int(b.split("=", 1)[1]) for b in batches) + 1
+    folded.write.mode("overwrite").parquet(f"{store}/batch_id={new_id}")
+    for b in batches:
+        shutil.rmtree(os.path.join(store, b), ignore_errors=True)
+    return {"batches_before": len(batches), "batches_after": 1}

@@ -1,0 +1,88 @@
+"""Streaming CMS top-k vs the batch sketch on bounded input."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def _replay_files(spark, df, d, n_files, order_col):
+    for i in range(n_files):
+        (df.where(F.pmod(F.hash(order_col), n_files) == i).coalesce(1)
+         .write.mode("overwrite").parquet(f"{d}/in/f{i}"))
+
+
+def test_streaming_topk_matches_batch_sketch(spark, sf_dir):
+    """With unbounded candidates the streaming resolve must equal the
+    batch CMS exactly: grids are sums, candidates cover every key."""
+    from data_timeseries_java_spark.operators.skew import cms_heavy_hitters
+    from data_timeseries_java_spark.streaming import (
+        read_streaming_topk,
+        streaming_cms_topk,
+    )
+    from data_timeseries_java_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="stopk_")
+    try:
+        _replay_files(spark, ev, d, 4, "event_id")
+        src = (spark.readStream.schema(ev.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{d}/in/f*"))
+        q = streaming_cms_topk(spark, src, f"{d}/out",
+                               key_col="user_id",
+                               candidates_per_batch=None)
+        assert q.awaitTermination(300)
+
+        got = [(r.key, r.cms_estimate) for r in
+               read_streaming_topk(spark, f"{d}/out", k=20).collect()]
+        # batch tie-breaks on the native int key, streaming on its
+        # string key — re-rank the batch result under the streaming
+        # ordering ((-estimate, str key)) before the k-cut
+        want = sorted(((str(r.user_id), r.cms_estimate) for r in
+                       cms_heavy_hitters(ev, "user_id", k=1000).collect()),
+                      key=lambda t: (-t[1], t[0]))[:20]
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_topk_state_bounded_and_compacts(spark, sf_dir):
+    """Bounded candidates: each batch persists at most depth*width grid
+    rows + M candidate rows; compaction folds history to ONE partial
+    and the resolved top-k is unchanged."""
+    from data_timeseries_java_spark.streaming import (
+        compact_topk_store,
+        read_streaming_topk,
+        streaming_cms_topk,
+    )
+    from data_timeseries_java_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="stopk_b_")
+    try:
+        _replay_files(spark, ev, d, 4, "event_id")
+        src = (spark.readStream.schema(ev.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{d}/in/f*"))
+        q = streaming_cms_topk(spark, src, f"{d}/out",
+                               key_col="user_id",
+                               candidates_per_batch=30)
+        assert q.awaitTermination(300)
+
+        store = f"{d}/out/topk"
+        for b in os.listdir(store):
+            if not b.startswith("batch_id="):
+                continue
+            rows = spark.read.parquet(f"{store}/{b}").count()
+            assert rows <= 4 * 256 + 30
+        before = [(r.key, r.cms_estimate) for r in
+                  read_streaming_topk(spark, f"{d}/out", k=10).collect()]
+        stats = compact_topk_store(spark, f"{d}/out")
+        assert stats["batches_after"] == 1
+        after = [(r.key, r.cms_estimate) for r in
+                 read_streaming_topk(spark, f"{d}/out", k=10).collect()]
+        assert after == before
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
