@@ -284,3 +284,83 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
 FROM events GROUP BY event_type
 """,
 }
+
+
+# ---- streaming CMS top-k through the driver gate -----------------------
+
+_TOPK_REPLAY_SINKS: dict[tuple, str] = {}
+
+
+def q_topk_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CMS heavy-hitter sketch executed through the STREAMING lane:
+    events replayed as a file stream, each micro-batch persisting grid
+    partials to the log-structured store (`streaming/topk_stream.py`),
+    the resolve summing them — bit-identical to the batch sketch, so
+    the result hash-matches the SAME DuckDB CMS oracle. Third streaming
+    driver gate: covers the foreachBatch + mergeable-store family
+    (candle replay = keyed state, as-of replay = two-stream state).
+    Building this query RUNS the stream (laziness-guard exempt)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_timeseries_java_spark.streaming.replay import (
+        write_replay_buckets,
+    )
+    from data_timeseries_java_spark.streaming.topk_stream import (
+        read_streaming_topk,
+        streaming_cms_topk,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    work = _TOPK_REPLAY_SINKS.get(cache_key)
+    if work is None or not os.path.isdir(f"{work}/out/topk"):
+        ev = load_table(spark, sf_dir, "events")
+        t0_ms, t1_ms = ev.select(
+            F.min(F.unix_millis("ts")), F.max(F.unix_millis("ts"))).first()
+        work = tempfile.mkdtemp(prefix="topk_stream_replay_")
+        write_replay_buckets(ev, "ts", f"{work}/in", 4, t0_ms,
+                             t1_ms - t0_ms + 1, _time.time() - 1000,
+                             ["event_id"])
+        src = (spark.readStream.schema(ev.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
+        q = streaming_cms_topk(spark, src, f"{work}/out",
+                               key_col="user_id",
+                               candidates_per_batch=None)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("topk stream replay did not finish in 600s")
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/out/checkpoint", ignore_errors=True)
+        _TOPK_REPLAY_SINKS[cache_key] = work
+    return read_streaming_topk(spark, f"{work}/out", k=20)
+
+
+QUERIES["topk_stream_replay"] = q_topk_stream_replay
+
+# the stream-produced sketch must hash-match the batch CMS oracle
+# (string key + string tie-break, matching the streaming operator)
+ORACLE["topk_stream_replay"] = """
+WITH per_key AS (
+  SELECT user_id::VARCHAR AS key, COUNT(*) AS n FROM events GROUP BY user_id
+),
+rws AS (
+  SELECT key, n, r.r FROM per_key, (SELECT unnest(range(4)) AS r) r
+),
+b AS (
+  SELECT key, n, r,
+         (('0x' || substr(md5(r::VARCHAR || ':' || key), 1, 8))::BIGINT) % 256 AS bucket
+  FROM rws
+),
+sketch AS (SELECT r, bucket, SUM(n) AS c FROM b GROUP BY r, bucket),
+est AS (
+  SELECT b.key, MIN(s.c) AS est
+  FROM b JOIN sketch s ON s.r = b.r AND s.bucket = b.bucket
+  GROUP BY b.key
+)
+SELECT key, CAST(est AS BIGINT) AS cms_estimate
+FROM est
+ORDER BY est DESC, key
+LIMIT 20
+"""
