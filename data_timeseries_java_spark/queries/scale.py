@@ -364,3 +364,77 @@ FROM est
 ORDER BY est DESC, key
 LIMIT 20
 """
+
+
+# ---- streaming HLL distinct through the driver gate --------------------
+
+_HLL_REPLAY_SINKS: dict[tuple, str] = {}
+
+
+def q_hll_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL distinct counting through the driver gate: events
+    replayed as a file stream, one DataSketches HLL persisted per
+    (batch, type), read-time register max-merge. Emitted as VERIFIABLE
+    CLAIMS (the hll_user_rollup pattern): the merged estimate is within
+    the sketch's error bound of exact, and EQUALS the single-shot
+    whole-table sketch (lossless merge). Building RUNS the stream."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_timeseries_java_spark.streaming.hll_stream import (
+        read_streaming_hll,
+        streaming_hll_distinct,
+    )
+    from data_timeseries_java_spark.streaming.replay import (
+        write_replay_buckets,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    work = _HLL_REPLAY_SINKS.get(cache_key)
+    if work is None or not os.path.isdir(f"{work}/out/hll"):
+        ev = load_table(spark, sf_dir, "events")
+        t0_ms, t1_ms = ev.select(
+            F.min(F.unix_millis("ts")), F.max(F.unix_millis("ts"))).first()
+        work = tempfile.mkdtemp(prefix="hll_stream_replay_")
+        write_replay_buckets(ev, "ts", f"{work}/in", 4, t0_ms,
+                             t1_ms - t0_ms + 1, _time.time() - 1000,
+                             ["event_id"])
+        src = (spark.readStream.schema(ev.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
+        q = streaming_hll_distinct(spark, src, f"{work}/out")
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("hll stream replay did not finish in 600s")
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/out/checkpoint", ignore_errors=True)
+        _HLL_REPLAY_SINKS[cache_key] = work
+    merged = read_streaming_hll(spark, f"{work}/out")
+    ev = load_table(spark, sf_dir, "events")
+    single = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+        .alias("single_est"),
+        F.count_distinct("user_id").alias("n_exact"))
+    j = merged.join(F.broadcast(single), "event_type")
+    within = (F.abs(F.col("distinct_est") - F.col("n_exact"))
+              <= F.col("n_exact") * F.lit(HLL_REL_ERR))
+    return j.select(
+        "event_type",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        within.alias("within_bound"),
+        (F.col("distinct_est") == F.col("single_est"))
+        .alias("merge_matches_single_shot"))
+
+
+QUERIES["hll_stream_replay"] = q_hll_stream_replay
+
+# claim-check oracle: exact distinct + both claims TRUE (the hash
+# certifies the stream-merged sketch hit the bound and merged lossless)
+ORACLE["hll_stream_replay"] = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS within_bound,
+       TRUE AS merge_matches_single_shot
+FROM events GROUP BY event_type
+"""

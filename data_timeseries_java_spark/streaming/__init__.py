@@ -41,6 +41,10 @@ from data_timeseries_java_spark.streaming.pipeline import (
     read_streaming_correlations,
     streaming_correlations,
 )
+from data_timeseries_java_spark.streaming.hll_stream import (
+    read_streaming_hll,
+    streaming_hll_distinct,
+)
 from data_timeseries_java_spark.streaming.topk_stream import (
     compact_topk_store,
     read_streaming_topk,
@@ -59,4 +63,5 @@ __all__ = ["streaming_ohlc_candles", "streaming_complete_candles",
            "compact_correlation_store",
            "streaming_realized_volatility", "streaming_asof_join",
            "streaming_cms_topk", "read_streaming_topk",
-           "compact_topk_store"]
+           "compact_topk_store", "streaming_hll_distinct",
+           "read_streaming_hll"]

@@ -86,3 +86,38 @@ def test_streaming_topk_state_bounded_and_compacts(spark, sf_dir):
         assert after == before
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_hll_matches_single_shot(spark, sf_dir):
+    """Register max-merge is lossless: the union of per-batch HLL
+    sketches must give EXACTLY the single-shot batch sketch's estimate
+    per group, and sit within the sketch's error bound of exact."""
+    from data_timeseries_java_spark.streaming import (
+        read_streaming_hll,
+        streaming_hll_distinct,
+    )
+    from data_timeseries_java_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="shll_")
+    try:
+        _replay_files(spark, ev, d, 4, "event_id")
+        src = (spark.readStream.schema(ev.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{d}/in/f*"))
+        q = streaming_hll_distinct(spark, src, f"{d}/out")
+        assert q.awaitTermination(300)
+
+        got = {r.event_type: r.distinct_est for r in
+               read_streaming_hll(spark, f"{d}/out").collect()}
+        single = {r.event_type: (r.est, r.n_exact) for r in
+                  ev.groupBy("event_type").agg(
+                      F.hll_sketch_estimate(
+                          F.hll_sketch_agg("user_id")).alias("est"),
+                      F.count_distinct("user_id").alias("n_exact"))
+                  .collect()}
+        assert set(got) == set(single)
+        for t, est in got.items():
+            assert est == single[t][0]            # lossless merge
+            assert abs(est - single[t][1]) <= max(2, single[t][1] * 0.05)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
