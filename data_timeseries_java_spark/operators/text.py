@@ -169,10 +169,10 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 _WINNOW_M = 1 << 20
 
 
-def _winnow_tables(df: DataFrame, text_col: str, id_col: str,
-                   k: int, w: int) -> tuple[DataFrame, DataFrame]:
-    """Shared winnowing core → (fps, grams): the distinct fingerprint
-    table (id, fp_pos, fp_hash) and the positional k-gram table. See
+def _winnow_fps(df: DataFrame, text_col: str, id_col: str,
+                k: int, w: int) -> DataFrame:
+    """Shared winnowing core → the distinct fingerprint table
+    (id, fp_pos, fp_hash), capped at the first 2^20 grams per doc. See
     :func:`winnowing_fingerprints` for the algorithm and plan shape."""
     from pyspark.sql import Window
 
@@ -208,7 +208,7 @@ def _winnow_tables(df: DataFrame, text_col: str, id_col: str,
         # the quotient across the +1 boundary before the long cast
         F.expr(f"sel_v DIV {_WINNOW_M}").alias("fp_hash"))
         .distinct())
-    return fps, grams
+    return fps
 
 
 def winnowing_contamination(corpus: DataFrame, eval_docs: DataFrame,
@@ -217,8 +217,10 @@ def winnowing_contamination(corpus: DataFrame, eval_docs: DataFrame,
                             k: int = 3, w: int = 4,
                             min_shared: int = 2) -> DataFrame:
     """Eval-set decontamination on winnowing fingerprints: corpus
-    documents sharing >= ``min_shared`` fingerprint hashes with ANY
-    held-out eval document. Complements ``dedup.ngram_contamination``
+    documents sharing >= ``min_shared`` DISTINCT fingerprint hashes
+    with the held-out eval SET (pooled across eval documents — the
+    same set-level semantics as ``dedup.ngram_contamination``;
+    ``n_eval_docs`` reports how many eval docs contributed). Complements ``dedup.ngram_contamination``
     (full k-gram overlap): winnowing's guarantee — any shared run of
     length >= w + k - 1 leaves a shared fingerprint — holds at ~2/(w+1)
     of the shingle volume, so the eval side's signature set (the
@@ -229,8 +231,8 @@ def winnowing_contamination(corpus: DataFrame, eval_docs: DataFrame,
     fingerprint set is tiny (benchmarks, not corpora) and broadcasts
     into one hash join against the corpus fingerprint stream; one
     rollup groupBy. Never all-pairs."""
-    c_fps, _ = _winnow_tables(corpus, text_col, id_col, k, w)
-    e_fps, _ = _winnow_tables(eval_docs, text_col, id_col, k, w)
+    c_fps = _winnow_fps(corpus, text_col, id_col, k, w)
+    e_fps = _winnow_fps(eval_docs, text_col, id_col, k, w)
     e_set = (e_fps.select(F.col(id_col).alias("eval_id"), "fp_hash")
              .distinct())
     hits = c_fps.join(F.broadcast(e_set), "fp_hash")
@@ -266,7 +268,7 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
     reused by every window pass and the final rollup; the cross-doc
     stage is a hash-collision count, never all-pairs. md5-lane hashes
     keep the whole pipeline reproducible in an external SQL engine."""
-    fps, _ = _winnow_tables(df, text_col, id_col, k, w)
+    fps = _winnow_fps(df, text_col, id_col, k, w)
     # fps feeds both the collision count and the per-doc rollup —
     # materialize the ~2/(w+1)-density fingerprint set once instead of
     # re-tokenizing + re-windowing the corpus per consumer

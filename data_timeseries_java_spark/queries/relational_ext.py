@@ -971,8 +971,10 @@ def q_asof_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         # far-future sentinel purchase (user -1) advances the shared
         # watermark past every real event so all pending lefts emit; its
         # own row stays unsealed/filtered
+        # user_id declared long to MATCH the stream schema exactly — an
+        # int32 sentinel file only reads back via Spark 4.x widening
         sent = spark.createDataFrame([(-1, -1)],
-                                     "event_id long, user_id int").select(
+                                     "event_id long, user_id long").select(
             "event_id", "user_id",
             F.timestamp_millis(F.lit(t1_ms + 30 * 86_400_000)).alias("ts"),
             F.lit(0.0).alias("value"))

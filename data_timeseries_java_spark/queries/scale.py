@@ -306,6 +306,7 @@ def q_topk_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
 
     from data_timeseries_java_spark.streaming.replay import (
+        drive_query,
         write_replay_buckets,
     )
     from data_timeseries_java_spark.streaming.topk_stream import (
@@ -328,9 +329,7 @@ def q_topk_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = streaming_cms_topk(spark, src, f"{work}/out",
                                key_col="user_id",
                                candidates_per_batch=None)
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError("topk stream replay did not finish in 600s")
+        drive_query(q, 600, "topk stream replay")
         shutil.rmtree(f"{work}/in", ignore_errors=True)
         shutil.rmtree(f"{work}/out/checkpoint", ignore_errors=True)
         _TOPK_REPLAY_SINKS[cache_key] = work
@@ -388,6 +387,7 @@ def q_hll_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_hll_distinct,
     )
     from data_timeseries_java_spark.streaming.replay import (
+        drive_query,
         write_replay_buckets,
     )
 
@@ -404,9 +404,7 @@ def q_hll_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = (spark.readStream.schema(ev.schema)
                .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
         q = streaming_hll_distinct(spark, src, f"{work}/out")
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError("hll stream replay did not finish in 600s")
+        drive_query(q, 600, "hll stream replay")
         shutil.rmtree(f"{work}/in", ignore_errors=True)
         shutil.rmtree(f"{work}/out/checkpoint", ignore_errors=True)
         _HLL_REPLAY_SINKS[cache_key] = work

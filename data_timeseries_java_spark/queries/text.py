@@ -687,7 +687,10 @@ FROM per_doc
 
 # ---- winnowing-fingerprint decontamination -----------------------------
 
-WINNOW_DECON_EVAL_MAX_ID = 50   # same held-out split as `decontaminate`
+from data_timeseries_java_spark.queries.dedup import (  # noqa: E402
+    DECON_EVAL_MAX_ID as WINNOW_DECON_EVAL_MAX_ID,  # same held-out split
+)
+
 WINNOW_DECON_MIN_SHARED = 2
 
 

@@ -56,24 +56,29 @@ def _set_mtime(d: str, t: float) -> None:
         os.utime(p, (t, t))
 
 
+def drive_query(q, timeout_s: int = 600, what: str = "stream replay"):
+    """Await an already-started StreamingQuery; on timeout, stop it and
+    RAISE — replay callers cache their sink paths, so a silent timeout
+    would serve a partial result for the rest of the session."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"{what} did not finish within {timeout_s}s; refusing to "
+            f"serve the partial result")
+
+
 def run_to_parquet_sink(stream_df: DataFrame, out: str, checkpoint: str,
                         timeout_s: int = 600) -> str:
     """Drive a streaming DataFrame to completion (availableNow) into a
     log-structured parquet sink: each micro-batch overwrites its own
     ``batch_id=N`` directory (idempotent under foreachBatch's
-    at-least-once retries). Raises on timeout instead of returning a
-    partial sink — the caller caches the path, so a silent timeout
-    would serve incomplete results for the rest of the session."""
+    at-least-once retries)."""
     q = (stream_df.writeStream
          .foreachBatch(lambda df, bid: df.write.mode("overwrite")
                        .parquet(f"{out}/batch_id={bid}"))
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True).start())
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(
-            f"stream replay did not finish within {timeout_s}s; refusing "
-            f"to serve the partial sink at {out}")
+    drive_query(q, timeout_s, f"stream replay into {out}")
     return out
 
 

@@ -72,6 +72,12 @@ def streaming_cms_topk(spark: SparkSession, events: DataFrame,
                             _bucket(F.col("key"), F.col("r"), width)
                             .alias("bucket"), "n")
                 .groupBy("r", "bucket").agg(F.sum("n").alias("c")))
+        # one meta row per batch pins the sketch geometry IN the store:
+        # a reader resolving with a different depth/width would map
+        # candidates to the wrong cells and return garbage silently
+        meta = spark.createDataFrame(
+            [("meta", None, depth, width, 0)],
+            "kind string, key string, r int, bucket long, c bigint")
         out = (grid.select(F.lit("grid").alias("kind"),
                            F.lit(None).cast("string").alias("key"),
                            "r", "bucket", F.col("c"))
@@ -79,7 +85,8 @@ def streaming_cms_topk(spark: SparkSession, events: DataFrame,
                    F.lit("cand").alias("kind"), "key",
                    F.lit(None).cast("int").alias("r"),
                    F.lit(None).cast("long").alias("bucket"),
-                   F.col("n").alias("c"))))
+                   F.col("n").alias("c")))
+               .unionByName(meta))
         out.write.mode("overwrite").parquet(f"{store}/batch_id={batch_id}")
 
     return (events.writeStream
@@ -90,15 +97,35 @@ def streaming_cms_topk(spark: SparkSession, events: DataFrame,
 
 
 def read_streaming_topk(spark: SparkSession, work_dir: str,
-                        depth: int = 4, width: int = 256,
+                        depth: int | None = None,
+                        width: int | None = None,
                         k: int = 20) -> DataFrame:
     """Resolve the store to the current top-k: sum the grid partials
     (== the batch sketch's grid over the whole stream, counters are
     sums), estimate each DISTINCT candidate as min over its lanes, and
     rank. Output matches ``cms_heavy_hitters`` minus the exact-count
-    columns (an unbounded stream has no exact counter)."""
+    columns (an unbounded stream has no exact counter).
+
+    The sketch geometry comes from the store's own meta rows; passing
+    ``depth``/``width`` merely ASSERTS them (ValueError on mismatch —
+    resolving with the wrong geometry would silently map candidates to
+    wrong cells)."""
     store = f"{work_dir}/topk"
     df = spark.read.option("basePath", store).parquet(store)
+    meta = (df.where(F.col("kind") == "meta")
+            .select("r", "bucket").distinct().collect())
+    if len(meta) != 1:
+        raise ValueError(
+            f"top-k store at {store} has {len(meta)} distinct sketch "
+            f"geometries; expected exactly one (depth, width)")
+    s_depth, s_width = int(meta[0][0]), int(meta[0][1])
+    if depth is not None and depth != s_depth:
+        raise ValueError(f"store was written with depth={s_depth}, "
+                         f"reader asked for {depth}")
+    if width is not None and width != s_width:
+        raise ValueError(f"store was written with width={s_width}, "
+                         f"reader asked for {width}")
+    depth, width = s_depth, s_width
     grid = (df.where(F.col("kind") == "grid")
             .groupBy("r", "bucket").agg(F.sum("c").alias("c")))
     cands = (df.where(F.col("kind") == "cand")
@@ -148,7 +175,11 @@ def compact_topk_store(spark: SparkSession, work_dir: str) -> dict:
               .unionByName(cand.select(
                   F.lit("cand").alias("kind"), "key",
                   F.lit(None).cast("int").alias("r"),
-                  F.lit(None).cast("long").alias("bucket"), "c")))
+                  F.lit(None).cast("long").alias("bucket"), "c"))
+              # geometry meta rides through compaction
+              .unionByName(df.where(F.col("kind") == "meta")
+                           .select("kind", "key", "r", "bucket", "c")
+                           .distinct()))
     new_id = max(int(b.split("=", 1)[1]) for b in batches) + 1
     folded.write.mode("overwrite").parquet(f"{store}/batch_id={new_id}")
     for b in batches:

@@ -52,3 +52,31 @@ def test_replay_buckets_partition_time_and_order_mtimes(spark, tmp_path):
         ids = sorted(r.id for r in
                      spark.read.parquet(f"{d}/f{i}").collect())
         assert ids == list(range(i * 25, (i + 1) * 25))
+
+
+def test_topk_store_geometry_guard(spark, tmp_path):
+    """Resolving a top-k store with a mismatched sketch geometry must
+    raise, not silently return garbage estimates."""
+    import pytest
+
+    from data_timeseries_java_spark.streaming import (
+        read_streaming_topk,
+        streaming_cms_topk,
+    )
+
+    src_dir = str(tmp_path / "in")
+    spark.range(100).select(
+        (F.col("id") % 7).alias("user_id"),
+        F.timestamp_millis(1_460_000_000_000 + F.col("id")).alias("ts"),
+    ).write.mode("overwrite").parquet(f"{src_dir}/f0")
+    src = (spark.readStream
+           .schema("user_id bigint, ts timestamp")
+           .option("maxFilesPerTrigger", 1).parquet(f"{src_dir}/f*"))
+    q = streaming_cms_topk(spark, src, str(tmp_path / "out"),
+                           key_col="user_id", depth=4, width=128)
+    assert q.awaitTermination(120)
+    # geometry read from the store's own meta rows
+    top = read_streaming_topk(spark, str(tmp_path / "out"), k=5).collect()
+    assert len(top) == 5
+    with pytest.raises(ValueError, match="width=128"):
+        read_streaming_topk(spark, str(tmp_path / "out"), width=256)
