@@ -357,3 +357,66 @@ SELECT n.n_name AS nation,
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
 """
+
+
+# ---- RFM customer segmentation -----------------------------------------
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency (days since last order, against the
+    table's own max date), frequency (order count) and monetary (total
+    spend), each scored into quintiles — the classic marketing/feature
+    segmentation. Quintiles are ntile(5) with fully deterministic
+    ordering (metric, then custkey), so both engines cut identically.
+    One scan, one aggregation, three window passes over the same
+    customer-level frame, max-date as a broadcast scalar."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("maxd"))
+    per_cust = (orders.groupBy("o_custkey")
+                .agg(F.max("o_orderdate").alias("last_order"),
+                     F.count(F.lit(1)).alias("frequency"),
+                     F.round(F.sum("o_totalprice"), 2).alias("monetary")))
+    d = (per_cust.crossJoin(F.broadcast(maxd))
+         .withColumn("recency_days",
+                     F.datediff("maxd", "last_order").cast("long")))
+    r_w = Window.orderBy(F.asc("recency_days"), "o_custkey")
+    f_w = Window.orderBy(F.desc("frequency"), "o_custkey")
+    m_w = Window.orderBy(F.desc("monetary"), "o_custkey")
+    return d.select(
+        F.col("o_custkey").alias("custkey"),
+        "recency_days",
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary",
+        F.ntile(5).over(r_w).cast("int").alias("r_score"),
+        F.ntile(5).over(f_w).cast("int").alias("f_score"),
+        F.ntile(5).over(m_w).cast("int").alias("m_score"),
+    )
+
+
+QUERIES["customer_rfm"] = q_customer_rfm
+
+ORACLE["customer_rfm"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+d AS (
+  SELECT *,
+         datediff('day', last_order,
+                  (SELECT max(o_orderdate) FROM orders)) AS recency_days
+  FROM per_cust
+)
+SELECT o_custkey AS custkey,
+       CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency,
+       monetary,
+       CAST(ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS INT) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS m_score
+FROM d
+"""
