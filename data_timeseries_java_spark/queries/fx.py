@@ -1491,3 +1491,67 @@ SELECT w_start_ms,
          AS cross_ret
 FROM j
 """
+
+
+# ---- bid/ask spread stats ----------------------------------------------
+
+
+def q_fx_spread_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (key, window) bid/ask spread microstructure stats over the
+    spread-carrying tick view (ask = bid * 1.0001, the bidask fixture):
+    tick count, mean/min/max absolute spread and mean relative spread
+    (spread / mid) — the liquidity screen a quant desk runs next to the
+    candle feed. One scan, one aggregation."""
+    from data_timeseries_java_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    bid = F.col("value")
+    ask = F.col("value") * F.lit(1.0001)
+    spread = ask - bid
+    rel = spread / ((ask + bid) / F.lit(2.0))
+    from data_timeseries_java_spark.operators.text import _floor6
+    g = (ev.select(
+            F.col("event_type").alias("key"),
+            (F.floor(F.unix_millis("ts") / RES_MS) * RES_MS)
+            .alias("w_start_ms"),
+            spread.alias("spread"), rel.alias("rel"))
+         .groupBy("key", "w_start_ms")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("spread").alias("s_sum"),
+              F.min("spread").alias("s_min"),
+              F.max("spread").alias("s_max"),
+              F.sum("rel").alias("r_sum")))
+    return g.select(
+        "key", "w_start_ms",
+        F.col("n").cast("long").alias("n_ticks"),
+        _floor6(F.col("s_sum") / F.col("n")).alias("mean_spread"),
+        _floor6(F.col("s_min")).alias("min_spread"),
+        _floor6(F.col("s_max")).alias("max_spread"),
+        _floor6(F.col("r_sum") / F.col("n")).alias("mean_rel_spread"),
+    )
+
+
+QUERIES["fx_spread_stats"] = q_fx_spread_stats
+
+ORACLE["fx_spread_stats"] = f"""
+WITH t AS (
+  SELECT event_type AS key,
+         (epoch_ms(ts) // {RES_MS}) * {RES_MS} AS w_start_ms,
+         value * 1.0001 - value AS spread,
+         (value * 1.0001 - value) / ((value * 1.0001 + value) / 2.0) AS rel
+  FROM events
+),
+g AS (
+  SELECT key, w_start_ms, count(*) AS n,
+         sum(spread) AS s_sum, min(spread) AS s_min,
+         max(spread) AS s_max, sum(rel) AS r_sum
+  FROM t GROUP BY key, w_start_ms
+)
+SELECT key, w_start_ms,
+       CAST(n AS BIGINT) AS n_ticks,
+       floor(s_sum / n * 1000000) / 1000000 AS mean_spread,
+       floor(s_min * 1000000) / 1000000 AS min_spread,
+       floor(s_max * 1000000) / 1000000 AS max_spread,
+       floor(r_sum / n * 1000000) / 1000000 AS mean_rel_spread
+FROM g
+"""
