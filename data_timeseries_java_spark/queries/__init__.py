@@ -45,25 +45,29 @@ _MODULES = [fx, relational, relational_ext, tpch_hard, dedup, text,
 _DRIVER_GATED = frozenset({
     "above_segment_avg", "ann_ivf", "ann_ivf_trained", "ann_lsh",
     "approx_distinct_users", "approx_topk_cms",
-    "approx_value_quantiles", "asof_purchase_click", "bm25_search",
-    "cohort_retention", "corpus_build", "customer_set_ops",
+    "approx_value_quantiles", "asof_purchase_click",
+    "asof_stream_replay", "bm25_search", "cohort_retention",
+    "corpus_build", "customer_rfm", "customer_set_ops",
     "customer_spend_quartiles", "customers_without_orders",
-    "dataset_split", "decontaminate", "dedup_clusters",
-    "dedup_containment", "dedup_exact", "dedup_fuzzy",
+    "dataset_split", "decontaminate", "decontaminate_winnow",
+    "dedup_clusters", "dedup_containment", "dedup_exact", "dedup_fuzzy",
     "dedup_keep_list", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_segments", "dedup_simhash", "distinct_suppliers",
-    "distinct_users_by_type", "dominant_part_suppliers",
-    "embedding_quantize", "embedding_srp_sketch", "embedding_stats",
-    "event_anomalies", "event_gap_stats", "events_json_props",
-    "forecast_revenue", "funnel_conversion", "fx_bollinger",
-    "fx_candles_bidask", "fx_candles_complete",
-    "fx_candles_interpolated", "fx_candles_ohlc", "fx_candles_rollup",
-    "fx_corr_headline", "fx_corr_threshold", "fx_corr_underlying",
-    "fx_corr_user_buckets", "fx_corr_wide", "fx_cross_zscore",
+    "dedup_segments", "dedup_segments_cdc", "dedup_simhash",
+    "distinct_suppliers", "distinct_users_by_type",
+    "dominant_part_suppliers", "embedding_quantize",
+    "embedding_srp_sketch", "embedding_stats", "event_anomalies",
+    "event_gap_stats", "event_mad_outliers", "event_winsorize",
+    "events_json_props", "forecast_revenue", "funnel_conversion",
+    "fx_autocorr", "fx_bollinger", "fx_candles_bidask",
+    "fx_candles_complete", "fx_candles_interpolated", "fx_candles_ohlc",
+    "fx_candles_rollup", "fx_candles_stream_replay", "fx_corr_headline",
+    "fx_corr_threshold", "fx_corr_underlying", "fx_corr_user_buckets",
+    "fx_corr_wide", "fx_cross_rate", "fx_cross_zscore", "fx_cusum",
     "fx_drawdown", "fx_ema_returns", "fx_gapfill_rows", "fx_lead_lag",
     "fx_log_returns", "fx_pair_beta", "fx_pair_correlation",
     "fx_pair_correlation_auto", "fx_realized_vol", "fx_rsi",
-    "fx_sliding_returns", "fx_twap", "fx_workpacket_stats",
+    "fx_sliding_returns", "fx_spread_stats", "fx_twap",
+    "fx_variance_ratio", "fx_workpacket_stats", "hll_stream_replay",
     "hll_user_rollup", "knn_bruteforce", "leakage_safe_split",
     "lineitem_grouping_sets", "media_cross_format_dedup",
     "media_decode_features", "media_jpeg_decode", "media_jpeg_header",
@@ -78,13 +82,14 @@ _DRIVER_GATED = frozenset({
     "pricing_summary", "priority_pivot", "priority_rollup",
     "profile_lineitem", "range_join_event_candle", "revenue_by_nation",
     "rich_idle_customers", "salted_event_stats", "scd2_user_status",
-    "sequence_packing", "small_quantity_revenue", "source_token_stats",
-    "status_cube", "stratified_sample", "supplier_share",
+    "seasonal_profile", "sequence_packing", "small_quantity_revenue",
+    "source_token_stats", "status_cube", "stratified_sample",
+    "supplier_share", "text_bigram_lm", "text_entropy",
     "text_fingerprint", "text_langid", "text_quality",
-    "text_repetition", "text_tokens", "tfidf_top_terms",
-    "top_customers", "top_revenue_supplier", "user_sessions",
-    "value_trend_ols", "vocabulary_topk", "waiting_suppliers",
-    "window_sampler",
+    "text_repetition", "text_tokens", "text_winnowing",
+    "tfidf_top_terms", "top_customers", "top_revenue_supplier",
+    "topk_stream_replay", "user_sessions", "value_trend_ols",
+    "vocabulary_topk", "waiting_suppliers", "window_sampler",
 })
 
 
