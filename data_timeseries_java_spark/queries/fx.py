@@ -316,6 +316,7 @@ def q_fx_candles_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_complete_candles_global,
     )
     from data_timeseries_java_spark.streaming.replay import (
+        SENTINEL_KEY,
         read_replay_sink,
         run_to_parquet_sink,
         write_replay_buckets,
@@ -340,7 +341,7 @@ def q_fx_candles_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         # window so the keyed state flushes; its own (never-sealed)
         # window stays in state and its key is filtered from the sink
         sent = spark.createDataFrame(
-            [("ZZ-SENTINEL",)], "key string").select(
+            [(SENTINEL_KEY,)], "key string").select(
             "key",
             F.timestamp_millis(F.lit(t1_ms + 30 * 86_400_000))
             .alias("event_time"),
@@ -356,7 +357,7 @@ def q_fx_candles_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
         _STREAM_REPLAY_SINKS[cache_key] = sink
     flat = (read_replay_sink(spark, sink)
-            .where(~F.col("key").startswith("ZZ-")))
+            .where(F.col("key") != SENTINEL_KEY))
     return flat.select(
         "key",
         _ms(F.col("window_start")).alias("w_start_ms"),
@@ -1454,12 +1455,18 @@ def q_fx_cross_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("w_start_ms", F.col("close").alias("b_close"),
                  F.col("is_live").alias("b_live")))
     j = (a.join(b, "w_start_ms")
-         .where((F.col("a_close") > 0) & (F.col("b_close") > 0)))
+         .where((F.col("a_close") > 0) & (F.col("b_close") > 0))
+         .withColumn("pair", F.lit(f"{CROSS_BASE}/{CROSS_QUOTE}")))
     cross = F.col("a_close") / F.col("b_close")
     from pyspark.sql import Window
-    w = Window.orderBy("w_start_ms")
+    # lag partitioned by the synthesized pair: this query triangulates
+    # ONE pair, but the operator shape must stay safe if the a/b slices
+    # ever cover many pairs — an un-partitioned orderBy would funnel
+    # every pair's history through a single-task global sort
+    w = Window.partitionBy("pair").orderBy("w_start_ms")
     ret = F.log(cross / F.lag(cross).over(w))
     return j.select(
+        "pair",
         "w_start_ms",
         F.round(cross, 6).alias("cross_close"),
         (F.col("a_live") & F.col("b_live")).alias("both_live"),
@@ -1479,15 +1486,17 @@ b AS (
   FROM filled WHERE key = '{CROSS_QUOTE}'
 ),
 j AS (
-  SELECT a.w_start_ms, a_close, b_close, a_live, b_live,
+  SELECT '{CROSS_BASE}/{CROSS_QUOTE}' AS pair,
+         a.w_start_ms, a_close, b_close, a_live, b_live,
          a_close / b_close AS cross_px
   FROM a JOIN b USING (w_start_ms)
   WHERE a_close > 0 AND b_close > 0
 )
-SELECT w_start_ms,
+SELECT pair, w_start_ms,
        round(cross_px, 6) AS cross_close,
        (a_live AND b_live) AS both_live,
-       round(ln(cross_px / lag(cross_px) OVER (ORDER BY w_start_ms)), 6)
+       round(ln(cross_px / lag(cross_px)
+                OVER (PARTITION BY pair ORDER BY w_start_ms)), 6)
          AS cross_ret
 FROM j
 """

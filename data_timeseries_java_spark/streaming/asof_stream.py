@@ -90,8 +90,15 @@ def streaming_asof_join(left: DataFrame, right: DataFrame, on: str = "key",
         + [f"`{c}` {ltypes[c]}" for c in lcols]
         + [f"`{c}{suffix}` {rtypes[c]}" for c in rcols]
         + [f"`{right_time}{suffix}` timestamp"])
+    # Leading version field: the ms→µs timestamp migration kept the
+    # array<long> shape, so a checkpoint written by the old ms-based
+    # code would otherwise RESUME cleanly with its stored ms values
+    # reinterpreted as µs (pending rows ~1000× older than the
+    # watermark, silently wrong joins). Changing the state tuple's
+    # SHAPE makes pre-upgrade checkpoints fail loudly at deserialize /
+    # the explicit version check below instead.
     state_schema = ", ".join(
-        ["l_ts array<long>", "r_ts array<long>"]
+        ["v int", "l_ts array<long>", "r_ts array<long>"]
         + [f"l_{i} array<{ltypes[c]}>" for i, c in enumerate(lcols)]
         + [f"r_{i} array<{rtypes[c]}>" for i, c in enumerate(rcols)])
     out_cols = ([on, left_time] + lcols
@@ -112,14 +119,21 @@ def streaming_asof_join(left: DataFrame, right: DataFrame, on: str = "key",
     l_cast = [_caster(ltypes[c]) for c in lcols]
     r_cast = [_caster(rtypes[c]) for c in rcols]
 
+    _STATE_VERSION = 2            # 2 = µs timestamps (1 was ms)
+
     def process(key, pdf_iter, state: GroupState):
         (k,) = key
         if state.exists:
             st = state.get
-            l_ts = list(st[0])
-            r_ts = list(st[1])
-            l_vals = [list(a) for a in st[2:2 + len(lcols)]]
-            r_vals = [list(a) for a in st[2 + len(lcols):]]
+            if st[0] != _STATE_VERSION:
+                raise ValueError(
+                    f"streaming as-of state version {st[0]} != "
+                    f"{_STATE_VERSION}; refusing to resume a checkpoint "
+                    f"written by an incompatible timestamp encoding")
+            l_ts = list(st[1])
+            r_ts = list(st[2])
+            l_vals = [list(a) for a in st[3:3 + len(lcols)]]
+            r_vals = [list(a) for a in st[3 + len(lcols):]]
         else:
             l_ts, r_ts = [], []
             l_vals = [[] for _ in lcols]
@@ -178,7 +192,7 @@ def streaming_asof_join(left: DataFrame, right: DataFrame, on: str = "key",
         r_ts = r_ts[keep_from:]
         r_vals = [v[keep_from:] for v in r_vals]
 
-        state.update((l_ts, r_ts, *l_vals, *r_vals))
+        state.update((_STATE_VERSION, l_ts, r_ts, *l_vals, *r_vals))
         if l_ts:
             # flush when the watermark passes the oldest pending left
             # (timeout API is ms; round µs up so the timeout never

@@ -21,6 +21,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# The far-future watermark-flush row's key. Writers inject it and sink
+# readers filter it out by EXACT equality — a prefix test would silently
+# drop legitimate instrument keys sharing the prefix (FX-style symbols
+# beginning "ZZ-" are plausible).
+SENTINEL_KEY = "ZZ-SENTINEL"
+
 
 def write_replay_buckets(df: DataFrame, ts_col: str, path: str,
                          n_files: int, t0_ms: int, span_ms: int,

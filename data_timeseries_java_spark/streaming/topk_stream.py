@@ -33,6 +33,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Compacted folds are written at batch_id = max_seen + _FOLD_OFFSET. A
+# streaming query resuming from its retained checkpoint continues its
+# OWN micro-batch counter (max real id + 1), so its next overwrite can
+# never land on a fold partition — without the offset, the very first
+# post-compaction micro-batch would silently replace the entire folded
+# history (mode('overwrite') on the same batch_id directory).
+_FOLD_OFFSET = 1 << 40
+
+
+def _superseded_ids(df: DataFrame) -> list[int]:
+    """Batch ids folded into a compaction partition (kind='fold' rows,
+    one per superseded id, carried in the fold's own partition). A
+    crash between writing the fold and removing the old batch dirs
+    leaves BOTH on disk; resolving without this exclusion would sum the
+    fold and its sources and silently double every count."""
+    return [int(r[0]) for r in
+            df.where(F.col("kind") == "fold").select("bucket").collect()]
+
+
+def _active(df: DataFrame) -> DataFrame:
+    sup = _superseded_ids(df)
+    return df.where(~F.col("batch_id").isin(sup)) if sup else df
+
 
 def _bucket(key: F.Column, r: F.Column, width: int) -> F.Column:
     """Same md5 lane as the batch sketch (skew.cms_heavy_hitters):
@@ -111,7 +134,7 @@ def read_streaming_topk(spark: SparkSession, work_dir: str,
     resolving with the wrong geometry would silently map candidates to
     wrong cells)."""
     store = f"{work_dir}/topk"
-    df = spark.read.option("basePath", store).parquet(store)
+    df = _active(spark.read.option("basePath", store).parquet(store))
     meta = (df.where(F.col("kind") == "meta")
             .select("r", "bucket").distinct().collect())
     if len(meta) != 1:
@@ -144,10 +167,24 @@ def read_streaming_topk(spark: SparkSession, work_dir: str,
 
 
 def compact_topk_store(spark: SparkSession, work_dir: str) -> dict:
-    """Fold all batch partials into one: grids sum cell-wise, candidate
-    sets union (their stored per-batch counts are only enumeration
-    hints — estimates always come from the merged grid). Same local-
-    path contract as the correlation store's compactor."""
+    """Fold the store's ACTIVE partials into one: grids sum cell-wise,
+    candidate sets union (their stored per-batch counts are only
+    enumeration hints — estimates always come from the merged grid).
+    Same local-path contract as the correlation store's compactor.
+
+    Crash-safe by construction:
+
+    - the fold lands at ``batch_id = max_seen + _FOLD_OFFSET``, an id a
+      checkpoint-resumed stream can never write (see ``_FOLD_OFFSET``);
+    - it carries one ``kind='fold'`` row per superseded batch id
+      (prior folds' supersession rows ride forward — their targets may
+      still be on disk after an earlier crash), so a resolve that sees
+      both the fold and its sources excludes the sources instead of
+      double-counting;
+    - it is staged in a dot-prefixed temp dir (invisible to parquet
+      readers) and renamed into place atomically BEFORE the old batch
+      dirs are removed — every crash point leaves a store that resolves
+      to the correct totals."""
     import os
     import re
     import shutil
@@ -165,10 +202,18 @@ def compact_topk_store(spark: SparkSession, work_dir: str) -> dict:
         return {"batches_before": len(batches),
                 "batches_after": len(batches)}
     df = spark.read.option("basePath", store).parquet(store)
-    grid = (df.where(F.col("kind") == "grid")
+    prior_sup = set(_superseded_ids(df))
+    active = (df.where(~F.col("batch_id").isin(list(prior_sup)))
+              if prior_sup else df)
+    grid = (active.where(F.col("kind") == "grid")
             .groupBy("r", "bucket").agg(F.sum("c").alias("c")))
-    cand = (df.where(F.col("kind") == "cand")
+    cand = (active.where(F.col("kind") == "cand")
             .groupBy("key").agg(F.sum("c").alias("c")))
+    ids = sorted(int(b.split("=", 1)[1]) for b in batches)
+    supersedes = sorted(prior_sup | set(ids))
+    sup_rows = spark.createDataFrame(
+        [("fold", None, None, i, 0) for i in supersedes],
+        "kind string, key string, r int, bucket long, c bigint")
     folded = (grid.select(F.lit("grid").alias("kind"),
                           F.lit(None).cast("string").alias("key"),
                           "r", "bucket", "c")
@@ -177,11 +222,15 @@ def compact_topk_store(spark: SparkSession, work_dir: str) -> dict:
                   F.lit(None).cast("int").alias("r"),
                   F.lit(None).cast("long").alias("bucket"), "c"))
               # geometry meta rides through compaction
-              .unionByName(df.where(F.col("kind") == "meta")
+              .unionByName(active.where(F.col("kind") == "meta")
                            .select("kind", "key", "r", "bucket", "c")
-                           .distinct()))
-    new_id = max(int(b.split("=", 1)[1]) for b in batches) + 1
-    folded.write.mode("overwrite").parquet(f"{store}/batch_id={new_id}")
+                           .distinct())
+              .unionByName(sup_rows))
+    new_id = max(ids) + _FOLD_OFFSET
+    tmp = os.path.join(store, ".fold_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    folded.coalesce(1).write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, os.path.join(store, f"batch_id={new_id}"))
     for b in batches:
         shutil.rmtree(os.path.join(store, b), ignore_errors=True)
     return {"batches_before": len(batches), "batches_after": 1}

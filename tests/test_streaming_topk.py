@@ -88,6 +88,78 @@ def test_streaming_topk_state_bounded_and_compacts(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_topk_compaction_crash_and_resume_safe(spark, sf_dir):
+    """The two compaction hazards stay closed:
+
+    1. crash window — if the old batch dirs survive alongside the fold
+       (process died between the fold rename and the rmtree loop), the
+       resolve must EXCLUDE the superseded partitions instead of
+       summing both (which would double every count);
+    2. resumed-stream collision — a stream resuming from its retained
+       checkpoint writes batch_id = max real id + 1; the fold must live
+       at an id that write can never overwrite, and post-compaction
+       batches must count IN ADDITION to the fold."""
+    from data_timeseries_java_spark.streaming import (
+        compact_topk_store,
+        read_streaming_topk,
+        streaming_cms_topk,
+    )
+    from data_timeseries_java_spark.streaming.topk_stream import _FOLD_OFFSET
+    from data_timeseries_java_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="stopk_c_")
+    try:
+        _replay_files(spark, ev, d, 4, "event_id")
+        src = (spark.readStream.schema(ev.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{d}/in/f*"))
+        q = streaming_cms_topk(spark, src, f"{d}/out",
+                               key_col="user_id",
+                               candidates_per_batch=None)
+        assert q.awaitTermination(300)
+        store = f"{d}/out/topk"
+        before = [(r.key, r.cms_estimate) for r in
+                  read_streaming_topk(spark, f"{d}/out", k=10).collect()]
+
+        # simulate the crash: run compaction, then RESTORE the original
+        # batch dirs next to the fold (as if rmtree never ran)
+        saved = tempfile.mkdtemp(prefix="stopk_saved_")
+        originals = sorted(b for b in os.listdir(store)
+                           if b.startswith("batch_id="))
+        for b in originals:
+            shutil.copytree(f"{store}/{b}", f"{saved}/{b}")
+        compact_topk_store(spark, f"{d}/out")
+        folds = [b for b in os.listdir(store) if b.startswith("batch_id=")]
+        assert len(folds) == 1
+        assert int(folds[0].split("=", 1)[1]) >= _FOLD_OFFSET
+        for b in originals:
+            shutil.copytree(f"{saved}/{b}", f"{store}/{b}")
+        crashed = [(r.key, r.cms_estimate) for r in
+                   read_streaming_topk(spark, f"{d}/out", k=10).collect()]
+        assert crashed == before          # superseded partials excluded
+
+        # compaction of the crashed store repairs it (carries the old
+        # supersession rows forward, removes the leftovers)
+        compact_topk_store(spark, f"{d}/out")
+        repaired = [(r.key, r.cms_estimate) for r in
+                    read_streaming_topk(spark, f"{d}/out", k=10).collect()]
+        assert repaired == before
+
+        # resumed stream: replay the SAME files against the retained
+        # checkpoint — availableNow already consumed them, so simulate
+        # the resume by writing a post-compaction batch at the id the
+        # checkpoint counter would use (max real id + 1 = 4); it must
+        # not collide with the fold and must ADD to the totals
+        shutil.copytree(f"{saved}/{originals[0]}", f"{store}/batch_id=4")
+        doubled_first = read_streaming_topk(spark, f"{d}/out", k=10)
+        est = {r.key: r.cms_estimate for r in doubled_first.collect()}
+        base = dict(before)
+        assert any(est[k] > base[k] for k in est if k in base)
+        shutil.rmtree(saved, ignore_errors=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_streaming_hll_matches_single_shot(spark, sf_dir):
     """Register max-merge is lossless: the union of per-batch HLL
     sketches must give EXACTLY the single-shot batch sketch's estimate
