@@ -184,3 +184,100 @@ WHERE r.thr >= 4294967296
    OR upper(substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
       < lpad(hex(r.thr), 8, '0')
 """
+
+
+# ---- streaming corpus build, driver-gated through replay ----------------
+
+_CORPUS_REPLAY_SINKS: dict[tuple, str] = {}
+
+
+def q_corpus_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus build executed through the STREAMING lane
+    (`streaming/corpus_stream.py`: dedup-FIRST keyed state via
+    dropDuplicatesWithinWatermark, then the stateless quality/language
+    gates, per-batch decontamination in foreachBatch) and hash-matched
+    against the SAME stage-by-stage DuckDB oracle as the batch
+    `corpus_build` — the dedup-before-filter ordering and the
+    cross-batch hash state become driver-visible.
+
+    Replay construction encodes the two preconditions under which
+    stream == batch (the operator's documented contract):
+
+    - every exact-dup group's keeper (min doc_id) is routed to a
+      strictly EARLIER file/micro-batch than the group's other members
+      (id-bucket + rank-within-group file index), so first-arrival-wins
+      resolves to the batch build's min-id keeper; non-keepers may
+      share a batch freely (state already holds the keeper);
+    - event time is a CONSTANT, so the watermark never passes the
+      dedup state's horizon and nothing is evicted mid-replay
+      (scale-factor-proof — real per-doc times would outrun the 1-hour
+      horizon at larger SFs).
+
+    Within each file the row order is md5-scrambled. Building this
+    query RUNS the stream (laziness-guard exempt); the declared result
+    is a pruned parquet scan of the corpus sink."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from data_timeseries_java_spark.streaming.corpus_stream import (
+        streaming_corpus_build,
+    )
+    from data_timeseries_java_spark.streaming.replay import (
+        drive_query,
+        write_replay_files,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    sink = _CORPUS_REPLAY_SINKS.get(cache_key)
+    if sink is None or not os.path.isdir(sink):
+        docs = load_table(spark, sf_dir, "documents")
+        lo, hi = docs.select(F.min("doc_id"), F.max("doc_id")).first()
+        n_files = 4
+        rank = (F.row_number().over(
+            Window.partitionBy(F.md5(F.lower(F.col("text"))))
+            .orderBy("doc_id")) - 1)
+        # keepers use the first n_files-1 buckets; + rank pushes every
+        # non-keeper to a strictly later file (clamped — two
+        # non-keepers sharing the last file is fine, both are dropped
+        # against state regardless of order)
+        id_bucket = F.floor((F.col("doc_id") - F.lit(int(lo)))
+                            * (n_files - 1)
+                            / F.lit(max(int(hi) - int(lo) + 1, 1)))
+        routed = docs.select(
+            "doc_id",
+            F.to_timestamp(F.lit("2024-05-01 00:00:00")).alias("ts"),
+            "text", "lang",
+            F.least(F.lit(n_files - 1), id_bucket + rank).alias("_file"))
+        work = tempfile.mkdtemp(prefix="corpus_stream_replay_")
+        base = _time.time() - 1000
+        write_replay_files(routed, "_file", f"{work}/in", n_files, base,
+                           ["doc_id"])
+        schema = "doc_id long, ts timestamp, text string, lang string"
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
+        eval_docs = (docs.where(F.col("doc_id") < DECON_EVAL_MAX_ID)
+                     .select("doc_id", "text"))
+        q = streaming_corpus_build(spark, src, eval_docs, f"{work}/store",
+                                   quality_min=QUALITY_MIN,
+                                   decon_k=DECON_K,
+                                   decon_min_overlap=DECON_MIN_OVERLAP)
+        drive_query(q, 600, "corpus stream replay")
+        sink = f"{work}/store/corpus"
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/store/checkpoint", ignore_errors=True)
+        _CORPUS_REPLAY_SINKS[cache_key] = sink
+    return (spark.read.option("basePath", sink).parquet(sink)
+            .drop("batch_id")
+            .select("doc_id", "predicted_lang", "n_tokens",
+                    "quality_score"))
+
+
+QUERIES["corpus_stream_replay"] = q_corpus_stream_replay
+
+# same independent stage-by-stage oracle as the batch build — the gate
+# proves the STREAM produces the batch-equivalent corpus
+ORACLE["corpus_stream_replay"] = ORACLE["corpus_build"]

@@ -523,3 +523,95 @@ SELECT * FROM scored WHERE edit_similarity >= {min_sim}
 
 
 ORACLE["dedup_fuzzy"] = _fuzzy_sql()
+
+
+# ---- streaming near-dup store, driver-gated through replay ---------------
+
+_NEARDUP_REPLAY_SINKS: dict[tuple, str] = {}
+
+
+def q_neardup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH near-dup pipeline executed through the STREAMING
+    signature store: `documents` replayed as 3 doc-id-range files (rows
+    md5-scrambled WITHIN each file, so every micro-batch sees scrambled
+    arrival), each batch signatured once and banded against the
+    accumulated store (`streaming/neardup_stream.py`), and the verdict
+    sink hash-matched against a DuckDB oracle that re-derives the whole
+    algorithm — shingles → md5 lane signatures → banding → candidate
+    join → signature-agreement Jaccard estimate — independently.
+
+    Id-range bucketing makes the stream's "earlier batch OR smaller id
+    within the batch" precedence coincide with plain ``doc_id`` order,
+    which is what the SQL expresses. Building this query RUNS the
+    stream (laziness-guard exempt); the declared result is a pruned
+    parquet scan of the verdict sink."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from data_timeseries_java_spark.streaming.neardup_stream import (
+        streaming_neardup,
+    )
+    from data_timeseries_java_spark.streaming.replay import (
+        drive_query,
+        write_replay_buckets_long,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    sink = _NEARDUP_REPLAY_SINKS.get(cache_key)
+    if sink is None or not os.path.isdir(sink):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        lo, hi = docs.select(F.min("doc_id"), F.max("doc_id")).first()
+        n_files = 3
+        work = tempfile.mkdtemp(prefix="neardup_stream_replay_")
+        base = _time.time() - 1000
+        write_replay_buckets_long(docs, F.col("doc_id"), f"{work}/in",
+                                  n_files, int(lo), int(hi) - int(lo) + 1,
+                                  base, ["doc_id"])
+        src = (spark.readStream.schema(docs.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
+        q = streaming_neardup(spark, src, f"{work}/store")
+        drive_query(q, 600, "neardup stream replay")
+        sink = f"{work}/store/verdicts"
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/store/checkpoint", ignore_errors=True)
+        _NEARDUP_REPLAY_SINKS[cache_key] = sink
+    v = (spark.read.option("basePath", sink).parquet(sink)
+         .drop("batch_id"))
+    return v.select("doc_id", "is_near_dup",
+                    F.col("dup_of").cast("long").alias("dup_of"))
+
+
+def _neardup_stream_sql(num_hashes: int = DEFAULT_NUM_HASHES,
+                        band_size: int = DEFAULT_BAND_SIZE,
+                        sim_threshold: float = 0.5) -> str:
+    """Independent re-derivation of the streaming verdict: candidates
+    from LSH banding, scored by SIGNATURE lane agreement (the unbiased
+    Jaccard estimate the stream uses — NOT true shingle-set Jaccard),
+    keeper = smallest preceding doc id."""
+    agree = " + ".join(
+        f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes))
+    return f"""{_lsh_prefix(num_hashes, band_size)},
+agree AS (
+  SELECT c.id_a, c.id_b,
+         ({agree}) * 1.0 / {num_hashes} AS frac
+  FROM cand c
+  JOIN sigs a ON a.doc_id = c.id_a
+  JOIN sigs b ON b.doc_id = c.id_b
+),
+dup AS (
+  SELECT id_b AS doc_id, min(id_a) AS dup_of
+  FROM agree WHERE frac >= {sim_threshold} GROUP BY id_b
+)
+SELECT d.doc_id, (p.dup_of IS NOT NULL) AS is_near_dup,
+       CAST(p.dup_of AS BIGINT) AS dup_of
+FROM documents d LEFT JOIN dup p ON p.doc_id = d.doc_id
+"""
+
+
+QUERIES["neardup_stream_replay"] = q_neardup_stream_replay
+ORACLE["neardup_stream_replay"] = _neardup_stream_sql()

@@ -35,12 +35,39 @@ def write_replay_buckets(df: DataFrame, ts_col: str, path: str,
     """Split ``df`` into ``n_files`` time-range buckets under ``path``
     (files ``f0..f{n-1}``), each written in md5-of-``shuffle_cols``
     order with ascending mtimes starting at ``base_mtime``."""
+    write_replay_buckets_long(df, F.unix_millis(ts_col), path, n_files,
+                              t0_ms, span_ms, base_mtime, shuffle_cols)
+
+
+def write_replay_buckets_long(df: DataFrame, long_col, path: str,
+                              n_files: int, lo: int, span: int,
+                              base_mtime: float,
+                              shuffle_cols: list[str]) -> None:
+    """Bucket by an arbitrary long expression (``lo`` .. ``lo+span-1``)
+    instead of a timestamp column — e.g. ``doc_id`` ranges, so each
+    micro-batch covers an ascending id slice and "earlier batch"
+    coincides with "smaller id" (the precedence the id-ordered stores
+    resolve against)."""
     bucket = F.least(
         F.lit(n_files - 1),
-        F.floor((F.unix_millis(ts_col) - F.lit(t0_ms))
-                * n_files / F.lit(max(span_ms, 1))))
+        F.floor((long_col - F.lit(lo)) * n_files / F.lit(max(span, 1))))
     for i in range(n_files):
         (df.where(bucket == i)
+         .orderBy(F.md5(F.concat_ws(":", *shuffle_cols)))
+         .coalesce(1).write.mode("overwrite").parquet(f"{path}/f{i}"))
+        _set_mtime(f"{path}/f{i}", base_mtime + i * 10)
+
+
+def write_replay_files(df: DataFrame, file_col: str, path: str,
+                       n_files: int, base_mtime: float,
+                       shuffle_cols: list[str]) -> None:
+    """Route rows to files by a precomputed index column named
+    ``file_col`` (dropped from the written rows) — callers encode
+    arrival-order constraints in it, e.g. "a dup group's keeper must
+    arrive strictly before its other members". Rows are md5-scrambled
+    within each file; file mtimes ascend."""
+    for i in range(n_files):
+        (df.where(F.col(file_col) == i).drop(file_col)
          .orderBy(F.md5(F.concat_ws(":", *shuffle_cols)))
          .coalesce(1).write.mode("overwrite").parquet(f"{path}/f{i}"))
         _set_mtime(f"{path}/f{i}", base_mtime + i * 10)

@@ -131,7 +131,8 @@ def test_no_query_falls_into_row_python(spark, sf_dir):
 # one entry that gates the streaming lane through the driver's oracle.
 _ITERATIVE_QUERIES = {"dedup_clusters", "dedup_keep_list",
                       "fx_candles_stream_replay", "asof_stream_replay",
-                      "topk_stream_replay", "hll_stream_replay"}
+                      "topk_stream_replay", "hll_stream_replay",
+                      "neardup_stream_replay", "corpus_stream_replay"}
 
 
 
