@@ -184,6 +184,7 @@ def main() -> None:
     from data_timeseries_java_spark.streaming import (
         streaming_anomalies,
         streaming_asof_join,
+        streaming_asof_join_bucketed,
         streaming_complete_candles,
         streaming_correlations,
         streaming_cms_topk,
@@ -265,6 +266,19 @@ def main() -> None:
              .option("maxFilesPerTrigger", 1)
              .parquet(f"{asof_right}/f*")),
             watermark="2 minutes")),
+        # same 10k-key stress through the hash-bucketed state variant:
+        # 64 state groups instead of 10k, one vectorized merge_asof per
+        # bucket per trigger — the dispatch-overhead fix for wide keys
+        ("asof_join_wide_bucketed", lambda: streaming_asof_join_bucketed(
+            (spark.readStream
+             .schema("key string, event_time timestamp, qty double")
+             .option("maxFilesPerTrigger", 1)
+             .parquet(f"{asof_left}/f*")),
+            (spark.readStream
+             .schema("key string, event_time timestamp, px double")
+             .option("maxFilesPerTrigger", 1)
+             .parquet(f"{asof_right}/f*")),
+            watermark="2 minutes", n_buckets=64)),
         ("anomalies_fb", lambda: streaming_anomalies(
             spark, ev_src(), f"{work}/anomalies")),
         ("neardup_fb", lambda: streaming_neardup(
@@ -277,6 +291,18 @@ def main() -> None:
             spark, tick_src(), f"{work}/fx", "120 seconds",
             universe=universe)),
     ]
+
+    # isolation hook, mirroring bench.py: SPARK_GRAFT_STREAM_OPS="a,b"
+    # runs only those lanes
+    only = os.environ.get("SPARK_GRAFT_STREAM_OPS")
+    if only:
+        wanted = [s.strip() for s in only.split(",") if s.strip()]
+        known = {n for n, _ in ops}
+        unknown = [w for w in wanted if w not in known]
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_STREAM_OPS names not in ops: {unknown}")
+        ops = [(n, b) for n, b in ops if n in wanted]
 
     results: dict[str, dict] = {}
     for name, build in ops:

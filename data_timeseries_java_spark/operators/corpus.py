@@ -93,11 +93,17 @@ def leakage_safe_split(docs: DataFrame) -> DataFrame:
                        split.alias("split"))
 
 
-def sequence_packing(docs: DataFrame, pack_budget: int = 256) -> DataFrame:
+def sequence_packing(docs: DataFrame, pack_budget: int = 256,
+                     token_count_col: F.Column | None = None) -> DataFrame:
     """Per-source-shard pack manifest: docs join the pack their starting
     token offset falls in (exclusive running sum / budget).
-    Output: (source, pack_id, n_docs, total_tokens, first_doc, last_doc)."""
-    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    Output: (source, pack_id, n_docs, total_tokens, first_doc, last_doc).
+
+    ``token_count_col`` overrides the budgeting unit — default is the
+    whitespace-regex word count; pass ``operators/text`` BPE counts to
+    budget in REAL subword tokens (what a training run sees)."""
+    n_tok = (token_count_col if token_count_col is not None
+             else F.size(tokens(F.col("text")))).cast("long")
     w = (Window.partitionBy("source").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, -1))
     start = F.coalesce(F.sum(n_tok).over(w), F.lit(0))

@@ -281,3 +281,61 @@ QUERIES["corpus_stream_replay"] = q_corpus_stream_replay
 # same independent stage-by-stage oracle as the batch build — the gate
 # proves the STREAM produces the batch-equivalent corpus
 ORACLE["corpus_stream_replay"] = ORACLE["corpus_build"]
+
+
+# ---- packing budgeted in REAL BPE tokens --------------------------------
+
+
+def q_sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sequence_packing` budgeted in REAL subword tokens: the unit is
+    the committed BPE merge table's token count (operators/text.
+    bpe_token_counts — replace-chain apply, no UDF) instead of the
+    whitespace-word estimate, so pack boundaries land where a
+    subword-tokenized training run would see them. Same per-shard
+    windowed cumsum plan; the token column is one extra narrow
+    expression on the same scan. The oracle re-derives the BPE count
+    with the same merge-table replace chain inside the packing SQL."""
+    from data_timeseries_java_spark.operators.corpus import sequence_packing
+    from data_timeseries_java_spark.operators.text import (
+        bpe_apply,
+        bpe_serialized,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit("[a-z0-9]+"), 0)
+    merged = bpe_apply(bpe_serialized("text"))
+    n_bpe = (F.size(words)
+             + ((F.length(merged)
+                 - F.length(F.replace(merged, F.lit("~~"), F.lit(""))))
+                / 2).cast("long"))
+    return sequence_packing(docs, pack_budget=PACK_BUDGET,
+                            token_count_col=n_bpe)
+
+
+def _packing_bpe_sql() -> str:
+    from data_timeseries_java_spark.queries.text import _bpe_sql
+
+    return f"""
+WITH bpe AS ({_bpe_sql()}),
+src AS (SELECT doc_id, source FROM documents),
+toks AS (
+  SELECT s.source, b.doc_id, b.n_bpe_tokens AS n_tok
+  FROM bpe b JOIN src s ON s.doc_id = b.doc_id
+), offs AS (
+  SELECT source, doc_id, n_tok,
+         coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start
+  FROM toks
+)
+SELECT source, CAST(floor(start / {float(PACK_BUDGET)}) AS BIGINT) AS pack_id,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM offs
+GROUP BY source, pack_id
+"""
+
+
+QUERIES["sequence_packing_bpe"] = q_sequence_packing_bpe
+ORACLE["sequence_packing_bpe"] = _packing_bpe_sql()

@@ -763,3 +763,64 @@ WHERE c.doc_id >= {WINNOW_DECON_EVAL_MAX_ID}
 GROUP BY c.doc_id
 HAVING count(DISTINCT c.fp_hash) >= {WINNOW_DECON_MIN_SHARED}
 """
+
+
+# ---- real BPE subword tokenization --------------------------------------
+
+
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real subword token counts per document: the committed 64-rule
+    BPE merge table (functions/bpe_vocab.py, trained offline by
+    scripts/train_bpe.py) applied as a chain of built-in string
+    replaces over a separator-delimited serialization — whole-stage
+    codegen, no UDF, no explode (operators/text.bpe_token_counts). The
+    DuckDB oracle rebuilds the SAME replace chain from the SAME merge
+    table, so the tokenization itself is hash-checked, not just the
+    plumbing. Upgrades the engine's token budgeting from the `[a-z']+`
+    regex ESTIMATE (`text_tokens`) to what a subword-tokenized training
+    run actually sees."""
+    from data_timeseries_java_spark.operators.text import bpe_token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_counts(docs)
+
+
+def _bpe_sql() -> str:
+    from data_timeseries_java_spark.functions.bpe_vocab import MERGES
+
+    s = "~"
+    merged = ("array_to_string(list_transform("
+              "regexp_extract_all(lower(text), '[a-z0-9]+'), "
+              "w -> substr('~' || regexp_replace(w, '(.)', '\\1~~', 'g'),"
+              " 1, 3 * length(w))), ' ')")
+    for a, b in MERGES:
+        merged = (f"replace({merged}, '{s}{a}{s}{s}{b}{s}',"
+                  f" '{s}{a}{b}{s}')")
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+         length(array_to_string(
+             regexp_extract_all(lower(text), '[a-z0-9]+'), '')) AS n_chars,
+         {merged} AS m
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, n_words, n_chars,
+         n_words + (length(m) - length(replace(m, '~~', ''))) // 2
+           AS n_bpe_tokens
+  FROM base
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+       CASE WHEN n_bpe_tokens > 0
+            THEN floor(n_chars * 1000000.0 / n_bpe_tokens) / 1000000
+       END AS chars_per_token
+FROM counted
+"""
+
+
+QUERIES["text_bpe_tokens"] = q_text_bpe_tokens
+ORACLE["text_bpe_tokens"] = _bpe_sql()

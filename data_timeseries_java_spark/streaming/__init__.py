@@ -17,6 +17,7 @@ from data_timeseries_java_spark.streaming.anomaly_stream import (
 )
 from data_timeseries_java_spark.streaming.asof_stream import (
     streaming_asof_join,
+    streaming_asof_join_bucketed,
 )
 from data_timeseries_java_spark.streaming.corpus_stream import (
     streaming_corpus_build,
@@ -62,6 +63,7 @@ __all__ = ["streaming_ohlc_candles", "streaming_complete_candles",
            "streaming_correlations", "read_streaming_correlations",
            "compact_correlation_store",
            "streaming_realized_volatility", "streaming_asof_join",
+           "streaming_asof_join_bucketed",
            "streaming_cms_topk", "read_streaming_topk",
            "compact_topk_store", "streaming_hll_distinct",
            "read_streaming_hll"]

@@ -127,3 +127,46 @@ def test_cosine_matrix_equals_hof(spark, sf_dir):
     b = {(r.id_a, r.id_b): r.cosine
          for r in cosine_pairs_matrix(emb, threshold=0.0).collect()}
     assert a == b and len(a) > 0
+
+
+def test_bpe_replace_chain_matches_classic_apply(spark):
+    """The replace-chain BPE apply must equal the classic per-word
+    sequential merge algorithm — including the leftmost-greedy
+    non-overlapping case ('aaa' with merge (a,a) -> [aa, a])."""
+    from data_timeseries_java_spark.functions.bpe_vocab import MERGES
+    from data_timeseries_java_spark.operators.text import bpe_token_counts
+
+    def classic(text):
+        import re
+        total = n_chars = 0
+        words = re.findall(r"[a-z0-9]+", text.lower())
+        for w in words:
+            toks = list(w)
+            for a, b in MERGES:
+                out, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == a \
+                            and toks[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                toks = out
+            total += len(toks)
+            n_chars += len(w)
+        return len(words), n_chars, total
+
+    samples = [
+        "the market went in together with the join ordering",
+        "aaa baba overlap ttt sstt",            # overlapping-merge cases
+        "Punctuation, CAPS and 123 numbers!",
+        "",                                      # empty -> all zeros
+        "x",                                     # single char word
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(samples)], "doc_id long, text string")
+    got = {r.doc_id: (r.n_words, r.n_chars, r.n_bpe_tokens)
+           for r in bpe_token_counts(df).collect()}
+    for i, t in enumerate(samples):
+        assert got[i] == classic(t), (t, got[i], classic(t))

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from data_timeseries_java_spark.operators.temporal import asof_join
 from data_timeseries_java_spark.streaming.asof_stream import (
     streaming_asof_join,
+    streaming_asof_join_bucketed,
 )
 
 TRADE_SCHEMA = "key string, event_time timestamp, qty double"
@@ -144,3 +145,73 @@ def test_streaming_asof_tolerance(spark, tmp_path):
             for r in spark.table("asof_tol")
             .where(F.col("key") != "ZZ").collect()}
     assert rows == {(5, 40.0)}   # minute-30 trade's only match is stale
+
+
+def _run_bucketed(spark, d, name, watermark="4 minutes", n_buckets=2,
+                  tolerance=None):
+    trades = (spark.readStream.schema(TRADE_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(f"{d}/trades/f*"))
+    quotes = (spark.readStream.schema(QUOTE_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(f"{d}/quotes/f*"))
+    out = streaming_asof_join_bucketed(trades, quotes, on="key",
+                                       watermark=watermark,
+                                       tolerance=tolerance,
+                                       n_buckets=n_buckets)
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(name).where(F.col("key") != "ZZ")
+
+
+def test_bucketed_asof_matches_batch_and_perkey(spark, asof_dirs):
+    """The bucketed wide-state variant must produce EXACTLY the batch
+    operator's rows — with n_buckets=1 so every key shares one state
+    bucket (the hardest collision case: the per-bucket merge_asof must
+    keep the keys apart by itself)."""
+    batch_trades = (spark.read.schema(TRADE_SCHEMA)
+                    .parquet(f"{asof_dirs}/trades/f*")
+                    .where(F.col("key") != "ZZ"))
+    batch_quotes = (spark.read.schema(QUOTE_SCHEMA)
+                    .parquet(f"{asof_dirs}/quotes/f*")
+                    .where(F.col("key") != "ZZ"))
+    batch = asof_join(batch_trades, batch_quotes, on="key",
+                      left_time="event_time", right_time="event_time")
+    b = {tuple(r) for r in batch.select(
+        "key", "event_time", "qty", "px_asof", "event_time_asof").collect()}
+    s = {tuple(r) for r in
+         _run_bucketed(spark, asof_dirs, "asof_bk1", n_buckets=1).select(
+             "key", "event_time", "qty", "px_asof",
+             "event_time_asof").collect()}
+    assert b == s and len(s) == 12
+    s64 = {tuple(r) for r in
+           _run_bucketed(spark, asof_dirs, "asof_bk64",
+                         n_buckets=64).select(
+               "key", "event_time", "qty", "px_asof",
+               "event_time_asof").collect()}
+    assert b == s64
+
+
+def test_bucketed_asof_inner_and_tolerance(spark, tmp_path):
+    """Inner semantics (no prior right row -> dropped; exact-timestamp
+    right matches) and the staleness tolerance, through the bucketed
+    path."""
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [("K", _t(0), 1.0), ("K", _t(2), 2.0), ("K", _t(30), 3.0)],
+        TRADE_SCHEMA).coalesce(1).write.parquet(f"{d}/trades/f0")
+    spark.createDataFrame(
+        [("K", _t(2), 200.0), ("K", _t(3), 300.0)],
+        QUOTE_SCHEMA).coalesce(1).write.parquet(f"{d}/quotes/f0")
+    spark.createDataFrame(
+        [("ZZ", _t(59), 0.0)], TRADE_SCHEMA).coalesce(1).write.parquet(
+        f"{d}/trades/f1")
+    spark.createDataFrame(
+        [("ZZ", _t(59), 0.0)], QUOTE_SCHEMA).coalesce(1).write.parquet(
+        f"{d}/quotes/f1")
+    rows = {(r.key, r.event_time.minute, r.qty, r.px_asof)
+            for r in _run_bucketed(spark, d, "asof_bk_tol",
+                                   watermark="0 seconds",
+                                   tolerance="10 minutes").collect()}
+    # t(0) trade: no prior quote -> dropped (inner); t(2) matches the
+    # exact-timestamp quote; t(30)'s only match (t=3) is stale
+    assert rows == {("K", 2, 2.0, 200.0)}
