@@ -615,3 +615,89 @@ FROM documents d LEFT JOIN dup p ON p.doc_id = d.doc_id
 
 QUERIES["neardup_stream_replay"] = q_neardup_stream_replay
 ORACLE["neardup_stream_replay"] = _neardup_stream_sql()
+
+
+# ---- streaming exact dedup, driver-gated through replay ------------------
+
+_DEDUP_REPLAY_SINKS: dict[tuple, str] = {}
+
+
+def q_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup executed through the STREAMING lane
+    (`streaming/dedup_stream.py` — dropDuplicatesWithinWatermark keyed
+    state on the content hash, first arrival wins, cross-batch
+    suppression) and hash-matched against the batch `dedup_exact`
+    oracle's KEEPER rows.
+
+    Replay construction pins the stream==batch contract exactly like
+    the corpus gate: every dup group's keeper (min doc_id) is routed
+    to a strictly earlier file than the group's other members
+    (id-bucket + rank-within-group), so first-arrival == min-id
+    keeper; event time is constant, so hash state is never evicted
+    mid-replay. Within-file order is md5-scrambled; non-keepers may
+    share a batch (state already holds the keeper — both are
+    dropped). Building this query RUNS the stream; the declared
+    result is a pruned parquet scan of the kept-rows sink."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_timeseries_java_spark.streaming.dedup_stream import (
+        streaming_dedup_content,
+    )
+    from data_timeseries_java_spark.streaming.replay import (
+        read_replay_sink,
+        run_to_parquet_sink,
+        write_replay_files,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    sink = _DEDUP_REPLAY_SINKS.get(cache_key)
+    if sink is None or not os.path.isdir(sink):
+        docs = load_table(spark, sf_dir, "documents")
+        lo, hi = docs.select(F.min("doc_id"), F.max("doc_id")).first()
+        n_files = 4
+        rank = (F.row_number().over(
+            Window.partitionBy(F.md5(F.lower(F.col("text"))))
+            .orderBy("doc_id")) - 1)
+        id_bucket = F.floor((F.col("doc_id") - F.lit(int(lo)))
+                            * (n_files - 1)
+                            / F.lit(max(int(hi) - int(lo) + 1, 1)))
+        routed = docs.select(
+            "doc_id",
+            F.to_timestamp(F.lit("2024-05-01 00:00:00")).alias("ts"),
+            "text",
+            F.least(F.lit(n_files - 1), id_bucket + rank).alias("_file"))
+        work = tempfile.mkdtemp(prefix="dedup_stream_replay_")
+        base = _time.time() - 1000
+        write_replay_files(routed, "_file", f"{work}/in", n_files, base,
+                           ["doc_id"])
+        schema = "doc_id long, ts timestamp, text string"
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
+        kept = streaming_dedup_content(src, "text", "ts")
+        sink = run_to_parquet_sink(kept.select("doc_id"),
+                                   f"{work}/out", f"{work}/ckpt")
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+        _DEDUP_REPLAY_SINKS[cache_key] = sink
+    return read_replay_sink(spark, sink).select("doc_id")
+
+
+QUERIES["dedup_stream_replay"] = q_dedup_stream_replay
+
+# the stream's kept set == the batch dedup's keeper rows
+ORACLE["dedup_stream_replay"] = """
+WITH hashed AS (
+  SELECT doc_id, md5(lower(text)) AS content_hash FROM documents
+),
+groups AS (
+  SELECT content_hash, min(doc_id) AS keeper_id
+  FROM hashed GROUP BY content_hash
+)
+SELECT keeper_id AS doc_id FROM groups
+"""

@@ -1564,3 +1564,242 @@ SELECT key, w_start_ms,
        floor(r_sum / n * 1000000) / 1000000 AS mean_rel_spread
 FROM g
 """
+
+
+# ---- incremental correlation pipeline, driver-gated through replay ------
+
+_CORR_STREAM_REPLAY_SINKS: dict[tuple, str] = {}
+
+
+def q_fx_corr_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL incremental correlation pipeline executed through the
+    STREAMING lane (`streaming/pipeline.py`): ticks replayed as an
+    out-of-order file stream → keyed-state global gap-fill candles →
+    per-batch log returns appended to the returns store →
+    touched-windows-only correlation recompute → log-structured store
+    with in-band supersession markers — then the store is RESOLVED
+    (latest authoritative batch per window) and hash-matched against
+    the SAME DuckDB oracle as the batch `fx_pair_correlation`. This is
+    the operator the reference repo IS (FXTimeSeriesPipelineDemo.java's
+    streaming correlation pipeline), gated end-to-end through the
+    driver's correctness check rather than a pytest claim.
+
+    Building this query RUNS the stream and the store resolve probes
+    the marker set (laziness-guard exempt); the declared result is the
+    resolved snapshot — a pruned parquet scan plus one broadcast
+    marker join."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_timeseries_java_spark.streaming.pipeline import (
+        read_streaming_correlations,
+        streaming_correlations,
+    )
+    from data_timeseries_java_spark.streaming.replay import (
+        SENTINEL_KEY,
+        drive_query,
+        write_replay_buckets,
+        write_sentinel_file,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    store = _CORR_STREAM_REPLAY_SINKS.get(cache_key)
+    if store is None or not os.path.isdir(store):
+        ticks, keys_df = _ticks_and_keys(spark, sf_dir)
+        universe = sorted(r[0] for r in keys_df.collect())
+        t0_ms, t1_ms = ticks.select(
+            F.min(_ms(F.col("event_time"))),
+            F.max(_ms(F.col("event_time")))).first()
+        work = tempfile.mkdtemp(prefix="fx_corr_stream_replay_")
+        n_files = 3
+        base = _time.time() - 1000
+        write_replay_buckets(ticks, "event_time", f"{work}/in", n_files,
+                             t0_ms, t1_ms - t0_ms + 1, base,
+                             ["key", "event_time"])
+        sent = spark.createDataFrame(
+            [(SENTINEL_KEY,)], "key string").select(
+            "key",
+            F.timestamp_millis(F.lit(t1_ms + 30 * 86_400_000))
+            .alias("event_time"),
+            F.lit(1.0).alias("bid"), F.lit(1.0).alias("ask"),
+            F.lit(True).alias("is_live"))
+        write_sentinel_file(sent, f"{work}/in", n_files, base)
+
+        src = (spark.readStream.schema(ticks.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
+        cfg = CorrelationConfig(window=CORR_WINDOW, slide=CORR_SLIDE,
+                                min_corr=0.0, propagate_nan=True)
+        q = streaming_correlations(spark, src, f"{work}/store", RES,
+                                   config=cfg, universe=universe)
+        drive_query(q, 600, "fx correlation stream replay")
+        store = f"{work}/store"
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{store}/checkpoint", ignore_errors=True)
+        _CORR_STREAM_REPLAY_SINKS[cache_key] = store
+    snap = (read_streaming_correlations(spark, store)
+            .where((F.col("key1") != SENTINEL_KEY)
+                   & (F.col("key2") != SENTINEL_KEY)))
+    return snap.select(
+        F.col("w_start_ms"),
+        "key1", "key2",
+        F.round("value", 6).alias("value"),
+        F.col("x_count").cast("long").alias("n_points"),
+        "is_nan",
+    )
+
+
+QUERIES["fx_corr_stream_replay"] = q_fx_corr_stream_replay
+# resolved stream snapshot vs the SAME independent oracle as the batch
+# flagship — registered after the ORACLE dict literal below
+
+ORACLE["fx_corr_stream_replay"] = ORACLE["fx_pair_correlation"]
+
+
+# ---- streaming realized vol, driver-gated through replay ----------------
+
+_VOL_STREAM_REPLAY_SINKS: dict[tuple, str] = {}
+
+
+def q_vol_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily realized volatility executed through the STREAMING lane
+    (`streaming/vol_stream.py` — the batch decomposable-sums plan run
+    incrementally behind a watermark, windows finalized on watermark
+    pass) and hash-matched against the SAME DuckDB oracle as the batch
+    `fx_realized_vol`.
+
+    The replay input is the hourly log-returns frame (whose own
+    derivation is oracle-checked by `fx_log_returns`), split into 3
+    time-range files with md5-scrambled within-file order — the gate
+    targets the streaming windowed aggregation's incremental state and
+    out-of-order handling, with a far-future sentinel flushing the
+    final day windows. Building this query RUNS the stream; the
+    declared result is a pruned parquet scan of the sink."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_timeseries_java_spark.streaming.vol_stream import (
+        streaming_realized_volatility,
+    )
+    from data_timeseries_java_spark.streaming.replay import (
+        SENTINEL_KEY,
+        read_replay_sink,
+        run_to_parquet_sink,
+        write_replay_buckets,
+        write_sentinel_file,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    sink = _VOL_STREAM_REPLAY_SINKS.get(cache_key)
+    if sink is None or not os.path.isdir(sink):
+        rets = _returns_df(spark, sf_dir).select("key", "time", "value")
+        t0_ms, t1_ms = rets.select(
+            F.min(_ms(F.col("time"))), F.max(_ms(F.col("time")))).first()
+        n_files = 3
+        work = tempfile.mkdtemp(prefix="vol_stream_replay_")
+        base = _time.time() - 1000
+        write_replay_buckets(rets, "time", f"{work}/in", n_files,
+                             t0_ms, t1_ms - t0_ms + 1, base,
+                             ["key", "time"])
+        sent = spark.createDataFrame(
+            [(SENTINEL_KEY,)], "key string").select(
+            "key",
+            F.timestamp_millis(F.lit(t1_ms + 30 * 86_400_000))
+            .alias("time"),
+            F.lit(0.0).alias("value"))
+        write_sentinel_file(sent, f"{work}/in", n_files, base)
+
+        src = (spark.readStream.schema(rets.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
+        vol = streaming_realized_volatility(src, "1 day")
+        sink = run_to_parquet_sink(vol, f"{work}/out", f"{work}/ckpt")
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+        _VOL_STREAM_REPLAY_SINKS[cache_key] = sink
+    v = (read_replay_sink(spark, sink)
+         .where(F.col("key") != SENTINEL_KEY))
+    return v.select(
+        "key",
+        _ms(F.col("window_start")).alias("day_ms"),
+        "n_rets",
+        F.round("realized_vol", 6).alias("realized_vol"),
+    )
+
+
+QUERIES["vol_stream_replay"] = q_vol_stream_replay
+
+ORACLE["vol_stream_replay"] = ORACLE["fx_realized_vol"]
+
+
+# ---- streaming EMA, driver-gated through replay -------------------------
+
+_EMA_STREAM_REPLAY_SINKS: dict[tuple, str] = {}
+
+
+def q_ema_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recursive EMA executed through the STREAMING lane
+    (`streaming/ema_stream.py` — applyInPandasWithState carrying the
+    cross-batch EMA seed, pandas ewm(adjust=False) continuing the exact
+    IEEE-double recursion per micro-batch) and hash-matched against the
+    SAME DuckDB RECURSIVE-CTE oracle as the batch `fx_ema_returns` —
+    upgrading the EMA lane from a rows-only batch check + pytest
+    stream==batch claim to a full three-way hash gate.
+
+    The replay input is the hourly log-returns frame (derivation
+    oracle-checked by `fx_log_returns`) in 3 time-range files; within-
+    file order is md5-scrambled (the operator sorts each micro-batch by
+    event time before folding, and time-range bucketing keeps files in
+    recursion order — the contract under which stream == batch). No
+    sentinel: the stateful function emits every row it sees, nothing
+    waits on the watermark. Building this query RUNS the stream."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_timeseries_java_spark.streaming.ema_stream import (
+        streaming_ema_applyinpandas,
+    )
+    from data_timeseries_java_spark.streaming.replay import (
+        read_replay_sink,
+        run_to_parquet_sink,
+        write_replay_buckets,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    sink = _EMA_STREAM_REPLAY_SINKS.get(cache_key)
+    if sink is None or not os.path.isdir(sink):
+        rets = _returns_df(spark, sf_dir).select(
+            "key", F.col("time").alias("event_time"), "value")
+        t0_ms, t1_ms = rets.select(
+            F.min(_ms(F.col("event_time"))),
+            F.max(_ms(F.col("event_time")))).first()
+        n_files = 3
+        work = tempfile.mkdtemp(prefix="ema_stream_replay_")
+        base = _time.time() - 1000
+        write_replay_buckets(rets, "event_time", f"{work}/in", n_files,
+                             t0_ms, t1_ms - t0_ms + 1, base,
+                             ["key", "event_time"])
+        src = (spark.readStream.schema(rets.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
+        out = streaming_ema_applyinpandas(src, alpha=0.2,
+                                          price_col="value")
+        sink = run_to_parquet_sink(out, f"{work}/out", f"{work}/ckpt")
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+        _EMA_STREAM_REPLAY_SINKS[cache_key] = sink
+    e = read_replay_sink(spark, sink)
+    return e.select(
+        "key",
+        _ms(F.col("event_time")).alias("time_ms"),
+        F.round("price", 6).alias("ret"),
+        F.round("ema", 6).alias("ema"),
+    )
+
+
+QUERIES["ema_stream_replay"] = q_ema_stream_replay
+
+ORACLE["ema_stream_replay"] = ORACLE["fx_ema_returns"]

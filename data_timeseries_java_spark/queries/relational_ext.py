@@ -1061,3 +1061,222 @@ SELECT event_id, event_type, value,
        value > hi AS clipped_high
 FROM d
 """
+
+
+# ---- streaming sessionization, driver-gated through replay --------------
+
+_SESSIONS_REPLAY_SINKS: dict[tuple, str] = {}
+
+
+def q_sessions_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization executed through the STREAMING lane
+    (`streaming/sessions_stream.py` — Spark's native session_window
+    state store, sessions merged across micro-batches, emitted once
+    the watermark passes last_event + gap) and hash-matched against an
+    independent DuckDB lag/cumsum oracle — the idiom the batch
+    `user_sessions` query uses, re-derived in SQL.
+
+    Events are replayed as 3 time-range files with md5-scrambled
+    within-file order (session state must assemble sessions from
+    scrambled arrival and merge those straddling batch boundaries); a
+    far-future sentinel event (user -1) flushes the tail sessions. The
+    fixture is boundary-free (verified: zero exact-30-minute
+    inter-event gaps at sf0.01/0.1), so the session_window >= gap vs
+    lag/cumsum > gap boundary difference documented on the operator
+    cannot bite. Building this query RUNS the stream; the declared
+    result is a pruned parquet scan of the sink."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_timeseries_java_spark.streaming.sessions_stream import (
+        streaming_sessions,
+    )
+    from data_timeseries_java_spark.streaming.replay import (
+        read_replay_sink,
+        run_to_parquet_sink,
+        write_replay_buckets,
+        write_sentinel_file,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    sink = _SESSIONS_REPLAY_SINKS.get(cache_key)
+    if sink is None or not os.path.isdir(sink):
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "value", "event_id")
+        t0_ms, t1_ms = ev.select(
+            F.min(F.unix_millis("ts")), F.max(F.unix_millis("ts"))).first()
+        n_files = 3
+        work = tempfile.mkdtemp(prefix="sessions_stream_replay_")
+        base = _time.time() - 1000
+        write_replay_buckets(ev, "ts", f"{work}/in", n_files,
+                             t0_ms, t1_ms - t0_ms + 1, base,
+                             ["user_id", "event_id"])
+        sent = spark.createDataFrame(
+            [(-1,)], "user_id long").select(
+            "user_id",
+            F.timestamp_millis(F.lit(t1_ms + 30 * 86_400_000)).alias("ts"),
+            F.lit(0.0).alias("value"), F.lit(-1).cast("long")
+            .alias("event_id"))
+        write_sentinel_file(sent, f"{work}/in", n_files, base)
+
+        src = (spark.readStream.schema(ev.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
+        sessions = streaming_sessions(src, "user_id", "ts",
+                                      gap="30 minutes", watermark="0 seconds")
+        sink = run_to_parquet_sink(sessions, f"{work}/out", f"{work}/ckpt")
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+        _SESSIONS_REPLAY_SINKS[cache_key] = sink
+    s = read_replay_sink(spark, sink).where(F.col("user_id") >= 0)
+    return s.select("user_id", "session_start_ms", "session_last_ms",
+                    "n_events", "session_value")
+
+
+QUERIES["sessions_stream_replay"] = q_sessions_stream_replay
+
+# independent lag/cumsum re-derivation (the batch idiom) — the stream's
+# session_window state machine must reproduce it exactly
+ORACLE["sessions_stream_replay"] = """
+WITH flags AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+seq AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS s
+  FROM flags
+)
+SELECT user_id,
+       epoch_ms(min(ts)) AS session_start_ms,
+       epoch_ms(max(ts)) AS session_last_ms,
+       count(*) AS n_events,
+       round(sum(value), 6) AS session_value
+FROM seq GROUP BY user_id, s
+"""
+
+
+# ---- streaming prequential anomalies, driver-gated through replay -------
+
+_ANOMALY_REPLAY_SINKS: dict[tuple, str] = {}
+
+_ANOM_N_FILES = 4
+_ANOM_Z = 3.0
+_ANOM_MIN_PRIOR = 10
+
+
+def q_anomaly_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prequential anomaly detection executed through the STREAMING
+    lane (`streaming/anomaly_stream.py` — each micro-batch scored
+    against the moment store of strictly PRIOR batches, so an outlier
+    never inflates the variance it is judged against) and hash-matched
+    against a DuckDB oracle that re-derives the prequential discipline
+    independently: events bucketed by the SAME time-range formula the
+    replay writer uses, per-(key, bucket) moments, and
+    exclusive-of-current-bucket cumulative window sums as the prior
+    stats.
+
+    This is a semantically DIFFERENT check from the batch
+    `event_anomalies` (full-history sample-stddev z-score): the gate
+    pins the streaming operator's own test-then-train contract, not
+    batch equivalence. Building this query RUNS the stream."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_timeseries_java_spark.streaming.anomaly_stream import (
+        streaming_anomalies,
+    )
+    from data_timeseries_java_spark.streaming.replay import (
+        drive_query,
+        write_replay_buckets,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    sink = _ANOMALY_REPLAY_SINKS.get(cache_key)
+    if sink is None or not os.path.isdir(sink):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "ts", "value")
+        t0_ms, t1_ms = ev.select(
+            F.min(F.unix_millis("ts")), F.max(F.unix_millis("ts"))).first()
+        work = tempfile.mkdtemp(prefix="anomaly_stream_replay_")
+        base = _time.time() - 1000
+        write_replay_buckets(ev, "ts", f"{work}/in", _ANOM_N_FILES,
+                             t0_ms, t1_ms - t0_ms + 1, base,
+                             ["event_id"])
+        src = (spark.readStream.schema(ev.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
+        q = streaming_anomalies(spark, src, f"{work}/store",
+                                key_col="event_type", value_col="value",
+                                z=_ANOM_Z, min_prior_n=_ANOM_MIN_PRIOR)
+        drive_query(q, 600, "anomaly stream replay")
+        sink = f"{work}/store/anomalies"
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/store/checkpoint", ignore_errors=True)
+        _ANOMALY_REPLAY_SINKS[cache_key] = sink
+    a = (spark.read.option("basePath", sink).parquet(sink)
+         .drop("batch_id"))
+    return a.select(
+        "event_id", "event_type", "value",
+        F.col("prior_n").cast("long").alias("prior_n"),
+        F.round("prior_mean", 6).alias("prior_mean"),
+        F.round("prior_std", 6).alias("prior_std"),
+    )
+
+
+QUERIES["anomaly_stream_replay"] = q_anomaly_stream_replay
+
+# independent prequential re-derivation: the bucket formula mirrors
+# streaming/replay.write_replay_buckets (least(n-1, floor((ms - t0) * n
+# / span))) so SQL buckets == micro-batches, and the prior stats are
+# exclusive cumulative sums over bucket order
+ORACLE["anomaly_stream_replay"] = f"""
+WITH bounds AS (
+  SELECT min(epoch_ms(ts)) AS t0,
+         max(epoch_ms(ts)) - min(epoch_ms(ts)) + 1 AS span
+  FROM events
+),
+ev AS (
+  SELECT e.event_id, e.event_type, e.value,
+         least({_ANOM_N_FILES - 1},
+               floor((epoch_ms(e.ts) - b.t0) * {_ANOM_N_FILES} * 1.0
+                     / b.span)) AS bucket
+  FROM events e CROSS JOIN bounds b
+),
+per AS (
+  SELECT event_type, bucket, count(*) AS c, sum(value) AS s,
+         sum(value * value) AS ss
+  FROM ev GROUP BY event_type, bucket
+),
+cum AS (
+  SELECT event_type, bucket,
+         sum(c) OVER w AS prior_n,
+         sum(s) OVER w AS ps,
+         sum(ss) OVER w AS pss
+  FROM per
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT e.event_id, e.event_type, e.value, c.prior_n,
+         c.ps / c.prior_n AS prior_mean,
+         sqrt(greatest(c.pss / c.prior_n
+                       - (c.ps / c.prior_n) * (c.ps / c.prior_n),
+                       0.0)) AS prior_std
+  FROM ev e JOIN cum c
+    ON c.event_type = e.event_type AND c.bucket = e.bucket
+)
+SELECT event_id, event_type, value,
+       CAST(prior_n AS BIGINT) AS prior_n,
+       round(prior_mean, 6) AS prior_mean,
+       round(prior_std, 6) AS prior_std
+FROM scored
+WHERE prior_n >= {_ANOM_MIN_PRIOR} AND prior_std > 0
+  AND abs(value - prior_mean) > {_ANOM_Z} * prior_std
+"""

@@ -132,7 +132,10 @@ def test_no_query_falls_into_row_python(spark, sf_dir):
 _ITERATIVE_QUERIES = {"dedup_clusters", "dedup_keep_list",
                       "fx_candles_stream_replay", "asof_stream_replay",
                       "topk_stream_replay", "hll_stream_replay",
-                      "neardup_stream_replay", "corpus_stream_replay"}
+                      "neardup_stream_replay", "corpus_stream_replay",
+                      "fx_corr_stream_replay", "sessions_stream_replay",
+                      "vol_stream_replay", "dedup_stream_replay",
+                      "ema_stream_replay", "anomaly_stream_replay"}
 
 
 
