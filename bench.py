@@ -53,6 +53,9 @@ HEADLINE = [
     "ann_lsh",
     # composed end-to-end corpus pipeline (fused single-scan plan)
     "corpus_build",
+    # real BPE subword tokenization — 64-rule replace chain in one
+    # whole-stage-codegen projection, no shuffle (round 7)
+    "text_bpe_tokens",
     # media codec tier (pure-Python codecs, Arrow-batched mapInPandas;
     # these time synthesize+decode end-to-end — decode-only docs/s and
     # MB/s ceilings live in bench_media.py and SCALE.md)

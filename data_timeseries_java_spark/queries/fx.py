@@ -1803,3 +1803,374 @@ def q_ema_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ema_stream_replay"] = q_ema_stream_replay
 
 ORACLE["ema_stream_replay"] = ORACLE["fx_ema_returns"]
+
+
+# ---- Holt linear-trend smoothing ----------------------------------------
+
+
+def q_fx_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing over each instrument's
+    carry-forward candle closes: per-candle level, trend, and one-step
+    forecast (level + trend) — the trend-following companion to the
+    EMA lane. Recursive per-key series op (grouped-map pandas, one
+    shuffle; operators/ema.holt_linear); the DuckDB oracle runs the
+    SAME two-equation recursion as a RECURSIVE CTE, bit-identical
+    because the smoothing constants are dyadic (see the operator
+    docstring)."""
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+    from data_timeseries_java_spark.operators.ema import holt_linear
+
+    ticks, keys = _ticks_and_keys(spark, sf_dir)
+    c = candles_pipeline(ticks, keys, RES).select(
+        "key", _ms(F.col("window_start")).alias("w_start_ms"),
+        F.col("close.ask").alias("price"))
+    h = holt_linear(c, alpha=0.25, beta=0.125,
+                    time_col="w_start_ms", value_col="price")
+    return h.select(
+        "key", "w_start_ms",
+        F.round("price", 6).alias("price"),
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round(F.col("level") + F.col("trend"), 6).alias("forecast"),
+    )
+
+
+QUERIES["fx_holt_trend"] = q_fx_holt_trend
+
+ORACLE["fx_holt_trend"] = _PRELUDE + """,
+seq AS (
+  SELECT key, w_start_ms, close_price AS price,
+         row_number() OVER (PARTITION BY key ORDER BY w_start_ms) AS rn
+  FROM filled
+)
+SELECT key, w_start_ms, round(price, 6) AS price,
+       round(level, 6) AS level, round(trend, 6) AS trend,
+       round(level + trend, 6) AS forecast
+FROM (
+  WITH RECURSIVE h AS (
+    SELECT key, w_start_ms, price, rn,
+           price AS level, CAST(0 AS DOUBLE) AS trend
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.key, s.w_start_ms, s.price, s.rn,
+           0.25 * s.price + 0.75 * (h.level + h.trend) AS level,
+           0.125 * ((0.25 * s.price + 0.75 * (h.level + h.trend))
+                    - h.level) + 0.875 * h.trend AS trend
+    FROM seq s JOIN h ON s.key = h.key AND s.rn = h.rn + 1
+  )
+  SELECT * FROM h
+)
+"""
+
+
+# ---- checkpoint recovery, driver-gated through two-phase replay ---------
+
+_RECOVERY_REPLAY_SINKS: dict[tuple, str] = {}
+
+
+def q_recovery_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint RECOVERY through the driver gate: the candle pipeline
+    is run as TWO separate streaming queries over the same source
+    directory and the same retained checkpoint — phase 1 sees only the
+    first two time-bucket files and terminates (availableNow); the
+    remaining files and the watermark-flush sentinel are written
+    AFTERWARDS and phase 2 starts fresh from the checkpoint, restoring
+    the keyed state (unsealed windows + carry-forward closes from
+    phase 1) and processing only the new files. The union of both
+    phases' sink partitions must hash-match the SAME batch oracle as
+    `fx_candles_stream_replay` — if state restore dropped or replayed
+    anything (double-processed files, lost pending windows, broken
+    carry-forward across the restart boundary) the hash breaks.
+
+    Building this query RUNS both streams (laziness-guard exempt)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_timeseries_java_spark.streaming.candles_stream import (
+        streaming_complete_candles_global,
+    )
+    from data_timeseries_java_spark.streaming.replay import (
+        SENTINEL_KEY,
+        read_replay_sink,
+        run_to_parquet_sink,
+        write_replay_buckets,
+        write_sentinel_file,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    sink = _RECOVERY_REPLAY_SINKS.get(cache_key)
+    if sink is None or not os.path.isdir(sink):
+        ticks, keys_df = _ticks_and_keys(spark, sf_dir)
+        universe = sorted(r[0] for r in keys_df.collect())
+        t0_ms, t1_ms = ticks.select(
+            F.min(_ms(F.col("event_time"))),
+            F.max(_ms(F.col("event_time")))).first()
+        work = tempfile.mkdtemp(prefix="recovery_stream_replay_")
+        n_files = 3
+        base = _time.time() - 1000
+        span = t1_ms - t0_ms + 1
+        # phase 1: only buckets 0 and 1 exist on disk
+        bucket = F.least(
+            F.lit(n_files - 1),
+            F.floor((_ms(F.col("event_time")) - F.lit(t0_ms))
+                    * n_files / F.lit(span)))
+        for i in (0, 1):
+            (ticks.where(bucket == i)
+             .orderBy(F.md5(F.concat_ws(":", "key", "event_time")))
+             .coalesce(1).write.mode("overwrite")
+             .parquet(f"{work}/in/f{i}"))
+        import glob as _glob
+        for i in (0, 1):
+            for p in _glob.glob(f"{work}/in/f{i}/*"):
+                os.utime(p, (base + i * 10, base + i * 10))
+
+        def src():
+            return (spark.readStream.schema(ticks.schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(f"{work}/in/f*"))
+
+        # watermark delay = one resolution: on RESTART, Spark's
+        # late-row filter loses its one-batch lag (the first resumed
+        # batch filters with the full committed watermark, not the
+        # previous batch's), so a 0-delay stream would drop ticks of
+        # the window straddling the restart boundary — found by this
+        # gate; delay >= resolution keeps every in-window tick inside
+        # the restart-tightened horizon
+        candles1 = streaming_complete_candles_global(src(), universe, RES,
+                                                     watermark=RES)
+        run_to_parquet_sink(candles1, f"{work}/out", f"{work}/ckpt")
+
+        # phase 2: the rest of the feed + the flush sentinel appear,
+        # and a NEW query resumes from the retained checkpoint
+        (ticks.where(bucket == 2)
+         .orderBy(F.md5(F.concat_ws(":", "key", "event_time")))
+         .coalesce(1).write.mode("overwrite").parquet(f"{work}/in/f2"))
+        for p in _glob.glob(f"{work}/in/f2/*"):
+            os.utime(p, (base + 20, base + 20))
+        sent = spark.createDataFrame(
+            [(SENTINEL_KEY,)], "key string").select(
+            "key",
+            F.timestamp_millis(F.lit(t1_ms + 30 * 86_400_000))
+            .alias("event_time"),
+            F.lit(1.0).alias("bid"), F.lit(1.0).alias("ask"),
+            F.lit(True).alias("is_live"))
+        write_sentinel_file(sent, f"{work}/in", n_files, base)
+
+        candles2 = streaming_complete_candles_global(src(), universe, RES,
+                                                     watermark=RES)
+        sink = run_to_parquet_sink(candles2, f"{work}/out", f"{work}/ckpt")
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+        _RECOVERY_REPLAY_SINKS[cache_key] = sink
+    flat = (read_replay_sink(spark, sink)
+            .where(F.col("key") != SENTINEL_KEY))
+    return flat.select(
+        "key",
+        _ms(F.col("window_start")).alias("w_start_ms"),
+        F.col("is_live"),
+        _ms(F.col("open_time")).alias("open_time_ms"),
+        F.col("open_ask").alias("open_price"),
+        _ms(F.col("close_time")).alias("close_time_ms"),
+        F.col("close_ask").alias("close_price"),
+        F.col("min_ask").alias("min_price"),
+        F.col("max_ask").alias("max_price"),
+    )
+
+
+QUERIES["recovery_stream_replay"] = q_recovery_stream_replay
+
+ORACLE["recovery_stream_replay"] = ORACLE["fx_candles_stream_replay"]
+
+
+# ---- mean-reversion half-life -------------------------------------------
+
+
+def q_fx_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ornstein-Uhlenbeck mean-reversion half-life per instrument: the
+    AR(1) regression of price changes on lagged price (dx_t = beta *
+    x_{t-1} + eps) over the carry-forward candle closes, half-life =
+    -ln(2)/ln(1+beta) candles when the series mean-reverts (-1 < beta
+    < 0) — the pairs-desk holding-period estimate. Closed-form OLS
+    from decomposable sums (the distributed-regression shape of
+    value_trend_ols: sums are ROUNDED before the closed form so both
+    engines do bit-identical arithmetic downstream of the reduction);
+    one lag window + one aggregation on the same key partitioning."""
+    from pyspark.sql import Window
+
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+
+    ticks, keys = _ticks_and_keys(spark, sf_dir)
+    c = candles_pipeline(ticks, keys, RES).select(
+        "key", _ms(F.col("window_start")).alias("w_start_ms"),
+        F.col("close.ask").alias("px"))
+    w = Window.partitionBy("key").orderBy("w_start_ms")
+    x = F.lag("px").over(w)
+    d = (c.select("key", x.alias("x"), (F.col("px") - x).alias("y"))
+         .where(F.col("x").isNotNull()))
+    st = d.groupBy("key").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.sum("x"), 6).alias("sx"),
+        F.round(F.sum("y"), 6).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("x")), 6).alias("sxx"),
+        F.round(F.sum(F.col("x") * F.col("y")), 6).alias("sxy"))
+    beta = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")), 6)
+    st = st.withColumn("beta", beta)
+    hl = F.when((F.col("beta") < 0) & (F.col("beta") > -1),
+                F.round(-F.log(F.lit(2.0)) / F.log(1 + F.col("beta")), 6))
+    return st.select(
+        "key", F.col("n").cast("long").alias("n_obs"), "beta",
+        hl.alias("half_life_windows"))
+
+
+QUERIES["fx_half_life"] = q_fx_half_life
+
+
+# ---- candlestick pattern detection --------------------------------------
+
+
+def q_fx_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic candlestick pattern flags per carry-forward candle:
+    doji (body <= 10% of range), hammer (lower shadow >= 2x body,
+    upper shadow <= body), and bullish/bearish engulfing against the
+    previous candle's body. Pure lag comparisons on the candle frame —
+    one window over the same key partitioning, no extra shuffle; all
+    comparisons are on raw carried prices, so the flags are exactly
+    reproducible cross-engine (no float rounding in the predicate
+    inputs)."""
+    from pyspark.sql import Window
+
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+
+    ticks, keys = _ticks_and_keys(spark, sf_dir)
+    c = candles_pipeline(ticks, keys, RES).select(
+        "key", _ms(F.col("window_start")).alias("w_start_ms"),
+        F.col("open.ask").alias("o"), F.col("close.ask").alias("c"),
+        F.col("min_ask.ask").alias("lo"), F.col("max_ask.ask").alias("hi"))
+    w = Window.partitionBy("key").orderBy("w_start_ms")
+    po, pc = F.lag("o").over(w), F.lag("c").over(w)
+    d = c.select("key", "w_start_ms", "o", "c", "lo", "hi",
+                 po.alias("po"), pc.alias("pc"))
+    body = F.abs(F.col("c") - F.col("o"))
+    rng = F.col("hi") - F.col("lo")
+    lower_sh = F.least("o", "c") - F.col("lo")
+    upper_sh = F.col("hi") - F.greatest("o", "c")
+    return d.select(
+        "key", "w_start_ms",
+        ((rng > 0) & (body <= 0.1 * rng)).alias("is_doji"),
+        ((rng > 0) & (lower_sh >= 2 * body) & (upper_sh <= body))
+        .alias("is_hammer"),
+        (F.col("po").isNotNull() & (F.col("pc") < F.col("po"))
+         & (F.col("c") > F.col("o")) & (F.col("o") <= F.col("pc"))
+         & (F.col("c") >= F.col("po"))).alias("bullish_engulfing"),
+        (F.col("po").isNotNull() & (F.col("pc") > F.col("po"))
+         & (F.col("c") < F.col("o")) & (F.col("o") >= F.col("pc"))
+         & (F.col("c") <= F.col("po"))).alias("bearish_engulfing"),
+    )
+
+
+QUERIES["fx_candle_patterns"] = q_fx_candle_patterns
+
+ORACLE["fx_half_life"] = _PRELUDE + """,
+d AS (
+  SELECT key,
+         lag(close_price) OVER w AS x,
+         close_price - lag(close_price) OVER w AS y
+  FROM complete
+  WINDOW w AS (PARTITION BY key ORDER BY w_start_ms)
+),
+st AS (
+  SELECT key, CAST(count(*) AS DOUBLE) AS n,
+         round(sum(x), 6) AS sx, round(sum(y), 6) AS sy,
+         round(sum(x * x), 6) AS sxx, round(sum(x * y), 6) AS sxy
+  FROM d WHERE x IS NOT NULL GROUP BY key
+)
+SELECT key, CAST(n AS BIGINT) AS n_obs, beta,
+       CASE WHEN beta < 0 AND beta > -1
+            THEN round(-ln(2) / ln(1 + beta), 6) END AS half_life_windows
+FROM (
+  SELECT *, round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta
+  FROM st
+)
+"""
+
+ORACLE["fx_candle_patterns"] = _PRELUDE + """,
+d AS (
+  SELECT key, w_start_ms,
+         open_price AS o, close_price AS c, min_price AS lo,
+         max_price AS hi,
+         lag(open_price) OVER w AS po, lag(close_price) OVER w AS pc
+  FROM complete
+  WINDOW w AS (PARTITION BY key ORDER BY w_start_ms)
+)
+SELECT key, w_start_ms,
+       (hi - lo > 0 AND abs(c - o) <= 0.1 * (hi - lo)) AS is_doji,
+       (hi - lo > 0 AND least(o, c) - lo >= 2 * abs(c - o)
+        AND hi - greatest(o, c) <= abs(c - o)) AS is_hammer,
+       (po IS NOT NULL AND pc < po AND c > o AND o <= pc AND c >= po)
+         AS bullish_engulfing,
+       (po IS NOT NULL AND pc > po AND c < o AND o >= pc AND c <= po)
+         AS bearish_engulfing
+FROM d
+"""
+
+
+# ---- Kalman local-level filter ------------------------------------------
+
+
+def q_fx_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman local-level filtering of each instrument's candle
+    closes: adaptive-gain denoised level + per-step gain and variance
+    (operators/ema.kalman_local_level). The oracle runs the SAME
+    predict/gain/update recursion as a DuckDB RECURSIVE CTE with
+    expression-identical IEEE arithmetic, so the 6-decimal outputs
+    hash-match — the adaptive companion to the fixed-alpha EMA lane."""
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+    from data_timeseries_java_spark.operators.ema import kalman_local_level
+
+    ticks, keys = _ticks_and_keys(spark, sf_dir)
+    c = candles_pipeline(ticks, keys, RES).select(
+        "key", _ms(F.col("window_start")).alias("w_start_ms"),
+        F.col("close.ask").alias("price"))
+    k = kalman_local_level(c, q=0.001, r=0.01,
+                           time_col="w_start_ms", value_col="price")
+    return k.select(
+        "key", "w_start_ms",
+        F.round("price", 6).alias("price"),
+        F.round("kf_level", 6).alias("kf_level"),
+        F.round("kf_gain", 6).alias("kf_gain"),
+        F.round("kf_var", 6).alias("kf_var"),
+    )
+
+
+QUERIES["fx_kalman_level"] = q_fx_kalman_level
+
+ORACLE["fx_kalman_level"] = _PRELUDE + """,
+seq AS (
+  SELECT key, w_start_ms, close_price AS z,
+         row_number() OVER (PARTITION BY key ORDER BY w_start_ms) AS rn
+  FROM filled
+)
+SELECT key, w_start_ms, round(z, 6) AS price,
+       round(l, 6) AS kf_level, round(k, 6) AS kf_gain,
+       round(p, 6) AS kf_var
+FROM (
+  WITH RECURSIVE kf AS (
+    SELECT key, w_start_ms, z, rn,
+           z AS l, CAST(0 AS DOUBLE) AS k, CAST(1 AS DOUBLE) AS p
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.key, s.w_start_ms, s.z, s.rn,
+           f.l + ((f.p + 0.001) / ((f.p + 0.001) + 0.01)) * (s.z - f.l)
+             AS l,
+           (f.p + 0.001) / ((f.p + 0.001) + 0.01) AS k,
+           (1 - (f.p + 0.001) / ((f.p + 0.001) + 0.01)) * (f.p + 0.001)
+             AS p
+    FROM seq s JOIN kf f ON s.key = f.key AND s.rn = f.rn + 1
+  )
+  SELECT * FROM kf
+)
+"""

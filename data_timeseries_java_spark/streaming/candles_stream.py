@@ -36,6 +36,17 @@ Semantics notes (all test-asserted):
   operator exactly — and globally-empty windows emit nothing.
 - min/max in the flat streaming output carry prices only (the batch
   operator keeps whole ticks; the flat schema is what sinks want).
+- RESTART tightens the disorder horizon by one batch: in-run, Spark
+  filters late rows with the PREVIOUS batch's watermark (one-batch
+  lag), but a query resumed from a checkpoint filters its first batch
+  with the full committed watermark — so with delay 0, ticks arriving
+  after a restart for a window the watermark has already entered
+  (e.g. the window straddling the restart boundary, whose activity
+  marker sits at w_end − 1 ms) are dropped, where the unrestarted run
+  would have kept them. A pipeline that must survive restarts
+  mid-window should set ``watermark`` to at least one resolution;
+  the recovery driver gate (``queries/fx.q_recovery_stream_replay``)
+  pins exactly this contract.
 """
 
 from __future__ import annotations

@@ -106,7 +106,7 @@ _PANDAS_QUERIES = {"media_decode_features", "media_png_decode",
                    "media_resize", "media_wav_features",
                    "media_wav_resample", "media_wav_spectrum",
                    "media_video_frames", "media_cross_format_dedup",
-                   "fx_ema_returns",
+                   "fx_ema_returns", "fx_holt_trend", "fx_kalman_level",
                    "neardup_cosine", "neardup_cosine_auto",
                    "fx_corr_wide", "fx_corr_headline"}
 
@@ -135,7 +135,8 @@ _ITERATIVE_QUERIES = {"dedup_clusters", "dedup_keep_list",
                       "neardup_stream_replay", "corpus_stream_replay",
                       "fx_corr_stream_replay", "sessions_stream_replay",
                       "vol_stream_replay", "dedup_stream_replay",
-                      "ema_stream_replay", "anomaly_stream_replay"}
+                      "ema_stream_replay", "anomaly_stream_replay",
+                      "recovery_stream_replay"}
 
 
 
