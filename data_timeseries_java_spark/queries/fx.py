@@ -2174,3 +2174,97 @@ FROM (
   SELECT * FROM kf
 )
 """
+
+
+# ---- streaming Holt + Kalman, driver-gated through replay ---------------
+
+_SERIES_STREAM_REPLAY_SINKS: dict[tuple, str] = {}
+
+
+def _series_stream_replay(spark: SparkSession, sf_dir: str, which: str):
+    """Shared replay for the recursive series streams: the
+    carry-forward candle close series (derivation oracle-checked by
+    fx_candles_complete) replayed as 3 time-range files with
+    md5-scrambled within-file order, folded through the streaming
+    operator, sink returned for the gate's select."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+    from data_timeseries_java_spark.streaming.ema_stream import (
+        streaming_holt,
+        streaming_kalman,
+    )
+    from data_timeseries_java_spark.streaming.replay import (
+        read_replay_sink,
+        run_to_parquet_sink,
+        write_replay_buckets,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir),
+                 which)
+    sink = _SERIES_STREAM_REPLAY_SINKS.get(cache_key)
+    if sink is None or not os.path.isdir(sink):
+        ticks, keys = _ticks_and_keys(spark, sf_dir)
+        series = candles_pipeline(ticks, keys, RES).select(
+            "key",
+            (F.col("window_start")).alias("event_time"),
+            F.col("close.ask").alias("price"))
+        t0_ms, t1_ms = series.select(
+            F.min(_ms(F.col("event_time"))),
+            F.max(_ms(F.col("event_time")))).first()
+        n_files = 3
+        work = tempfile.mkdtemp(prefix=f"{which}_stream_replay_")
+        base = _time.time() - 1000
+        write_replay_buckets(series, "event_time", f"{work}/in", n_files,
+                             t0_ms, t1_ms - t0_ms + 1, base,
+                             ["key", "event_time"])
+        src = (spark.readStream.schema(series.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
+        out = (streaming_holt(src) if which == "holt"
+               else streaming_kalman(src))
+        sink = run_to_parquet_sink(out, f"{work}/out", f"{work}/ckpt")
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+        _SERIES_STREAM_REPLAY_SINKS[cache_key] = sink
+    return read_replay_sink(spark, sink)
+
+
+def q_holt_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing executed through the STREAMING lane
+    (`streaming/ema_stream.streaming_holt` — (level, trend) keyed
+    state across micro-batches) and hash-matched against the SAME
+    RECURSIVE-CTE oracle as the batch `fx_holt_trend`. Building this
+    query RUNS the stream (laziness-guard exempt)."""
+    h = _series_stream_replay(spark, sf_dir, "holt")
+    return h.select(
+        "key", _ms(F.col("event_time")).alias("w_start_ms"),
+        F.round("price", 6).alias("price"),
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round(F.col("level") + F.col("trend"), 6).alias("forecast"),
+    )
+
+
+def q_kalman_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman local-level filtering executed through the STREAMING
+    lane (`streaming/ema_stream.streaming_kalman` — (level, variance)
+    keyed state) and hash-matched against the batch `fx_kalman_level`
+    RECURSIVE-CTE oracle. Building this query RUNS the stream."""
+    k = _series_stream_replay(spark, sf_dir, "kalman")
+    return k.select(
+        "key", _ms(F.col("event_time")).alias("w_start_ms"),
+        F.round("price", 6).alias("price"),
+        F.round("kf_level", 6).alias("kf_level"),
+        F.round("kf_gain", 6).alias("kf_gain"),
+        F.round("kf_var", 6).alias("kf_var"),
+    )
+
+
+QUERIES["holt_stream_replay"] = q_holt_stream_replay
+QUERIES["kalman_stream_replay"] = q_kalman_stream_replay
+
+ORACLE["holt_stream_replay"] = ORACLE["fx_holt_trend"]
+ORACLE["kalman_stream_replay"] = ORACLE["fx_kalman_level"]

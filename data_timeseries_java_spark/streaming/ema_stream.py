@@ -132,3 +132,100 @@ def streaming_ema_applyinpandas(ticks: DataFrame, alpha: float = 0.2,
             .applyInPandasWithState(
                 process, EMA_OUT_SCHEMA, _STATE_SCHEMA, "append",
                 GroupStateTimeout.NoTimeout))
+
+
+def _recursive_series_stream(ticks: DataFrame, price_col: str,
+                             out_extra: str, state_schema: str,
+                             init_state, step,
+                             watermark: str = "0 seconds") -> DataFrame:
+    """Shared shape for per-key recursive series streams (EMA / Holt /
+    Kalman): sort each micro-batch by event time, fold rows through
+    ``step`` carrying the tuple state across batches, emit one output
+    row per input row. Files/batches must arrive in per-key time order
+    (the replay harness's time-range bucketing) — the same contract as
+    :func:`streaming_ema_applyinpandas`.
+
+    ``init_state(z0) -> state`` seeds on the key's first-ever row;
+    ``step(state, z) -> (state, extras_tuple)`` advances one row."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (f"key string, event_time timestamp, "
+                  f"price double, {out_extra}")
+
+    def process(key, pdf_iter, state: GroupState):
+        (k,) = key
+        st = tuple(state.get) if state.exists else None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("event_time")
+            prices = pdf[price_col].astype("float64").to_numpy()
+            rows = []
+            for z in prices:
+                if st is None:
+                    st, extras = init_state(float(z))
+                else:
+                    st, extras = step(st, float(z))
+                rows.append(extras)
+            out = pd.DataFrame({
+                "key": k,
+                "event_time": pdf["event_time"].to_numpy(),
+                "price": prices,
+            })
+            for i, name in enumerate(
+                    c.split()[0] for c in out_extra.split(", ")):
+                out[name] = [r[i] for r in rows]
+            yield out
+        if st is not None:
+            state.update(st)
+
+    return (ticks
+            .withWatermark("event_time", watermark)
+            .groupBy("key")
+            .applyInPandasWithState(
+                process, out_schema, state_schema, "append",
+                GroupStateTimeout.NoTimeout))
+
+
+def streaming_holt(ticks: DataFrame, alpha: float = 0.25,
+                   beta: float = 0.125, price_col: str = "price",
+                   watermark: str = "0 seconds") -> DataFrame:
+    """Streaming Holt linear-trend smoothing — the streaming face of
+    ``operators/ema.holt_linear`` (same recursion, same dyadic-constant
+    bit-exactness contract), state = (level, trend) per key."""
+    one_m_alpha, one_m_beta = 1.0 - alpha, 1.0 - beta
+
+    def init(z):
+        return (z, 0.0), (z, 0.0)
+
+    def step(st, z):
+        lv, tr = st
+        lv_new = alpha * z + one_m_alpha * (lv + tr)
+        tr = beta * (lv_new - lv) + one_m_beta * tr
+        return (lv_new, tr), (lv_new, tr)
+
+    return _recursive_series_stream(
+        ticks, price_col, "level double, trend double",
+        "lv double, tr double", init, step, watermark)
+
+
+def streaming_kalman(ticks: DataFrame, q: float = 0.001, r: float = 0.01,
+                     price_col: str = "price",
+                     watermark: str = "0 seconds") -> DataFrame:
+    """Streaming 1-D Kalman local-level filter — the streaming face of
+    ``operators/ema.kalman_local_level`` (same predict/gain/update
+    expression order), state = (level, variance) per key."""
+
+    def init(z):
+        return (z, 1.0), (z, 0.0, 1.0)
+
+    def step(st, z):
+        lv, p = st
+        p_pred = p + q
+        k = p_pred / (p_pred + r)
+        lv = lv + k * (z - lv)
+        p = (1.0 - k) * p_pred
+        return (lv, p), (lv, k, p)
+
+    return _recursive_series_stream(
+        ticks, price_col, "kf_level double, kf_gain double, kf_var double",
+        "lv double, p double", init, step, watermark)

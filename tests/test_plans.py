@@ -136,7 +136,8 @@ _ITERATIVE_QUERIES = {"dedup_clusters", "dedup_keep_list",
                       "fx_corr_stream_replay", "sessions_stream_replay",
                       "vol_stream_replay", "dedup_stream_replay",
                       "ema_stream_replay", "anomaly_stream_replay",
-                      "recovery_stream_replay"}
+                      "recovery_stream_replay", "holt_stream_replay",
+                      "kalman_stream_replay"}
 
 
 
