@@ -2268,3 +2268,94 @@ QUERIES["kalman_stream_replay"] = q_kalman_stream_replay
 
 ORACLE["holt_stream_replay"] = ORACLE["fx_holt_trend"]
 ORACLE["kalman_stream_replay"] = ORACLE["fx_kalman_level"]
+
+
+# ---- Hurst exponent (aggregated-variance method) ------------------------
+
+_HURST_MS = [1, 2, 4, 8]
+
+
+def q_fx_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent per instrument via the aggregated-variance
+    method: variance of non-overlapping m-candle block returns for
+    m in {1,2,4,8}; for self-affine increments Var(m) ~ m^(2H), so H =
+    slope/2 of the log-log regression — ~0.5 for a random walk,
+    >0.5 trending, <0.5 mean-reverting. All moments from ROUNDED
+    decomposable sums (the value_trend_ols convention) so both engines
+    do identical arithmetic; one explode over the 4 block sizes, two
+    aggregations on the key partitioning, no iteration."""
+    from pyspark.sql import Window
+
+    r = _returns_df(spark, sf_dir).select(
+        "key", _ms(F.col("time")).alias("time_ms"), "value")
+    w = Window.partitionBy("key").orderBy("time_ms")
+    idx = F.row_number().over(w) - 1
+    # idx in its OWN select: a window function and a generator in one
+    # projection get planned generator-first, numbering the exploded
+    # copies instead of the source rows
+    rows = (r.select("key", "value", idx.alias("i"))
+            .select("key", "value", "i",
+                    F.explode(F.array(*[F.lit(m) for m in _HURST_MS]))
+                    .alias("m")))
+    blocks = (rows.groupBy("key", "m",
+                           (F.col("i") - F.col("i") % F.col("m"))
+                           .alias("b"))
+              .agg(F.sum("value").alias("bsum"),
+                   F.count(F.lit(1)).alias("cnt"))
+              .where(F.col("cnt") == F.col("m")))     # exact blocks only
+    vars = blocks.groupBy("key", "m").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.sum("bsum"), 6).alias("sb"),
+        F.round(F.sum(F.col("bsum") * F.col("bsum")), 6).alias("sbb"))
+    v = F.col("sbb") / F.col("n") - (F.col("sb") / F.col("n")) ** 2
+    pts = vars.select("key", F.log(F.col("m").cast("double")).alias("x"),
+                      F.log(v).alias("y")).where(v > 0)
+    st = pts.groupBy("key").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.sum("x"), 6).alias("sx"),
+        F.round(F.sum("y"), 6).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("x")), 6).alias("sxx"),
+        F.round(F.sum(F.col("x") * F.col("y")), 6).alias("sxy"))
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return st.select(
+        "key", F.col("n").cast("long").alias("n_scales"),
+        F.round(slope / 2, 6).alias("hurst"))
+
+
+QUERIES["fx_hurst"] = q_fx_hurst
+
+ORACLE["fx_hurst"] = _PRELUDE + """,
+idx AS (
+  SELECT key, ret,
+         row_number() OVER (PARTITION BY key ORDER BY time_ms) - 1 AS i
+  FROM returns
+),
+ms(m) AS (VALUES (1), (2), (4), (8)),
+blocks AS (
+  SELECT key, m, i - i % m AS b, sum(ret) AS bsum, count(*) AS cnt
+  FROM idx CROSS JOIN ms
+  GROUP BY key, m, i - i % m
+  HAVING count(*) = m
+),
+vars AS (
+  SELECT key, m, CAST(count(*) AS DOUBLE) AS n,
+         round(sum(bsum), 6) AS sb,
+         round(sum(bsum * bsum), 6) AS sbb
+  FROM blocks GROUP BY key, m
+),
+pts AS (
+  SELECT key, ln(CAST(m AS DOUBLE)) AS x,
+         ln(sbb / n - (sb / n) * (sb / n)) AS y
+  FROM vars WHERE sbb / n - (sb / n) * (sb / n) > 0
+),
+st AS (
+  SELECT key, CAST(count(*) AS DOUBLE) AS n,
+         round(sum(x), 6) AS sx, round(sum(y), 6) AS sy,
+         round(sum(x * x), 6) AS sxx, round(sum(x * y), 6) AS sxy
+  FROM pts GROUP BY key
+)
+SELECT key, CAST(n AS BIGINT) AS n_scales,
+       round(((n * sxy - sx * sy) / (n * sxx - sx * sx)) / 2, 6) AS hurst
+FROM st
+"""
