@@ -136,3 +136,42 @@ def kalman_local_level(series: DataFrame, q: float = 0.001,
               f"{value_col} {fields[value_col]}, "
               f"kf_level double, kf_gain double, kf_var double")
     return series.groupBy(key_col).applyInPandas(compute, schema)
+
+
+def garch_vol(series: DataFrame, alpha: float = 0.125,
+              beta: float = 0.75, omega: float = 0.000001,
+              key_col: str = "key", time_col: str = "time",
+              value_col: str = "value") -> DataFrame:
+    """GARCH(1,1) conditional-variance filtering per key (Bollerslev
+    1986, public) with FIXED parameters (filtering, not estimation):
+
+        var_t = ω + α·r_{t−1}² + β·var_{t−1},    var_0 = r_0²
+
+    The volatility-clustering companion to :func:`kalman_local_level`.
+    α and β default to dyadic rationals and ω to an exact literal for
+    the same cross-engine bit-exactness contract as the other
+    recursions. Output: key, time, value, garch_var, garch_vol
+    (= sqrt(var))."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    def compute(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(time_col).reset_index(drop=True)
+        r = pdf[value_col].to_numpy(dtype="float64")
+        n = len(r)
+        var = np.empty(n)
+        if n:
+            v = r[0] * r[0]
+            var[0] = v
+            for i in range(1, n):
+                v = omega + alpha * (r[i - 1] * r[i - 1]) + beta * v
+                var[i] = v
+        pdf["garch_var"] = var
+        pdf["garch_vol"] = np.sqrt(var)
+        return pdf[[key_col, time_col, value_col, "garch_var", "garch_vol"]]
+
+    fields = dict(series.dtypes)
+    schema = (f"{key_col} {fields[key_col]}, {time_col} {fields[time_col]}, "
+              f"{value_col} {fields[value_col]}, "
+              f"garch_var double, garch_vol double")
+    return series.groupBy(key_col).applyInPandas(compute, schema)

@@ -582,14 +582,22 @@ def bpe_token_counts(df: DataFrame, text_col: str = "text",
     ss = BPE_SEP + BPE_SEP
     words = F.regexp_extract_all(F.lower(F.col(text_col)),
                                  F.lit("[a-z0-9]+"), 0)
-    merged = bpe_apply(bpe_serialized(text_col), merges)
-    n_words = F.size(words)
-    n_chars = F.length(F.concat_ws("", words))
+    # stage the merge chain behind an alias used TWICE downstream:
+    # CollapseProject keeps multiply-referenced non-trivial aliases as
+    # a separate projection, so the 64-replace chain appears ONCE in
+    # the analyzed tree (inlining it doubles analysis cost and tree
+    # size — measured 1.4s/trial of pure Catalyst time at bench)
+    staged = df.select(
+        id_col,
+        words.alias("_w"),
+        bpe_apply(bpe_serialized(text_col), merges).alias("_m"))
+    n_words = F.size(F.col("_w"))
+    n_chars = F.length(F.concat_ws("", F.col("_w")))
     n_tok = (n_words
-             + ((F.length(merged)
-                 - F.length(F.replace(merged, F.lit(ss), F.lit(""))))
+             + ((F.length(F.col("_m"))
+                 - F.length(F.replace(F.col("_m"), F.lit(ss), F.lit(""))))
                 / 2).cast("long"))
-    return df.select(
+    return staged.select(
         id_col,
         n_words.cast("long").alias("n_words"),
         n_chars.cast("long").alias("n_chars"),

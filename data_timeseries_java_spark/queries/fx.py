@@ -2208,10 +2208,17 @@ def _series_stream_replay(spark: SparkSession, sf_dir: str, which: str):
     sink = _SERIES_STREAM_REPLAY_SINKS.get(cache_key)
     if sink is None or not os.path.isdir(sink):
         ticks, keys = _ticks_and_keys(spark, sf_dir)
-        series = candles_pipeline(ticks, keys, RES).select(
-            "key",
-            (F.col("window_start")).alias("event_time"),
-            F.col("close.ask").alias("price"))
+        if which == "garch":
+            # GARCH filters the RETURN series (oracle-checked by
+            # fx_log_returns), not the price level
+            series = _returns_df(spark, sf_dir).select(
+                "key", F.col("time").alias("event_time"),
+                F.col("value").alias("price"))
+        else:
+            series = candles_pipeline(ticks, keys, RES).select(
+                "key",
+                (F.col("window_start")).alias("event_time"),
+                F.col("close.ask").alias("price"))
         t0_ms, t1_ms = series.select(
             F.min(_ms(F.col("event_time"))),
             F.max(_ms(F.col("event_time")))).first()
@@ -2223,8 +2230,11 @@ def _series_stream_replay(spark: SparkSession, sf_dir: str, which: str):
                              ["key", "event_time"])
         src = (spark.readStream.schema(series.schema)
                .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
-        out = (streaming_holt(src) if which == "holt"
-               else streaming_kalman(src))
+        from data_timeseries_java_spark.streaming.ema_stream import (
+            streaming_garch,
+        )
+        out = {"holt": streaming_holt, "kalman": streaming_kalman,
+               "garch": streaming_garch}[which](src)
         sink = run_to_parquet_sink(out, f"{work}/out", f"{work}/ckpt")
         shutil.rmtree(f"{work}/in", ignore_errors=True)
         shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
@@ -2359,3 +2369,66 @@ SELECT key, CAST(n AS BIGINT) AS n_scales,
        round(((n * sxy - sx * sy) / (n * sxx - sx * sx)) / 2, 6) AS hurst
 FROM st
 """
+
+
+# ---- GARCH(1,1) conditional volatility ----------------------------------
+
+
+def q_fx_garch_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GARCH(1,1) conditional-variance filtering of each instrument's
+    hourly log returns with fixed dyadic parameters (filtering, not
+    estimation — operators/ema.garch_vol): the volatility-clustering
+    model a risk desk runs next to realized vol. RECURSIVE-CTE oracle
+    with expression-identical IEEE arithmetic (sqrt is correctly
+    rounded in IEEE 754, so garch_vol hash-matches too)."""
+    from data_timeseries_java_spark.operators.ema import garch_vol
+
+    r = _returns_df(spark, sf_dir)
+    g = garch_vol(r, alpha=0.125, beta=0.75, omega=0.000001)
+    return g.select(
+        "key", _ms(F.col("time")).alias("time_ms"),
+        F.round("value", 6).alias("ret"),
+        F.round("garch_var", 6).alias("garch_var"),
+        F.round("garch_vol", 6).alias("garch_vol"),
+    )
+
+
+def q_garch_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GARCH(1,1) executed through the STREAMING lane
+    (`streaming/ema_stream.streaming_garch` — (prev_return, variance)
+    keyed state) and hash-matched against the batch `fx_garch_vol`
+    RECURSIVE-CTE oracle. Building this query RUNS the stream."""
+    g = _series_stream_replay(spark, sf_dir, "garch")
+    return g.select(
+        "key", _ms(F.col("event_time")).alias("time_ms"),
+        F.round("price", 6).alias("ret"),
+        F.round("garch_var", 6).alias("garch_var"),
+        F.round("garch_vol", 6).alias("garch_vol"),
+    )
+
+
+QUERIES["fx_garch_vol"] = q_fx_garch_vol
+QUERIES["garch_stream_replay"] = q_garch_stream_replay
+
+ORACLE["fx_garch_vol"] = _PRELUDE + """,
+seq AS (
+  SELECT key, time_ms, ret,
+         row_number() OVER (PARTITION BY key ORDER BY time_ms) AS rn
+  FROM returns
+)
+SELECT key, time_ms, round(ret, 6) AS ret,
+       round(v, 6) AS garch_var, round(sqrt(v), 6) AS garch_vol
+FROM (
+  WITH RECURSIVE g AS (
+    SELECT key, time_ms, ret, rn, ret * ret AS v
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.key, s.time_ms, s.ret, s.rn,
+           0.000001 + 0.125 * (e.ret * e.ret) + 0.75 * e.v AS v
+    FROM seq s JOIN g e ON s.key = e.key AND s.rn = e.rn + 1
+  )
+  SELECT * FROM g
+)
+"""
+
+ORACLE["garch_stream_replay"] = ORACLE["fx_garch_vol"]

@@ -229,3 +229,25 @@ def streaming_kalman(ticks: DataFrame, q: float = 0.001, r: float = 0.01,
     return _recursive_series_stream(
         ticks, price_col, "kf_level double, kf_gain double, kf_var double",
         "lv double, p double", init, step, watermark)
+
+
+def streaming_garch(ticks: DataFrame, alpha: float = 0.125,
+                    beta: float = 0.75, omega: float = 0.000001,
+                    price_col: str = "price",
+                    watermark: str = "0 seconds") -> DataFrame:
+    """Streaming GARCH(1,1) filtering — the streaming face of
+    ``operators/ema.garch_vol``; state = (prev_return, variance)."""
+    import math
+
+    def init(z):
+        v = z * z
+        return (z, v), (v, math.sqrt(v))
+
+    def step(st, z):
+        prev_r, v = st
+        v = omega + alpha * (prev_r * prev_r) + beta * v
+        return (z, v), (v, math.sqrt(v))
+
+    return _recursive_series_stream(
+        ticks, price_col, "garch_var double, garch_vol double",
+        "pr double, v double", init, step, watermark)

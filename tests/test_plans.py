@@ -107,6 +107,7 @@ _PANDAS_QUERIES = {"media_decode_features", "media_png_decode",
                    "media_wav_resample", "media_wav_spectrum",
                    "media_video_frames", "media_cross_format_dedup",
                    "fx_ema_returns", "fx_holt_trend", "fx_kalman_level",
+                   "fx_garch_vol",
                    "neardup_cosine", "neardup_cosine_auto",
                    "fx_corr_wide", "fx_corr_headline"}
 
@@ -137,6 +138,7 @@ _ITERATIVE_QUERIES = {"dedup_clusters", "dedup_keep_list",
                       "vol_stream_replay", "dedup_stream_replay",
                       "ema_stream_replay", "anomaly_stream_replay",
                       "recovery_stream_replay", "holt_stream_replay",
+                      "garch_stream_replay",
                       "kalman_stream_replay"}
 
 

@@ -179,3 +179,46 @@ def test_winnowing_invariants_random_docs(spark, word_ids):
         assert row.n_fingerprints >= (n_windows + w - 1) // w
     else:
         assert row.n_fingerprints == 0
+
+
+@given(st.lists(
+    st.text(alphabet="abcdet aa01~.!", min_size=0, max_size=60),
+    min_size=1, max_size=8))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_replace_chain_equals_classic_on_random_text(spark, texts):
+    """Property: the separator-string replace-chain BPE apply equals
+    the classic per-word sequential merge algorithm on arbitrary text —
+    including repeated characters (overlapping-merge stress like
+    'aaaa'), separator characters in the input (stripped by the word
+    regex), empty strings, and punctuation."""
+    import re
+
+    from data_timeseries_java_spark.functions.bpe_vocab import MERGES
+    from data_timeseries_java_spark.operators.text import bpe_token_counts
+
+    def classic(text):
+        words = re.findall(r"[a-z0-9]+", text.lower())
+        total = 0
+        for w in words:
+            toks = list(w)
+            for a, b in MERGES:
+                out, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == a \
+                            and toks[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                toks = out
+            total += len(toks)
+        return len(words), sum(len(w) for w in words), total
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r.doc_id: (r.n_words, r.n_chars, r.n_bpe_tokens)
+           for r in bpe_token_counts(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == classic(t), (t, got[i], classic(t))
