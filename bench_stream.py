@@ -192,6 +192,9 @@ def main() -> None:
         streaming_dedup_content,
         streaming_dedup_exact,
         streaming_ema_applyinpandas,
+        streaming_garch,
+        streaming_holt,
+        streaming_kalman,
         streaming_neardup,
         streaming_ohlc_candles,
         streaming_realized_volatility,
@@ -242,6 +245,14 @@ def main() -> None:
             doc_src(), "text", "ts", "30 minutes")),
         ("ema_state", lambda: streaming_ema_applyinpandas(
             tick_src())),
+        # recursive series family (round 7): same keyed-state shape as
+        # EMA with richer per-row state tuples
+        ("holt_state", lambda: streaming_holt(
+            tick_src(), price_col="ask")),
+        ("kalman_state", lambda: streaming_kalman(
+            tick_src(), price_col="ask")),
+        ("garch_state", lambda: streaming_garch(
+            tick_src(), price_col="ask")),
         ("sessions", lambda: streaming_sessions(
             ev_src(), "user_id", "ts", "30 minutes")),
         ("realized_vol", lambda: streaming_realized_volatility(

@@ -255,3 +255,43 @@ class MediaEngine:
             resample_audio,
         )
         return resample_audio(media, target_col)
+
+
+class SeriesEngine:
+    """Facade over the recursive/statistical series operators — the
+    quant-desk companions to :class:`FXEngine`'s candle→correlation
+    pipeline. Every method takes a per-key series frame
+    (key, <time_col>, <value_col>) and returns the operator's frame;
+    all are lazy plans (grouped-map pandas for the recursions, pure
+    window/agg SQL for the rest) with DuckDB-oracle-checked semantics
+    (queries/fx.py: fx_ema_returns, fx_holt_trend, fx_kalman_level,
+    fx_garch_vol, fx_hurst, fx_half_life)."""
+
+    def __init__(self, spark: SparkSession,
+                 key_col: str = "key", time_col: str = "time",
+                 value_col: str = "value") -> None:
+        self.spark = spark
+        self._cols = dict(key_col=key_col, time_col=time_col,
+                          value_col=value_col)
+
+    def ema(self, series: DataFrame, alpha: float = 0.2) -> DataFrame:
+        from data_timeseries_java_spark.operators.ema import ema
+        return ema(series, alpha=alpha, **self._cols)
+
+    def holt(self, series: DataFrame, alpha: float = 0.25,
+             beta: float = 0.125) -> DataFrame:
+        from data_timeseries_java_spark.operators.ema import holt_linear
+        return holt_linear(series, alpha=alpha, beta=beta, **self._cols)
+
+    def kalman(self, series: DataFrame, q: float = 0.001,
+               r: float = 0.01) -> DataFrame:
+        from data_timeseries_java_spark.operators.ema import (
+            kalman_local_level,
+        )
+        return kalman_local_level(series, q=q, r=r, **self._cols)
+
+    def garch(self, returns: DataFrame, alpha: float = 0.125,
+              beta: float = 0.75, omega: float = 0.000001) -> DataFrame:
+        from data_timeseries_java_spark.operators.ema import garch_vol
+        return garch_vol(returns, alpha=alpha, beta=beta, omega=omega,
+                         **self._cols)

@@ -1895,7 +1895,6 @@ def q_recovery_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         SENTINEL_KEY,
         read_replay_sink,
         run_to_parquet_sink,
-        write_replay_buckets,
         write_sentinel_file,
     )
 

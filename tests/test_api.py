@@ -199,3 +199,28 @@ def test_engine_changepoints(spark):
     assert rows and set(cp.columns) == {
         "key", "time", "cusum_pos", "cusum_neg", "alarm_pos", "alarm_neg"}
     assert all(r2.cusum_pos >= 0 and r2.cusum_neg >= 0 for r2 in rows)
+
+
+def test_series_engine_facade(spark, sf_dir):
+    """SeriesEngine wires the recursive operators with consistent
+    column mapping; spot-check EMA/Holt/Kalman/GARCH produce their
+    declared columns and row counts on the candle close series."""
+    from pyspark.sql import functions as F
+
+    from data_timeseries_java_spark.api import SeriesEngine
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+    from data_timeseries_java_spark.tables import events_as_ticks
+
+    ticks = events_as_ticks(spark, sf_dir)
+    c = candles_pipeline(ticks, ticks.select("key").distinct(), "1 hour")
+    series = c.select("key", F.col("window_start").alias("time"),
+                      F.col("close.ask").alias("value"))
+    n = series.count()
+    eng = SeriesEngine(spark)
+    assert eng.ema(series).count() == n
+    h = eng.holt(series)
+    assert {"level", "trend"} <= set(h.columns) and h.count() == n
+    k = eng.kalman(series)
+    assert {"kf_level", "kf_gain", "kf_var"} <= set(k.columns)
+    g = eng.garch(series)
+    assert {"garch_var", "garch_vol"} <= set(g.columns) and g.count() == n
