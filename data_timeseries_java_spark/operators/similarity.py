@@ -413,3 +413,71 @@ def embedding_stats(df: DataFrame, label_col: str = "label",
         F.count(F.lit(1)).cast("long").alias("dim"),
         F.round(F.max("nrm0"), 6).alias("avg_norm"),
         F.round(F.sqrt(F.sum(mean * mean)), 6).alias("centroid_norm"))
+
+
+def embedding_covariance(df: DataFrame, vec_col: str = "embedding",
+                         label_col: str = "label") -> DataFrame:
+    """Per-label covariance matrix of the embedding dimensions (upper
+    triangle), the feature-drift / whitening diagnostic a training
+    pipeline runs over an embedding column.
+
+    Scale shape: per-partition Gram accumulation — one Arrow pass
+    computes each partition's ``X.T @ X`` (BLAS), dimension sums, and
+    count per label, emitting O(labels x d^2 / 2) tiny partial rows per
+    partition; one hash-agg reduces them. The corpus is NEVER exploded
+    to (vector x dim x dim) rows — the d^2·n blowup a naive pair
+    self-join would cost (the DuckDB oracle pays exactly that blowup,
+    which is fine at oracle scale and is the point of the comparison).
+    Covariance assembles from ROUNDED sums (house convention), so both
+    engines do identical arithmetic downstream of the reduction."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    def gen(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for lab, grp in pdf.groupby(label_col):
+                X = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
+                n, d = X.shape
+                s = X.sum(axis=0)
+                G = X.T @ X
+                iu, ju = np.triu_indices(d)
+                out = pd.DataFrame({
+                    "label": int(lab),
+                    "i": np.concatenate([iu, np.arange(d), [-1]]),
+                    "j": np.concatenate([ju, np.full(d, -1), [-1]]),
+                    "v": np.concatenate([G[iu, ju], s, [float(n)]]),
+                })
+                yield out
+
+    partial = (df.select(F.col(label_col).alias(label_col),
+                         F.col(vec_col).alias(vec_col))
+               .mapInPandas(gen, "label int, i int, j int, v double"))
+    agg = (partial.groupBy("label", "i", "j")
+           .agg(F.round(F.sum("v"), 6).alias("sv")))
+    cnt = (agg.where((F.col("i") == -1) & (F.col("j") == -1))
+           .select("label", F.col("sv").alias("n")))
+    dim_sums = (agg.where((F.col("i") >= 0) & (F.col("j") == -1))
+                .select("label", F.col("i").alias("d"),
+                        F.col("sv").alias("s")))
+    cross = (agg.where(F.col("j") >= 0)
+             .select("label", "i", "j", F.col("sv").alias("sxx")))
+    si = dim_sums.select("label", F.col("d").alias("i"),
+                         F.col("s").alias("si"))
+    sj = dim_sums.select("label", F.col("d").alias("j"),
+                         F.col("s").alias("sj"))
+    out = (cross.join(F.broadcast(cnt), "label")
+           .join(F.broadcast(si), ["label", "i"])
+           .join(F.broadcast(sj), ["label", "j"]))
+    cov = (F.col("sxx") / F.col("n")
+           - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n")))
+    return out.select(
+        "label", "i", "j",
+        F.col("n").cast("long").alias("n_vectors"),
+        # + 0.0 canonicalizes IEEE signed zero (round can yield -0.0,
+        # and the engines disagree on which; -0.0 == 0.0 numerically
+        # but not under string/byte hashing)
+        (F.round(cov, 6) + F.lit(0.0)).alias("cov"))

@@ -602,3 +602,44 @@ FROM p
 
 
 ORACLE["embedding_srp_sketch"] = _srp_sql()
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label covariance matrix of the embedding dimensions (upper
+    triangle) — per-partition BLAS Gram accumulation, one tiny reduce,
+    never a (vector x dim x dim) explode (operators/similarity.
+    embedding_covariance; the oracle pays the explode blowup instead,
+    which is what makes the hash match meaningful)."""
+    from data_timeseries_java_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    return embedding_covariance(load_table(spark, sf_dir, "embeddings"))
+
+
+QUERIES["embedding_covariance"] = q_embedding_covariance
+
+ORACLE["embedding_covariance"] = f"""
+WITH {_COMP},
+cross_sums AS (
+  SELECT a.label, a.dim AS i, b.dim AS j,
+         round(sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)), 6) AS sxx
+  FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY a.label, a.dim, b.dim
+),
+dim_sums AS (
+  SELECT label, dim, round(sum(CAST(x AS DOUBLE)), 6) AS s
+  FROM comp GROUP BY label, dim
+),
+cnt AS (
+  SELECT label, round(CAST(count(*) AS DOUBLE), 6) AS n
+  FROM embeddings GROUP BY label
+)
+SELECT c.label, c.i, c.j,
+       CAST(t.n AS BIGINT) AS n_vectors,
+       round(c.sxx / t.n - (si.s / t.n) * (sj.s / t.n), 6) + 0.0 AS cov
+FROM cross_sums c
+JOIN cnt t ON t.label = c.label
+JOIN dim_sums si ON si.label = c.label AND si.dim = c.i
+JOIN dim_sums sj ON sj.label = c.label AND sj.dim = c.j
+"""

@@ -109,7 +109,8 @@ _PANDAS_QUERIES = {"media_decode_features", "media_png_decode",
                    "fx_ema_returns", "fx_holt_trend", "fx_kalman_level",
                    "fx_garch_vol",
                    "neardup_cosine", "neardup_cosine_auto",
-                   "fx_corr_wide", "fx_corr_headline"}
+                   "fx_corr_wide", "fx_corr_headline",
+                   "embedding_covariance"}
 
 
 def test_no_query_falls_into_row_python(spark, sf_dir):
