@@ -385,3 +385,20 @@ def test_dispatcher_kernels_emit_identical_rows(spark, sf_dir):
         lone_cos = lonely["cosine_s"].fillna(lonely["cosine_b"])
         assert ((lone_cos - thr).abs() <= 1e-6).all(), (
             f"kernels disagree on pairs away from the threshold:\n{lonely}")
+
+
+def test_round7_additions_plan_shapes(spark, sf_dir):
+    """Scale-shape pins for the round-7 operators: the BPE chain is a
+    pure narrow map (ZERO exchanges — adding one would mean someone
+    'parallelized' it with a shuffle); BPE packing keeps the single
+    per-shard window shuffle; the covariance reduce is one hash
+    shuffle plus tiny broadcasts; the hurst explode stays within the
+    candle pipeline's budget + its two aggregations."""
+    qs = all_queries()
+    assert exchange_count(qs["text_bpe_tokens"](spark, sf_dir)) == 0
+    assert exchange_count(qs["sequence_packing_bpe"](spark, sf_dir)) <= 1
+    assert exchange_count(qs["embedding_covariance"](spark, sf_dir)) <= 4
+    assert exchange_count(qs["fx_hurst"](spark, sf_dir)) <= 5
+    for name in ("fx_holt_trend", "fx_kalman_level", "fx_garch_vol",
+                 "fx_half_life", "fx_candle_patterns"):
+        assert exchange_count(qs[name](spark, sf_dir)) <= 5, name
