@@ -2230,10 +2230,12 @@ def _series_stream_replay(spark: SparkSession, sf_dir: str, which: str):
         src = (spark.readStream.schema(series.schema)
                .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
         from data_timeseries_java_spark.streaming.ema_stream import (
+            streaming_drawdown,
             streaming_garch,
         )
         out = {"holt": streaming_holt, "kalman": streaming_kalman,
-               "garch": streaming_garch}[which](src)
+               "garch": streaming_garch,
+               "drawdown": streaming_drawdown}[which](src)
         sink = run_to_parquet_sink(out, f"{work}/out", f"{work}/ckpt")
         shutil.rmtree(f"{work}/in", ignore_errors=True)
         shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
@@ -2431,3 +2433,23 @@ FROM (
 """
 
 ORACLE["garch_stream_replay"] = ORACLE["fx_garch_vol"]
+
+
+def q_drawdown_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max drawdown executed through the STREAMING lane
+    (`streaming/ema_stream.streaming_drawdown` — running-peak keyed
+    state; per-row instantaneous drawdowns in the sink, aggregated
+    per key by the declared result) and hash-matched against the SAME
+    DuckDB oracle as the batch `fx_drawdown`. Building this query RUNS
+    the stream."""
+    d = _series_stream_replay(spark, sf_dir, "drawdown")
+    return d.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.round(F.max("peak"), 6).alias("peak_price"),
+        (F.floor(F.max("dd") * 1000000) / 1000000).alias("max_drawdown"),
+    )
+
+
+QUERIES["drawdown_stream_replay"] = q_drawdown_stream_replay
+
+ORACLE["drawdown_stream_replay"] = ORACLE["fx_drawdown"]

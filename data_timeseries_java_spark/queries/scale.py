@@ -436,3 +436,94 @@ SELECT event_type,
        TRUE AS merge_matches_single_shot
 FROM events GROUP BY event_type
 """
+
+
+# ---- streaming grid-histogram quantiles, driver-gated through replay ----
+
+_GRIDQ_REPLAY_SINKS: dict[tuple, str] = {}
+
+_GRIDQ_LO, _GRIDQ_HI, _GRIDQ_BINS = 0.0, 256.0, 256
+_GRIDQ_QS = (0.5, 0.9, 0.99)
+
+
+def q_gridq_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type quantiles through the STREAMING mergeable
+    grid-histogram sketch (`streaming/quantile_stream.py`): each
+    micro-batch appends fixed-grid bin counts; counts sum, so the
+    merged grid equals the single-shot histogram, and the resolve
+    (smallest bin whose cumulative count reaches q x total, estimate =
+    bin midpoint) hash-matches a DuckDB oracle that re-derives the
+    SAME grid from the raw events — the quantile sibling of the CMS
+    and HLL store gates, completing the streaming sketch family.
+    Building this query RUNS the stream (laziness-guard exempt)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_timeseries_java_spark.streaming.quantile_stream import (
+        read_streaming_quantiles,
+        streaming_grid_quantiles,
+    )
+    from data_timeseries_java_spark.streaming.replay import (
+        drive_query,
+        write_replay_buckets,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    work = _GRIDQ_REPLAY_SINKS.get(cache_key)
+    if work is None or not os.path.isdir(f"{work}/out/gridq"):
+        ev = load_table(spark, sf_dir, "events")
+        t0_ms, t1_ms = ev.select(
+            F.min(F.unix_millis("ts")), F.max(F.unix_millis("ts"))).first()
+        work = tempfile.mkdtemp(prefix="gridq_stream_replay_")
+        write_replay_buckets(ev, "ts", f"{work}/in", 4, t0_ms,
+                             t1_ms - t0_ms + 1, _time.time() - 1000,
+                             ["event_id"])
+        src = (spark.readStream.schema(ev.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
+        q = streaming_grid_quantiles(spark, src, f"{work}/out",
+                                     lo=_GRIDQ_LO, hi=_GRIDQ_HI,
+                                     n_bins=_GRIDQ_BINS)
+        drive_query(q, 600, "grid quantile stream replay")
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/out/checkpoint", ignore_errors=True)
+        _GRIDQ_REPLAY_SINKS[cache_key] = work
+    r = read_streaming_quantiles(spark, f"{work}/out", qs=_GRIDQ_QS)
+    return r.select(F.col("grp").alias("event_type"), "q", "n", "estimate")
+
+
+QUERIES["gridq_stream_replay"] = q_gridq_stream_replay
+
+ORACLE["gridq_stream_replay"] = f"""
+WITH b AS (
+  SELECT event_type,
+         least({_GRIDQ_BINS - 1}, greatest(0,
+             CAST(floor((value - {_GRIDQ_LO}) * {_GRIDQ_BINS}
+                        / ({_GRIDQ_HI} - {_GRIDQ_LO})) AS INT))) AS bin
+  FROM events
+),
+g AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
+t AS (SELECT event_type, sum(c) AS total FROM g GROUP BY 1),
+cum AS (
+  SELECT event_type, bin,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cc
+  FROM g
+),
+qs(q) AS (VALUES (0.5), (0.9), (0.99)),
+sel AS (
+  SELECT c.event_type, q.q, min(c.bin) AS bin
+  FROM cum c
+  JOIN t ON t.event_type = c.event_type
+  CROSS JOIN qs q
+  WHERE c.cc >= q.q * t.total
+  GROUP BY c.event_type, q.q
+)
+SELECT s.event_type, s.q, CAST(t.total AS BIGINT) AS n,
+       round({_GRIDQ_LO} + (s.bin + 0.5)
+             * (({_GRIDQ_HI} - {_GRIDQ_LO}) / {_GRIDQ_BINS}), 6)
+         AS estimate
+FROM sel s JOIN t ON t.event_type = s.event_type
+"""

@@ -251,3 +251,25 @@ def streaming_garch(ticks: DataFrame, alpha: float = 0.125,
     return _recursive_series_stream(
         ticks, price_col, "garch_var double, garch_vol double",
         "pr double, v double", init, step, watermark)
+
+
+def streaming_drawdown(ticks: DataFrame, price_col: str = "price",
+                       watermark: str = "0 seconds") -> DataFrame:
+    """Streaming running-peak drawdown — the per-row face of the batch
+    ``operators/resample.max_drawdown`` aggregate; state = (peak,).
+    Emits the running peak and the instantaneous peak-to-now drawdown;
+    a batch max over the sink reproduces the batch aggregate exactly."""
+
+    def init(z):
+        dd = (z - z) / z if z > 0 else 0.0
+        return (z,), (z, dd)
+
+    def step(st, z):
+        (peak,) = st
+        peak = peak if peak >= z else z
+        dd = (peak - z) / peak if peak > 0 else 0.0
+        return (peak,), (peak, dd)
+
+    return _recursive_series_stream(
+        ticks, price_col, "peak double, dd double",
+        "pk double", init, step, watermark)

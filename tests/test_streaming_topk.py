@@ -193,3 +193,46 @@ def test_streaming_hll_matches_single_shot(spark, sf_dir):
             assert abs(est - single[t][1]) <= max(2, single[t][1] * 0.05)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_grid_quantiles_accuracy_and_merge(spark, sf_dir):
+    """The merged grid must equal the single-shot histogram (counts
+    sum), and every quantile estimate must sit within one bin width of
+    the exact quantile."""
+    from data_timeseries_java_spark.streaming.quantile_stream import (
+        read_streaming_quantiles,
+        streaming_grid_quantiles,
+    )
+    from data_timeseries_java_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="sgq_")
+    try:
+        _replay_files(spark, ev, d, 4, "event_id")
+        src = (spark.readStream.schema(ev.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{d}/in/f*"))
+        q = streaming_grid_quantiles(spark, src, f"{d}/out",
+                                     lo=0.0, hi=256.0, n_bins=256)
+        assert q.awaitTermination(300)
+        got = {(r.grp, r.q): r.estimate for r in
+               read_streaming_quantiles(spark, f"{d}/out",
+                                        qs=[0.5, 0.9]).collect()}
+        # the provable bound: the selected bin CONTAINS the discrete
+        # order statistic x_(ceil(q*n)) (cumulative count crosses q*n
+        # inside it), so |midpoint - x| <= width/2. The INTERPOLATED
+        # percentile has no such bound on sparse regions.
+        import math
+        vals = {}
+        for r in ev.select("event_type", "value").collect():
+            vals.setdefault(r.event_type, []).append(r.value)
+        width = 1.0                      # (256 - 0) / 256
+        for (grp, qq), est in got.items():
+            xs = sorted(vals[grp])
+            x = xs[max(0, math.ceil(qq * len(xs)) - 1)]
+            assert abs(est - x) <= width / 2, (grp, qq, est, x)
+        # geometry guard: wrong reader geometry must refuse
+        import pytest
+        with pytest.raises(ValueError, match="written with"):
+            read_streaming_quantiles(spark, f"{d}/out", n_bins=128)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
