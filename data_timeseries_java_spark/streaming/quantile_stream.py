@@ -79,8 +79,10 @@ def read_streaming_quantiles(spark: SparkSession, work_dir: str,
     from the store's meta rows; passing lo/hi/n_bins ASSERTS them."""
     from pyspark.sql import Window
 
+    from data_timeseries_java_spark.streaming.logstore import active
+
     store = f"{work_dir}/gridq"
-    df = spark.read.option("basePath", store).parquet(store)
+    df = active(spark.read.option("basePath", store).parquet(store), "c")
     meta = (df.where(F.col("kind") == "meta")
             .select("lo", "hi", "n_bins").distinct().collect())
     if len(meta) != 1:
@@ -113,3 +115,51 @@ def read_streaming_quantiles(spark: SparkSession, work_dir: str,
         F.col("total").cast("long").alias("n"),
         F.round(F.lit(s_lo) + (F.col("bin") + F.lit(0.5)) * F.lit(width), 6)
         .alias("estimate"))
+
+
+def compact_gridq_store(spark: SparkSession, work_dir: str) -> dict:
+    """Fold the store's ACTIVE partials into one (bin counts sum;
+    geometry meta rides through). Same crash-safe mechanics as
+    ``compact_topk_store`` via ``streaming/logstore.py``: fold at
+    ``max_seen + FOLD_OFFSET`` (resumed-stream collision-proof),
+    ``kind='fold'`` supersession rows carried forward (superseded ids
+    ride in the bigint ``c`` column — ``bin`` is too narrow for fold
+    ids above FOLD_OFFSET), atomic temp-dir swap-in before removals."""
+    import os
+
+    from data_timeseries_java_spark.streaming.logstore import (
+        FOLD_OFFSET,
+        local_store_path,
+        swap_in_fold,
+    )
+
+    store = local_store_path(work_dir, "gridq", "compact_gridq_store")
+    batches = sorted(d for d in os.listdir(store)
+                     if d.startswith("batch_id="))
+    if len(batches) <= 1:
+        return {"batches_before": len(batches),
+                "batches_after": len(batches)}
+    df = spark.read.option("basePath", store).parquet(store)
+    prior_sup = {int(r[0]) for r in
+                 df.where(F.col("kind") == "fold").select("c").collect()}
+    act = (df.where(~F.col("batch_id").isin(list(prior_sup)))
+           if prior_sup else df)
+    grid = (act.where(F.col("kind") == "grid")
+            .groupBy("grp", "bin").agg(F.sum("c").alias("c")))
+    ids = sorted(int(b.split("=", 1)[1]) for b in batches)
+    supersedes = sorted(prior_sup | set(ids))
+    null_geo = [F.lit(None).cast("double").alias("lo"),
+                F.lit(None).cast("double").alias("hi"),
+                F.lit(None).cast("int").alias("n_bins")]
+    sup_rows = spark.createDataFrame(
+        [("fold", None, None, i) for i in supersedes],
+        "kind string, grp string, bin int, c bigint")
+    folded = (grid.select(F.lit("grid").alias("kind"), "grp", "bin", "c",
+                          *null_geo)
+              .unionByName(act.where(F.col("kind") == "meta")
+                           .select("kind", "grp", "bin", "c",
+                                   "lo", "hi", "n_bins").distinct())
+              .unionByName(sup_rows.select("kind", "grp", "bin", "c",
+                                           *null_geo)))
+    swap_in_fold(folded, store, max(ids) + FOLD_OFFSET, batches)
+    return {"batches_before": len(batches), "batches_after": 1}

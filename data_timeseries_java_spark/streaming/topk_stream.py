@@ -33,28 +33,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# Compacted folds are written at batch_id = max_seen + _FOLD_OFFSET. A
-# streaming query resuming from its retained checkpoint continues its
-# OWN micro-batch counter (max real id + 1), so its next overwrite can
-# never land on a fold partition — without the offset, the very first
-# post-compaction micro-batch would silently replace the entire folded
-# history (mode('overwrite') on the same batch_id directory).
-_FOLD_OFFSET = 1 << 40
+# Fold-id offset + supersession + atomic swap-in live in
+# streaming/logstore.py (shared with the grid-quantile store); see its
+# module docstring for the two crash/collision hazards they close.
+from data_timeseries_java_spark.streaming.logstore import (  # noqa: E402
+    FOLD_OFFSET as _FOLD_OFFSET,
+)
+from data_timeseries_java_spark.streaming.logstore import (  # noqa: E402
+    active as _ls_active,
+)
+from data_timeseries_java_spark.streaming.logstore import (  # noqa: E402
+    local_store_path,
+    swap_in_fold,
+)
 
 
 def _superseded_ids(df: DataFrame) -> list[int]:
-    """Batch ids folded into a compaction partition (kind='fold' rows,
-    one per superseded id, carried in the fold's own partition). A
-    crash between writing the fold and removing the old batch dirs
-    leaves BOTH on disk; resolving without this exclusion would sum the
-    fold and its sources and silently double every count."""
+    """Superseded batch ids (fold rows carry them in ``bucket``)."""
     return [int(r[0]) for r in
             df.where(F.col("kind") == "fold").select("bucket").collect()]
 
 
 def _active(df: DataFrame) -> DataFrame:
-    sup = _superseded_ids(df)
-    return df.where(~F.col("batch_id").isin(sup)) if sup else df
+    return _ls_active(df, "bucket")
 
 
 def _bucket(key: F.Column, r: F.Column, width: int) -> F.Column:
@@ -186,16 +187,8 @@ def compact_topk_store(spark: SparkSession, work_dir: str) -> dict:
       dirs are removed — every crash point leaves a store that resolves
       to the correct totals."""
     import os
-    import re
-    import shutil
 
-    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", work_dir)
-    if m and m.group(1) != "file":
-        raise ValueError(
-            f"compact_topk_store only supports local paths; got scheme "
-            f"{m.group(1)!r}")
-    local = work_dir[len("file://"):] if m else work_dir
-    store = f"{local}/topk"
+    store = local_store_path(work_dir, "topk", "compact_topk_store")
     batches = sorted(d for d in os.listdir(store)
                      if d.startswith("batch_id="))
     if len(batches) <= 1:
@@ -226,11 +219,5 @@ def compact_topk_store(spark: SparkSession, work_dir: str) -> dict:
                            .select("kind", "key", "r", "bucket", "c")
                            .distinct())
               .unionByName(sup_rows))
-    new_id = max(ids) + _FOLD_OFFSET
-    tmp = os.path.join(store, ".fold_tmp")
-    shutil.rmtree(tmp, ignore_errors=True)
-    folded.coalesce(1).write.mode("overwrite").parquet(tmp)
-    os.rename(tmp, os.path.join(store, f"batch_id={new_id}"))
-    for b in batches:
-        shutil.rmtree(os.path.join(store, b), ignore_errors=True)
+    swap_in_fold(folded, store, max(ids) + _FOLD_OFFSET, batches)
     return {"batches_before": len(batches), "batches_after": 1}

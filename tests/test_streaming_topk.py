@@ -236,3 +236,50 @@ def test_streaming_grid_quantiles_accuracy_and_merge(spark, sf_dir):
             read_streaming_quantiles(spark, f"{d}/out", n_bins=128)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_gridq_compaction_crash_safe(spark, sf_dir):
+    """Grid-quantile store compaction inherits the top-k compactor's
+    crash safety (shared streaming/logstore.py mechanics): resolve is
+    unchanged after compaction, excludes superseded leftovers after a
+    simulated crash, and a second compaction repairs the store."""
+    from data_timeseries_java_spark.streaming.logstore import FOLD_OFFSET
+    from data_timeseries_java_spark.streaming.quantile_stream import (
+        compact_gridq_store,
+        read_streaming_quantiles,
+        streaming_grid_quantiles,
+    )
+    from data_timeseries_java_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="sgq_c_")
+    try:
+        _replay_files(spark, ev, d, 4, "event_id")
+        src = (spark.readStream.schema(ev.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{d}/in/f*"))
+        q = streaming_grid_quantiles(spark, src, f"{d}/out")
+        assert q.awaitTermination(300)
+        store = f"{d}/out/gridq"
+        snap = lambda: sorted(  # noqa: E731
+            (r.grp, r.q, r.n, r.estimate) for r in
+            read_streaming_quantiles(spark, f"{d}/out").collect())
+        before = snap()
+
+        saved = tempfile.mkdtemp(prefix="sgq_saved_")
+        originals = sorted(b for b in os.listdir(store)
+                           if b.startswith("batch_id="))
+        for b in originals:
+            shutil.copytree(f"{store}/{b}", f"{saved}/{b}")
+        stats = compact_gridq_store(spark, f"{d}/out")
+        assert stats["batches_after"] == 1
+        folds = [b for b in os.listdir(store) if b.startswith("batch_id=")]
+        assert int(folds[0].split("=", 1)[1]) >= FOLD_OFFSET
+        assert snap() == before           # compaction preserves resolve
+        for b in originals:               # simulated crash leftovers
+            shutil.copytree(f"{saved}/{b}", f"{store}/{b}")
+        assert snap() == before           # superseded partials excluded
+        compact_gridq_store(spark, f"{d}/out")
+        assert snap() == before           # repair pass
+        shutil.rmtree(saved, ignore_errors=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
