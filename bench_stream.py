@@ -181,6 +181,9 @@ def main() -> None:
 
     from data_timeseries_java_spark import get_spark
     from data_timeseries_java_spark.schemas import TICK_SCHEMA
+    from data_timeseries_java_spark.streaming.quantile_stream import (
+        streaming_grid_quantiles,
+    )
     from data_timeseries_java_spark.streaming import (
         streaming_anomalies,
         streaming_asof_join,
@@ -298,6 +301,8 @@ def main() -> None:
             spark, doc_src(), eval_docs, f"{work}/corpus")),
         ("cms_topk_fb", lambda: streaming_cms_topk(
             spark, ev_src(), f"{work}/topk", key_col="user_id")),
+        ("gridq_fb", lambda: streaming_grid_quantiles(
+            spark, ev_src(), f"{work}/gridq")),
         ("fx_pipeline_fb", lambda: streaming_correlations(
             spark, tick_src(), f"{work}/fx", "120 seconds",
             universe=universe)),

@@ -2453,3 +2453,125 @@ def q_drawdown_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["drawdown_stream_replay"] = q_drawdown_stream_replay
 
 ORACLE["drawdown_stream_replay"] = ORACLE["fx_drawdown"]
+
+
+# ---- Parkinson high-low volatility --------------------------------------
+
+
+def q_fx_parkinson_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parkinson (1980) high-low volatility per instrument per day:
+    sqrt( mean( ln(high/low)^2 ) / (4 ln 2) ) over the LIVE hourly
+    candles — the range-based estimator that uses the candle min/max
+    the close-to-close lanes ignore (~5x more efficient per candle
+    when the price path is Brownian). One aggregation on the candle
+    frame; gap candles (high == low, zero range) are excluded as the
+    estimator requires a real traded range."""
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+
+    ticks, keys = _ticks_and_keys(spark, sf_dir)
+    c = candles_pipeline(ticks, keys, RES).select(
+        "key", _ms(F.col("window_start")).alias("w_start_ms"),
+        F.col("min_ask.ask").alias("lo"), F.col("max_ask.ask").alias("hi"),
+        "is_live")
+    d = c.where(F.col("is_live") & (F.col("lo") > 0)
+                & (F.col("hi") > F.col("lo")))
+    r2 = F.log(F.col("hi") / F.col("lo")) ** 2
+    day = (F.floor(F.col("w_start_ms") / 86_400_000)
+           * 86_400_000).alias("day_ms")
+    return (d.groupBy("key", day)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_candles"),
+                 F.round(F.sqrt(F.avg(r2) / F.lit(4.0)
+                                / F.log(F.lit(2.0))), 6)
+                 .alias("parkinson_vol")))
+
+
+QUERIES["fx_parkinson_vol"] = q_fx_parkinson_vol
+
+
+# ---- tick-rule order-flow imbalance -------------------------------------
+
+
+def q_fx_tick_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-rule trade classification (the Lee-Ready uptick test
+    without quotes): each tick is a BUY if its price is above the
+    previous tick's, a SELL if below, and carries the last nonzero
+    direction through unchanged prices (last-non-null window idiom —
+    the same carry-forward shape as the candle gap-fill). Output:
+    per (key, hour-window) buy/sell counts and the normalized
+    order-flow imbalance. One key-partitioned sort serves the lag AND
+    the carry; one aggregation on top."""
+    from pyspark.sql import Window
+
+    ticks, _ = _ticks_and_keys(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("event_time")
+    chg = F.col("ask") - F.lag("ask").over(w)
+    signed = F.when(chg > 0, 1).when(chg < 0, -1)  # NULL on flat/first
+    t = ticks.where(F.col("is_live")).select(
+        "key", "event_time", signed.alias("s"))
+    carried = t.select(
+        "key", "event_time",
+        F.last("s", ignorenulls=True).over(
+            Window.partitionBy("key").orderBy("event_time")
+            .rowsBetween(Window.unboundedPreceding, 0)).alias("dir"))
+    win = (F.floor(_ms(F.col("event_time")) / F.lit(RES_MS))
+           * RES_MS).alias("w_start_ms")
+    g = (carried.where(F.col("dir").isNotNull())
+         .groupBy("key", win)
+         .agg(F.sum(F.when(F.col("dir") == 1, 1).otherwise(0))
+              .cast("long").alias("n_buy"),
+              F.sum(F.when(F.col("dir") == -1, 1).otherwise(0))
+              .cast("long").alias("n_sell")))
+    imb = ((F.col("n_buy") - F.col("n_sell"))
+           / (F.col("n_buy") + F.col("n_sell")))
+    return g.select("key", "w_start_ms", "n_buy", "n_sell",
+                    F.round(imb, 6).alias("imbalance"))
+
+
+QUERIES["fx_tick_rule"] = q_fx_tick_rule
+
+ORACLE["fx_parkinson_vol"] = _PRELUDE + """,
+live AS (
+  SELECT key, w_start_ms, min_price AS lo, max_price AS hi
+  FROM complete
+  WHERE is_live AND min_price > 0 AND max_price > min_price
+)
+SELECT key,
+       (w_start_ms // 86400000) * 86400000 AS day_ms,
+       CAST(count(*) AS BIGINT) AS n_candles,
+       round(sqrt(avg(ln(hi / lo) * ln(hi / lo)) / 4.0 / ln(2.0)), 6)
+         AS parkinson_vol
+FROM live
+GROUP BY key, day_ms
+"""
+
+ORACLE["fx_tick_rule"] = """
+WITH t AS (
+  SELECT event_type AS key, ts AS event_time, value AS ask
+  FROM events
+),
+sgn AS (
+  SELECT key, event_time,
+         CASE WHEN ask - lag(ask) OVER w > 0 THEN 1
+              WHEN ask - lag(ask) OVER w < 0 THEN -1 END AS s
+  FROM t
+  WINDOW w AS (PARTITION BY key ORDER BY event_time)
+),
+carried AS (
+  SELECT key, event_time,
+         last_value(s IGNORE NULLS) OVER (
+             PARTITION BY key ORDER BY event_time
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dir
+  FROM sgn
+),
+g AS (
+  SELECT key,
+         (epoch_ms(event_time) // {res}) * {res} AS w_start_ms,
+         CAST(count(*) FILTER (dir = 1) AS BIGINT) AS n_buy,
+         CAST(count(*) FILTER (dir = -1) AS BIGINT) AS n_sell
+  FROM carried WHERE dir IS NOT NULL
+  GROUP BY key, w_start_ms
+)
+SELECT key, w_start_ms, n_buy, n_sell,
+       round((n_buy - n_sell) * 1.0 / (n_buy + n_sell), 6) AS imbalance
+FROM g
+""".replace("{res}", str(RES_MS))

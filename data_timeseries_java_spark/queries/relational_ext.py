@@ -1280,3 +1280,127 @@ FROM scored
 WHERE prior_n >= {_ANOM_MIN_PRIOR} AND prior_std > 0
   AND abs(value - prior_mean) > {_ANOM_Z} * prior_std
 """
+
+
+# ---- market-basket pair mining ------------------------------------------
+
+BASKET_MIN_SUPPORT = 3
+
+
+def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part-brand pairs across orders (market-basket mining at
+    the brand granularity): pairs of DISTINCT brands co-occurring in
+    the same order, with support (co-occurrence count), each side's
+    order frequency, confidence a→b, and lift. The self-join is
+    blocked by order key (never all-pairs across the catalog — the
+    standard a<b within-basket enumeration) and the per-brand counts
+    broadcast back onto the pair frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    items = (li.join(part, li.l_partkey == part.p_partkey)
+             .select(F.col("l_orderkey").alias("okey"),
+                     F.col("p_brand").alias("brand"))
+             .distinct())
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (a.join(b, (F.col("a.okey") == F.col("b.okey"))
+                    & (F.col("a.brand") < F.col("b.brand")))
+             .groupBy(F.col("a.brand").alias("brand_a"),
+                      F.col("b.brand").alias("brand_b"))
+             .agg(F.count(F.lit(1)).alias("support"))
+             .where(F.col("support") >= BASKET_MIN_SUPPORT))
+    freq = items.groupBy("brand").agg(F.count(F.lit(1)).alias("n_orders"))
+    # total order count as a broadcast 1-row frame, NOT a driver-side
+    # count() at plan-build time (laziness guard / scale contract)
+    tot = items.agg(F.countDistinct("okey").cast("double")
+                    .alias("n_orders_total"))
+    fa = freq.select(F.col("brand").alias("brand_a"),
+                     F.col("n_orders").alias("n_a"))
+    fb = freq.select(F.col("brand").alias("brand_b"),
+                     F.col("n_orders").alias("n_b"))
+    out = (pairs.join(F.broadcast(fa), "brand_a")
+           .join(F.broadcast(fb), "brand_b")
+           .crossJoin(F.broadcast(tot)))
+    conf = F.col("support") / F.col("n_a")
+    lift = (F.col("support") * F.col("n_orders_total")
+            / (F.col("n_a") * F.col("n_b")))
+    return out.select(
+        "brand_a", "brand_b",
+        F.col("support").cast("long").alias("support"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(conf, 6).alias("confidence"),
+        F.round(lift, 6).alias("lift"))
+
+
+QUERIES["market_basket_pairs"] = q_market_basket_pairs
+
+ORACLE["market_basket_pairs"] = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS support
+  FROM items a JOIN items b
+    ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY a.brand, b.brand
+  HAVING count(*) >= {BASKET_MIN_SUPPORT}
+),
+freq AS (SELECT brand, count(*) AS n_orders FROM items GROUP BY brand),
+tot AS (SELECT count(DISTINCT okey) AS n FROM items)
+SELECT p.brand_a, p.brand_b,
+       CAST(p.support AS BIGINT) AS support,
+       CAST(fa.n_orders AS BIGINT) AS n_a,
+       CAST(fb.n_orders AS BIGINT) AS n_b,
+       round(p.support * 1.0 / fa.n_orders, 6) AS confidence,
+       round(p.support * 1.0 * t.n / (fa.n_orders * fb.n_orders), 6)
+         AS lift
+FROM pairs p
+JOIN freq fa ON fa.brand = p.brand_a
+JOIN freq fb ON fb.brand = p.brand_b
+CROSS JOIN tot t
+"""
+
+
+# ---- shipping latency profile -------------------------------------------
+
+
+def q_order_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency profile per order priority: days from
+    order date to each line's ship date, the share taking over 60
+    days, and the spread (min/max) — the fulfilment-health rollup
+    next to the revenue queries. Broadcast join of the orders dim
+    columns onto the lineitem scan, one aggregation, date arithmetic
+    only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(F.broadcast(orders.select("o_orderkey", "o_orderdate",
+                                          "o_orderpriority")),
+                li.l_orderkey == F.col("o_orderkey"))
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (j.groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.avg(days), 6).alias("avg_days_to_ship"),
+                 F.min(days).cast("long").alias("min_days"),
+                 F.max(days).cast("long").alias("max_days"),
+                 F.round(F.avg((days > 60).cast("double")), 6)
+                 .alias("slow_share")))
+
+
+QUERIES["order_ship_latency"] = q_order_ship_latency
+
+ORACLE["order_ship_latency"] = """
+SELECT o_orderpriority AS priority,
+       count(*) AS n_items,
+       round(avg(datediff('day', o_orderdate, l_shipdate)), 6)
+         AS avg_days_to_ship,
+       CAST(min(datediff('day', o_orderdate, l_shipdate)) AS BIGINT)
+         AS min_days,
+       CAST(max(datediff('day', o_orderdate, l_shipdate)) AS BIGINT)
+         AS max_days,
+       round(avg(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 60
+                      THEN 1.0 ELSE 0.0 END), 6) AS slow_share
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
