@@ -824,3 +824,99 @@ FROM counted
 
 QUERIES["text_bpe_tokens"] = q_text_bpe_tokens
 ORACLE["text_bpe_tokens"] = _bpe_sql()
+
+
+# ---- k-gram novelty (memorization probe) --------------------------------
+
+NOVELTY_K = 3
+
+
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document k-gram novelty under doc-id arrival order: the
+    share of a document's DISTINCT word trigrams whose FIRST corpus
+    occurrence is this document (first occurrence = min doc_id over
+    the gram) — the curation signal for repeated boilerplate and
+    memorized spans accumulating over a crawl. One explode + one gram
+    groupBy + one join back; grams never leave their hash partition
+    twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    grams = (docs.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - NOVELTY_K + 1,
+                                        F.lit(0))),
+            lambda _, i: F.concat_ws(
+                " ", F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3)))).alias("gram"))
+        .where(F.col("gram") != "")
+        .distinct())
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (grams.join(first, "gram")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+                    F.sum((F.col("doc_id") == F.col("first_doc"))
+                          .cast("long")).alias("n_novel")))
+    return per_doc.select(
+        "doc_id", "n_grams", F.col("n_novel").cast("long").alias("n_novel"),
+        F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"))
+
+
+QUERIES["text_novelty"] = q_text_novelty
+
+ORACLE["text_novelty"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+                 FOR i IN range(1, len(t) - 1)]) AS gram
+  FROM toks
+),
+nonempty AS (SELECT * FROM grams WHERE gram <> ''),
+first AS (SELECT gram, min(doc_id) AS first_doc FROM nonempty GROUP BY gram)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS novelty
+FROM nonempty g JOIN first f ON f.gram = g.gram
+GROUP BY g.doc_id
+"""
+
+
+# ---- cross-source duplication matrix ------------------------------------
+
+
+def q_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate leakage BETWEEN source shards: for each source
+    pair, how many content-hash groups have members in both — the
+    matrix a curation pass reads before deciding which shard's copy to
+    keep. Distinct (hash, source) pairs self-joined within the hash
+    (never across), so the join is blocked by content hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    hs = (docs.select(F.md5(F.lower(F.col("text"))).alias("h"), "source")
+          .distinct())
+    a, b = hs.alias("a"), hs.alias("b")
+    return (a.join(b, (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.source") < F.col("b.source")))
+            .groupBy(F.col("a.source").alias("source_a"),
+                     F.col("b.source").alias("source_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared_groups")))
+
+
+QUERIES["cross_source_dup"] = q_cross_source_dup
+
+ORACLE["cross_source_dup"] = """
+WITH hs AS (
+  SELECT DISTINCT md5(lower(text)) AS h, source FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_groups
+FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+GROUP BY a.source, b.source
+"""
