@@ -893,17 +893,26 @@ GROUP BY g.doc_id
 
 
 def q_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-duplicate leakage BETWEEN source shards: for each source
-    pair, how many content-hash groups have members in both — the
-    matrix a curation pass reads before deciding which shard's copy to
-    keep. Distinct (hash, source) pairs self-joined within the hash
-    (never across), so the join is blocked by content hash."""
+    """Near-duplicate structure ACROSS and WITHIN source shards: for
+    each ordered source pair (a <= b), how many content-shape
+    fingerprint groups (word-order-robust sorted-distinct-token hash —
+    the SAME group key leakage_safe_split protects with) have a member
+    in both; the diagonal a == b counts groups with >= 2 copies inside
+    one shard. The matrix a curation pass reads before deciding which
+    shard's copy to keep. (hash, source) tuples self-joined within the
+    hash only, so the join is blocked by fingerprint.)"""
+    from data_timeseries_java_spark.operators.text import tokens
+
     docs = load_table(spark, sf_dir, "documents")
-    hs = (docs.select(F.md5(F.lower(F.col("text"))).alias("h"), "source")
-          .distinct())
+    fp = F.md5(F.concat_ws(" ", F.array_sort(
+        F.array_distinct(tokens(F.col("text"))))))
+    hs = (docs.select(fp.alias("h"), "source")
+          .groupBy("h", "source")
+          .agg(F.count(F.lit(1)).alias("n")))
     a, b = hs.alias("a"), hs.alias("b")
-    return (a.join(b, (F.col("a.h") == F.col("b.h"))
-                   & (F.col("a.source") < F.col("b.source")))
+    cross = (F.col("a.source") < F.col("b.source"))
+    diag = ((F.col("a.source") == F.col("b.source")) & (F.col("a.n") >= 2))
+    return (a.join(b, (F.col("a.h") == F.col("b.h")) & (cross | diag))
             .groupBy(F.col("a.source").alias("source_a"),
                      F.col("b.source").alias("source_b"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_shared_groups")))
@@ -913,10 +922,16 @@ QUERIES["cross_source_dup"] = q_cross_source_dup
 
 ORACLE["cross_source_dup"] = """
 WITH hs AS (
-  SELECT DISTINCT md5(lower(text)) AS h, source FROM documents
+  SELECT md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split(lower(text), ' '), x -> x <> ''))),
+             ' ')) AS h,
+         source, count(*) AS n
+  FROM documents GROUP BY 1, 2
 )
 SELECT a.source AS source_a, b.source AS source_b,
        CAST(count(*) AS BIGINT) AS n_shared_groups
-FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+FROM hs a JOIN hs b
+  ON a.h = b.h AND (a.source < b.source
+                    OR (a.source = b.source AND a.n >= 2))
 GROUP BY a.source, b.source
 """
