@@ -394,11 +394,20 @@ def test_round7_additions_plan_shapes(spark, sf_dir):
     per-shard window shuffle; the covariance reduce is one hash
     shuffle plus tiny broadcasts; the hurst explode stays within the
     candle pipeline's budget + its two aggregations."""
+    # earlier tests in a shared session may leave cached subtrees
+    # (queries using plans/materialize) that substitute into these
+    # plans and shift exchange counts — measure the clean plans
+    spark.catalog.clearCache()
     qs = all_queries()
-    assert exchange_count(qs["text_bpe_tokens"](spark, sf_dir)) == 0
-    assert exchange_count(qs["sequence_packing_bpe"](spark, sf_dir)) <= 1
-    assert exchange_count(qs["embedding_covariance"](spark, sf_dir)) <= 4
-    assert exchange_count(qs["fx_hurst"](spark, sf_dir)) <= 5
-    for name in ("fx_holt_trend", "fx_kalman_level", "fx_garch_vol",
-                 "fx_half_life", "fx_candle_patterns"):
-        assert exchange_count(qs[name](spark, sf_dir)) <= 5, name
+    for name, budget in [("text_bpe_tokens", 0),
+                         ("sequence_packing_bpe", 1),
+                         ("embedding_covariance", 4),
+                         ("fx_hurst", 5),
+                         ("fx_holt_trend", 5), ("fx_kalman_level", 5),
+                         ("fx_garch_vol", 5), ("fx_half_life", 5),
+                         ("fx_candle_patterns", 5)]:
+        q = qs[name](spark, sf_dir)
+        n = exchange_count(q)
+        assert n <= budget, (
+            f"{name}: {n} exchanges > budget {budget}\n"
+            f"{formatted_plan(q)[:3000]}")
