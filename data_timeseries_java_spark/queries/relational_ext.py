@@ -1404,3 +1404,211 @@ SELECT o_orderpriority AS priority,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
+
+
+# ---- Welch two-sample test between event types --------------------------
+
+
+def q_event_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic for every pair of event types'
+    value distributions — the A/B significance scan a metrics pipeline
+    runs across variants. Per-type moments from ONE aggregation of one
+    scan (decomposable sums, rounded per the house convention), then a
+    tiny type x type self-join assembles all pairs; nothing rescans
+    the events table per pair."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    st = ev.groupBy(F.col("event_type").alias("t")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.sum(v), 6).alias("s"),
+        F.round(F.sum(v * v), 6).alias("ss"))
+    st = st.select(
+        "t", "n", (F.col("s") / F.col("n")).alias("m"),
+        ((F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+         / (F.col("n") - 1)).alias("var"))
+    a, b = st.alias("a"), st.alias("b")
+    j = a.join(b, F.col("a.t") < F.col("b.t"))
+    tstat = ((F.col("a.m") - F.col("b.m"))
+             / F.sqrt(F.col("a.var") / F.col("a.n")
+                      + F.col("b.var") / F.col("b.n")))
+    return j.select(
+        F.col("a.t").alias("type_a"), F.col("b.t").alias("type_b"),
+        F.col("a.n").cast("long").alias("n_a"),
+        F.col("b.n").cast("long").alias("n_b"),
+        F.round(F.col("a.m"), 6).alias("mean_a"),
+        F.round(F.col("b.m"), 6).alias("mean_b"),
+        F.round(tstat, 6).alias("welch_t"))
+
+
+QUERIES["event_ab_test"] = q_event_ab_test
+
+ORACLE["event_ab_test"] = """
+WITH st AS (
+  SELECT event_type AS t, CAST(count(*) AS DOUBLE) AS n,
+         round(sum(value), 6) AS s, round(sum(value * value), 6) AS ss
+  FROM events GROUP BY event_type
+),
+m AS (
+  SELECT t, n, s / n AS m, (ss - s * s / n) / (n - 1) AS var FROM st
+)
+SELECT a.t AS type_a, b.t AS type_b,
+       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       round(a.m, 6) AS mean_a, round(b.m, 6) AS mean_b,
+       round((a.m - b.m) / sqrt(a.var / a.n + b.var / b.n), 6) AS welch_t
+FROM m a JOIN m b ON a.t < b.t
+"""
+
+
+# ---- per-user behavioral entropy ----------------------------------------
+
+
+def q_user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix (nats) — the
+    behavioral-diversity feature a personalization pipeline derives:
+    0 for single-type users, ln(k) for a uniform k-type mix. Two
+    aggregations on the same user partitioning (type counts, then the
+    -sum p ln p fold); no joins, no explode."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("c"))
+    tot = F.sum("c").over(Window.partitionBy("user_id"))
+    p = F.col("c") / tot
+    h = per.select("user_id", (-p * F.log(p)).alias("term"),
+                   F.col("c").alias("c"))
+    return (h.groupBy("user_id")
+            .agg(F.sum("c").cast("long").alias("n_events"),
+                 F.round(F.sum("term"), 6).alias("entropy_nats")))
+
+
+QUERIES["user_behavior_entropy"] = q_user_behavior_entropy
+
+ORACLE["user_behavior_entropy"] = """
+WITH per AS (
+  SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY user_id, event_type
+),
+tot AS (
+  SELECT user_id, event_type, c,
+         sum(c) OVER (PARTITION BY user_id) AS n
+  FROM per
+)
+SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+       round(sum(-(c / n) * ln(c / n)), 6) AS entropy_nats
+FROM tot GROUP BY user_id
+"""
+
+
+# ---- revenue concentration (Gini) ---------------------------------------
+
+
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order-value concentration per nation — the
+    inequality rollup a revenue-risk review reads (0 = every order
+    equal, →1 = one order dominates). Closed form over ranked values:
+    G = 2·Σ(i·x_i) / (n·Σx) − (n+1)/n with rank i by (value, order
+    key) for determinism; one window sort per nation + one aggregation
+    (rank sums rounded per the house convention)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    j = (orders.join(customer, orders.o_custkey == customer.c_custkey)
+         .join(F.broadcast(nation),
+               customer.c_nationkey == nation.n_nationkey)
+         .select(F.col("n_name").alias("nation"),
+                 F.col("o_orderkey").alias("okey"),
+                 F.col("o_totalprice").alias("x")))
+    w = Window.partitionBy("nation").orderBy("x", "okey")
+    r = j.select("nation", "x",
+                 F.row_number().over(w).cast("double").alias("i"))
+    st = r.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.sum("x"), 6).alias("sx"),
+        F.round(F.sum(F.col("i") * F.col("x")), 6).alias("six"))
+    gini = (2 * F.col("six") / (F.col("n") * F.col("sx"))
+            - (F.col("n") + 1) / F.col("n"))
+    return st.select(
+        "nation", F.col("n").cast("long").alias("n_orders"),
+        F.round(F.col("sx"), 2).alias("total_revenue"),
+        F.round(gini, 6).alias("gini"))
+
+
+QUERIES["revenue_gini"] = q_revenue_gini
+
+ORACLE["revenue_gini"] = """
+WITH j AS (
+  SELECT n_name AS nation, o_orderkey AS okey, o_totalprice AS x
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+),
+r AS (
+  SELECT nation, x,
+         CAST(row_number() OVER (PARTITION BY nation ORDER BY x, okey)
+              AS DOUBLE) AS i
+  FROM j
+),
+st AS (
+  SELECT nation, CAST(count(*) AS DOUBLE) AS n,
+         round(sum(x), 6) AS sx, round(sum(i * x), 6) AS six
+  FROM r GROUP BY nation
+)
+SELECT nation, CAST(n AS BIGINT) AS n_orders,
+       round(sx, 2) AS total_revenue,
+       round(2 * six / (n * sx) - (n + 1) / n, 6) AS gini
+FROM st
+"""
+
+
+# ---- Benford first-digit deviation --------------------------------------
+
+
+def q_benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit profile of order totals —
+    the fraud/data-quality screen auditors run on financial columns:
+    observed digit shares vs log10(1 + 1/d), per-digit chi-square
+    contribution. One scan, one aggregation; the digit falls out of
+    floor(x / 10^floor(log10 x)) (no string formatting, which engines
+    disagree on)."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x))))
+    d = (orders.where(x > 0)
+         .groupBy(digit.cast("int").alias("digit"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    from pyspark.sql import Window
+
+    # global window over the POST-AGGREGATION frame only (<= 9 digit
+    # rows) — never over the orders scan
+    total = F.sum("n").over(Window.partitionBy())
+    share = F.col("n") / total
+    expected = F.log10(1 + 1 / F.col("digit"))
+    chi = ((share - expected) ** 2 / expected)
+    return d.select(
+        "digit", F.col("n").cast("long").alias("n"),
+        F.round(share, 6).alias("share"),
+        F.round(expected, 6).alias("benford_share"),
+        F.round(chi * 10000, 6).alias("chi2_x1e4"))
+
+
+QUERIES["benford_order_totals"] = q_benford_order_totals
+
+ORACLE["benford_order_totals"] = """
+WITH d AS (
+  SELECT CAST(floor(o_totalprice
+              / pow(10.0, floor(log10(o_totalprice)))) AS INT) AS digit,
+         count(*) AS n
+  FROM orders WHERE o_totalprice > 0
+  GROUP BY 1
+),
+t AS (SELECT sum(n) AS total FROM d)
+SELECT d.digit, CAST(d.n AS BIGINT) AS n,
+       round(d.n * 1.0 / t.total, 6) AS share,
+       round(log10(1 + 1.0 / d.digit), 6) AS benford_share,
+       round(pow(d.n * 1.0 / t.total - log10(1 + 1.0 / d.digit), 2)
+             / log10(1 + 1.0 / d.digit) * 10000, 6) AS chi2_x1e4
+FROM d CROSS JOIN t
+"""
