@@ -1612,3 +1612,106 @@ SELECT d.digit, CAST(d.n AS BIGINT) AS n,
              / log10(1 + 1.0 / d.digit) * 10000, 6) AS chi2_x1e4
 FROM d CROSS JOIN t
 """
+
+
+# ---- PageRank over the brand co-occurrence graph ------------------------
+
+PAGERANK_ITERS = 10
+PAGERANK_D = 0.85
+
+
+def q_brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the brand co-occurrence graph (nodes = part
+    brands, undirected edges = distinct same-order co-occurrence):
+    10 fixed power iterations with damping 0.85 — the graph-centrality
+    family member next to the connected-components dedup clustering.
+
+    Built as one LAZY plan: the iteration count is fixed, so the loop
+    unrolls into 10 chained join+aggregate stages (no driver-side
+    convergence probe, no collect — the node count rides along as a
+    broadcast scalar frame). The DuckDB oracle unrolls the SAME 10
+    stages as generated CTEs, so every iteration's arithmetic is
+    hash-checked, not just the fixpoint shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    items = (li.join(part, li.l_partkey == part.p_partkey)
+             .select(F.col("l_orderkey").alias("okey"),
+                     F.col("p_brand").alias("brand"))
+             .distinct())
+    a, b = items.alias("a"), items.alias("b")
+    edges = (a.join(b, (F.col("a.okey") == F.col("b.okey"))
+                    & (F.col("a.brand") != F.col("b.brand")))
+             .select(F.col("a.brand").alias("src"),
+                     F.col("b.brand").alias("dst"))
+             .distinct())
+    nodes = items.select("brand").distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_frame = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+
+    ranks = (nodes.crossJoin(F.broadcast(n_frame))
+             .select("brand", (F.lit(1.0) / F.col("n_nodes")).alias("r")))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (edges.join(ranks, edges.src == ranks.brand)
+                   .join(deg, "src")
+                   .groupBy("dst")
+                   .agg(F.sum(F.col("r") / F.col("deg")).alias("acc")))
+        ranks = (nodes
+                 .join(contrib, nodes.brand == contrib.dst, "left")
+                 .crossJoin(F.broadcast(n_frame))
+                 .select("brand",
+                         ((1 - PAGERANK_D) / F.col("n_nodes")
+                          + PAGERANK_D
+                          * F.coalesce(F.col("acc"), F.lit(0.0)))
+                         .alias("r")))
+    return (ranks.join(deg, ranks.brand == deg.src, "left")
+            .select("brand",
+                    F.coalesce("deg", F.lit(0)).cast("long")
+                    .alias("n_neighbors"),
+                    F.round("r", 6).alias("pagerank")))
+
+
+QUERIES["brand_pagerank"] = q_brand_pagerank
+
+
+def _pagerank_sql(iters: int = PAGERANK_ITERS,
+                  d: float = PAGERANK_D) -> str:
+    stages = []
+    for k in range(1, iters + 1):
+        stages.append(f"""pr{k} AS (
+  SELECT n.brand,
+         (1 - {d}) / (SELECT n_nodes FROM nn)
+           + {d} * coalesce(sum(p.r / dg.deg), 0) AS r
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.brand
+  LEFT JOIN pr{k - 1} p ON p.brand = e.src
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY n.brand
+)""")
+    chain = ",\n".join(stages)
+    return f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+edges AS (
+  SELECT DISTINCT a.brand AS src, b.brand AS dst
+  FROM items a JOIN items b
+    ON a.okey = b.okey AND a.brand <> b.brand
+),
+nodes AS (SELECT DISTINCT brand FROM items),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nodes),
+pr0 AS (
+  SELECT brand, 1.0 / (SELECT n_nodes FROM nn) AS r FROM nodes
+),
+{chain}
+SELECT n.brand,
+       CAST(coalesce(dg.deg, 0) AS BIGINT) AS n_neighbors,
+       round(p.r, 6) AS pagerank
+FROM nodes n
+JOIN pr{iters} p ON p.brand = n.brand
+LEFT JOIN deg dg ON dg.src = n.brand
+"""
+
+
+ORACLE["brand_pagerank"] = _pagerank_sql()
