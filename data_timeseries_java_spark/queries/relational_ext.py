@@ -1715,3 +1715,80 @@ LEFT JOIN deg dg ON dg.src = n.brand
 
 
 ORACLE["brand_pagerank"] = _pagerank_sql()
+
+
+# ---- streaming funnel, driver-gated through replay ----------------------
+
+_FUNNEL_REPLAY_SINKS: dict[tuple, str] = {}
+
+
+def q_funnel_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered funnel executed through the STREAMING lane
+    (`streaming/funnel_stream.py` — per-user stage-cursor keyed state,
+    batches folded in event-time order) and hash-matched against the
+    SAME DuckDB oracle as the batch `funnel_conversion`. The sink
+    holds per-batch cursor snapshots; the declared result takes each
+    user's LATEST snapshot (max batch_id) and aggregates to the batch
+    query's (stage, n_users) shape. Events are replayed as 3
+    time-range files with md5-scrambled within-file order (the
+    operator sorts within each batch; across batches the range
+    bucketing supplies the event-order contract). Building this query
+    RUNS the stream (laziness-guard exempt)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from data_timeseries_java_spark.streaming.funnel_stream import (
+        streaming_funnel,
+    )
+    from data_timeseries_java_spark.streaming.replay import (
+        read_replay_sink,
+        run_to_parquet_sink,
+        write_replay_buckets,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    sink = _FUNNEL_REPLAY_SINKS.get(cache_key)
+    if sink is None or not os.path.isdir(sink):
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_type", "ts", "event_id")
+        t0_ms, t1_ms = ev.select(
+            F.min(F.unix_millis("ts")), F.max(F.unix_millis("ts"))).first()
+        n_files = 3
+        work = tempfile.mkdtemp(prefix="funnel_stream_replay_")
+        base = _time.time() - 1000
+        write_replay_buckets(ev.drop("event_id"), "ts", f"{work}/in",
+                             n_files, t0_ms, t1_ms - t0_ms + 1, base,
+                             ["user_id", "ts"])
+        src = (spark.readStream
+               .schema("user_id long, event_type string, ts timestamp")
+               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
+        out = streaming_funnel(src)
+        sink = run_to_parquet_sink(out, f"{work}/out", f"{work}/ckpt")
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+        _FUNNEL_REPLAY_SINKS[cache_key] = sink
+    snaps = (spark.read.option("basePath", sink).parquet(sink))
+    w = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
+    latest = (snaps.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") == 1))
+    stages = [
+        ("1_view", F.col("t_view").isNotNull()),
+        ("2_click_after_view", F.col("t_click").isNotNull()),
+        ("3_purchase_after_click", F.col("t_purchase").isNotNull()),
+    ]
+    out = None
+    for name, cond in stages:
+        row = (latest.where(cond)
+               .agg(F.count(F.lit(1)).alias("n_users"))
+               .select(F.lit(name).alias("stage"), "n_users"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+QUERIES["funnel_stream_replay"] = q_funnel_stream_replay
+
+ORACLE["funnel_stream_replay"] = ORACLE["funnel_conversion"]

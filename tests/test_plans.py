@@ -140,7 +140,8 @@ _ITERATIVE_QUERIES = {"dedup_clusters", "dedup_keep_list",
                       "ema_stream_replay", "anomaly_stream_replay",
                       "recovery_stream_replay", "holt_stream_replay",
                       "garch_stream_replay", "drawdown_stream_replay",
-                      "kalman_stream_replay", "gridq_stream_replay"}
+                      "kalman_stream_replay", "gridq_stream_replay",
+                      "funnel_stream_replay"}
 
 
 
