@@ -1876,3 +1876,43 @@ def q_asof_bucketed_stream_replay(spark: SparkSession,
 QUERIES["asof_bucketed_stream_replay"] = q_asof_bucketed_stream_replay
 
 ORACLE["asof_bucketed_stream_replay"] = ORACLE["asof_stream_replay"]
+
+
+# ---- activity heatmap (day-of-week x hour) ------------------------------
+
+
+def q_event_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap with per-cell share
+    and per-type mean value — the calendar profile a capacity planner
+    reads. One scan, one aggregation; the dow encodings are aligned
+    explicitly (Spark dayofweek is 1=Sunday..7, DuckDB's is
+    0=Sunday..6 — the query normalizes to 0-based Sunday)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    g = (ev.groupBy((F.dayofweek("ts") - 1).cast("int").alias("dow"),
+                    F.hour("ts").cast("int").alias("hod"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.round(F.avg("value"), 6).alias("mean_value")))
+    # share over the POST-AGGREGATION frame (<= 168 cells)
+    total = F.sum("n").over(Window.partitionBy())
+    return g.select("dow", "hod", F.col("n").cast("long").alias("n"),
+                    F.round(F.col("n") / total, 6).alias("share"),
+                    "mean_value")
+
+
+QUERIES["event_hour_profile"] = q_event_hour_profile
+
+ORACLE["event_hour_profile"] = """
+WITH g AS (
+  SELECT CAST(dayofweek(ts) AS INT) AS dow,
+         CAST(hour(ts) AS INT) AS hod,
+         count(*) AS n,
+         round(avg(value), 6) AS mean_value
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT sum(n) AS total FROM g)
+SELECT dow, hod, CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / t.total, 6) AS share, mean_value
+FROM g CROSS JOIN t
+"""
