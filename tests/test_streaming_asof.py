@@ -215,3 +215,33 @@ def test_bucketed_asof_inner_and_tolerance(spark, tmp_path):
     # t(0) trade: no prior quote -> dropped (inner); t(2) matches the
     # exact-timestamp quote; t(30)'s only match (t=3) is stale
     assert rows == {("K", 2, 2.0, 200.0)}
+
+
+def test_bucketed_asof_ties_and_rightless_keys(spark, tmp_path):
+    """Edge cases through the bucketed path: two right rows at the SAME
+    timestamp (the later ARRIVAL wins, matching the per-key operator's
+    stable-sort contract), a key with no right rows at all (all its
+    lefts drop, inner), and a right-only key (emits nothing)."""
+    d = str(tmp_path)
+    # f0: quotes only — two quotes for K at the same minute (100 then
+    # 111 in arrival order), nothing for L, one for M
+    spark.createDataFrame(
+        [("K", _t(1), 100.0), ("K", _t(1), 111.0), ("M", _t(1), 500.0)],
+        QUOTE_SCHEMA).coalesce(1).write.parquet(f"{d}/quotes/f0")
+    # f1: trades for K (matches the tie), L (no quotes -> dropped)
+    spark.createDataFrame(
+        [("K", _t(2), 1.0), ("L", _t(2), 2.0)],
+        TRADE_SCHEMA).coalesce(1).write.parquet(f"{d}/trades/f0")
+    spark.createDataFrame(
+        [("ZZ", _t(59), 0.0)], TRADE_SCHEMA).coalesce(1).write.parquet(
+        f"{d}/trades/f1")
+    spark.createDataFrame(
+        [("ZZ", _t(59), 0.0)], QUOTE_SCHEMA).coalesce(1).write.parquet(
+        f"{d}/quotes/f1")
+    rows = {(r.key, r.qty, r.px_asof)
+            for r in _run_bucketed(spark, d, "asof_bk_edge",
+                                   watermark="0 seconds",
+                                   n_buckets=1).collect()}
+    # K matched to the LATER-ARRIVING equal-time quote; L dropped;
+    # M (right-only) emits nothing
+    assert rows == {("K", 1.0, 111.0)}
