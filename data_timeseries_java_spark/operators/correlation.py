@@ -514,3 +514,129 @@ def lead_lag_correlation(returns: DataFrame, max_lag: int = 2,
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.corr("ret_a", "ret_b"), 6).alias("ccf"))
     return out.where(F.col("n") >= min_points)
+
+
+def engle_granger(candles: DataFrame, price: F.Column | None = None,
+                  cache_input: bool = True) -> DataFrame:
+    """Engle-Granger two-step cointegration screen over each ordered key
+    pair's complete-candle close series (Engle & Granger 1987; the
+    zero-lag Dickey-Fuller regression on the cointegrating residual).
+
+    Step 1 — static OLS hedge ratio: y_t = α + β·x_t over the
+    window-aligned closes (y = the lexically larger key's series),
+    via JVM ``regr_slope``/``regr_intercept`` (map-side combinable).
+    Step 2 — residual unit-root screen: e_t = y_t − α − β·x_t,
+    Δe_t = ρ·e_{t−1}; ρ̂, its standard error, and the DF t-statistic
+    come in closed form from three pair-level sums (Σe₋Δe, Σe₋²,
+    ΣΔe²), so the whole step is one lag + one aggregate.
+
+    Shape: self-join on window_start (the J6 pair pattern — hashes
+    across the cluster by window), one pair-level OLS aggregate, a
+    broadcast join of the tiny (n_pairs) OLS frame back onto the pair
+    series, then a key-pair-partitioned lag + final aggregate. Series
+    are candle-sized; nothing touches the tick scan twice thanks to
+    ``materialize``.
+
+    A more negative adf_t ⇒ faster mean reversion of the spread ⇒
+    stronger cointegration evidence (critical values are the DF ones,
+    left to the caller — this operator reports the statistic).
+    """
+    price = price if price is not None else F.col("close.ask")
+    closes = materialize(
+        candles.select("key", "window_start", price.alias("px")),
+        cache_input)
+    a = closes.select(F.col("key").alias("key1"), "window_start",
+                      F.col("px").alias("x"))
+    b = closes.select(F.col("key").alias("key2"),
+                      F.col("window_start").alias("ws2"),
+                      F.col("px").alias("y"))
+    paired = a.join(b, (F.col("window_start") == F.col("ws2"))
+                    & (F.col("key1") < F.col("key2"))).drop("ws2")
+    ols = paired.groupBy("key1", "key2").agg(
+        F.regr_slope("y", "x").alias("beta"),
+        F.regr_intercept("y", "x").alias("alpha"),
+        F.count(F.lit(1)).cast("long").alias("n"))
+    from pyspark.sql import Window
+
+    resid = paired.join(F.broadcast(ols), ["key1", "key2"])
+    e = F.col("y") - F.col("alpha") - F.col("beta") * F.col("x")
+    wk = Window.partitionBy("key1", "key2").orderBy("window_start")
+    r = resid.select("key1", "key2", "window_start", "beta", "alpha", "n",
+                     e.alias("e"))
+    r = r.withColumn("e_prev", F.lag("e").over(wk))
+    de = F.col("e") - F.col("e_prev")
+    sums = (r.where(F.col("e_prev").isNotNull())
+            .groupBy("key1", "key2", "beta", "alpha", "n")
+            .agg(F.sum(F.col("e_prev") * de).alias("s1"),
+                 F.sum(F.col("e_prev") * F.col("e_prev")).alias("s2"),
+                 F.sum(de * de).alias("s3"),
+                 F.count(F.lit(1)).cast("long").alias("n_d")))
+    rho = F.col("s1") / F.col("s2")
+    ssr = F.col("s3") - 2.0 * rho * F.col("s1") + rho * rho * F.col("s2")
+    se = F.sqrt(ssr / (F.col("n_d") - 1) / F.col("s2"))
+    return sums.select(
+        "key1", "key2", "n",
+        F.col("beta"), F.col("alpha"),
+        rho.alias("rho"),
+        (rho / se).alias("adf_t"),
+    )
+
+
+def ewma_pair_covariance(returns: DataFrame, alpha: float = 0.0625,
+                         cache_input: bool = True) -> DataFrame:
+    """RiskMetrics-style EWMA covariance / correlation per ordered key
+    pair over time-aligned return series:
+
+        cov_t  = (1−α)·cov_{t−1} + α·(ra_t · rb_t)
+        var_t  = (1−α)·var_{t−1} + α·r_t²      (per key)
+        corr_t = cov_t / sqrt(var_a,t · var_b,t)
+
+    (λ = 1−α; the default α = 1/16 = 0.0625 ⇒ λ = 0.9375, the closest
+    exactly-representable double to RiskMetrics' λ = 0.94 — chosen so
+    pandas' ewm recursion and the oracle's recursive CTE are
+    bit-identical; see operators.ema.)
+
+    Initialization follows ema(): cov_0 = ra_0·rb_0, var_0 = r_0²
+    (adjust=False with the first observation as seed).
+
+    Shape: pair self-join on time (J6 pattern), one grouped-map ema over
+    the pair-product series, one over the per-key squared series, then
+    two candle-sized joins to assemble the correlation. The tick scan
+    runs once (materialize)."""
+    from data_timeseries_java_spark.operators.ema import ema
+
+    returns = materialize(returns, cache_input)
+    a = returns.select(F.col("key").alias("key1"), "time",
+                       F.col("value").alias("ra"))
+    b = returns.select(F.col("key").alias("key2"),
+                       F.col("time").alias("t2"),
+                       F.col("value").alias("rb"))
+    paired = (a.join(b, (F.col("time") == F.col("t2"))
+                     & (F.col("key1") < F.col("key2"))).drop("t2")
+              .select(F.concat_ws("|", "key1", "key2").alias("key"),
+                      "time", (F.col("ra") * F.col("rb")).alias("value")))
+    cov = (ema(paired, alpha=alpha)
+           .select(F.split("key", "\\|")[0].alias("key1"),
+                   F.split("key", "\\|")[1].alias("key2"),
+                   "time", F.col("ema").alias("ewma_cov")))
+    sq = returns.select("key", "time",
+                        (F.col("value") * F.col("value")).alias("value"))
+    var = ema(sq, alpha=alpha).select("key", "time",
+                                      F.col("ema").alias("ewma_var"))
+    va = var.select(F.col("key").alias("ka"),
+                    F.col("time").alias("ta"),
+                    F.col("ewma_var").alias("var_a"))
+    vb = var.select(F.col("key").alias("kb"),
+                    F.col("time").alias("tb"),
+                    F.col("ewma_var").alias("var_b"))
+    out = (cov.join(va, (F.col("key1") == F.col("ka"))
+                    & (F.col("time") == F.col("ta")), "inner")
+           .drop("ka", "ta")
+           .join(vb, (F.col("key2") == F.col("kb"))
+                 & (F.col("time") == F.col("tb")), "inner")
+           .drop("kb", "tb"))
+    corr = (F.when((F.col("var_a") > 0) & (F.col("var_b") > 0),
+                   F.col("ewma_cov")
+                   / F.sqrt(F.col("var_a") * F.col("var_b"))))
+    return out.select("key1", "key2", "time", "ewma_cov",
+                      corr.alias("ewma_corr"))

@@ -175,3 +175,40 @@ def garch_vol(series: DataFrame, alpha: float = 0.125,
               f"{value_col} {fields[value_col]}, "
               f"garch_var double, garch_vol double")
     return series.groupBy(key_col).applyInPandas(compute, schema)
+
+
+def macd(series: DataFrame, span_fast: int = 12, span_slow: int = 26,
+         span_signal: int = 9, key_col: str = "key", time_col: str = "time",
+         value_col: str = "value") -> DataFrame:
+    """MACD (Appel's moving-average convergence/divergence) per key:
+    fast/slow EMAs of the series, their difference, and an EMA signal
+    line of that difference — three adjust=False recursions sharing one
+    per-key sorted pass (α = 2/(span+1), the standard span mapping):
+
+        ema_f = EMA(x, span_fast);  ema_s = EMA(x, span_slow)
+        macd  = ema_f − ema_s;      signal = EMA(macd, span_signal)
+        hist  = macd − signal
+
+    Like :func:`ema`, inherently recursive — grouped-map pandas, one
+    shuffle on key, candle-sized groups. The DuckDB oracle replays the
+    same three IEEE-double recursions in a single RECURSIVE CTE
+    (ema_f, ema_s, signal carried as frontier columns), so 6-decimal
+    rounding hash-matches bit-for-bit.
+    """
+    import pandas as pd  # noqa: F401
+
+    def compute(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(time_col).reset_index(drop=True)
+        f = pdf[value_col].ewm(span=span_fast, adjust=False).mean()
+        s = pdf[value_col].ewm(span=span_slow, adjust=False).mean()
+        pdf["macd"] = f - s
+        pdf["signal"] = pdf["macd"].ewm(span=span_signal, adjust=False).mean()
+        pdf["histogram"] = pdf["macd"] - pdf["signal"]
+        return pdf[[key_col, time_col, value_col,
+                    "macd", "signal", "histogram"]]
+
+    fields = dict(series.dtypes)
+    schema = (f"{key_col} {fields[key_col]}, {time_col} {fields[time_col]}, "
+              f"{value_col} {fields[value_col]}, macd double, "
+              f"signal double, histogram double")
+    return series.groupBy(key_col).applyInPandas(compute, schema)

@@ -243,3 +243,102 @@ def max_drawdown(candles: DataFrame, price: F.Column | None = None) -> DataFrame
         F.floor(F.max("drawdown") * 1_000_000).cast("double").alias("_mdd6"),
     ).select("key", "n_windows", "peak_price",
              (F.col("_mdd6") / 1_000_000).alias("max_drawdown"))
+
+
+def stochastic_oscillator(candles: DataFrame, n_windows: int = 6,
+                          d_windows: int = 3) -> DataFrame:
+    """Stochastic oscillator over complete candles: %K locates the close
+    within the trailing n-candle high/low channel, %D smooths %K with a
+    d-candle simple moving average (the classic %K/%D formulation —
+    Lane's oscillator — on candle data).
+
+        %K = 100 · (close − min(low, n)) / (max(high, n) − min(low, n))
+        %D = SMA(%K, d)
+
+    Highs/lows come from the candle min/max ask ticks; gap candles carry
+    the filled close for all three (see complete_candles), so a flat gap
+    run collapses the channel — %K is NULL there (zero-width channel)
+    and %D averages only the defined %K values in its frame.
+
+    Shape: two window passes on the same key-partitioned candle-sized
+    sort — no extra shuffle beyond the candle pipeline's own.
+    """
+    frame = (Window.partitionBy("key").orderBy("window_start")
+             .rowsBetween(-(n_windows - 1), 0))
+    close = F.col("close.ask")
+    hi = F.max(F.col("max_ask.ask")).over(frame)
+    lo = F.min(F.col("min_ask.ask")).over(frame)
+    k = F.when(hi > lo, 100.0 * (close - lo) / (hi - lo))
+    base = candles.select("key", "window_start", "window_end",
+                          close.alias("close_price"),
+                          hi.alias("channel_high"), lo.alias("channel_low"),
+                          k.alias("pct_k"))
+    dframe = (Window.partitionBy("key").orderBy("window_start")
+              .rowsBetween(-(d_windows - 1), 0))
+    return base.withColumn("pct_d", F.avg("pct_k").over(dframe))
+
+
+def average_true_range(candles: DataFrame, n_windows: int = 6) -> DataFrame:
+    """Average True Range over complete candles (Wilder's range measure,
+    SMA-smoothed — Cutler-style, consistent with this module's rsi; the
+    EMA-smoothed variant belongs with the recursive ops in ema.py).
+
+        TR_t  = max(high−low, |high−prev_close|, |low−prev_close|)
+        ATR_t = SMA(TR, n)
+
+    The first candle per key has no prev_close: TR falls back to
+    high−low. Gap candles have high = low = close = carried prev close,
+    so TR = 0 there — gaps correctly contribute no range.
+
+    Shape: one lag + one trailing average over the same key-partitioned
+    sort; candle-sized data, no extra shuffle.
+    """
+    wk = Window.partitionBy("key").orderBy("window_start")
+    hi = F.col("max_ask.ask")
+    lo = F.col("min_ask.ask")
+    prev_close = F.lag(F.col("close.ask")).over(wk)
+    tr = F.when(
+        prev_close.isNull(), hi - lo
+    ).otherwise(F.greatest(hi - lo, F.abs(hi - prev_close),
+                           F.abs(lo - prev_close)))
+    base = candles.select("key", "window_start", "window_end",
+                          hi.alias("high"), lo.alias("low"),
+                          F.col("close.ask").alias("close_price"),
+                          tr.alias("true_range"))
+    frame = (Window.partitionBy("key").orderBy("window_start")
+             .rowsBetween(-(n_windows - 1), 0))
+    return base.withColumn("atr", F.avg("true_range").over(frame))
+
+
+def on_balance_volume(ticks: DataFrame, resolution: str = "1 hour") -> DataFrame:
+    """On-balance volume per (key, tumbling window), with per-window tick
+    count as the volume proxy (the events stream carries no size field):
+    OBV starts at 0 and adds the window's volume when the close rises,
+    subtracts it when it falls, holds on unchanged.
+
+    Defined over LIVE windows only: a gap window has zero volume and an
+    unchanged carry-forward close, so it contributes exactly 0 — skipping
+    gap rows leaves every OBV value identical while avoiding the
+    gap-frame join entirely.
+
+    Shape: one map-side-combinable aggregate on (key, window) — count
+    plus a max-by-time struct for the close — then a lag + running sum on
+    the candle-sized result. One shuffle total.
+    """
+    t_ms = F.unix_millis(F.col("event_time"))
+    agg = (ticks.where(F.col("is_live"))
+           .groupBy("key", F.window("event_time", resolution).alias("w"))
+           .agg(F.count(F.lit(1)).cast("long").alias("volume"),
+                F.max(F.struct(t_ms.alias("t"), F.col("ask"))).alias("cl")))
+    wk = Window.partitionBy("key").orderBy("w.start")
+    close = F.col("cl.ask")
+    delta = close - F.lag(close).over(wk)
+    signed = (F.when(delta.isNull() | (delta == 0), F.lit(0).cast("long"))
+              .when(delta > 0, F.col("volume"))
+              .otherwise(-F.col("volume")))
+    run = (Window.partitionBy("key").orderBy("window_start")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    return (agg.select("key", F.col("w.start").alias("window_start"),
+                       "volume", close.alias("close_price"),
+                       signed.alias("signed_volume"))
+            .withColumn("obv", F.sum("signed_volume").over(run)))

@@ -828,7 +828,7 @@ QUERIES["fx_ema_returns"] = q_fx_ema_returns
 # bit-identical — so 6-decimal output rounding hash-matches. This avoids
 # the overflow-prone closed form (1-α)^(-i) entirely.
 ORACLE["fx_ema_returns"] = _PRELUDE + """,
-seq AS (
+seq AS MATERIALIZED (
   SELECT key, time_ms, ret,
          row_number() OVER (PARTITION BY key ORDER BY time_ms) AS rn
   FROM returns
@@ -1838,7 +1838,7 @@ def q_fx_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["fx_holt_trend"] = q_fx_holt_trend
 
 ORACLE["fx_holt_trend"] = _PRELUDE + """,
-seq AS (
+seq AS MATERIALIZED (
   SELECT key, w_start_ms, close_price AS price,
          row_number() OVER (PARTITION BY key ORDER BY w_start_ms) AS rn
   FROM filled
@@ -2148,7 +2148,7 @@ def q_fx_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["fx_kalman_level"] = q_fx_kalman_level
 
 ORACLE["fx_kalman_level"] = _PRELUDE + """,
-seq AS (
+seq AS MATERIALIZED (
   SELECT key, w_start_ms, close_price AS z,
          row_number() OVER (PARTITION BY key ORDER BY w_start_ms) AS rn
   FROM filled
@@ -2412,7 +2412,7 @@ QUERIES["fx_garch_vol"] = q_fx_garch_vol
 QUERIES["garch_stream_replay"] = q_garch_stream_replay
 
 ORACLE["fx_garch_vol"] = _PRELUDE + """,
-seq AS (
+seq AS MATERIALIZED (
   SELECT key, time_ms, ret,
          row_number() OVER (PARTITION BY key ORDER BY time_ms) AS rn
   FROM returns
@@ -2575,3 +2575,331 @@ SELECT key, w_start_ms, n_buy, n_sell,
        round((n_buy - n_sell) * 1.0 / (n_buy + n_sell), 6) AS imbalance
 FROM g
 """.replace("{res}", str(RES_MS))
+
+
+# ---- technical indicators (round 7 batch 2) ------------------------------
+
+
+def q_fx_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator %K/%D over complete candles — see
+    operators.resample.stochastic_oscillator (two window passes on the
+    candle pipeline's own key-partitioned sort, no extra shuffle)."""
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+    from data_timeseries_java_spark.operators.resample import (
+        stochastic_oscillator)
+
+    ticks, keys = _ticks_and_keys(spark, sf_dir)
+    s = stochastic_oscillator(candles_pipeline(ticks, keys, RES))
+    return s.select(
+        "key", _ms(F.col("window_start")).alias("w_start_ms"),
+        F.round("close_price", 6).alias("close_price"),
+        F.round("channel_high", 6).alias("channel_high"),
+        F.round("channel_low", 6).alias("channel_low"),
+        F.round("pct_k", 6).alias("pct_k"),
+        F.round("pct_d", 6).alias("pct_d"),
+    )
+
+
+QUERIES["fx_stochastic"] = q_fx_stochastic
+
+ORACLE["fx_stochastic"] = _PRELUDE + """
+SELECT key, w_start_ms,
+       round(close_price, 6) AS close_price,
+       round(hi, 6) AS channel_high,
+       round(lo, 6) AS channel_low,
+       round(pct_k, 6) AS pct_k,
+       round(avg(pct_k) OVER d, 6) AS pct_d
+FROM (
+  SELECT key, w_start_ms, close_price,
+         max(max_price) OVER w AS hi,
+         min(min_price) OVER w AS lo,
+         CASE WHEN max(max_price) OVER w > min(min_price) OVER w
+              THEN 100.0 * (close_price - min(min_price) OVER w)
+                   / (max(max_price) OVER w - min(min_price) OVER w)
+         END AS pct_k
+  FROM filled
+  WINDOW w AS (PARTITION BY key ORDER BY w_start_ms
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+WINDOW d AS (PARTITION BY key ORDER BY w_start_ms
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_fx_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average True Range (SMA-smoothed, Cutler-style) — see
+    operators.resample.average_true_range."""
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+    from data_timeseries_java_spark.operators.resample import (
+        average_true_range)
+
+    ticks, keys = _ticks_and_keys(spark, sf_dir)
+    a = average_true_range(candles_pipeline(ticks, keys, RES))
+    return a.select(
+        "key", _ms(F.col("window_start")).alias("w_start_ms"),
+        F.round("true_range", 6).alias("true_range"),
+        F.round("atr", 6).alias("atr"),
+    )
+
+
+QUERIES["fx_atr"] = q_fx_atr
+
+ORACLE["fx_atr"] = _PRELUDE + """,
+tr AS (
+  SELECT key, w_start_ms,
+         CASE WHEN lag(close_price) OVER w IS NULL
+              THEN max_price - min_price
+              ELSE greatest(max_price - min_price,
+                            abs(max_price - lag(close_price) OVER w),
+                            abs(min_price - lag(close_price) OVER w))
+         END AS true_range
+  FROM filled
+  WINDOW w AS (PARTITION BY key ORDER BY w_start_ms)
+)
+SELECT key, w_start_ms,
+       round(true_range, 6) AS true_range,
+       round(avg(true_range) OVER f, 6) AS atr
+FROM tr
+WINDOW f AS (PARTITION BY key ORDER BY w_start_ms
+             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_fx_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume (tick-count volume proxy) — see
+    operators.resample.on_balance_volume. One map-side-combinable
+    aggregate + one candle-sized running sum."""
+    from data_timeseries_java_spark.operators.resample import (
+        on_balance_volume)
+
+    ticks, _ = _ticks_and_keys(spark, sf_dir)
+    o = on_balance_volume(ticks, RES)
+    return o.select(
+        "key", _ms(F.col("window_start")).alias("w_start_ms"),
+        "volume",
+        F.round("close_price", 6).alias("close_price"),
+        "signed_volume", "obv",
+    )
+
+
+QUERIES["fx_obv"] = q_fx_obv
+
+ORACLE["fx_obv"] = """
+WITH t AS (
+  SELECT event_type AS key, ts AS event_time, value AS ask FROM events
+),
+g AS (
+  SELECT key, (epoch_ms(event_time) // {res}) * {res} AS w_start_ms,
+         CAST(count(*) AS BIGINT) AS volume,
+         arg_max(ask, event_time) AS close_price
+  FROM t GROUP BY key, w_start_ms
+),
+s AS (
+  SELECT *,
+         CASE WHEN lag(close_price) OVER w IS NULL THEN CAST(0 AS BIGINT)
+              WHEN close_price > lag(close_price) OVER w THEN volume
+              WHEN close_price < lag(close_price) OVER w THEN -volume
+              ELSE CAST(0 AS BIGINT) END AS signed_volume
+  FROM g
+  WINDOW w AS (PARTITION BY key ORDER BY w_start_ms)
+)
+SELECT key, w_start_ms, volume,
+       round(close_price, 6) AS close_price,
+       signed_volume,
+       sum(signed_volume) OVER (PARTITION BY key ORDER BY w_start_ms
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS obv
+FROM s
+""".replace("{res}", str(RES_MS))
+
+
+def q_fx_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12,26,9) over complete-candle closes — see
+    operators.ema.macd (three adjust=False EMA recursions in one
+    grouped-map pass; the oracle replays them in a single RECURSIVE CTE
+    carrying ema_fast/ema_slow/signal as frontier columns)."""
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+    from data_timeseries_java_spark.operators.ema import macd
+
+    ticks, keys = _ticks_and_keys(spark, sf_dir)
+    c = candles_pipeline(ticks, keys, RES)
+    series = c.select("key", F.col("window_start").alias("time"),
+                      F.col("close.ask").alias("value"))
+    m = macd(series)
+    return m.select(
+        "key", _ms(F.col("time")).alias("time_ms"),
+        F.round("value", 6).alias("close_price"),
+        F.round("macd", 6).alias("macd"),
+        F.round("signal", 6).alias("signal"),
+        F.round("histogram", 6).alias("histogram"),
+    )
+
+
+QUERIES["fx_macd"] = q_fx_macd
+
+# Same IEEE-double recursions as pandas ewm(span, adjust=False): alpha
+# computed as 2.0/(span+1.0) on both sides, y' = (1-a)*y + a*x. The
+# frontier advances one candle per key per iteration and carries all
+# three states, so signal sees each step's macd in the same row.
+ORACLE["fx_macd"] = _PRELUDE + """,
+seq AS MATERIALIZED (
+  SELECT key, w_start_ms, close_price,
+         row_number() OVER (PARTITION BY key ORDER BY w_start_ms) AS rn
+  FROM filled
+)
+SELECT key, time_ms,
+       round(close_price, 6) AS close_price,
+       round(macd, 6) AS macd,
+       round(signal, 6) AS signal,
+       round(macd - signal, 6) AS histogram
+FROM (
+  WITH RECURSIVE m AS (
+    SELECT key, w_start_ms AS time_ms, close_price, rn,
+           close_price AS ema_f, close_price AS ema_s,
+           CAST(0.0 AS DOUBLE) AS macd, CAST(0.0 AS DOUBLE) AS signal
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.key, s.w_start_ms, s.close_price, s.rn,
+           (1.0 - 2.0 / 13.0) * m.ema_f + (2.0 / 13.0) * s.close_price,
+           (1.0 - 2.0 / 27.0) * m.ema_s + (2.0 / 27.0) * s.close_price,
+           ((1.0 - 2.0 / 13.0) * m.ema_f + (2.0 / 13.0) * s.close_price)
+             - ((1.0 - 2.0 / 27.0) * m.ema_s + (2.0 / 27.0) * s.close_price),
+           (1.0 - 2.0 / 10.0) * m.signal + (2.0 / 10.0) *
+             (((1.0 - 2.0 / 13.0) * m.ema_f + (2.0 / 13.0) * s.close_price)
+              - ((1.0 - 2.0 / 27.0) * m.ema_s + (2.0 / 27.0) * s.close_price))
+    FROM seq s JOIN m ON s.key = m.key AND s.rn = m.rn + 1
+  )
+  SELECT * FROM m
+)
+"""
+
+
+def q_fx_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger cointegration screen over each instrument pair's
+    complete-candle closes — see operators.correlation.engle_granger
+    (OLS hedge ratio + closed-form zero-lag Dickey-Fuller t on the
+    residual; one pair join + two aggregates)."""
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+    from data_timeseries_java_spark.operators.correlation import (
+        engle_granger)
+
+    ticks, keys = _ticks_and_keys(spark, sf_dir)
+    g = engle_granger(candles_pipeline(ticks, keys, RES))
+    return g.select(
+        "key1", "key2", "n",
+        F.round("beta", 6).alias("beta"),
+        F.round("alpha", 6).alias("alpha"),
+        F.round("rho", 6).alias("rho"),
+        F.round("adf_t", 6).alias("adf_t"),
+    )
+
+
+QUERIES["fx_cointegration"] = q_fx_cointegration
+
+ORACLE["fx_cointegration"] = _PRELUDE + """,
+px AS (SELECT key, w_start_ms, close_price AS px FROM filled),
+paired AS (
+  SELECT a.key AS key1, b.key AS key2, a.w_start_ms, a.px AS x, b.px AS y
+  FROM px a JOIN px b ON a.w_start_ms = b.w_start_ms AND a.key < b.key
+),
+ols AS (
+  SELECT key1, key2, regr_slope(y, x) AS beta,
+         regr_intercept(y, x) AS alpha,
+         CAST(count(*) AS BIGINT) AS n
+  FROM paired GROUP BY key1, key2
+),
+lagged AS (
+  SELECT p.key1, p.key2, o.beta, o.alpha, o.n,
+         p.y - o.alpha - o.beta * p.x AS e,
+         lag(p.y - o.alpha - o.beta * p.x) OVER (
+             PARTITION BY p.key1, p.key2 ORDER BY p.w_start_ms) AS e_prev
+  FROM paired p JOIN ols o ON p.key1 = o.key1 AND p.key2 = o.key2
+),
+sums AS (
+  SELECT key1, key2, beta, alpha, n,
+         sum(e_prev * (e - e_prev)) AS s1,
+         sum(e_prev * e_prev) AS s2,
+         sum((e - e_prev) * (e - e_prev)) AS s3,
+         CAST(count(*) AS BIGINT) AS n_d
+  FROM lagged WHERE e_prev IS NOT NULL
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT key1, key2, n,
+       round(beta, 6) AS beta,
+       round(alpha, 6) AS alpha,
+       round(s1 / s2, 6) AS rho,
+       round((s1 / s2) / sqrt((s3 - 2.0 * (s1 / s2) * s1
+                               + (s1 / s2) * (s1 / s2) * s2)
+                              / (n_d - 1) / s2), 6) AS adf_t
+FROM sums
+"""
+
+
+def q_fx_ewma_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA covariance/correlation per instrument pair (RiskMetrics
+    recursion, λ = 0.9375) — see
+    operators.correlation.ewma_pair_covariance. Oracle replays the
+    same adjust=False recursions as RECURSIVE CTEs (α = 1/16 is exactly
+    representable, so both engines' doubles agree bit-for-bit)."""
+    from data_timeseries_java_spark.operators.correlation import (
+        ewma_pair_covariance)
+
+    r = _returns_df(spark, sf_dir)
+    e = ewma_pair_covariance(r, alpha=0.0625)
+    return e.select(
+        "key1", "key2", _ms(F.col("time")).alias("time_ms"),
+        F.round("ewma_cov", 9).alias("ewma_cov"),
+        F.round("ewma_corr", 6).alias("ewma_corr"),
+    )
+
+
+QUERIES["fx_ewma_cov"] = q_fx_ewma_cov
+
+ORACLE["fx_ewma_cov"] = _PRELUDE + """,
+prod AS MATERIALIZED (
+  SELECT a.key AS key1, b.key AS key2, a.time_ms, a.ret * b.ret AS p,
+         row_number() OVER (PARTITION BY a.key, b.key
+                            ORDER BY a.time_ms) AS rn
+  FROM returns a JOIN returns b
+    ON a.time_ms = b.time_ms AND a.key < b.key
+),
+sq AS MATERIALIZED (
+  SELECT key, time_ms, ret * ret AS q,
+         row_number() OVER (PARTITION BY key ORDER BY time_ms) AS rn
+  FROM returns
+),
+cov AS (
+  SELECT * FROM (
+    WITH RECURSIVE c AS (
+      SELECT key1, key2, time_ms, rn, p AS ewma_cov
+      FROM prod WHERE rn = 1
+      UNION ALL
+      SELECT s.key1, s.key2, s.time_ms, s.rn,
+             (1.0 - 0.0625) * c.ewma_cov + 0.0625 * s.p
+      FROM prod s JOIN c
+        ON s.key1 = c.key1 AND s.key2 = c.key2 AND s.rn = c.rn + 1
+    )
+    SELECT * FROM c
+  )
+),
+var AS (
+  SELECT * FROM (
+    WITH RECURSIVE v AS (
+      SELECT key, time_ms, rn, q AS ewma_var FROM sq WHERE rn = 1
+      UNION ALL
+      SELECT s.key, s.time_ms, s.rn,
+             (1.0 - 0.0625) * v.ewma_var + 0.0625 * s.q
+      FROM sq s JOIN v ON s.key = v.key AND s.rn = v.rn + 1
+    )
+    SELECT * FROM v
+  )
+)
+SELECT c.key1, c.key2, c.time_ms,
+       round(c.ewma_cov, 9) AS ewma_cov,
+       round(CASE WHEN va.ewma_var > 0 AND vb.ewma_var > 0
+                  THEN c.ewma_cov / sqrt(va.ewma_var * vb.ewma_var)
+             END, 6) AS ewma_corr
+FROM cov c
+JOIN var va ON va.key = c.key1 AND va.time_ms = c.time_ms
+JOIN var vb ON vb.key = c.key2 AND vb.time_ms = c.time_ms
+"""
