@@ -531,3 +531,71 @@ def fuzzy_duplicates(df: DataFrame, text_col: str = "text",
                     (F.floor(sim * 1_000_000) / 1_000_000)
                     .alias("edit_similarity"))
             .where(F.col("edit_similarity") >= min_similarity))
+
+
+def bloom_decontaminate(corpus: DataFrame, eval_docs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 5, m_bits: int = 65536,
+                        n_hashes: int = 3,
+                        min_overlap: int = 3) -> DataFrame:
+    """Bloom-filter benchmark decontamination: the eval set's k-gram
+    universe is folded into an m-bit Bloom bitset (n_hashes md5-derived
+    positions per gram), and every corpus k-gram probes the bitset —
+    O(1) memory per executor regardless of eval-set size, vs the exact
+    variant's broadcast of the full eval shingle frame
+    (:func:`ngram_contamination`).
+
+    The whole thing is ONE lazy plan — the bitset is a single-row
+    aggregate (positions → 64-bit words → dense array) broadcast onto
+    the corpus shingle stream; no driver-side collect, no job at
+    query-build time.
+
+    Bloom false positives are part of the operator's contract: they are
+    a deterministic function of the text and (m_bits, n_hashes), so the
+    DuckDB oracle — which re-derives the same md5 positions and checks
+    set membership per position — reproduces them bucket-for-bucket.
+    ``min_overlap`` distinct flagged grams are required to flag a doc,
+    which suppresses isolated single-gram false positives exactly as the
+    exact variant suppresses incidental shared phrases.
+
+    Cross-engine hash lane: position_i(g) = ('0x' || md5(i ':' g)[:8])
+    mod m_bits — Spark ``conv(substr(md5(..),1,8),16,10)`` equals
+    DuckDB's hex cast (same idiom as the MinHash lanes)."""
+    def pos_sql(i: int) -> str:
+        return (f"CAST(conv(substr(md5(concat('{i}:', shingle)), 1, 8), "
+                f"16, 10) AS BIGINT) % {m_bits}")
+
+    n_words = m_bits // 64
+    eval_sh = shingles(eval_docs, text_col, id_col, k).select("shingle")
+    pos = eval_sh.select(
+        F.explode(F.array(*[F.expr(pos_sql(i)) for i in range(n_hashes)]))
+        .alias("pos"))
+    # SQL expr: the Python shiftleft/shiftrightunsigned wrappers only
+    # take a literal shift amount, not a column
+    words = pos.groupBy(F.expr("CAST(pos / 64 AS BIGINT)").alias("word")).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), "
+               "CAST(pos % 64 AS INT)))").alias("bits"))
+    bitset = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits")))
+        .alias("wm")).select(
+        F.transform(F.sequence(F.lit(0), F.lit(n_words - 1)),
+                    lambda w: F.coalesce(F.element_at("wm", w.cast("long")),
+                                         F.lit(0).cast("long")))
+        .alias("bitset"))
+
+    corpus_sh = shingles(corpus, text_col, id_col, k)
+    probed = corpus_sh.crossJoin(F.broadcast(bitset))
+    hit = None
+    for i in range(n_hashes):
+        p = pos_sql(i)
+        # & 1, not % 2: with shift 0 and bit 63 set the shifted word is
+        # still negative, and SQL % keeps the dividend's sign (-1 != 1)
+        c = F.expr(
+            f"(shiftrightunsigned(element_at(bitset, "
+            f"CAST(({p}) / 64 AS INT) + 1), "
+            f"CAST(({p}) % 64 AS INT)) & CAST(1 AS BIGINT)) = 1")
+        hit = c if hit is None else (hit & c)
+    return (probed.where(hit)
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_flagged_ngrams"))
+            .where(F.col("n_flagged_ngrams") >= min_overlap))

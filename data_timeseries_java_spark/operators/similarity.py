@@ -481,3 +481,49 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding",
         # and the engines disagree on which; -0.0 == 0.0 numerically
         # but not under string/byte hashing)
         (F.round(cov, 6) + F.lit(0.0)).alias("cov"))
+
+
+def semantic_dedup(df: DataFrame, centroids: DataFrame,
+                   threshold: float = 0.3, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (after Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", public): cluster embeddings with k-means, then
+    compare pairs only WITHIN a cluster — a vector is dropped when some
+    lower-id cluster-mate's cosine reaches the threshold (the keep-
+    lowest-id rule this engine's dedup family uses throughout).
+
+    Output: one row per vector — (vec_id, centroid_id, is_kept,
+    dup_of = the smallest qualifying lower id, max_dup_cos).
+
+    Shape at 100 TB: the centroid table broadcasts (ivf_assign); the
+    pair join is keyed by centroid_id, so the O(n²) global pair space
+    collapses to Σ cluster² with cluster size bounded by the seed
+    stride — the same banded-candidates discipline as MinHash-LSH, never
+    all-pairs. Cross-cluster near-dups are invisible by construction:
+    that is SemDeDup's documented approximation, not a bug here.
+    Threshold membership uses round(cos, 9) so a last-ulp dot-product
+    difference cannot flip a verdict cross-engine."""
+    assign = ivf_assign(df, centroids, id_col, vec_col)
+    base = (with_norm(df, vec_col).join(assign, id_col)
+            .select(F.col(id_col), F.col(vec_col), F.col("_norm"),
+                    F.col("centroid_id")))
+    a = base.select("centroid_id", F.col(id_col).alias("id_a"),
+                    F.col(vec_col).alias("va"), F.col("_norm").alias("na"))
+    b = base.select(F.col("centroid_id").alias("cb"),
+                    F.col(id_col).alias("id_b"),
+                    F.col(vec_col).alias("vb"), F.col("_norm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = (a.join(b, (F.col("centroid_id") == F.col("cb"))
+                    & (F.col("id_a") < F.col("id_b")))
+             .select("id_b", "id_a", F.round(cos, 9).alias("cos9")))
+    dup = (pairs.where(F.col("cos9") >= threshold)
+           .groupBy("id_b")
+           .agg(F.min("id_a").alias("dup_of"),
+                F.max("cos9").alias("mx")))
+    return (base.select(id_col, "centroid_id")
+            .join(dup.withColumnRenamed("id_b", id_col), id_col, "left")
+            .select(id_col, "centroid_id",
+                    F.col("dup_of").isNull().alias("is_kept"),
+                    "dup_of",
+                    F.round(F.col("mx"), 6).alias("max_dup_cos")))

@@ -701,3 +701,62 @@ groups AS (
 )
 SELECT keeper_id AS doc_id FROM groups
 """
+
+
+# ---- Bloom-filter decontamination ---------------------------------------
+
+BLOOM_M = 65536
+BLOOM_HASHES = 3
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-bitset benchmark decontamination (same eval split as
+    `decontaminate`, O(1)-memory probe side) — see
+    operators.dedup.bloom_decontaminate. Bloom false positives are
+    deterministic and reproduced by the oracle."""
+    from data_timeseries_java_spark.operators.dedup import bloom_decontaminate
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") >= DECON_EVAL_MAX_ID)
+    eval_docs = docs.where(F.col("doc_id") < DECON_EVAL_MAX_ID)
+    return bloom_decontaminate(corpus, eval_docs, k=DECON_K,
+                               m_bits=BLOOM_M, n_hashes=BLOOM_HASHES,
+                               min_overlap=DECON_MIN_OVERLAP)
+
+
+QUERIES["decontaminate_bloom"] = q_decontaminate_bloom
+
+_BLOOM_POS = " , ".join(
+    f"(('0x' || substr(md5('{i}:' || g), 1, 8))::BIGINT) % {BLOOM_M}"
+    for i in range(BLOOM_HASHES))
+
+ORACLE["decontaminate_bloom"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                 || ' ' || t[i+4] FOR i IN range(1, len(t) - 3)]) AS g
+  FROM toks
+),
+pos AS (
+  SELECT doc_id, g, unnest([{_BLOOM_POS}]) AS p
+  FROM grams
+),
+epos AS (
+  SELECT DISTINCT p FROM pos WHERE doc_id < {DECON_EVAL_MAX_ID}
+),
+flagged AS (
+  SELECT doc_id, g
+  FROM pos WHERE doc_id >= {DECON_EVAL_MAX_ID}
+  GROUP BY doc_id, g
+  HAVING count(*) FILTER (p IN (SELECT p FROM epos)) = {BLOOM_HASHES}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged_ngrams
+FROM flagged
+GROUP BY doc_id
+HAVING count(*) >= {DECON_MIN_OVERLAP}
+"""

@@ -643,3 +643,78 @@ JOIN cnt t ON t.label = c.label
 JOIN dim_sums si ON si.label = c.label AND si.dim = c.i
 JOIN dim_sums sj ON sj.label = c.label AND sj.dim = c.j
 """
+
+
+# ---- SemDeDup-style semantic dedup ---------------------------------------
+
+SEMDEDUP_T = 0.3  # same corpus-calibrated threshold as NEARDUP_T
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over k-means clusters (SemDeDup): within-cluster
+    cosine >= threshold against a lower-id mate drops a vector — see
+    operators.similarity.semantic_dedup. Same trained centroids as
+    ann_ivf_trained; pair space is Σ cluster², never all-pairs."""
+    from data_timeseries_java_spark.operators.similarity import (
+        centroid_vectors,
+        kmeans_centroids,
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = centroid_vectors(kmeans_centroids(
+        emb, seed_stride=N_CENTROIDS_STRIDE, iterations=KMEANS_ITERS))
+    return semantic_dedup(emb, cent, threshold=SEMDEDUP_T)
+
+
+QUERIES["semantic_dedup"] = q_semantic_dedup
+
+_SD_N = KMEANS_ITERS
+ORACLE["semantic_dedup"] = f"""
+WITH {_COMP},
+{_kmeans_cte(_SD_N)},
+cnorms AS (
+  SELECT centroid_id, sqrt(sum(w * w)) AS nrm
+  FROM cent{_SD_N} GROUP BY centroid_id
+),
+vcs AS (
+  SELECT v.vec_id, c.centroid_id,
+         sum(CAST(v.x AS DOUBLE) * c.w) / (n.nrm * cn.nrm) AS cos
+  FROM comp v
+  JOIN cent{_SD_N} c ON v.dim = c.dim
+  JOIN norms n ON n.vec_id = v.vec_id
+  JOIN cnorms cn ON cn.centroid_id = c.centroid_id
+  GROUP BY v.vec_id, c.centroid_id, n.nrm, cn.nrm
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY round(cos, 9) DESC, centroid_id ASC) AS rnk
+    FROM vcs) WHERE rnk = 1
+),
+pair_dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, aa.centroid_id,
+         sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+  FROM assign aa
+  JOIN assign ab ON ab.centroid_id = aa.centroid_id
+                AND aa.vec_id < ab.vec_id
+  JOIN comp a ON a.vec_id = aa.vec_id
+  JOIN comp b ON b.vec_id = ab.vec_id AND b.dim = a.dim
+  GROUP BY a.vec_id, b.vec_id, aa.centroid_id
+),
+dup AS (
+  SELECT id_b AS vec_id, min(id_a) AS dup_of,
+         max(round(dot / (na.nrm * nb.nrm), 9)) AS mx
+  FROM pair_dots p
+  JOIN norms na ON na.vec_id = p.id_a
+  JOIN norms nb ON nb.vec_id = p.id_b
+  WHERE round(dot / (na.nrm * nb.nrm), 9) >= {SEMDEDUP_T}
+  GROUP BY id_b
+)
+SELECT a.vec_id, a.centroid_id,
+       d.dup_of IS NULL AS is_kept,
+       d.dup_of,
+       round(d.mx, 6) AS max_dup_cos
+FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
+"""

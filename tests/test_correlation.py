@@ -99,3 +99,76 @@ def test_min_corr_threshold_filters(returns):
                             min_corr=0.9, propagate_nan=False)
     out = pairwise_correlations(returns, cfg)
     assert out.where(F.abs(F.col("value")) < 0.9).count() == 0
+
+
+def test_engle_granger_matches_numpy_ols(spark):
+    """Synthetic cointegrated pair: operator's beta/alpha/rho/adf_t equal
+    the closed-form numpy computation on the same series."""
+    import numpy as np
+    from datetime import datetime, timedelta, timezone
+
+    from data_timeseries_java_spark.operators.correlation import engle_granger
+    from pyspark.sql import functions as F
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    n = 60
+    x = np.linspace(100.0, 110.0, n)
+    e = np.array([1.0 if i % 2 == 0 else -1.0 for i in range(n)])
+    y = 5.0 + 2.0 * x + e
+    rows = [("AAA", t0 + timedelta(hours=i), float(x[i])) for i in range(n)]
+    rows += [("BBB", t0 + timedelta(hours=i), float(y[i])) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "key string, window_start timestamp, px double")
+    out = engle_granger(df, price=F.col("px")).collect()
+    assert len(out) == 1
+    r = out[0]
+    # numpy closed form
+    beta, alpha = np.polyfit(x, y, 1)
+    res = y - alpha - beta * x
+    ep, de = res[:-1], np.diff(res)
+    rho = (ep * de).sum() / (ep * ep).sum()
+    ssr = ((de - rho * ep) ** 2).sum()
+    se = np.sqrt(ssr / (len(de) - 1) / (ep * ep).sum())
+    assert r.key1 == "AAA" and r.key2 == "BBB" and r.n == n
+    assert abs(r.beta - beta) < 1e-9
+    assert abs(r.alpha - alpha) < 1e-7
+    assert abs(r.rho - rho) < 1e-9
+    assert abs(r.adf_t - rho / se) < 1e-9
+    # alternating residuals mean-revert hard: rho near -2, t strongly negative
+    assert r.rho < -1.5 and r.adf_t < -5
+
+
+def test_ewma_pair_covariance_matches_recursion(spark):
+    """Pair covariance / per-key variance follow the adjust=False
+    recursion seeded at the first product; corr bounded by [-1, 1]."""
+    import numpy as np
+    from datetime import datetime, timedelta, timezone
+
+    from data_timeseries_java_spark.operators.correlation import (
+        ewma_pair_covariance)
+
+    rng = np.random.default_rng(5)
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    n = 40
+    ra = rng.normal(0, 1e-3, n)
+    rb = 0.5 * ra + rng.normal(0, 1e-3, n)
+    rows = [("A", t0 + timedelta(hours=i), float(ra[i])) for i in range(n)]
+    rows += [("B", t0 + timedelta(hours=i), float(rb[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "key string, time timestamp, value double")
+    out = sorted(ewma_pair_covariance(df, alpha=0.0625).collect(),
+                 key=lambda r: r.time)
+    assert len(out) == n
+
+    def rec(xs):
+        y = np.empty(len(xs)); y[0] = xs[0]
+        for i in range(1, len(xs)):
+            y[i] = (1.0 - 0.0625) * y[i - 1] + 0.0625 * xs[i]
+        return y
+
+    cov = rec(ra * rb)
+    va, vb = rec(ra * ra), rec(rb * rb)
+    for i, r in enumerate(out):
+        assert r.key1 == "A" and r.key2 == "B"
+        assert abs(r.ewma_cov - cov[i]) < 1e-15
+        assert abs(r.ewma_corr - cov[i] / np.sqrt(va[i] * vb[i])) < 1e-9
+        assert -1 - 1e-9 <= r.ewma_corr <= 1 + 1e-9

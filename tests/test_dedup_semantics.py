@@ -187,3 +187,49 @@ def test_cusum_detects_mean_shift(spark):
     # statistic is recoverable: S+ at the end = 10 * 0.2 (within the
     # output's floor-6 quantization of the binary-float sum)
     assert abs(out[-1].cusum_pos - 2.0) < 2e-6
+
+
+def test_bloom_flags_superset_of_exact_contamination(spark, sf_dir):
+    """Bloom membership has no false negatives: every doc the exact
+    n-gram check flags (>= overlap shared grams) must also be flagged by
+    the Bloom variant, and its flagged-gram count can only be higher
+    (false positives add, never subtract)."""
+    from pyspark.sql import functions as F
+
+    from data_timeseries_java_spark.operators.dedup import (
+        bloom_decontaminate, ngram_contamination)
+    from data_timeseries_java_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") >= 50)
+    ev = docs.where(F.col("doc_id") < 50)
+    exact = {r.doc_id: r.n_shared_ngrams
+             for r in ngram_contamination(corpus, ev, k=5,
+                                          min_overlap=3).collect()}
+    bloom = {r.doc_id: r.n_flagged_ngrams
+             for r in bloom_decontaminate(corpus, ev, k=5,
+                                          min_overlap=3).collect()}
+    assert exact, "fixture should contain contaminated docs"
+    for doc, n in exact.items():
+        assert doc in bloom and bloom[doc] >= n
+
+
+def test_bloom_self_filter_flags_every_gram(spark, sf_dir):
+    """Probing the filter with the exact gram set that built it must hit
+    on EVERY gram (exercises all bit positions incl. the sign bit —
+    regression for the %2-on-negative-long probe bug)."""
+    from pyspark.sql import functions as F
+
+    from data_timeseries_java_spark.operators.dedup import (
+        bloom_decontaminate, shingles)
+    from data_timeseries_java_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 80)
+    flagged = {r.doc_id: r.n_flagged_ngrams
+               for r in bloom_decontaminate(docs, docs, k=5,
+                                            min_overlap=1).collect()}
+    grams = {r[0]: r[1] for r in
+             (shingles(docs, "text", "doc_id", 5)
+              .groupBy("doc_id").count().collect())}
+    for doc, n_grams in grams.items():
+        assert flagged.get(doc) == n_grams, doc

@@ -107,7 +107,7 @@ _PANDAS_QUERIES = {"media_decode_features", "media_png_decode",
                    "media_wav_resample", "media_wav_spectrum",
                    "media_video_frames", "media_cross_format_dedup",
                    "fx_ema_returns", "fx_holt_trend", "fx_kalman_level",
-                   "fx_garch_vol",
+                   "fx_garch_vol", "fx_macd", "fx_ewma_cov",
                    "neardup_cosine", "neardup_cosine_auto",
                    "fx_corr_wide", "fx_corr_headline",
                    "embedding_covariance"}

@@ -108,3 +108,75 @@ def test_asof_join_tolerance(spark):
                                right_time="ts",
                                tolerance="26 minutes").collect()}
     assert out2 == {5: 40.0, 30: 40.0}
+
+
+def test_stochastic_bounds_and_flat_channel(spark, ticks):
+    """%K in [0,100] whenever defined; NULL exactly when the trailing
+    channel is flat (hi == lo, e.g. an all-gap run)."""
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+    from data_timeseries_java_spark.operators.resample import (
+        stochastic_oscillator)
+
+    c = candles_pipeline(ticks, ticks.select("key").distinct(), "1 hour")
+    rows = stochastic_oscillator(c).collect()
+    assert rows
+    seen_null = seen_val = False
+    for r in rows:
+        if r.pct_k is None:
+            assert r.channel_high == r.channel_low
+            seen_null = True
+        else:
+            assert -1e-9 <= r.pct_k <= 100 + 1e-9
+            assert r.channel_low <= r.close_price <= r.channel_high
+            seen_val = True
+    assert seen_val and seen_null  # corpus has both live runs and gap runs
+
+
+def test_atr_zero_on_gap_runs_and_nonnegative(spark, ticks):
+    """Gap candles carry hi=lo=close -> TR==0 there; ATR >= 0 always and
+    ATR <= max TR in its frame."""
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+    from data_timeseries_java_spark.operators.resample import (
+        average_true_range)
+
+    c = candles_pipeline(ticks, ticks.select("key").distinct(), "1 hour")
+    out = average_true_range(c)
+    joined = out.join(
+        c.select("key", "window_start", "is_live"), ["key", "window_start"])
+    prev_live = None
+    for r in sorted(joined.collect(), key=lambda r: (r.key, r.window_start)):
+        assert r.true_range >= -1e-12
+        assert r.atr >= -1e-12
+        if prev_live is not None and not r.is_live and not prev_live:
+            # interior of a gap run: flat carry -> zero range
+            assert r.true_range == 0.0
+        prev_live = r.is_live
+
+
+def test_obv_telescopes_to_signed_volume_sum(spark, ticks):
+    """OBV is the running sum of signed volumes per key — the final OBV
+    equals the plain sum, and each step moves by exactly +/-volume or 0."""
+    from data_timeseries_java_spark.operators.resample import (
+        on_balance_volume)
+
+    rows = on_balance_volume(ticks, "1 hour").collect()
+    assert rows
+    by_key = {}
+    for r in sorted(rows, key=lambda r: (r.key, r.window_start)):
+        prev = by_key.get(r.key, 0)
+        assert r.obv - prev == r.signed_volume
+        assert abs(r.signed_volume) in (0, r.volume)
+        by_key[r.key] = r.obv
+
+
+def test_macd_converges_on_constant_series(spark):
+    """On a constant price series MACD, signal, histogram are all
+    exactly 0 at every step (both EMAs equal the constant)."""
+    from data_timeseries_java_spark.operators.ema import macd
+
+    rows = [("k", i, 42.5) for i in range(50)]
+    df = spark.createDataFrame(rows, "key string, time long, value double")
+    out = macd(df).collect()
+    assert len(out) == 50
+    for r in out:
+        assert r.macd == 0.0 and r.signal == 0.0 and r.histogram == 0.0

@@ -88,3 +88,43 @@ def test_int8_quantization_preserves_neighbors(spark, sf_dir):
     queries = deq.where(F.col("vec_id") < N_QUERIES)
     got = _pairs(knn_bruteforce(deq, queries, k=KNN_K))
     assert len(got & exact) / len(exact) >= 0.9
+
+
+def test_semantic_dedup_verdict_rules(spark, sf_dir):
+    """Dropped vectors always point at a lower-id cluster-mate; keepers
+    have no qualifying lower-id mate (brute-force within-cluster numpy
+    check); verdicts partition the corpus."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_timeseries_java_spark.operators.similarity import (
+        centroid_vectors, kmeans_centroids, semantic_dedup)
+    from data_timeseries_java_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = centroid_vectors(kmeans_centroids(emb, seed_stride=50,
+                                             iterations=3))
+    out = semantic_dedup(emb, cent, threshold=0.3).collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    assert len(out) == len(vecs)
+
+    clusters = {}
+    for r in out:
+        clusters.setdefault(r.centroid_id, []).append(r.vec_id)
+
+    def cos(a, b):
+        va, vb = vecs[a], vecs[b]
+        return round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 9)
+
+    n_dropped = 0
+    for r in out:
+        mates = [m for m in clusters[r.centroid_id] if m < r.vec_id]
+        qualifying = [m for m in mates if cos(m, r.vec_id) >= 0.3]
+        if r.is_kept:
+            assert not qualifying and r.dup_of is None
+        else:
+            n_dropped += 1
+            assert r.dup_of == min(qualifying)
+            assert r.max_dup_cos is not None
+    assert 0 < n_dropped < len(out)  # threshold is meaningful on this corpus
