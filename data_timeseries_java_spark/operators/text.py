@@ -604,3 +604,87 @@ def bpe_token_counts(df: DataFrame, text_col: str = "text",
         n_tok.alias("n_bpe_tokens"),
         F.when(n_tok > 0, _floor6(n_chars / n_tok))
         .alias("chars_per_token"))
+
+
+def hashed_linear_classifier(df: DataFrame, weights: DataFrame | None = None,
+                             n_buckets: int = 1024, bias: float = 0.0,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Apply a linear text classifier over feature-hashed token counts —
+    the fastText / Vowpal-Wabbit "hashing trick": token → md5 bucket,
+    feature value log(1+tf), score = sigmoid(Σ w[bucket]·x + bias).
+
+    ``weights`` is any (bucket BIGINT, w DOUBLE) table — trained weights
+    drop in unchanged. When None, a deterministic md5-derived demo table
+    stands in (uniform in [-1, 1]; the application machinery, which is
+    what this operator is, is identical either way).
+
+    Shape at 100 TB: the weight table is n_buckets rows regardless of
+    vocabulary size — it broadcasts; the token stream aggregates once on
+    (doc, bucket) and once on doc. No vocabulary materialization, no
+    driver round-trip, collision behavior identical across engines."""
+    spark = df.sparkSession
+    if weights is None:
+        weights = spark.range(n_buckets).select(
+            F.col("id").alias("bucket"),
+            ((F.expr("CAST(conv(substr(md5(concat('w:', CAST(id AS STRING))), "
+                     "1, 8), 16, 10) AS BIGINT)") % 2001 - 1000) / 1000.0)
+            .alias("w"))
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(F.col(text_col))).alias("tok"))
+    bucket = F.expr(
+        f"CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT) % {n_buckets}")
+    x = (toks.select(F.col(id_col), bucket.alias("bucket"))
+         .groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("tf")))
+    scored = (x.join(F.broadcast(weights), "bucket")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).cast("long").alias("n_features"),
+                   F.sum(F.col("w") * F.log1p(F.col("tf"))).alias("z")))
+    z = F.col("z") + bias
+    return scored.select(
+        id_col, "n_features", z.alias("logit"),
+        (1.0 / (1.0 + F.exp(-z))).alias("score"))
+
+
+def tfidf_cosine_pairs(df: DataFrame, threshold: float = 0.3,
+                       max_df_frac: float = 0.1,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Sparse lexical near-dup: cosine over TF-IDF vectors computed
+    term-at-a-time through an inverted-index self-join — the classic
+    sparse-similarity layout (document pairs meet ONLY on shared terms).
+
+    Terms present in more than ``max_df_frac`` of the corpus are dropped
+    before pairing: a stop-term with document frequency d fans out into
+    d² candidate pairs, so the cutoff is what bounds the pair space (its
+    TF-IDF weight is near zero anyway — dropping it moves cosines a
+    hair, deterministically on both engines).
+
+    Shape at 100 TB: one token-keyed shuffle builds the index, the pair
+    join is keyed by token (per-term fanout ≤ (max_df_frac·N)², spread
+    across the cluster), one (a,b) aggregate sums the dot products.
+    Never all-pairs; thresholds compare round(cos, 9) so a last-ulp
+    cross-engine sum difference cannot flip membership."""
+    ti = tf_idf(df, text_col, id_col)
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    kept = (ti.crossJoin(F.broadcast(n_docs))
+            .where(F.col("doc_freq") <= F.col("_n_docs") * max_df_frac))
+    norms = kept.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("tf_idf") * F.col("tf_idf"))).alias("nrm"))
+    a = kept.select(F.col(id_col).alias("id_a"), "tok",
+                    F.col("tf_idf").alias("wa"))
+    b = kept.select(F.col(id_col).alias("id_b"),
+                    F.col("tok").alias("tok_b"),
+                    F.col("tf_idf").alias("wb"))
+    dots = (a.join(b, (F.col("tok") == F.col("tok_b"))
+                   & (F.col("id_a") < F.col("id_b")))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+                 F.sum(F.col("wa") * F.col("wb")).alias("dot")))
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (dots.join(na, "id_a").join(nb, "id_b")
+            .where(F.round(cos, 9) >= threshold)
+            .select("id_a", "id_b", "n_shared_terms",
+                    F.round(cos, 6).alias("cosine")))

@@ -935,3 +935,109 @@ FROM hs a JOIN hs b
                     OR (a.source = b.source AND a.n >= 2))
 GROUP BY a.source, b.source
 """
+
+
+# ---- hashed-feature linear classifier ------------------------------------
+
+CLF_BUCKETS = 1024
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier over feature-hashed
+    token counts — see operators.text.hashed_linear_classifier (the
+    application machinery; the md5-derived demo weight table is the
+    documented stand-in seam for trained weights)."""
+    from data_timeseries_java_spark.operators.text import (
+        hashed_linear_classifier)
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = hashed_linear_classifier(docs, n_buckets=CLF_BUCKETS)
+    return s.select(
+        "doc_id", "n_features",
+        F.round("logit", 6).alias("logit"),
+        F.round("score", 6).alias("score"),
+        (F.col("score") >= 0.5).alias("keep"),
+    )
+
+
+QUERIES["quality_classifier"] = q_quality_classifier
+
+ORACLE["quality_classifier"] = f"""
+WITH {_TOKS},
+tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+x AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(tok), 1, 8))::BIGINT) % {CLF_BUCKETS} AS bucket,
+         CAST(count(*) AS DOUBLE) AS tf
+  FROM tok GROUP BY doc_id, bucket
+),
+w AS (
+  SELECT range AS bucket,
+         ((('0x' || substr(md5('w:' || CAST(range AS VARCHAR)), 1, 8))::BIGINT)
+          % 2001 - 1000) / 1000.0 AS w
+  FROM range({CLF_BUCKETS})
+),
+scored AS (
+  SELECT x.doc_id,
+         CAST(count(*) AS BIGINT) AS n_features,
+         sum(w.w * ln(1 + x.tf)) AS z
+  FROM x JOIN w ON w.bucket = x.bucket
+  GROUP BY x.doc_id
+)
+SELECT doc_id, n_features,
+       round(z, 6) AS logit,
+       round(1.0 / (1.0 + exp(-z)), 6) AS score,
+       1.0 / (1.0 + exp(-z)) >= 0.5 AS keep
+FROM scored
+"""
+
+
+# ---- sparse TF-IDF cosine pairs ------------------------------------------
+
+TFIDF_COS_T = 0.3
+TFIDF_MAX_DF_FRAC = 0.1
+
+
+def q_tfidf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical near-dup pairs: cosine over TF-IDF vectors via an
+    inverted-index self-join with a stop-term document-frequency cutoff
+    — see operators.text.tfidf_cosine_pairs."""
+    from data_timeseries_java_spark.operators.text import tfidf_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(docs, threshold=TFIDF_COS_T,
+                              max_df_frac=TFIDF_MAX_DF_FRAC)
+
+
+QUERIES["tfidf_neardup"] = q_tfidf_neardup
+
+ORACLE["tfidf_neardup"] = f"""
+WITH {_TOKS},
+tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, tok
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS doc_freq FROM tf GROUP BY tok),
+kept AS (
+  SELECT t.doc_id, t.tok,
+         t.tf * ln(n.n_docs / d.doc_freq) AS w
+  FROM tf t JOIN dfreq d ON d.tok = t.tok CROSS JOIN n
+  WHERE d.doc_freq <= n.n_docs * {TFIDF_MAX_DF_FRAC}
+),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM kept GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_shared_terms,
+         sum(a.w * b.w) AS dot
+  FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d.id_a, d.id_b, d.n_shared_terms,
+       round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots d
+JOIN norms na ON na.doc_id = d.id_a
+JOIN norms nb ON nb.doc_id = d.id_b
+WHERE round(d.dot / (na.nrm * nb.nrm), 9) >= {TFIDF_COS_T}
+"""

@@ -233,3 +233,46 @@ def test_bloom_self_filter_flags_every_gram(spark, sf_dir):
               .groupBy("doc_id").count().collect())}
     for doc, n_grams in grams.items():
         assert flagged.get(doc) == n_grams, doc
+
+
+def test_hashed_classifier_with_injected_weights(spark):
+    """The trained-weights seam: a caller-supplied (bucket, w) table is
+    applied exactly — two docs with the same bag of words score
+    identically; score is sigmoid(sum w * log1p(tf))."""
+    import math
+
+    from data_timeseries_java_spark.operators.text import (
+        hashed_linear_classifier)
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "beta alpha beta"), (3, "gamma")],
+        "doc_id long, text string")
+    n_buckets = 16
+    weights = spark.range(n_buckets).select(
+        F.col("id").alias("bucket"), F.lit(0.5).alias("w"))
+    out = {r.doc_id: r for r in hashed_linear_classifier(
+        docs, weights=weights, n_buckets=n_buckets).collect()}
+    assert out[1].score == out[2].score and out[1].logit == out[2].logit
+    # with uniform weights the logit collapses to 0.5 * sum log1p(tf)
+    # over buckets; doc 3 has one token -> 0.5 * log1p(1)
+    assert abs(out[3].logit - 0.5 * math.log(2)) < 1e-12
+    assert abs(out[3].score - 1 / (1 + math.exp(-out[3].logit))) < 1e-12
+
+
+def test_tfidf_cosine_identical_docs_hit_one(spark):
+    """Two token-identical docs (below the stop-term cutoff) cosine to
+    exactly 1; an unrelated doc pairs with neither."""
+    from data_timeseries_java_spark.operators.text import tfidf_cosine_pairs
+
+    rows = [(1, "quantum flux capacitor array"),
+            (2, "quantum flux capacitor array"),
+            (3, "completely different words here")]
+    # pad the corpus so shared terms stay under the df cutoff
+    rows += [(10 + i, f"filler{i} unique{i} token{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_cosine_pairs(docs, threshold=0.3, max_df_frac=0.1).collect()
+    pairs = {(r.id_a, r.id_b): r for r in out}
+    assert set(pairs) == {(1, 2)}
+    assert abs(pairs[(1, 2)].cosine - 1.0) < 1e-9
+    assert pairs[(1, 2)].n_shared_terms == 4
