@@ -503,11 +503,20 @@ def semantic_dedup(df: DataFrame, centroids: DataFrame,
     all-pairs. Cross-cluster near-dups are invisible by construction:
     that is SemDeDup's documented approximation, not a bug here.
     Threshold membership uses round(cos, 9) so a last-ulp dot-product
-    difference cannot flip a verdict cross-engine."""
+    difference cannot flip a verdict cross-engine.
+
+    The clustered-and-normed base feeds three consumers (both pair-join
+    sides and the verdict frame) whose differing pruning defeats
+    exchange reuse — and it embeds the unrolled k-means training tree,
+    so it materializes once (same policy hook as the correlation
+    builders)."""
+    from data_timeseries_java_spark.plans.materialize import materialize
+
     assign = ivf_assign(df, centroids, id_col, vec_col)
-    base = (with_norm(df, vec_col).join(assign, id_col)
-            .select(F.col(id_col), F.col(vec_col), F.col("_norm"),
-                    F.col("centroid_id")))
+    base = materialize(
+        with_norm(df, vec_col).join(assign, id_col)
+        .select(F.col(id_col), F.col(vec_col), F.col("_norm"),
+                F.col("centroid_id")))
     a = base.select("centroid_id", F.col(id_col).alias("id_a"),
                     F.col(vec_col).alias("va"), F.col("_norm").alias("na"))
     b = base.select(F.col("centroid_id").alias("cb"),

@@ -665,10 +665,15 @@ def tfidf_cosine_pairs(df: DataFrame, threshold: float = 0.3,
     across the cluster), one (a,b) aggregate sums the dot products.
     Never all-pairs; thresholds compare round(cos, 9) so a last-ulp
     cross-engine sum difference cannot flip membership."""
+    from data_timeseries_java_spark.plans.materialize import materialize
+
     ti = tf_idf(df, text_col, id_col)
     n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
-    kept = (ti.crossJoin(F.broadcast(n_docs))
-            .where(F.col("doc_freq") <= F.col("_n_docs") * max_df_frac))
+    # three consumers (both join sides + norms) of the token pipeline:
+    # materialize once, same policy hook as the correlation builders
+    kept = materialize(
+        ti.crossJoin(F.broadcast(n_docs))
+        .where(F.col("doc_freq") <= F.col("_n_docs") * max_df_frac))
     norms = kept.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("tf_idf") * F.col("tf_idf"))).alias("nrm"))
     a = kept.select(F.col(id_col).alias("id_a"), "tok",
