@@ -56,6 +56,15 @@ HEADLINE = [
     # real BPE subword tokenization — 64-rule replace chain in one
     # whole-stage-codegen projection, no shuffle (round 7)
     "text_bpe_tokens",
+    # round-7 batch 2: recursive MACD + EWMA pair covariance (grouped-map
+    # recursions), SemDeDup clusters, inverted-index TF-IDF pairs,
+    # Bloom-bitset decontamination, hashed linear classifier
+    "fx_macd",
+    "fx_ewma_cov",
+    "semantic_dedup",
+    "tfidf_neardup",
+    "decontaminate_bloom",
+    "quality_classifier",
     # media codec tier (pure-Python codecs, Arrow-batched mapInPandas;
     # these time synthesize+decode end-to-end — decode-only docs/s and
     # MB/s ceilings live in bench_media.py and SCALE.md)

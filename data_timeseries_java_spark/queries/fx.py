@@ -2232,10 +2232,12 @@ def _series_stream_replay(spark: SparkSession, sf_dir: str, which: str):
         from data_timeseries_java_spark.streaming.ema_stream import (
             streaming_drawdown,
             streaming_garch,
+            streaming_macd,
         )
         out = {"holt": streaming_holt, "kalman": streaming_kalman,
                "garch": streaming_garch,
-               "drawdown": streaming_drawdown}[which](src)
+               "drawdown": streaming_drawdown,
+               "macd": streaming_macd}[which](src)
         sink = run_to_parquet_sink(out, f"{work}/out", f"{work}/ckpt")
         shutil.rmtree(f"{work}/in", ignore_errors=True)
         shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
@@ -2274,8 +2276,25 @@ def q_kalman_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_macd_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12,26,9) executed through the STREAMING lane
+    (`streaming/ema_stream.streaming_macd` — (ema_fast, ema_slow,
+    signal) keyed state across micro-batches) and hash-matched against
+    the batch `fx_macd` RECURSIVE-CTE oracle. Building this query RUNS
+    the stream (laziness-guard exempt)."""
+    m = _series_stream_replay(spark, sf_dir, "macd")
+    return m.select(
+        "key", _ms(F.col("event_time")).alias("time_ms"),
+        F.round("price", 6).alias("close_price"),
+        F.round("macd", 6).alias("macd"),
+        F.round("signal", 6).alias("signal"),
+        F.round("histogram", 6).alias("histogram"),
+    )
+
+
 QUERIES["holt_stream_replay"] = q_holt_stream_replay
 QUERIES["kalman_stream_replay"] = q_kalman_stream_replay
+QUERIES["macd_stream_replay"] = q_macd_stream_replay
 
 ORACLE["holt_stream_replay"] = ORACLE["fx_holt_trend"]
 ORACLE["kalman_stream_replay"] = ORACLE["fx_kalman_level"]
@@ -2903,3 +2922,6 @@ FROM cov c
 JOIN var va ON va.key = c.key1 AND va.time_ms = c.time_ms
 JOIN var vb ON vb.key = c.key2 AND vb.time_ms = c.time_ms
 """
+
+# stream-replay gate reuses the batch recursive oracle (defined above)
+ORACLE["macd_stream_replay"] = ORACLE["fx_macd"]

@@ -273,3 +273,33 @@ def streaming_drawdown(ticks: DataFrame, price_col: str = "price",
     return _recursive_series_stream(
         ticks, price_col, "peak double, dd double",
         "pk double", init, step, watermark)
+
+
+def streaming_macd(ticks: DataFrame, span_fast: int = 12,
+                   span_slow: int = 26, span_signal: int = 9,
+                   price_col: str = "price",
+                   watermark: str = "0 seconds") -> DataFrame:
+    """Streaming MACD — the streaming face of ``operators/ema.macd``:
+    the three adjust=False EMA recursions carried as a (ema_fast,
+    ema_slow, signal) state tuple per key. Same α = 2/(span+1) doubles
+    and same y' = (1−α)·y + α·x expression order as the batch pandas
+    path (bit-identical — the replay gate hash-matches the batch
+    `fx_macd` RECURSIVE-CTE oracle)."""
+    af = 2.0 / (span_fast + 1.0)
+    as_ = 2.0 / (span_slow + 1.0)
+    ag = 2.0 / (span_signal + 1.0)
+
+    def init(z):
+        return (z, z, 0.0), (0.0, 0.0, 0.0)
+
+    def step(st, z):
+        f, s, sig = st
+        f = (1.0 - af) * f + af * z
+        s = (1.0 - as_) * s + as_ * z
+        macd_v = f - s
+        sig = (1.0 - ag) * sig + ag * macd_v
+        return (f, s, sig), (macd_v, sig, macd_v - sig)
+
+    return _recursive_series_stream(
+        ticks, price_col, "macd double, signal double, histogram double",
+        "f double, s double, sig double", init, step, watermark)

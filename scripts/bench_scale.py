@@ -17,7 +17,10 @@ QUERIES = ["dedup_minhash_lsh", "corpus_build", "ann_lsh",
            "fx_pair_correlation", "fx_corr_wide",
            # round-6 additions: the new text/dedup operators' decades
            "text_winnowing", "text_bigram_lm", "dedup_segments_cdc",
-           "fx_cusum"]
+           "fx_cusum",
+           # round-7 batch 2 additions
+           "semantic_dedup", "tfidf_neardup", "decontaminate_bloom",
+           "quality_classifier"]
 
 
 def bench(spark, qs, name, sf_dir, n):
@@ -37,6 +40,8 @@ def main() -> None:
     from data_timeseries_java_spark.tables import load_table
 
     n_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "5"))
+    only = os.environ.get("SPARK_GRAFT_QUERIES")
+    queries = [q for q in QUERIES if q in only.split(",")] if only else QUERIES
     spark = get_spark("bench-scale")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()

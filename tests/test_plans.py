@@ -141,7 +141,8 @@ _ITERATIVE_QUERIES = {"dedup_clusters", "dedup_keep_list",
                       "recovery_stream_replay", "holt_stream_replay",
                       "garch_stream_replay", "drawdown_stream_replay",
                       "kalman_stream_replay", "gridq_stream_replay",
-                      "funnel_stream_replay", "asof_bucketed_stream_replay"}
+                      "funnel_stream_replay", "asof_bucketed_stream_replay",
+                      "macd_stream_replay"}
 
 
 
