@@ -1916,3 +1916,152 @@ SELECT dow, hod, CAST(n AS BIGINT) AS n,
        round(n * 1.0 / t.total, 6) AS share, mean_value
 FROM g CROSS JOIN t
 """
+
+
+# ---- event-type transition matrix (first-order Markov chain) -------------
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: per user,
+    consecutive event pairs (time order, event_id tie-break), aggregated
+    into P(to | from). One user-keyed window pass + one (from, to)
+    aggregate + a from-marginal window — the behavioral-model building
+    block. Never materializes more than |types|² rows downstream."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select(F.col("event_type").alias("from_type"),
+                       F.lead("event_type").over(w).alias("to_type"))
+             .where(F.col("to_type").isNotNull()))
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"))
+
+
+QUERIES["event_transitions"] = q_event_transitions
+
+ORACLE["event_transitions"] = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+FROM c
+"""
+
+
+# ---- Kaplan-Meier user survival ------------------------------------------
+
+KM_CHURN_CUTOFF_MS = 24 * 3_600_000  # quiet for >= 24h before corpus end
+
+
+def q_user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival over user lifetimes (duration in whole
+    hours between a user's first and last event). A user whose last
+    event is at least 24h before the corpus end churned (death);
+    later-active users are right-censored at their observed duration —
+    the standard product-limit estimator:
+
+        S(t) = Π_{t_i <= t} (1 − d_i / n_i)
+
+    computed as exp of the ordered cumulative sum of ln factors (an
+    ordered window sum — both engines add in the same sequence), with
+    an explicit S=0 latch once a timepoint kills every at-risk user
+    (ln(0) differs cross-engine: NULL in non-ANSI Spark, -inf DuckDB).
+
+    Shape: one per-user aggregate, one broadcast corpus-end scalar, one
+    duration-level aggregate (≤ distinct-durations rows), two ordered
+    window passes. Lifetime table is user-sized, never event-sized."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t_ms = F.unix_millis("ts")
+    users = ev.groupBy("user_id").agg(
+        F.min(t_ms).alias("first_ms"), F.max(t_ms).alias("last_ms"))
+    end = ev.agg(F.max(t_ms).alias("_end_ms"))
+    lifetimes = (users.crossJoin(F.broadcast(end))
+                 .select(
+                     F.floor((F.col("last_ms") - F.col("first_ms"))
+                             / 3_600_000).alias("duration_h"),
+                     (F.col("last_ms")
+                      <= F.col("_end_ms") - KM_CHURN_CUTOFF_MS)
+                     .alias("churned")))
+    grid = lifetimes.groupBy("duration_h").agg(
+        F.sum(F.col("churned").cast("long")).alias("d"),
+        F.sum((~F.col("churned")).cast("long")).alias("c"))
+    w = Window.orderBy("duration_h")
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    upto = w.rowsBetween(Window.unboundedPreceding, 0)
+    # at-risk = everyone not yet dead or censored strictly before t
+    g = grid.select(
+        "duration_h", "d", "c",
+        (F.coalesce(F.sum(F.col("d") + F.col("c")).over(prev),
+                    F.lit(0))).alias("gone_before"))
+    tot = grid.agg(F.sum(F.col("d") + F.col("c"))
+                   .cast("long").alias("_total"))
+    g = g.crossJoin(F.broadcast(tot)).withColumn(
+        "n_at_risk", F.col("_total") - F.col("gone_before"))
+    lnf = F.when(F.col("d") < F.col("n_at_risk"),
+                 F.log(1.0 - F.col("d") / F.col("n_at_risk")))
+    zero = F.max((F.col("d") >= F.col("n_at_risk")).cast("int")).over(upto)
+    surv = F.when(zero == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(lnf).over(upto)))
+    return g.select(
+        "duration_h", F.col("d").alias("n_deaths"),
+        F.col("c").alias("n_censored"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.round(surv, 6).alias("survival"),
+    )
+
+
+QUERIES["user_survival_km"] = q_user_survival_km
+
+ORACLE["user_survival_km"] = f"""
+WITH u AS (
+  SELECT user_id, epoch_ms(min(ts)) AS first_ms, epoch_ms(max(ts)) AS last_ms
+  FROM events GROUP BY user_id
+),
+e AS (SELECT max(epoch_ms(ts)) AS end_ms FROM events),
+lifetimes AS (
+  SELECT (last_ms - first_ms) // 3600000 AS duration_h,
+         last_ms <= e.end_ms - {KM_CHURN_CUTOFF_MS} AS churned
+  FROM u CROSS JOIN e
+),
+grid AS (
+  SELECT duration_h,
+         CAST(count(*) FILTER (churned) AS BIGINT) AS d,
+         CAST(count(*) FILTER (NOT churned) AS BIGINT) AS c
+  FROM lifetimes GROUP BY duration_h
+),
+t AS (SELECT sum(d + c) AS total FROM grid),
+g AS (
+  SELECT duration_h, d, c,
+         t.total - coalesce(sum(d + c) OVER (ORDER BY duration_h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_at_risk
+  FROM grid CROSS JOIN t
+)
+SELECT duration_h, d AS n_deaths, c AS n_censored,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       round(CASE WHEN max(CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END)
+                    OVER upto = 1 THEN 0.0
+             ELSE exp(sum(CASE WHEN d < n_at_risk
+                               THEN ln(1.0 - d * 1.0 / n_at_risk)
+                          END) OVER upto)
+             END, 6) AS survival
+FROM g
+WINDOW upto AS (ORDER BY duration_h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""

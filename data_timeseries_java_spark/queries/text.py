@@ -1041,3 +1041,80 @@ JOIN norms na ON na.doc_id = d.id_a
 JOIN norms nb ON nb.doc_id = d.id_b
 WHERE round(d.dot / (na.nrm * nb.nrm), 9) >= {TFIDF_COS_T}
 """
+
+
+# ---- Zipf law fit of the vocabulary --------------------------------------
+
+ZIPF_TOP_N = 500
+
+
+def q_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source: OLS slope of ln(freq) on ln(rank) over
+    the top-N vocabulary (natural text slopes ≈ −1). Closed-form OLS
+    from rounded decomposable sums (the value_trend_ols convention);
+    rank ties break on token so both engines rank identically. One
+    token shuffle, one source-keyed rank window, one aggregate."""
+    from pyspark.sql import Window
+
+    from data_timeseries_java_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source",
+                       F.explode(tokens(F.col("text"))).alias("tok"))
+    freq = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("freq"))
+    w = Window.partitionBy("source").orderBy(F.desc("freq"), F.asc("tok"))
+    ranked = (freq.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= ZIPF_TOP_N))
+    x, y = F.log(F.col("rank").cast("double")), F.log("freq")
+    s = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.sum(x), 6).alias("sx"),
+        F.round(F.sum(y), 6).alias("sy"),
+        F.round(F.sum(x * x), 6).alias("sxx"),
+        F.round(F.sum(x * y), 6).alias("sxy"))
+    slope = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")), 6)
+    s = s.withColumn("zipf_slope", slope)
+    return s.select(
+        "source", F.col("n").cast("long").alias("n_terms"),
+        "zipf_slope",
+        F.round((F.col("sy") - F.col("zipf_slope") * F.col("sx"))
+                / F.col("n"), 6).alias("intercept"))
+
+
+QUERIES["vocab_zipf"] = q_vocab_zipf
+
+ORACLE["vocab_zipf"] = f"""
+WITH {_TOKS},
+tok AS (SELECT source, unnest(t) AS tok
+        FROM toks JOIN documents USING (doc_id)),
+freq AS (
+  SELECT source, tok, CAST(count(*) AS DOUBLE) AS freq
+  FROM tok GROUP BY source, tok
+),
+ranked AS (
+  SELECT source, freq,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY freq DESC, tok ASC) AS rank
+  FROM freq
+  QUALIFY rank <= {ZIPF_TOP_N}
+),
+s AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n,
+         round(sum(ln(rank)), 6) AS sx,
+         round(sum(ln(freq)), 6) AS sy,
+         round(sum(ln(rank) * ln(rank)), 6) AS sxx,
+         round(sum(ln(rank) * ln(freq)), 6) AS sxy
+  FROM ranked GROUP BY source
+),
+sl AS (
+  SELECT *, round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+              AS zipf_slope
+  FROM s
+)
+SELECT source, CAST(n AS BIGINT) AS n_terms, zipf_slope,
+       round((sy - zipf_slope * sx) / n, 6) AS intercept
+FROM sl
+"""
