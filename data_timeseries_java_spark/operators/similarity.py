@@ -536,3 +536,74 @@ def semantic_dedup(df: DataFrame, centroids: DataFrame,
                     F.col("dup_of").isNull().alias("is_kept"),
                     "dup_of",
                     F.round(F.col("mx"), 6).alias("max_dup_cos")))
+
+
+def pca_top_component(df: DataFrame, iterations: int = 12, dim: int = 64,
+                      vec_col: str = "embedding") -> DataFrame:
+    """Top principal component of the embedding cloud by power
+    iteration over the global covariance matrix — the from-scratch PCA
+    building block (whitening / drift monitoring / IVF-ahead rotation).
+
+    The covariance comes from the same partitionwise Gram accumulation
+    as :func:`embedding_covariance` (corpus is never exploded to
+    n·d² rows); the d×d matrix that iteration touches is tiny and
+    cluster-wide constant, so each of the ``iterations`` matvecs is a
+    join + hash-agg over d² rows — the whole thing is ONE lazy unrolled
+    plan (the PageRank convention; no driver-side loop state).
+
+    Plan-growth discipline: the iterate is carried as a ONE-ROW dense
+    array column, normalized inside a single projection (norm and
+    division in one ``transform``/``aggregate`` expression). Carrying
+    it as 64 rows would make each iteration consume the previous matvec
+    subtree twice (once for the norm scalar, once for the division),
+    doubling the logical plan per iteration — measured 16s at 3
+    iterations → 199s at 6 before this restructure.
+
+    Cross-engine determinism: covariance entries are rounded (house
+    convention), v₀ = e₀, and each iterate is re-rounded to 9 decimals
+    after normalization, so both engines walk the same vector sequence
+    (the k-means oracle trick applied to power iteration).
+
+    Output: one row per dimension — (dim, loading, eigenvalue), the
+    eigenvalue being the Rayleigh quotient vᵀAv of the final iterate
+    (same value on every row)."""
+    cov = (embedding_covariance(
+        df.select(F.lit(0).alias("_pca_label"), F.col(vec_col)),
+        vec_col=vec_col, label_col="_pca_label")
+        .select("i", "j", "cov"))
+    # mirror the upper triangle to a full matrix for a clean matvec;
+    # 12 iterations each embed this subtree once — materialize it
+    a = materialize(cov.unionByName(
+        cov.where(F.col("i") != F.col("j"))
+        .select(F.col("j").alias("i"), F.col("i").alias("j"), "cov")))
+
+    spark = df.sparkSession
+    v = spark.range(1).select(F.expr(
+        f"transform(sequence(0, {dim - 1}), "
+        f"x -> CAST(CASE WHEN x = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE))"
+    ).alias("v_arr"))
+
+    def matvec(v_frame):
+        vj = v_frame.select(F.posexplode("v_arr").alias("j", "vv"))
+        u = (a.join(F.broadcast(vj), "j")
+             .groupBy("i")
+             .agg(F.sum(F.col("cov") * F.col("vv")).alias("u")))
+        return (u.agg(F.sort_array(F.collect_list(F.struct("i", "u")))
+                      .alias("s"))
+                .select(F.transform("s", lambda st: st["u"]).alias("u_arr")))
+
+    for _ in range(iterations):
+        urow = matvec(v)
+        v = urow.select(F.expr(
+            "transform(u_arr, x -> round(x / sqrt(aggregate(u_arr, "
+            "CAST(0.0 AS DOUBLE), (acc, y) -> acc + y * y)), 9))"
+        ).alias("v_arr"))
+    v = materialize(v)  # final iterate feeds the Rayleigh matvec AND the output
+    lam_row = matvec(v).crossJoin(F.broadcast(v)).select(F.round(
+        F.expr("aggregate(zip_with(u_arr, v_arr, (x, y) -> x * y), "
+               "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"), 6)
+        .alias("eigenvalue"))
+    return (v.select(F.posexplode("v_arr").alias("dim", "loading"))
+            .select(F.col("dim").cast("long").alias("dim"),
+                    F.round("loading", 6).alias("loading"))
+            .crossJoin(F.broadcast(lam_row)))

@@ -718,3 +718,87 @@ SELECT a.vec_id, a.centroid_id,
        round(d.mx, 6) AS max_dup_cos
 FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
 """
+
+
+# ---- top principal component by power iteration --------------------------
+
+PCA_ITERS = 12
+
+
+def q_embedding_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component (loading vector + eigenvalue) of the
+    embedding cloud via unrolled power iteration over the Gram-
+    accumulated global covariance — see
+    operators.similarity.pca_top_component."""
+    from data_timeseries_java_spark.operators.similarity import (
+        pca_top_component)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_top_component(emb, iterations=PCA_ITERS)
+
+
+QUERIES["embedding_pca_top"] = q_embedding_pca_top
+
+
+def _pca_cte(iterations: int) -> str:
+    """Unrolled power iteration as DuckDB CTEs, mirroring
+    pca_top_component step for step (rounded covariance, v0 = e0,
+    9-decimal re-rounding per iterate)."""
+    sql = """
+cross_sums AS MATERIALIZED (
+  SELECT a.dim AS i, b.dim AS j,
+         round(sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)), 6) AS sxx
+  FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY a.dim, b.dim
+),
+dim_sums AS (
+  SELECT dim, round(sum(CAST(x AS DOUBLE)), 6) AS s
+  FROM comp GROUP BY dim
+),
+cnt AS (SELECT round(CAST(count(*) AS DOUBLE), 6) AS n FROM embeddings),
+cov AS (
+  SELECT c.i, c.j,
+         round(c.sxx / t.n - (si.s / t.n) * (sj.s / t.n), 6) + 0.0 AS cov
+  FROM cross_sums c
+  CROSS JOIN cnt t
+  JOIN dim_sums si ON si.dim = c.i
+  JOIN dim_sums sj ON sj.dim = c.j
+),
+am AS MATERIALIZED (
+  SELECT i, j, cov FROM cov
+  UNION ALL
+  SELECT j AS i, i AS j, cov FROM cov WHERE i <> j
+),
+v0 AS (SELECT 0 AS j, CAST(1.0 AS DOUBLE) AS v)"""
+    # norm via an empty-frame window so each u{t} is referenced exactly
+    # once — a separate norm CTE would inline u{t} twice per iteration
+    # and blow the plan up exponentially (same hazard the Spark side
+    # avoids with the one-row array iterate)
+    for t in range(iterations):
+        sql += f""",
+u{t + 1} AS (
+  SELECT am.i, sum(am.cov * v.v) AS u FROM am JOIN v{t} v ON v.j = am.j
+  GROUP BY am.i
+),
+v{t + 1} AS (
+  SELECT i AS j, round(u / sqrt(sum(u * u) OVER ()), 9) AS v
+  FROM u{t + 1}
+)"""
+    return sql
+
+
+_P = PCA_ITERS
+ORACLE["embedding_pca_top"] = f"""
+WITH {_COMP},
+{_pca_cte(_P)},
+uf AS (
+  SELECT am.i, sum(am.cov * v.v) AS u FROM am JOIN v{_P} v ON v.j = am.j
+  GROUP BY am.i
+),
+lam AS (
+  SELECT round(sum(uf.u * v.v), 6) AS eigenvalue
+  FROM uf JOIN v{_P} v ON v.j = uf.i
+)
+SELECT CAST(v.j AS BIGINT) AS dim, round(v.v, 6) AS loading, lam.eigenvalue
+FROM v{_P} v CROSS JOIN lam
+"""

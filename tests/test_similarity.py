@@ -128,3 +128,42 @@ def test_semantic_dedup_verdict_rules(spark, sf_dir):
             assert r.dup_of == min(qualifying)
             assert r.max_dup_cos is not None
     assert 0 < n_dropped < len(out)  # threshold is meaningful on this corpus
+
+
+def test_pca_top_component_matches_numpy(spark, sf_dir):
+    """The operator's iterate sequence equals the same rounded power
+    iteration in numpy, and after 12 iterations it is numerically the
+    dominant eigenvector of the (rounded) covariance."""
+    import numpy as np
+
+    from data_timeseries_java_spark.operators.similarity import (
+        pca_top_component)
+    from data_timeseries_java_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sorted(pca_top_component(emb, iterations=12).collect(),
+                 key=lambda r: r.dim)
+    v_spark = np.array([r.loading for r in out])
+    lam_spark = out[0].eigenvalue
+
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64)
+                  for r in emb.collect()])
+    n, d = X.shape
+    # replicate the operator's rounded-sums covariance
+    sxx = np.round(X.T @ X, 6)
+    s = np.round(X.sum(axis=0), 6)
+    cov = np.round(sxx / n - np.outer(s / n, s / n), 6)
+    cov = np.triu(cov) + np.triu(cov, 1).T  # mirrored upper triangle
+    v = np.zeros(d); v[0] = 1.0
+    for _ in range(12):
+        u = cov @ v
+        v = np.round(u / np.sqrt((u * u).sum()), 9)
+    assert np.allclose(v_spark, np.round(v, 6), atol=2e-6)
+    assert abs(lam_spark - round(float(v @ cov @ v), 6)) < 1e-5
+    # convergence is spectral-gap-limited at a fixed iteration count
+    # (like the fixed-iteration k-means): assert the Rayleigh quotient
+    # has climbed into the top of the spectrum, not exact dominance
+    w = np.linalg.eigvalsh(cov)
+    assert lam_spark <= np.max(w) + 1e-6
+    assert lam_spark >= 0.85 * np.max(w)
+    assert lam_spark > np.sort(w)[-3]  # above the 3rd eigenvalue
