@@ -2925,3 +2925,193 @@ JOIN var vb ON vb.key = c.key2 AND vb.time_ms = c.time_ms
 
 # stream-replay gate reuses the batch recursive oracle (defined above)
 ORACLE["macd_stream_replay"] = ORACLE["fx_macd"]
+
+
+# ---- microstructure batch (round 7): Roll spread, Kyle lambda, VaR/ES ----
+
+
+def q_fx_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll's implied bid-ask spread estimator (Roll 1984): from the
+    first-order serial covariance of hourly close-to-close price
+    changes, spread = 2·√(−cov) — defined only when the autocovariance
+    is negative (bounce-dominated), NULL otherwise (the standard
+    convention). One key-partitioned lag + one covar_samp aggregate on
+    candle-sized data."""
+    from pyspark.sql import Window
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+
+    ticks, keys = _ticks_and_keys(spark, sf_dir)
+    c = candles_pipeline(ticks, keys, RES)
+    wk = Window.partitionBy("key").orderBy("window_start")
+    dp = F.col("close.ask") - F.lag("close.ask").over(wk)
+    d = (c.select("key", "window_start", dp.alias("dp"))
+         .withColumn("dp_prev", F.lag("dp").over(wk))
+         .where(F.col("dp").isNotNull() & F.col("dp_prev").isNotNull()))
+    g = d.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.covar_samp("dp", "dp_prev").alias("autocov"))
+    spread = F.when(F.col("autocov") < 0,
+                    2.0 * F.sqrt(-F.col("autocov")))
+    return g.select("key", "n",
+                    F.round("autocov", 9).alias("autocov"),
+                    F.round(spread, 6).alias("roll_spread"))
+
+
+QUERIES["fx_roll_spread"] = q_fx_roll_spread
+
+ORACLE["fx_roll_spread"] = _PRELUDE + """,
+d AS (
+  SELECT key, w_start_ms,
+         close_price - lag(close_price) OVER w AS dp,
+         lag(close_price, 1) OVER w - lag(close_price, 2) OVER w AS dp_prev
+  FROM filled
+  WINDOW w AS (PARTITION BY key ORDER BY w_start_ms)
+)
+SELECT key, CAST(count(*) AS BIGINT) AS n,
+       round(covar_samp(dp, dp_prev), 9) AS autocov,
+       round(CASE WHEN covar_samp(dp, dp_prev) < 0
+                  THEN 2.0 * sqrt(-covar_samp(dp, dp_prev)) END, 6)
+         AS roll_spread
+FROM d WHERE dp IS NOT NULL AND dp_prev IS NOT NULL
+GROUP BY key
+"""
+
+
+def q_fx_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kyle's lambda (price impact): per instrument, the OLS slope of
+    hourly price change on tick-rule signed order flow (n_buy − n_sell)
+    — closed form from rounded decomposable sums (the value_trend_ols
+    convention). Reuses the carry-forward tick-rule classification and
+    the complete-candle closes; one join on (key, window)."""
+    from pyspark.sql import Window
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+
+    ticks, keys = _ticks_and_keys(spark, sf_dir)
+    # signed flow per (key, window) — same derivation as fx_tick_rule
+    w = Window.partitionBy("key").orderBy("event_time")
+    chg = F.col("ask") - F.lag("ask").over(w)
+    signed = F.when(chg > 0, 1).when(chg < 0, -1)
+    t = ticks.where(F.col("is_live")).select(
+        "key", "event_time", signed.alias("s"))
+    carried = t.select(
+        "key", "event_time",
+        F.last("s", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("dir"))
+    win = (F.floor(_ms(F.col("event_time")) / F.lit(RES_MS))
+           * RES_MS).alias("w_start_ms")
+    flow = (carried.where(F.col("dir").isNotNull())
+            .groupBy("key", win)
+            .agg(F.sum("dir").cast("double").alias("q")))
+    c = candles_pipeline(ticks, keys, RES)
+    wk = Window.partitionBy("key").orderBy("window_start")
+    dp = F.col("close.ask") - F.lag("close.ask").over(wk)
+    d = (c.select("key", _ms(F.col("window_start")).alias("w_start_ms"),
+                  dp.alias("dp"))
+         .where(F.col("dp").isNotNull()))
+    j = d.join(flow, ["key", "w_start_ms"])
+    s = j.groupBy("key").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.sum("q"), 6).alias("sx"),
+        F.round(F.sum("dp"), 6).alias("sy"),
+        F.round(F.sum(F.col("q") * F.col("q")), 6).alias("sxx"),
+        F.round(F.sum(F.col("q") * F.col("dp")), 6).alias("sxy"))
+    lam = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")), 6)
+    return s.select("key", F.col("n").cast("long").alias("n"),
+                    lam.alias("kyle_lambda"))
+
+
+QUERIES["fx_kyle_lambda"] = q_fx_kyle_lambda
+
+ORACLE["fx_kyle_lambda"] = _PRELUDE + """,
+sgn AS (
+  SELECT key, event_time,
+         CASE WHEN price - lag(price) OVER w > 0 THEN 1
+              WHEN price - lag(price) OVER w < 0 THEN -1 END AS s
+  FROM ticks
+  WINDOW w AS (PARTITION BY key ORDER BY event_time)
+),
+tr_carried AS (
+  SELECT key, event_time,
+         last_value(s IGNORE NULLS) OVER (
+             PARTITION BY key ORDER BY event_time
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dir
+  FROM sgn
+),
+flow AS (
+  SELECT key, (epoch_ms(event_time) // {res}) * {res} AS w_start_ms,
+         CAST(sum(dir) AS DOUBLE) AS q
+  FROM tr_carried WHERE dir IS NOT NULL
+  GROUP BY key, w_start_ms
+),
+d AS (
+  SELECT key, w_start_ms,
+         close_price - lag(close_price) OVER (
+             PARTITION BY key ORDER BY w_start_ms) AS dp
+  FROM filled
+),
+j AS (
+  SELECT d.key, d.dp, f.q FROM d JOIN flow f
+    ON f.key = d.key AND f.w_start_ms = d.w_start_ms
+  WHERE d.dp IS NOT NULL
+),
+s AS (
+  SELECT key, CAST(count(*) AS DOUBLE) AS n,
+         round(sum(q), 6) AS sx, round(sum(dp), 6) AS sy,
+         round(sum(q * q), 6) AS sxx, round(sum(q * dp), 6) AS sxy
+  FROM j GROUP BY key
+)
+SELECT key, CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS kyle_lambda
+FROM s
+""".replace("{res}", str(RES_MS))
+
+
+VAR_ALPHA_K = 20  # k smallest of n returns: k = ceil(n / VAR_ALPHA_K) = 5%
+
+
+def q_fx_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical Value-at-Risk and Expected Shortfall per instrument
+    at the 5% level, defined by ORDER STATISTICS (k = ⌈n/20⌉ smallest
+    hourly log returns; VaR = the k-th smallest, ES = mean of those k)
+    — rank-based rather than interpolated so both engines select
+    exactly the same rows (ties break on time). One key-partitioned
+    sort serves the ranking; one aggregate on top."""
+    from pyspark.sql import Window
+
+    r = _returns_df(spark, sf_dir).select(
+        "key", _ms(F.col("time")).alias("time_ms"), "value")
+    w = Window.partitionBy("key").orderBy(F.asc("value"), F.asc("time_ms"))
+    cnt = Window.partitionBy("key")
+    ranked = r.select(
+        "key", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cnt).alias("n"))
+    k = F.ceil(F.col("n") / VAR_ALPHA_K)
+    tail = ranked.where(F.col("rn") <= k)
+    return (tail.groupBy("key")
+            .agg(F.max("n").cast("long").alias("n"),
+                 F.count(F.lit(1)).cast("long").alias("k_tail"),
+                 F.round(F.max("value"), 6).alias("var_5pct"),
+                 F.round(F.avg("value"), 6).alias("es_5pct")))
+
+
+QUERIES["fx_var_es"] = q_fx_var_es
+
+ORACLE["fx_var_es"] = _PRELUDE + f""",
+ranked AS (
+  SELECT key, ret,
+         row_number() OVER (PARTITION BY key
+                            ORDER BY ret ASC, time_ms ASC) AS rn,
+         count(*) OVER (PARTITION BY key) AS n
+  FROM returns
+)
+SELECT key, CAST(max(n) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS k_tail,
+       round(max(ret), 6) AS var_5pct,
+       round(avg(ret), 6) AS es_5pct
+FROM ranked
+WHERE rn <= ceil(n * 1.0 / {VAR_ALPHA_K})
+GROUP BY key
+"""
