@@ -198,6 +198,7 @@ def main() -> None:
         streaming_garch,
         streaming_holt,
         streaming_kalman,
+        streaming_macd,
         streaming_neardup,
         streaming_ohlc_candles,
         streaming_realized_volatility,
@@ -255,6 +256,8 @@ def main() -> None:
         ("kalman_state", lambda: streaming_kalman(
             tick_src(), price_col="ask")),
         ("garch_state", lambda: streaming_garch(
+            tick_src(), price_col="ask")),
+        ("macd_state", lambda: streaming_macd(
             tick_src(), price_col="ask")),
         ("sessions", lambda: streaming_sessions(
             ev_src(), "user_id", "ts", "30 minutes")),

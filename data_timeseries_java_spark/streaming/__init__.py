@@ -38,6 +38,7 @@ from data_timeseries_java_spark.streaming.ema_stream import (
     streaming_ema_applyinpandas,
     streaming_garch,
     streaming_holt,
+    streaming_macd,
     streaming_kalman,
 )
 from data_timeseries_java_spark.streaming.pipeline import (
@@ -64,6 +65,7 @@ __all__ = ["streaming_ohlc_candles", "streaming_complete_candles",
            "streaming_dedup_exact", "streaming_dedup_content",
            "streaming_ema", "streaming_ema_applyinpandas",
            "streaming_holt", "streaming_kalman", "streaming_garch",
+           "streaming_macd",
            "streaming_correlations", "read_streaming_correlations",
            "compact_correlation_store",
            "streaming_realized_volatility", "streaming_asof_join",
