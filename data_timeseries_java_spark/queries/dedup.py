@@ -760,3 +760,53 @@ FROM flagged
 GROUP BY doc_id
 HAVING count(*) >= {DECON_MIN_OVERLAP}
 """
+
+
+# ---- prefix-filtering set-similarity join --------------------------------
+
+PREFIX_JACCARD_T = 0.5
+PREFIX_JACCARD_K = 3
+
+
+def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with trigram-shingle-set Jaccard >= 0.5 via prefix
+    filtering (AllPairs/PPJoin — exact, no LSH false negatives) — see
+    operators.dedup.jaccard_prefix_join. The oracle re-derives the
+    answer with a DIFFERENT algorithm (exhaustive Jaccard over all
+    share-any-token pairs), so a prefix bug that loses a pair fails
+    the hash."""
+    from data_timeseries_java_spark.operators.dedup import (
+        jaccard_prefix_join)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_prefix_join(docs, threshold=PREFIX_JACCARD_T,
+                               k=PREFIX_JACCARD_K)
+
+
+QUERIES["jaccard_prefix_join"] = q_jaccard_prefix_join
+
+ORACLE["jaccard_prefix_join"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (SELECT DISTINCT doc_id,
+       unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+               FOR i IN range(1, len(t) - 1)]) AS tok
+       FROM toks),
+n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.id_a, p.id_b, p.n_inter,
+       na.nt + nb.nt - p.n_inter AS n_union,
+       round(p.n_inter * 1.0 / (na.nt + nb.nt - p.n_inter), 6) AS jaccard
+FROM pairs p
+JOIN n na ON na.doc_id = p.id_a
+JOIN n nb ON nb.doc_id = p.id_b
+WHERE round(p.n_inter * 1.0 / (na.nt + nb.nt - p.n_inter), 9)
+      >= {PREFIX_JACCARD_T}
+"""

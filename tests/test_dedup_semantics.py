@@ -276,3 +276,35 @@ def test_tfidf_cosine_identical_docs_hit_one(spark):
     assert set(pairs) == {(1, 2)}
     assert abs(pairs[(1, 2)].cosine - 1.0) < 1e-9
     assert pairs[(1, 2)].n_shared_terms == 4
+
+
+def test_prefix_join_no_false_negatives(spark, sf_dir):
+    """The prefix-filter guarantee: every pair brute-force Jaccard says
+    is >= t must come back from jaccard_prefix_join (and nothing below
+    t may appear)."""
+    from pyspark.sql import functions as F
+
+    from data_timeseries_java_spark.operators.dedup import (
+        jaccard_prefix_join, shingles)
+    from data_timeseries_java_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    t = 0.5
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in jaccard_prefix_join(docs, threshold=t, k=3).collect()}
+    sets = {}
+    for r in shingles(docs, "text", "doc_id", 3).collect():
+        sets.setdefault(r.doc_id, set()).add(r.shingle)
+    ids = sorted(sets)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                j = inter / (len(sets[a]) + len(sets[b]) - inter)
+                if round(j, 9) >= t:
+                    expected[(a, b)] = j
+    assert set(got) == set(expected)
+    for k_, v in expected.items():
+        assert abs(got[k_] - v) < 1e-6
+    assert expected, "fixture should contain trigram near-dup pairs"
