@@ -3115,3 +3115,71 @@ FROM ranked
 WHERE rn <= ceil(n * 1.0 / {VAR_ALPHA_K})
 GROUP BY key
 """
+
+
+def q_fx_ohlc_vol_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three classic range-based volatility estimators side by side,
+    per instrument per day over LIVE hourly candles (complementing
+    fx_parkinson_vol's single-estimator lane):
+
+      Garman-Klass (1980):  mean(0.5·ln(h/l)² − (2ln2−1)·ln(c/o)²)
+      Rogers-Satchell (1991): mean(ln(h/c)ln(h/o) + ln(l/c)ln(l/o))
+      Parkinson (1980):     mean(ln(h/l)²) / (4 ln 2)
+
+    each √'d. Rogers-Satchell is drift-robust; Garman-Klass assumes
+    zero drift; the disagreement between them IS the signal a vol desk
+    reads. One aggregation over the candle frame; gap candles (zero
+    range) excluded as all three require a traded range."""
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+
+    ticks, keys = _ticks_and_keys(spark, sf_dir)
+    c = candles_pipeline(ticks, keys, RES).select(
+        "key", _ms(F.col("window_start")).alias("w_start_ms"),
+        F.col("open.ask").alias("o"), F.col("close.ask").alias("c"),
+        F.col("min_ask.ask").alias("l"), F.col("max_ask.ask").alias("h"),
+        "is_live")
+    d = c.where(F.col("is_live") & (F.col("l") > 0) & (F.col("o") > 0)
+                & (F.col("c") > 0) & (F.col("h") > F.col("l")))
+    hl = F.log(F.col("h") / F.col("l"))
+    co = F.log(F.col("c") / F.col("o"))
+    hc, ho = F.log(F.col("h") / F.col("c")), F.log(F.col("h") / F.col("o"))
+    lc, lo = F.log(F.col("l") / F.col("c")), F.log(F.col("l") / F.col("o"))
+    gk = 0.5 * hl * hl - (2.0 * F.log(F.lit(2.0)) - 1.0) * co * co
+    rs = hc * ho + lc * lo
+    pk = hl * hl / (4.0 * F.log(F.lit(2.0)))
+    day = (F.floor(F.col("w_start_ms") / 86_400_000)
+           * 86_400_000).alias("day_ms")
+    # GK can go negative on strongly drifting days — NULL by convention
+    mgk = F.avg(gk)
+    mrs = F.avg(rs)
+    return (d.groupBy("key", day)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_candles"),
+                 F.round(F.when(mgk >= 0, F.sqrt(mgk)), 6).alias("gk_vol"),
+                 F.round(F.when(mrs >= 0, F.sqrt(mrs)), 6).alias("rs_vol"),
+                 F.round(F.sqrt(F.avg(pk)), 6).alias("pk_vol")))
+
+
+QUERIES["fx_ohlc_vol_estimators"] = q_fx_ohlc_vol_estimators
+
+ORACLE["fx_ohlc_vol_estimators"] = _PRELUDE + """,
+live AS (
+  SELECT key, w_start_ms, open_price AS o, close_price AS c,
+         min_price AS l, max_price AS h
+  FROM complete
+  WHERE is_live AND min_price > 0 AND open_price > 0
+    AND close_price > 0 AND max_price > min_price
+),
+e AS (
+  SELECT key, (w_start_ms // 86400000) * 86400000 AS day_ms,
+         0.5 * ln(h / l) * ln(h / l)
+           - (2.0 * ln(2.0) - 1.0) * ln(c / o) * ln(c / o) AS gk,
+         ln(h / c) * ln(h / o) + ln(l / c) * ln(l / o) AS rs,
+         ln(h / l) * ln(h / l) / (4.0 * ln(2.0)) AS pk
+  FROM live
+)
+SELECT key, day_ms, CAST(count(*) AS BIGINT) AS n_candles,
+       round(CASE WHEN avg(gk) >= 0 THEN sqrt(avg(gk)) END, 6) AS gk_vol,
+       round(CASE WHEN avg(rs) >= 0 THEN sqrt(avg(rs)) END, 6) AS rs_vol,
+       round(sqrt(avg(pk)), 6) AS pk_vol
+FROM e GROUP BY key, day_ms
+"""

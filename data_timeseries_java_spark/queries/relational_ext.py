@@ -2065,3 +2065,66 @@ FROM g
 WINDOW upto AS (ORDER BY duration_h
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
+
+
+# ---- ABC (Pareto) classification -----------------------------------------
+
+
+def q_part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by total revenue,
+    class A = the head covering 80% of cumulative revenue share,
+    B = to 95%, C = the tail — the classic Pareto split (class
+    boundaries are on the share BEFORE the part, so the part that
+    crosses a boundary still belongs to the higher class). One
+    lineitem aggregate + one ordered-window pass over the part-sized
+    result; ties rank deterministically on part key."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.round(F.sum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    w = Window.orderBy(F.desc("revenue"), F.asc("partkey"))
+    tot = rev.agg(F.sum("revenue").alias("_total"))
+    r = (rev.crossJoin(F.broadcast(tot))
+         .withColumn("rnk", F.row_number().over(w))
+         .withColumn("cum_before",
+                     F.coalesce(F.sum("revenue").over(
+                         w.rowsBetween(Window.unboundedPreceding, -1)),
+                         F.lit(0.0))))
+    share_before = F.col("cum_before") / F.col("_total")
+    cls = (F.when(share_before < 0.80, "A")
+           .when(share_before < 0.95, "B").otherwise("C"))
+    return r.select(
+        "partkey", "revenue",
+        F.col("rnk").cast("long").alias("rnk"),
+        F.round(share_before, 6).alias("cum_share_before"),
+        cls.alias("abc_class"))
+
+
+QUERIES["part_abc_classification"] = q_part_abc_classification
+
+ORACLE["part_abc_classification"] = """
+WITH rev AS (
+  SELECT l_partkey AS partkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY l_partkey
+),
+t AS (SELECT sum(revenue) AS total FROM rev),
+r AS (
+  SELECT partkey, revenue,
+         row_number() OVER w AS rnk,
+         coalesce(sum(revenue) OVER (ORDER BY revenue DESC, partkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+           AS cum_before,
+         t.total
+  FROM rev CROSS JOIN t
+  WINDOW w AS (ORDER BY revenue DESC, partkey ASC)
+)
+SELECT partkey, revenue, CAST(rnk AS BIGINT) AS rnk,
+       round(cum_before / total, 6) AS cum_share_before,
+       CASE WHEN cum_before / total < 0.80 THEN 'A'
+            WHEN cum_before / total < 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM r
+"""

@@ -1118,3 +1118,65 @@ SELECT source, CAST(n AS BIGINT) AS n_terms, zipf_slope,
        round((sy - zipf_slope * sx) / n, 6) AS intercept
 FROM sl
 """
+
+
+# ---- Flesch reading ease --------------------------------------------------
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document from deterministic regex
+    counts: words = whitespace tokens, sentences = runs of [.!?]
+    (floored at 1), syllables = vowel-group count per word (floored at
+    1 — the standard heuristic; both patterns sit in the Java-regex ∩
+    RE2 portable subset the PII scanner established).
+
+        flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)
+
+    One posexplode + per-doc aggregate for syllables (array-HOF
+    summation would inline tokenization per element — the documented
+    O(len²) Catalyst trap); sentence/word counts ride the same scan."""
+    from data_timeseries_java_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    syl = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all("tok", F.lit("[aeiouy]+"), F.lit(0))))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(syl).cast("long").alias("n_syllables"))
+    sent = docs.select(
+        "doc_id",
+        F.greatest(F.lit(1), F.size(F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[.!?]+"), F.lit(0))))
+        .cast("long").alias("n_sentences"))
+    j = per_doc.join(sent, "doc_id")
+    flesch = (206.835
+              - 1.015 * (F.col("n_words") / F.col("n_sentences"))
+              - 84.6 * (F.col("n_syllables") / F.col("n_words")))
+    return j.select("doc_id", "n_words", "n_sentences", "n_syllables",
+                    F.round(flesch, 6).alias("flesch"))
+
+
+QUERIES["text_readability"] = q_text_readability
+
+ORACLE["text_readability"] = f"""
+WITH {_TOKS},
+tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(greatest(1, len(regexp_extract_all(tok, '[aeiouy]+'))))
+              AS BIGINT) AS n_syllables
+  FROM tok GROUP BY doc_id
+),
+sent AS (
+  SELECT doc_id,
+         CAST(greatest(1, len(regexp_extract_all(lower(text), '[.!?]+')))
+              AS BIGINT) AS n_sentences
+  FROM documents
+)
+SELECT p.doc_id, p.n_words, s.n_sentences, p.n_syllables,
+       round(206.835 - 1.015 * (p.n_words * 1.0 / s.n_sentences)
+             - 84.6 * (p.n_syllables * 1.0 / p.n_words), 6) AS flesch
+FROM per_doc p JOIN sent s ON s.doc_id = p.doc_id
+"""
