@@ -2081,22 +2081,32 @@ def q_part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
+    # exact integer-cents arithmetic: price and discount are 2-decimal
+    # values, so sum(price_cents * (100 - disc_pct)) is an exact BIGINT
+    # — revenue and the cumulative shares below are order-independent
+    # (a float sum rounded at 2 flipped a cent on 3 parts at sf0.01)
+    cents = (F.round(F.col("l_extendedprice") * 100).cast("bigint")
+             * F.round((1 - F.col("l_discount")) * 100).cast("bigint"))
     rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
-        F.round(F.sum(F.col("l_extendedprice")
-                      * (1 - F.col("l_discount"))), 2).alias("revenue"))
-    w = Window.orderBy(F.desc("revenue"), F.asc("partkey"))
-    tot = rev.agg(F.sum("revenue").alias("_total"))
+        F.sum(cents).alias("rev_e4"))
+    w = Window.orderBy(F.desc("rev_e4"), F.asc("partkey"))
+    tot = rev.agg(F.sum("rev_e4").alias("_total"))
     r = (rev.crossJoin(F.broadcast(tot))
          .withColumn("rnk", F.row_number().over(w))
          .withColumn("cum_before",
-                     F.coalesce(F.sum("revenue").over(
+                     F.coalesce(F.sum("rev_e4").over(
                          w.rowsBetween(Window.unboundedPreceding, -1)),
-                         F.lit(0.0))))
+                         F.lit(0).cast("bigint"))))
     share_before = F.col("cum_before") / F.col("_total")
     cls = (F.when(share_before < 0.80, "A")
            .when(share_before < 0.95, "B").otherwise("C"))
     return r.select(
-        "partkey", "revenue",
+        "partkey",
+        # half-up in INTEGER space then one exact small-int division —
+        # round(rev_e4/10000.0, 2) hits engine-specific .5 handling on
+        # the inexact quotient double
+        (F.expr("CAST((rev_e4 + 50) DIV 100 AS DOUBLE)") / 100.0)
+        .alias("revenue"),
         F.col("rnk").cast("long").alias("rnk"),
         F.round(share_before, 6).alias("cum_share_before"),
         cls.alias("abc_class"))
@@ -2107,24 +2117,26 @@ QUERIES["part_abc_classification"] = q_part_abc_classification
 ORACLE["part_abc_classification"] = """
 WITH rev AS (
   SELECT l_partkey AS partkey,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS rev_e4
   FROM lineitem GROUP BY l_partkey
 ),
-t AS (SELECT sum(revenue) AS total FROM rev),
+t AS (SELECT sum(rev_e4) AS total FROM rev),
 r AS (
-  SELECT partkey, revenue,
+  SELECT partkey, rev_e4,
          row_number() OVER w AS rnk,
-         coalesce(sum(revenue) OVER (ORDER BY revenue DESC, partkey ASC
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+         coalesce(sum(rev_e4) OVER (ORDER BY rev_e4 DESC, partkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            AS cum_before,
          t.total
   FROM rev CROSS JOIN t
-  WINDOW w AS (ORDER BY revenue DESC, partkey ASC)
+  WINDOW w AS (ORDER BY rev_e4 DESC, partkey ASC)
 )
-SELECT partkey, revenue, CAST(rnk AS BIGINT) AS rnk,
-       round(cum_before / total, 6) AS cum_share_before,
-       CASE WHEN cum_before / total < 0.80 THEN 'A'
-            WHEN cum_before / total < 0.95 THEN 'B'
+SELECT partkey, CAST((rev_e4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue,
+       CAST(rnk AS BIGINT) AS rnk,
+       round(cum_before * 1.0 / total, 6) AS cum_share_before,
+       CASE WHEN cum_before * 1.0 / total < 0.80 THEN 'A'
+            WHEN cum_before * 1.0 / total < 0.95 THEN 'B'
             ELSE 'C' END AS abc_class
 FROM r
 """
