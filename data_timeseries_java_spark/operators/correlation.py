@@ -524,11 +524,14 @@ def engle_granger(candles: DataFrame, price: F.Column | None = None,
 
     Step 1 — static OLS hedge ratio: y_t = α + β·x_t over the
     window-aligned closes (y = the lexically larger key's series),
-    via JVM ``regr_slope``/``regr_intercept`` (map-side combinable).
+    closed form from ROUNDED decomposable sums (the value_trend_ols
+    convention — both engines do bit-identical arithmetic downstream
+    of the reduction; raw ``regr_slope`` sums in engine-specific order
+    and risks 6-decimal boundary flakes).
     Step 2 — residual unit-root screen: e_t = y_t − α − β·x_t,
     Δe_t = ρ·e_{t−1}; ρ̂, its standard error, and the DF t-statistic
-    come in closed form from three pair-level sums (Σe₋Δe, Σe₋²,
-    ΣΔe²), so the whole step is one lag + one aggregate.
+    come in closed form from three pair-level ROUNDED sums (Σe₋Δe,
+    Σe₋², ΣΔe²), so the whole step is one lag + one aggregate.
 
     Shape: self-join on window_start (the J6 pair pattern — hashes
     across the cluster by window), one pair-level OLS aggregate, a
@@ -552,10 +555,20 @@ def engle_granger(candles: DataFrame, price: F.Column | None = None,
                       F.col("px").alias("y"))
     paired = a.join(b, (F.col("window_start") == F.col("ws2"))
                     & (F.col("key1") < F.col("key2"))).drop("ws2")
-    ols = paired.groupBy("key1", "key2").agg(
-        F.regr_slope("y", "x").alias("beta"),
-        F.regr_intercept("y", "x").alias("alpha"),
-        F.count(F.lit(1)).cast("long").alias("n"))
+    osums = paired.groupBy("key1", "key2").agg(
+        F.count(F.lit(1)).cast("double").alias("nobs"),
+        F.round(F.sum("x"), 6).alias("sx"),
+        F.round(F.sum("y"), 6).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("x")), 6).alias("sxx"),
+        F.round(F.sum(F.col("x") * F.col("y")), 6).alias("sxy"))
+    beta = F.round(
+        (F.col("nobs") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("nobs") * F.col("sxx") - F.col("sx") * F.col("sx")), 9)
+    ols = osums.withColumn("beta", beta).select(
+        "key1", "key2", "beta",
+        F.round((F.col("sy") - F.col("beta") * F.col("sx"))
+                / F.col("nobs"), 9).alias("alpha"),
+        F.col("nobs").cast("long").alias("n"))
     from pyspark.sql import Window
 
     resid = paired.join(F.broadcast(ols), ["key1", "key2"])
@@ -567,9 +580,10 @@ def engle_granger(candles: DataFrame, price: F.Column | None = None,
     de = F.col("e") - F.col("e_prev")
     sums = (r.where(F.col("e_prev").isNotNull())
             .groupBy("key1", "key2", "beta", "alpha", "n")
-            .agg(F.sum(F.col("e_prev") * de).alias("s1"),
-                 F.sum(F.col("e_prev") * F.col("e_prev")).alias("s2"),
-                 F.sum(de * de).alias("s3"),
+            .agg(F.round(F.sum(F.col("e_prev") * de), 6).alias("s1"),
+                 F.round(F.sum(F.col("e_prev") * F.col("e_prev")), 6)
+                 .alias("s2"),
+                 F.round(F.sum(de * de), 6).alias("s3"),
                  F.count(F.lit(1)).cast("long").alias("n_d")))
     rho = F.col("s1") / F.col("s2")
     ssr = F.col("s3") - 2.0 * rho * F.col("s1") + rho * rho * F.col("s2")

@@ -446,16 +446,20 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding",
                 G = X.T @ X
                 iu, ju = np.triu_indices(d)
                 out = pd.DataFrame({
-                    "label": int(lab),
+                    "label": lab,
                     "i": np.concatenate([iu, np.arange(d), [-1]]),
                     "j": np.concatenate([ju, np.full(d, -1), [-1]]),
                     "v": np.concatenate([G[iu, ju], s, [float(n)]]),
                 })
                 yield out
 
+    # partial-row label type follows the input (the ema-operator schema
+    # convention) — a hardcoded `label int` crashed string-labeled calls
+    label_type = dict(df.dtypes)[label_col]
     partial = (df.select(F.col(label_col).alias(label_col),
                          F.col(vec_col).alias(vec_col))
-               .mapInPandas(gen, "label int, i int, j int, v double"))
+               .mapInPandas(gen, f"label {label_type}, i int, j int, "
+                                 f"v double"))
     agg = (partial.groupBy("label", "i", "j")
            .agg(F.round(F.sum("v"), 6).alias("sv")))
     cnt = (agg.where((F.col("i") == -1) & (F.col("j") == -1))

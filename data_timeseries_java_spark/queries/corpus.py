@@ -228,6 +228,7 @@ def q_corpus_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from data_timeseries_java_spark.streaming.replay import (
         drive_query,
+        keeper_route_file,
         write_replay_files,
     )
 
@@ -237,21 +238,11 @@ def q_corpus_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         lo, hi = docs.select(F.min("doc_id"), F.max("doc_id")).first()
         n_files = 4
-        rank = (F.row_number().over(
-            Window.partitionBy(F.md5(F.lower(F.col("text"))))
-            .orderBy("doc_id")) - 1)
-        # keepers use the first n_files-1 buckets; + rank pushes every
-        # non-keeper to a strictly later file (clamped — two
-        # non-keepers sharing the last file is fine, both are dropped
-        # against state regardless of order)
-        id_bucket = F.floor((F.col("doc_id") - F.lit(int(lo)))
-                            * (n_files - 1)
-                            / F.lit(max(int(hi) - int(lo) + 1, 1)))
         routed = docs.select(
             "doc_id",
             F.to_timestamp(F.lit("2024-05-01 00:00:00")).alias("ts"),
             "text", "lang",
-            F.least(F.lit(n_files - 1), id_bucket + rank).alias("_file"))
+            keeper_route_file(n_files, int(lo), int(hi)).alias("_file"))
         work = tempfile.mkdtemp(prefix="corpus_stream_replay_")
         base = _time.time() - 1000
         write_replay_files(routed, "_file", f"{work}/in", n_files, base,
@@ -304,13 +295,22 @@ def q_sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = F.regexp_extract_all(F.lower(F.col("text")),
                                  F.lit("[a-z0-9]+"), 0)
-    merged = bpe_apply(bpe_serialized("text"))
-    n_bpe = (F.size(words)
-             + ((F.length(merged)
-                 - F.length(F.replace(merged, F.lit("~~"), F.lit(""))))
-                / 2).cast("long"))
-    return sequence_packing(docs, pack_budget=PACK_BUDGET,
-                            token_count_col=n_bpe)
+    # stage the 64-rule replace chain behind named columns: inlining it
+    # into sequence_packing would plant ~4 copies in the analyzed tree
+    # (merged twice inside the count, the count twice inside packing) —
+    # the same Catalyst blowup bpe_token_counts stages `_m` to avoid
+    staged = docs.select(
+        "source", "doc_id",
+        F.size(words).alias("_n_words"),
+        bpe_apply(bpe_serialized("text")).alias("_m"))
+    staged = staged.select(
+        "source", "doc_id",
+        (F.col("_n_words")
+         + ((F.length("_m")
+             - F.length(F.replace(F.col("_m"), F.lit("~~"), F.lit(""))))
+            / 2).cast("long")).alias("_n_bpe"))
+    return sequence_packing(staged, pack_budget=PACK_BUDGET,
+                            token_count_col=F.col("_n_bpe"))
 
 
 def _packing_bpe_sql() -> str:

@@ -650,6 +650,7 @@ def q_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_dedup_content,
     )
     from data_timeseries_java_spark.streaming.replay import (
+        keeper_route_file,
         read_replay_sink,
         run_to_parquet_sink,
         write_replay_files,
@@ -661,17 +662,11 @@ def q_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         lo, hi = docs.select(F.min("doc_id"), F.max("doc_id")).first()
         n_files = 4
-        rank = (F.row_number().over(
-            Window.partitionBy(F.md5(F.lower(F.col("text"))))
-            .orderBy("doc_id")) - 1)
-        id_bucket = F.floor((F.col("doc_id") - F.lit(int(lo)))
-                            * (n_files - 1)
-                            / F.lit(max(int(hi) - int(lo) + 1, 1)))
         routed = docs.select(
             "doc_id",
             F.to_timestamp(F.lit("2024-05-01 00:00:00")).alias("ts"),
             "text",
-            F.least(F.lit(n_files - 1), id_bucket + rank).alias("_file"))
+            keeper_route_file(n_files, int(lo), int(hi)).alias("_file"))
         work = tempfile.mkdtemp(prefix="dedup_stream_replay_")
         base = _time.time() - 1000
         write_replay_files(routed, "_file", f"{work}/in", n_files, base,

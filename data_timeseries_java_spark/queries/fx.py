@@ -2510,6 +2510,43 @@ QUERIES["fx_parkinson_vol"] = q_fx_parkinson_vol
 # ---- tick-rule order-flow imbalance -------------------------------------
 
 
+def _tick_directions(ticks):
+    """Shared tick-rule classification frame (key, event_time, dir):
+    BUY=+1 above the previous tick's price, SELL=-1 below, last nonzero
+    direction carried through unchanged prices. One key-partitioned
+    sort serves the lag AND the carry — consumed by fx_tick_rule
+    (counts) and fx_kyle_lambda (signed flow)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy("event_time")
+    chg = F.col("ask") - F.lag("ask").over(w)
+    signed = F.when(chg > 0, 1).when(chg < 0, -1)  # NULL on flat/first
+    t = ticks.where(F.col("is_live")).select(
+        "key", "event_time", signed.alias("s"))
+    return t.select(
+        "key", "event_time",
+        F.last("s", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("dir"))
+
+
+# shared oracle fragment for the same derivation (names sgn/tr_carried)
+_TICK_DIR_CTE = """
+sgn AS (
+  SELECT key, event_time,
+         CASE WHEN price - lag(price) OVER wt > 0 THEN 1
+              WHEN price - lag(price) OVER wt < 0 THEN -1 END AS s
+  FROM ticks
+  WINDOW wt AS (PARTITION BY key ORDER BY event_time)
+),
+tr_carried AS (
+  SELECT key, event_time,
+         last_value(s IGNORE NULLS) OVER (
+             PARTITION BY key ORDER BY event_time
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dir
+  FROM sgn
+)"""
+
+
 def q_fx_tick_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tick-rule trade classification (the Lee-Ready uptick test
     without quotes): each tick is a BUY if its price is above the
@@ -2519,19 +2556,8 @@ def q_fx_tick_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (key, hour-window) buy/sell counts and the normalized
     order-flow imbalance. One key-partitioned sort serves the lag AND
     the carry; one aggregation on top."""
-    from pyspark.sql import Window
-
     ticks, _ = _ticks_and_keys(spark, sf_dir)
-    w = Window.partitionBy("key").orderBy("event_time")
-    chg = F.col("ask") - F.lag("ask").over(w)
-    signed = F.when(chg > 0, 1).when(chg < 0, -1)  # NULL on flat/first
-    t = ticks.where(F.col("is_live")).select(
-        "key", "event_time", signed.alias("s"))
-    carried = t.select(
-        "key", "event_time",
-        F.last("s", ignorenulls=True).over(
-            Window.partitionBy("key").orderBy("event_time")
-            .rowsBetween(Window.unboundedPreceding, 0)).alias("dir"))
+    carried = _tick_directions(ticks)
     win = (F.floor(_ms(F.col("event_time")) / F.lit(RES_MS))
            * RES_MS).alias("w_start_ms")
     g = (carried.where(F.col("dir").isNotNull())
@@ -2564,30 +2590,16 @@ GROUP BY key, day_ms
 """
 
 ORACLE["fx_tick_rule"] = """
-WITH t AS (
-  SELECT event_type AS key, ts AS event_time, value AS ask
+WITH ticks AS (
+  SELECT event_type AS key, ts AS event_time, value AS price
   FROM events
-),
-sgn AS (
-  SELECT key, event_time,
-         CASE WHEN ask - lag(ask) OVER w > 0 THEN 1
-              WHEN ask - lag(ask) OVER w < 0 THEN -1 END AS s
-  FROM t
-  WINDOW w AS (PARTITION BY key ORDER BY event_time)
-),
-carried AS (
-  SELECT key, event_time,
-         last_value(s IGNORE NULLS) OVER (
-             PARTITION BY key ORDER BY event_time
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dir
-  FROM sgn
-),
+),""" + _TICK_DIR_CTE + """,
 g AS (
   SELECT key,
          (epoch_ms(event_time) // {res}) * {res} AS w_start_ms,
          CAST(count(*) FILTER (dir = 1) AS BIGINT) AS n_buy,
          CAST(count(*) FILTER (dir = -1) AS BIGINT) AS n_sell
-  FROM carried WHERE dir IS NOT NULL
+  FROM tr_carried WHERE dir IS NOT NULL
   GROUP BY key, w_start_ms
 )
 SELECT key, w_start_ms, n_buy, n_sell,
@@ -2821,11 +2833,22 @@ paired AS (
   SELECT a.key AS key1, b.key AS key2, a.w_start_ms, a.px AS x, b.px AS y
   FROM px a JOIN px b ON a.w_start_ms = b.w_start_ms AND a.key < b.key
 ),
-ols AS (
-  SELECT key1, key2, regr_slope(y, x) AS beta,
-         regr_intercept(y, x) AS alpha,
-         CAST(count(*) AS BIGINT) AS n
+osums AS (
+  SELECT key1, key2, CAST(count(*) AS DOUBLE) AS nobs,
+         round(sum(x), 6) AS sx, round(sum(y), 6) AS sy,
+         round(sum(x * x), 6) AS sxx, round(sum(x * y), 6) AS sxy
   FROM paired GROUP BY key1, key2
+),
+ob AS (
+  SELECT *, round((nobs * sxy - sx * sy) / (nobs * sxx - sx * sx), 9)
+              AS beta
+  FROM osums
+),
+ols AS (
+  SELECT key1, key2, beta,
+         round((sy - beta * sx) / nobs, 9) AS alpha,
+         CAST(nobs AS BIGINT) AS n
+  FROM ob
 ),
 lagged AS (
   SELECT p.key1, p.key2, o.beta, o.alpha, o.n,
@@ -2836,9 +2859,9 @@ lagged AS (
 ),
 sums AS (
   SELECT key1, key2, beta, alpha, n,
-         sum(e_prev * (e - e_prev)) AS s1,
-         sum(e_prev * e_prev) AS s2,
-         sum((e - e_prev) * (e - e_prev)) AS s3,
+         round(sum(e_prev * (e - e_prev)), 6) AS s1,
+         round(sum(e_prev * e_prev), 6) AS s2,
+         round(sum((e - e_prev) * (e - e_prev)), 6) AS s3,
          CAST(count(*) AS BIGINT) AS n_d
   FROM lagged WHERE e_prev IS NOT NULL
   GROUP BY 1, 2, 3, 4, 5
@@ -2987,16 +3010,7 @@ def q_fx_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_timeseries_java_spark.operators.candles import candles_pipeline
 
     ticks, keys = _ticks_and_keys(spark, sf_dir)
-    # signed flow per (key, window) — same derivation as fx_tick_rule
-    w = Window.partitionBy("key").orderBy("event_time")
-    chg = F.col("ask") - F.lag("ask").over(w)
-    signed = F.when(chg > 0, 1).when(chg < 0, -1)
-    t = ticks.where(F.col("is_live")).select(
-        "key", "event_time", signed.alias("s"))
-    carried = t.select(
-        "key", "event_time",
-        F.last("s", ignorenulls=True).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)).alias("dir"))
+    carried = _tick_directions(ticks)  # shared tick-rule classification
     win = (F.floor(_ms(F.col("event_time")) / F.lit(RES_MS))
            * RES_MS).alias("w_start_ms")
     flow = (carried.where(F.col("dir").isNotNull())
@@ -3024,21 +3038,7 @@ def q_fx_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["fx_kyle_lambda"] = q_fx_kyle_lambda
 
-ORACLE["fx_kyle_lambda"] = _PRELUDE + """,
-sgn AS (
-  SELECT key, event_time,
-         CASE WHEN price - lag(price) OVER w > 0 THEN 1
-              WHEN price - lag(price) OVER w < 0 THEN -1 END AS s
-  FROM ticks
-  WINDOW w AS (PARTITION BY key ORDER BY event_time)
-),
-tr_carried AS (
-  SELECT key, event_time,
-         last_value(s IGNORE NULLS) OVER (
-             PARTITION BY key ORDER BY event_time
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dir
-  FROM sgn
-),
+ORACLE["fx_kyle_lambda"] = _PRELUDE + "," + _TICK_DIR_CTE + """,
 flow AS (
   SELECT key, (epoch_ms(event_time) // {res}) * {res} AS w_start_ms,
          CAST(sum(dir) AS DOUBLE) AS q

@@ -57,7 +57,7 @@ def main() -> None:
     header = f"{'query':24s}" + "".join(f"{lbl:>9s}" for lbl, _ in dirs) \
         + "  ratios"
     print(header)
-    for name in QUERIES:
+    for name in queries:
         ts = [bench(spark, qs, name, d, n_trials) for _, d in dirs]
         ratios = " ".join(f"{t / ts[0]:.2f}" for t in ts[1:])
         print(f"{name:24s}" + "".join(f"{t:9.3f}" for t in ts)

@@ -122,13 +122,21 @@ def test_engle_granger_matches_numpy_ols(spark):
     out = engle_granger(df, price=F.col("px")).collect()
     assert len(out) == 1
     r = out[0]
-    # numpy closed form
-    beta, alpha = np.polyfit(x, y, 1)
+    # numpy closed form, replicating the operator's rounded-sums
+    # convention (sums rounded at 6, beta/alpha at 9)
+    nn = float(n)
+    sx, sy = round(x.sum(), 6), round(y.sum(), 6)
+    sxx, sxy = round((x * x).sum(), 6), round((x * y).sum(), 6)
+    beta = round((nn * sxy - sx * sy) / (nn * sxx - sx * sx), 9)
+    alpha = round((sy - beta * sx) / nn, 9)
     res = y - alpha - beta * x
     ep, de = res[:-1], np.diff(res)
-    rho = (ep * de).sum() / (ep * ep).sum()
-    ssr = ((de - rho * ep) ** 2).sum()
-    se = np.sqrt(ssr / (len(de) - 1) / (ep * ep).sum())
+    s1 = round((ep * de).sum(), 6)
+    s2 = round((ep * ep).sum(), 6)
+    s3 = round((de * de).sum(), 6)
+    rho = s1 / s2
+    ssr = s3 - 2.0 * rho * s1 + rho * rho * s2
+    se = np.sqrt(ssr / (len(de) - 1) / s2)
     assert r.key1 == "AAA" and r.key2 == "BBB" and r.n == n
     assert abs(r.beta - beta) < 1e-9
     assert abs(r.alpha - alpha) < 1e-7
