@@ -521,6 +521,16 @@ def semantic_dedup(df: DataFrame, centroids: DataFrame,
         with_norm(df, vec_col).join(assign, id_col)
         .select(F.col(id_col), F.col(vec_col), F.col("_norm"),
                 F.col("centroid_id")))
+    return _cluster_dedup_verdicts(base, threshold, id_col, vec_col)
+
+
+def _cluster_dedup_verdicts(base: DataFrame, threshold: float,
+                            id_col: str, vec_col: str) -> DataFrame:
+    """Within-cluster keep-lowest-id verdict stage shared by
+    :func:`semantic_dedup` (exact assignment) and
+    :func:`semantic_dedup_ann` (SRP-bucketed assignment). ``base``
+    carries (id_col, vec_col, _norm, centroid_id) and should already be
+    materialized by the caller (it feeds three consumers)."""
     a = base.select("centroid_id", F.col(id_col).alias("id_a"),
                     F.col(vec_col).alias("va"), F.col("_norm").alias("na"))
     b = base.select(F.col("centroid_id").alias("cb"),
@@ -540,6 +550,122 @@ def semantic_dedup(df: DataFrame, centroids: DataFrame,
                     F.col("dup_of").isNull().alias("is_kept"),
                     "dup_of",
                     F.round(F.col("mx"), 6).alias("max_dup_cos")))
+
+
+def _srp_quantize(vec: "F.Column"):
+    """int8-quantize an embedding column per the SRP sketch contract
+    (absmax/127 scale, floor-half-up): returns (absmax, qv) columns.
+    Integer projections make every downstream sign bit exactly
+    reproducible in any engine — no float-accumulation-order trust."""
+    absmax = F.aggregate(
+        vec, F.lit(0.0),
+        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))))
+    scale = absmax / F.lit(127.0)
+    qv = F.transform(
+        vec, lambda v: F.floor(v.cast("double") / scale + 0.5).cast("long"))
+    return absmax, qv
+
+
+def _srp_band_keys(qv: "F.Column", signs: list, band_bits: int):
+    """Array of integer band keys for a quantized vector: plane j's sign
+    bit is bit (j % band_bits) of band j // band_bits."""
+    n_planes = len(signs)
+    keys = []
+    for b in range(0, n_planes, band_bits):
+        key = F.lit(0).cast("long")
+        for t in range(band_bits):
+            j = b + t
+            proj = F.aggregate(
+                F.zip_with(qv, F.array(*[F.lit(s) for s in signs[j]]),
+                           lambda x, y: x * y),
+                F.lit(0).cast("long"), lambda acc, v: acc + v)
+            key = key + F.when(proj >= 0, F.lit(1 << t)).otherwise(F.lit(0))
+        keys.append(key)
+    return F.array(*keys)
+
+
+def srp_assign(df: DataFrame, centroids: DataFrame, signs: list,
+               band_bits: int = 8, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Approximate nearest-centroid assignment via signed-random-
+    projection banding — the linear-time replacement for
+    :func:`ivf_assign`'s brute-force scan when the centroid count k
+    grows with the corpus (SemDeDup keeps cluster SIZE constant, so
+    k ~ n and exact assignment is O(n*k*d) = quadratic).
+
+    Both sides get a len(signs)-bit SRP signature over int8-quantized
+    components (exact integer dots -> cross-engine-stable sign bits),
+    split into bands of ``band_bits`` bits. A centroid is a CANDIDATE
+    for a vector iff some band's key matches (classic LSH banding);
+    exact double cosine then ranks only the candidates
+    (round(cos, 9) desc, centroid_id asc — the ivf_assign convention).
+    Vectors whose bands collide with no centroid stay unassigned
+    (absent from the output) — the caller decides their fate.
+
+    Shape at 100 TB: signatures are one narrow HOF projection per side
+    (O((n + k) * planes * d) integer work, no shuffle); the candidate
+    stage is a hash join on (band, key) whose output is collision-
+    bounded (~n * k / 2**band_bits per band for unrelated vectors, plus
+    the similar pairs LSH is designed to catch) instead of the n * k
+    cross product; widen band_bits ~ log2(k) to hold candidates-per-
+    vector constant as k grows. The centroid band table is k * n_bands
+    rows — broadcast."""
+    from pyspark.sql import Window
+
+    _vmax, vqv = _srp_quantize(F.col(vec_col))
+    vband = (df.where(_vmax > 0)
+             .select(F.col(id_col),
+                     F.posexplode(_srp_band_keys(vqv, signs, band_bits))
+                     .alias("band_idx", "band_key")))
+    _cmax, cqv = _srp_quantize(F.col(vec_col))
+    cband = (centroids.where(_cmax > 0)
+             .select(F.col(id_col).alias("centroid_id"),
+                     F.posexplode(_srp_band_keys(cqv, signs, band_bits))
+                     .alias("band_idx", "band_key")))
+    cand = (vband.join(F.broadcast(cband), ["band_idx", "band_key"])
+            .select(id_col, "centroid_id").distinct())
+    base = with_norm(df, vec_col).select(
+        F.col(id_col), F.col(vec_col).alias("_v"), F.col("_norm"))
+    cent = with_norm(centroids, vec_col).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("_c"), F.col("_norm").alias("_cnorm"))
+    cos = _dot(F.col("_v"), F.col("_c")) / (F.col("_norm") * F.col("_cnorm"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc(F.round("cos", 9)), F.asc("centroid_id"))
+    return (cand.join(base, id_col).join(F.broadcast(cent), "centroid_id")
+            .select(id_col, "centroid_id", cos.alias("cos"))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") == 1)
+            .select(id_col, "centroid_id"))
+
+
+def semantic_dedup_ann(df: DataFrame, centroids: DataFrame, signs: list,
+                       threshold: float = 0.3, band_bits: int = 8,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """:func:`semantic_dedup` with SRP-banded centroid assignment — the
+    shape that stays LINEAR when the centroid count tracks the corpus
+    (the exact path's assignment is O(n*k*d); see srp_assign). Vectors
+    no band pairs with any centroid land in cluster -1 and are KEPT
+    unconditionally (a miss can only under-dedup — the safe direction
+    for a training-data keeper rule). Same output contract as
+    semantic_dedup, so the two are drop-in interchangeable."""
+    from data_timeseries_java_spark.plans.materialize import materialize
+
+    assign = srp_assign(df, centroids, signs, band_bits, id_col, vec_col)
+    normed = with_norm(df, vec_col)
+    base = materialize(
+        normed.join(assign, id_col)
+        .select(F.col(id_col), F.col(vec_col), F.col("_norm"),
+                F.col("centroid_id")))
+    verdicts = _cluster_dedup_verdicts(base, threshold, id_col, vec_col)
+    unassigned = (df.join(assign.select(id_col), id_col, "left_anti")
+                  .select(F.col(id_col),
+                          F.lit(-1).cast("long").alias("centroid_id"),
+                          F.lit(True).alias("is_kept"),
+                          F.lit(None).cast("long").alias("dup_of"),
+                          F.lit(None).cast("double").alias("max_dup_cos")))
+    return verdicts.unionByName(unassigned)
 
 
 def pca_top_component(df: DataFrame, iterations: int = 12, dim: int = 64,

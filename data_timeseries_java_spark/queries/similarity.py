@@ -720,6 +720,174 @@ FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
 """
 
 
+# ---- SemDeDup with SRP-banded (linear-time) centroid assignment ----------
+
+SRP_BAND_BITS = 4  # 16 planes -> 4 bands of 4 bits; candidates/vector
+#   ~ n_bands * k / 2**band_bits — band_bits should track log2(k) (at
+#   k=40 this traces every mechanism while keeping assignment dense on
+#   the synthetic near-orthogonal fixture; production k would use wider
+#   bands over more planes)
+
+
+def q_semantic_dedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with LSH-banded centroid assignment — the 100-TB shape
+    where the centroid count grows with the corpus and exact
+    nearest-centroid scan (O(n*k*d)) is the quadratic term. Same
+    trained centroids, same within-cluster verdict stage; assignment
+    goes through the int-exact SRP signature's band buckets (see
+    operators.similarity.srp_assign). Unassigned vectors land in
+    cluster -1, kept."""
+    from data_timeseries_java_spark.operators.similarity import (
+        centroid_vectors,
+        kmeans_centroids,
+        semantic_dedup_ann,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = centroid_vectors(kmeans_centroids(
+        emb, seed_stride=N_CENTROIDS_STRIDE, iterations=KMEANS_ITERS))
+    return semantic_dedup_ann(emb, cent, _srp_signs(),
+                              threshold=SEMDEDUP_T,
+                              band_bits=SRP_BAND_BITS)
+
+
+QUERIES["semantic_dedup_ann"] = q_semantic_dedup_ann
+
+
+def _srp_proj_sql(qv: str = "qv") -> str:
+    """Projection expressions p0..p{P-1} over a 1-indexed BIGINT list
+    column — shared verbatim with q_embedding_srp_sketch's oracle."""
+    signs = _srp_signs()
+    return ",\n       ".join(
+        "(" + " + ".join(f"({s} * {qv}[{i + 1}])"
+                         for i, s in enumerate(signs[j])) + f") AS p{j}"
+        for j in range(SRP_PLANES))
+
+
+def _srp_band_sql(src: str, id_expr: str) -> str:
+    """UNION-ALL band-key rows (id, band_idx, band_key) from a CTE
+    holding p0..p{P-1} sign projections."""
+    n_bands = SRP_PLANES // SRP_BAND_BITS
+    parts = []
+    for b in range(n_bands):
+        key = " + ".join(
+            f"(CASE WHEN p{b * SRP_BAND_BITS + t} >= 0 "
+            f"THEN {1 << t} ELSE 0 END)"
+            for t in range(SRP_BAND_BITS))
+        parts.append(
+            f"SELECT {id_expr}, {b} AS band_idx, "
+            f"CAST({key} AS BIGINT) AS band_key FROM {src}")
+    return "\n  UNION ALL\n  ".join(parts)
+
+
+ORACLE["semantic_dedup_ann"] = f"""
+WITH {_COMP},
+{_kmeans_cte(_SD_N)},
+cnormf AS (
+  SELECT centroid_id, sqrt(sum(w * w)) AS nrm
+  FROM cent{_SD_N} GROUP BY centroid_id
+),
+cvec AS (
+  SELECT centroid_id, list(w ORDER BY dim) AS cv
+  FROM cent{_SD_N} GROUP BY centroid_id
+),
+vsc AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xe,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) / 127.0
+           AS scale
+  FROM embeddings
+),
+vqv AS (
+  SELECT vec_id,
+         list_transform(xe, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+           AS qv
+  FROM vsc WHERE scale > 0
+),
+vp AS (
+  SELECT vec_id,
+       {_srp_proj_sql()}
+  FROM vqv
+),
+csc AS (
+  SELECT centroid_id, cv AS xe,
+         list_max(list_transform(cv, x -> abs(x))) / 127.0 AS scale
+  FROM cvec
+),
+cqv AS (
+  SELECT centroid_id,
+         list_transform(xe, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+           AS qv
+  FROM csc WHERE scale > 0
+),
+cp AS (
+  SELECT centroid_id,
+       {_srp_proj_sql()}
+  FROM cqv
+),
+vb AS (
+  {_srp_band_sql("vp", "vec_id")}
+),
+cb AS (
+  {_srp_band_sql("cp", "centroid_id")}
+),
+cand AS (
+  SELECT DISTINCT v.vec_id, c.centroid_id
+  FROM vb v JOIN cb c
+    ON v.band_idx = c.band_idx AND v.band_key = c.band_key
+),
+cdot AS (
+  SELECT ca.vec_id, ca.centroid_id, sum(CAST(v.x AS DOUBLE) * cc.w) AS dot
+  FROM cand ca
+  JOIN comp v ON v.vec_id = ca.vec_id
+  JOIN cent{_SD_N} cc ON cc.centroid_id = ca.centroid_id
+                     AND cc.dim = v.dim
+  GROUP BY ca.vec_id, ca.centroid_id
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT d.vec_id, d.centroid_id,
+           row_number() OVER (PARTITION BY d.vec_id
+             ORDER BY round(d.dot / (n.nrm * cn.nrm), 9) DESC,
+                      d.centroid_id ASC) AS rnk
+    FROM cdot d
+    JOIN norms n ON n.vec_id = d.vec_id
+    JOIN cnormf cn ON cn.centroid_id = d.centroid_id)
+  WHERE rnk = 1
+),
+pair_dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, aa.centroid_id,
+         sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+  FROM assign aa
+  JOIN assign ab ON ab.centroid_id = aa.centroid_id
+                AND aa.vec_id < ab.vec_id
+  JOIN comp a ON a.vec_id = aa.vec_id
+  JOIN comp b ON b.vec_id = ab.vec_id AND b.dim = a.dim
+  GROUP BY a.vec_id, b.vec_id, aa.centroid_id
+),
+dup AS (
+  SELECT id_b AS vec_id, min(id_a) AS dup_of,
+         max(round(dot / (na.nrm * nb.nrm), 9)) AS mx
+  FROM pair_dots p
+  JOIN norms na ON na.vec_id = p.id_a
+  JOIN norms nb ON nb.vec_id = p.id_b
+  WHERE round(dot / (na.nrm * nb.nrm), 9) >= {SEMDEDUP_T}
+  GROUP BY id_b
+)
+SELECT a.vec_id, a.centroid_id,
+       d.dup_of IS NULL AS is_kept,
+       d.dup_of,
+       round(d.mx, 6) AS max_dup_cos
+FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
+UNION ALL
+SELECT e.vec_id, CAST(-1 AS BIGINT) AS centroid_id,
+       TRUE AS is_kept, CAST(NULL AS BIGINT) AS dup_of,
+       CAST(NULL AS DOUBLE) AS max_dup_cos
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM assign)
+"""
+
+
 # ---- top principal component by power iteration --------------------------
 
 PCA_ITERS = 12

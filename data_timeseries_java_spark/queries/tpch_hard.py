@@ -406,3 +406,308 @@ WHERE s_suppkey IN (
   HAVING count(*) >= {DOM_MIN_PARTS}
 )
 """
+
+
+# ---- classic TPC-H shapes q3/q7/q9/q13/q14/q16/q19 (adapted) -------------
+#
+# Adapted to the driver schema: no partsupp (the part-supplier link
+# rides on lineitem), no l_shipmode/o_shippriority/comments, nations
+# named NATION_<i>. Money aggregates follow the module's
+# round(sum(...), 2) convention (the star-join tier's proven contract).
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-06-01"
+Q3_TOPN = 10
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q3 shape: top unshipped-revenue orders for one market segment —
+    two date-asymmetric filters (orders placed BEFORE the cutoff,
+    lineitems shipped AFTER it), 3-way join, per-order revenue, global
+    top-N. The segment filter prunes the customer dim before its join;
+    the top-N is a single TakeOrdered on the aggregated frame (never a
+    full sort at scale). Ties are impossible to hash-break on revenue
+    alone, so the sort key includes the order key."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    c = customer.where(F.col("c_mktsegment") == Q3_SEGMENT)
+    o = orders.where(F.col("o_orderdate") < F.lit(Q3_CUTOFF).cast("timestamp"))
+    li = lineitem.where(
+        F.col("l_shipdate") > F.lit(Q3_CUTOFF).cast("timestamp"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("o_orderdate"),
+                     F.asc("l_orderkey"))
+            .limit(Q3_TOPN)
+            .select("l_orderkey", "revenue",
+                    F.unix_millis("o_orderdate").alias("orderdate_ms"),
+                    "o_orderpriority"))
+
+
+QUERIES["shipping_priority"] = q_shipping_priority
+
+ORACLE["shipping_priority"] = f"""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       epoch_ms(o_orderdate) AS orderdate_ms,
+       o_orderpriority
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT {Q3_TOPN}
+"""
+
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q7 shape: bilateral trade volume between two nations by ship
+    year — supplier nation on the lineitem side, customer nation on the
+    order side, keeping only the two cross pairs (A->B, B->A). Both
+    nation-keyed dim chains broadcast; the fact table shuffles once for
+    the (nation, nation, year) aggregate."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_name").alias("cust_nation"))
+    s = supplier.join(F.broadcast(n1),
+                      supplier.s_nationkey == n1.s_nk)
+    c = customer.join(F.broadcast(n2),
+                      customer.c_nationkey == n2.c_nk)
+    pair_ok = (
+        ((F.col("supp_nation") == Q7_NATION_A)
+         & (F.col("cust_nation") == Q7_NATION_B))
+        | ((F.col("supp_nation") == Q7_NATION_B)
+           & (F.col("cust_nation") == Q7_NATION_A)))
+    return (lineitem
+            .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(s.select("s_suppkey", "supp_nation")),
+                  lineitem.l_suppkey == F.col("s_suppkey"))
+            .join(F.broadcast(c.select("c_custkey", "cust_nation")),
+                  orders.o_custkey == F.col("c_custkey"))
+            .where(pair_ok)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+            .select("supp_nation", "cust_nation",
+                    F.col("l_year").cast("long").alias("l_year"), "revenue"))
+
+
+QUERIES["volume_shipping"] = q_volume_shipping
+
+ORACLE["volume_shipping"] = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE (n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+   OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}')
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+Q9_COLOR = "red "
+Q9_COST_FRACTION = 0.10
+
+
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q9 shape: product-line profit by supplier nation and order year.
+    partsupp's supplycost is adapted to a retail-price fraction (the
+    schema has no partsupp); the analytical shape — a name-pattern part
+    filter driving a 5-way join into a two-key aggregate — is intact."""
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    p = part.where(F.col("p_name").startswith(Q9_COLOR)).select(
+        "p_partkey", "p_retailprice")
+    s = (supplier.join(F.broadcast(nation),
+                       supplier.s_nationkey == nation.n_nationkey)
+         .select("s_suppkey", F.col("n_name").alias("nation")))
+    profit = (_revenue()
+              - F.col("p_retailprice") * F.col("l_quantity")
+              * F.lit(Q9_COST_FRACTION))
+    return (lineitem
+            .join(F.broadcast(p), lineitem.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), lineitem.l_suppkey == F.col("s_suppkey"))
+            .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+            .select("nation", F.col("o_year").cast("long").alias("o_year"),
+                    "sum_profit"))
+
+
+QUERIES["nation_profit"] = q_nation_profit
+
+ORACLE["nation_profit"] = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - p_retailprice * l_quantity * {Q9_COST_FRACTION}), 2)
+         AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '{Q9_COLOR}%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q13 shape: the distribution of per-customer order counts,
+    INCLUDING the zero bucket (left join, not inner — the classic trap).
+    Two cascaded aggregates; all-integer output, exact cross-engine."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .select(F.col("c_count").cast("long").alias("c_count"),
+                    F.col("custdist").cast("long").alias("custdist")))
+
+
+QUERIES["customer_order_distribution"] = q_customer_order_distribution
+
+ORACLE["customer_order_distribution"] = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
+PROMO_TYPE = "PROMO"
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q14 shape per ship month: promo-type revenue share — a
+    conditional aggregate over a broadcast part join. The ratio of two
+    same-scan sums computes in one aggregate (no self-join)."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    promo_rev = F.when(F.col("p_type") == PROMO_TYPE, _revenue()) \
+        .otherwise(F.lit(0.0))
+    return (lineitem
+            .join(F.broadcast(part.select("p_partkey", "p_type")),
+                  lineitem.l_partkey == part.p_partkey)
+            .groupBy(F.unix_millis(F.date_trunc("month", "l_shipdate"))
+                     .alias("month_ms"))
+            .agg(F.round(F.lit(100.0) * F.sum(promo_rev)
+                         / F.sum(_revenue()), 6).alias("promo_share"),
+                 F.round(F.sum(promo_rev), 2).alias("promo_revenue")))
+
+
+QUERIES["promo_revenue"] = q_promo_revenue
+
+ORACLE["promo_revenue"] = f"""
+SELECT epoch_ms(date_trunc('month', l_shipdate)) AS month_ms,
+       round(100.0 * sum(CASE WHEN p_type = '{PROMO_TYPE}'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share,
+       round(sum(CASE WHEN p_type = '{PROMO_TYPE}'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END), 2) AS promo_revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY date_trunc('month', l_shipdate)
+"""
+
+
+Q16_EXCLUDE_BRAND = "Brand#5"
+
+
+def q_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q16 shape: distinct-supplier breadth per (brand, type, size)
+    part class, excluding one brand — the part-supplier link rides on
+    lineitem (no partsupp in this schema). count(DISTINCT) over a
+    broadcast-dim join; all-integer output."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    p = part.where(F.col("p_brand") != Q16_EXCLUDE_BRAND)
+    return (lineitem
+            .join(F.broadcast(p), lineitem.l_partkey == p.p_partkey)
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .select("p_brand", "p_type",
+                    F.col("p_size").cast("long").alias("p_size"),
+                    F.col("supplier_cnt").cast("long").alias("supplier_cnt")))
+
+
+QUERIES["brand_supplier_counts"] = q_brand_supplier_counts
+
+ORACLE["brand_supplier_counts"] = f"""
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> '{Q16_EXCLUDE_BRAND}'
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+Q19_ARMS = [("Brand#3", 15, 1, 11), ("Brand#14", 25, 10, 20),
+            ("Brand#21", 35, 20, 30)]
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q19 shape: revenue under a 3-arm disjunctive brand/size/quantity
+    predicate — the optimizer-stress classic where the OR must still
+    push the part filter into the broadcast side (each arm constrains
+    both tables). Single-row output."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    arm = None
+    for brand, max_size, qlo, qhi in Q19_ARMS:
+        a = ((F.col("p_brand") == brand)
+             & (F.col("p_size") >= 1) & (F.col("p_size") <= max_size)
+             & (F.col("l_quantity") >= qlo) & (F.col("l_quantity") <= qhi))
+        arm = a if arm is None else (arm | a)
+    return (lineitem
+            .join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+                  lineitem.l_partkey == part.p_partkey)
+            .where(arm)
+            .agg(F.round(F.sum(_revenue()), 2).alias("revenue"),
+                 F.count(F.lit(1)).cast("long").alias("n_items")))
+
+
+QUERIES["disjunctive_revenue"] = q_disjunctive_revenue
+
+_Q19_PRED = " OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {ms}"
+    f" AND l_quantity BETWEEN {lo} AND {hi})"
+    for b, ms, lo, hi in Q19_ARMS)
+
+ORACLE["disjunctive_revenue"] = f"""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE {_Q19_PRED}
+"""

@@ -20,7 +20,7 @@ QUERIES = ["dedup_minhash_lsh", "corpus_build", "ann_lsh",
            "fx_cusum",
            # round-7 batch 2 additions
            "semantic_dedup", "tfidf_neardup", "decontaminate_bloom",
-           "quality_classifier"]
+           "quality_classifier", "semantic_dedup_ann"]
 
 
 def bench(spark, qs, name, sf_dir, n):
