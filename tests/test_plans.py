@@ -100,6 +100,37 @@ def test_tpch_hard_shapes_plan_clean(spark, sf_dir):
         qs["dominant_part_suppliers"](spark, sf_dir))
 
 
+def test_tpch_classic_shapes_plan_clean(spark, sf_dir):
+    """q3/q7/q9/q13/q14/q16/q19 adaptations: no cartesians anywhere;
+    dimension sides broadcast against the lineitem/orders facts."""
+    qs = all_queries()
+    for name, min_bcast in [("shipping_priority", 1),
+                            ("volume_shipping", 2),
+                            ("nation_profit", 2),
+                            ("customer_order_distribution", 0),
+                            ("promo_revenue", 1),
+                            ("brand_supplier_counts", 1),
+                            ("disjunctive_revenue", 1)]:
+        q = qs[name](spark, sf_dir)
+        plan = formatted_plan(q)
+        assert "CartesianProduct" not in plan, f"{name} went cartesian"
+        assert broadcast_join_count(q) >= min_bcast, (
+            f"{name}: expected >= {min_bcast} broadcast joins")
+
+
+def test_semantic_dedup_ann_has_no_nested_loop_scan(spark, sf_dir):
+    """The SRP-banded assignment replaces ivf_assign's broadcast
+    nested-loop (vector x every-centroid) with hash joins on band
+    buckets: the ann plan must be free of nested-loop joins AND of
+    cartesians — that IS the linear-time claim, visible in the plan."""
+    qs = all_queries()
+    exact = formatted_plan(qs["semantic_dedup"](spark, sf_dir))
+    ann = formatted_plan(qs["semantic_dedup_ann"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in exact  # the O(n*k) scan it replaces
+    assert "BroadcastNestedLoopJoin" not in ann
+    assert "CartesianProduct" not in ann
+
+
 # queries that intentionally cross into pandas/Arrow execution
 _PANDAS_QUERIES = {"media_decode_features", "media_png_decode",
                    "media_jpeg_header", "media_jpeg_decode",
