@@ -3183,3 +3183,85 @@ SELECT key, day_ms, CAST(count(*) AS BIGINT) AS n_candles,
        round(sqrt(avg(pk)), 6) AS pk_vol
 FROM e GROUP BY key, day_ms
 """
+
+
+# ---- tick-level series alignment (merge + LOCF) --------------------------
+
+ALIGN_REF_KEY = "click"  # the reference instrument every key aligns to
+
+
+def q_fx_align_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-level as-of alignment of every instrument against a
+    reference series — the quotes-and-trades merge: each key's timeline
+    is the UNION of its own ticks and the reference's ticks, with both
+    legs carried forward (LOCF) so every instant has the latest value of
+    each side, plus the cross ratio. Rows before either leg has printed
+    are dropped (no look-ahead, no fabricated zero).
+
+    Shape at scale: one (key, ts) pre-aggregate (simultaneous prints
+    collapse via order-independent max); the reference leg replicates
+    once per key through a broadcast of the tiny key dim (the gap-fill
+    expansion pattern, k·m rows total); then ONE window pass partitioned
+    by key — per-pair timelines sort in parallel, never a global sort
+    (the q_fx_cross_rate fence, multi-pair by construction)."""
+    from pyspark.sql import Window
+
+    from data_timeseries_java_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    t = (ev.groupBy(F.col("event_type").alias("key"),
+                    F.unix_millis("ts").alias("ts_ms"))
+         .agg(F.max("value").alias("px")))
+    ref = (t.where(F.col("key") == ALIGN_REF_KEY)
+           .select("ts_ms", F.col("px").alias("ref_px")))
+    others = t.where(F.col("key") != ALIGN_REF_KEY)
+    keys = others.select("key").distinct()
+    ref_rows = ref.crossJoin(F.broadcast(keys)).select(
+        "key", "ts_ms", F.lit(None).cast("double").alias("px"), "ref_px")
+    merged = (others.select("key", "ts_ms", "px",
+                            F.lit(None).cast("double").alias("ref_px"))
+              .unionByName(ref_rows))
+    g = (merged.groupBy("key", "ts_ms")
+         .agg(F.max("px").alias("px"), F.max("ref_px").alias("ref_px")))
+    w = (Window.partitionBy("key").orderBy("ts_ms")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    f = g.select(
+        "key", "ts_ms",
+        F.last("px", ignorenulls=True).over(w).alias("px"),
+        F.last("ref_px", ignorenulls=True).over(w).alias("ref_px"))
+    return (f.where(F.col("px").isNotNull() & F.col("ref_px").isNotNull())
+            .select("key", "ts_ms", "px", "ref_px",
+                    F.round(F.col("px") / F.col("ref_px"), 6).alias("ratio")))
+
+
+QUERIES["fx_align_series"] = q_fx_align_series
+
+ORACLE["fx_align_series"] = f"""
+WITH t AS (
+  SELECT event_type AS key, epoch_ms(ts) AS ts_ms, max(value) AS px
+  FROM events GROUP BY event_type, epoch_ms(ts)
+),
+ref AS (SELECT ts_ms, px AS ref_px FROM t WHERE key = '{ALIGN_REF_KEY}'),
+others AS (SELECT key, ts_ms, px FROM t WHERE key <> '{ALIGN_REF_KEY}'),
+keys AS (SELECT DISTINCT key FROM others),
+merged AS (
+  SELECT key, ts_ms, px, CAST(NULL AS DOUBLE) AS ref_px FROM others
+  UNION ALL
+  SELECT k.key, r.ts_ms, CAST(NULL AS DOUBLE) AS px, r.ref_px
+  FROM keys k CROSS JOIN ref r
+),
+g AS (
+  SELECT key, ts_ms, max(px) AS px, max(ref_px) AS ref_px
+  FROM merged GROUP BY key, ts_ms
+),
+f AS (
+  SELECT key, ts_ms,
+         last_value(px IGNORE NULLS) OVER w AS px,
+         last_value(ref_px IGNORE NULLS) OVER w AS ref_px
+  FROM g
+  WINDOW w AS (PARTITION BY key ORDER BY ts_ms
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT key, ts_ms, px, ref_px, round(px / ref_px, 6) AS ratio
+FROM f WHERE px IS NOT NULL AND ref_px IS NOT NULL
+"""

@@ -2140,3 +2140,151 @@ SELECT partkey, CAST((rev_e4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue,
             ELSE 'C' END AS abc_class
 FROM r
 """
+
+
+# ---- data-quality expectation suite --------------------------------------
+
+
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite over the warehouse —
+    the pre-training / pre-load audit a 100 TB pipeline runs before
+    trusting a drop: key uniqueness, referential integrity, domain
+    ranges, null contracts, derived-column consistency, and
+    cross-column date ordering, emitted as ONE tall frame
+    (check_name, tbl, n_rows, n_violations, violation_rate).
+
+    Shape: one aggregate scan per table (each check is a conditional
+    sum fused into its table's single pass — adding a check is a new
+    column, not a new scan), one extra lineitem->orders join scan for
+    the two cross-table checks, then a stack() unpivot of each tiny
+    1-row aggregate. No check materializes violating ROWS — at 100 TB
+    you audit with counters first and sample offenders separately."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    documents = load_table(spark, sf_dir, "documents")
+
+    def viol(cond):  # count rows violating an expectation
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    def tall(agg_df, tbl, checks):
+        stack_args = ", ".join(
+            f"'{name}', {name}" for name in checks)
+        return (agg_df.select(
+            F.expr(f"stack({len(checks)}, {stack_args}) "
+                   "AS (check_name, n_violations)"),
+            F.col("_n").alias("n_rows"))
+            .select("check_name", F.lit(tbl).alias("tbl"),
+                    F.col("n_rows").cast("long"),
+                    F.col("n_violations").cast("long"),
+                    F.round(F.col("n_violations")
+                            / F.col("n_rows"), 6).alias("violation_rate")))
+
+    o = orders.agg(
+        F.count(F.lit(1)).alias("_n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .alias("orderkey_dup"),
+        viol(F.col("o_totalprice") <= 0).alias("nonpos_totalprice"))
+    li = lineitem.agg(
+        F.count(F.lit(1)).alias("_n"),
+        viol((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+        .alias("discount_range"),
+        viol(F.col("l_quantity") <= 0).alias("nonpos_quantity"),
+        viol(F.col("l_extendedprice") <= 0).alias("nonpos_extprice"))
+    cu = customer.agg(
+        F.count(F.lit(1)).alias("_n"),
+        viol(F.col("c_acctbal") < 0).alias("negative_acctbal"),
+        viol(F.col("c_mktsegment").isNull()).alias("null_mktsegment"))
+    ev = events.agg(
+        F.count(F.lit(1)).alias("_n"),
+        viol(F.col("value").isNull()).alias("null_value"),
+        viol(F.col("ts").isNull()).alias("null_ts"))
+    dc = documents.agg(
+        F.count(F.lit(1)).alias("_n"),
+        viol(F.col("n_chars") != F.length("text"))
+        .alias("n_chars_mismatch"),
+        viol(F.col("text").isNull() | (F.length("text") == 0))
+        .alias("empty_text"))
+    lo = (lineitem.join(orders,
+                        lineitem.l_orderkey == orders.o_orderkey, "left")
+          .agg(F.count(F.lit(1)).alias("_n"),
+               viol(F.col("o_orderkey").isNull()).alias("orphan_lineitem"),
+               viol(F.col("l_shipdate") < F.col("o_orderdate"))
+               .alias("ship_before_order")))
+
+    return (tall(o, "orders", ["orderkey_dup", "nonpos_totalprice"])
+            .unionByName(tall(li, "lineitem",
+                              ["discount_range", "nonpos_quantity",
+                               "nonpos_extprice"]))
+            .unionByName(tall(cu, "customer",
+                              ["negative_acctbal", "null_mktsegment"]))
+            .unionByName(tall(ev, "events", ["null_value", "null_ts"]))
+            .unionByName(tall(dc, "documents",
+                              ["n_chars_mismatch", "empty_text"]))
+            .unionByName(tall(lo, "lineitem_orders",
+                              ["orphan_lineitem", "ship_before_order"])))
+
+
+QUERIES["dq_expectations"] = q_dq_expectations
+
+ORACLE["dq_expectations"] = """
+WITH o AS (
+  SELECT count(*) AS n, count(*) - count(DISTINCT o_orderkey) AS dup,
+         sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos
+  FROM orders
+),
+li AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+           AS disc,
+         sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS npq,
+         sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS npe
+  FROM lineitem
+),
+cu AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS negbal,
+         sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS nullseg
+  FROM customer
+),
+ev AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nullval,
+         sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS nullts
+  FROM events
+),
+dc AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS ncm,
+         sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)
+           AS emp
+  FROM documents
+),
+lo AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS orph,
+         sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END)
+           AS sbo
+  FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT check_name, tbl, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       round(n_violations * 1.0 / n_rows, 6) AS violation_rate
+FROM (
+  SELECT 'orderkey_dup' AS check_name, 'orders' AS tbl, n AS n_rows,
+         dup AS n_violations FROM o
+  UNION ALL SELECT 'nonpos_totalprice', 'orders', n, nonpos FROM o
+  UNION ALL SELECT 'discount_range', 'lineitem', n, disc FROM li
+  UNION ALL SELECT 'nonpos_quantity', 'lineitem', n, npq FROM li
+  UNION ALL SELECT 'nonpos_extprice', 'lineitem', n, npe FROM li
+  UNION ALL SELECT 'negative_acctbal', 'customer', n, negbal FROM cu
+  UNION ALL SELECT 'null_mktsegment', 'customer', n, nullseg FROM cu
+  UNION ALL SELECT 'null_value', 'events', n, nullval FROM ev
+  UNION ALL SELECT 'null_ts', 'events', n, nullts FROM ev
+  UNION ALL SELECT 'n_chars_mismatch', 'documents', n, ncm FROM dc
+  UNION ALL SELECT 'empty_text', 'documents', n, emp FROM dc
+  UNION ALL SELECT 'orphan_lineitem', 'lineitem_orders', n, orph FROM lo
+  UNION ALL SELECT 'ship_before_order', 'lineitem_orders', n, sbo FROM lo
+)
+"""

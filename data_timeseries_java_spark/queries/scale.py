@@ -527,3 +527,76 @@ SELECT s.event_type, s.q, CAST(t.total AS BIGINT) AS n,
          AS estimate
 FROM sel s JOIN t ON t.event_type = s.event_type
 """
+
+
+# ---- HLL set-intersection via inclusion-exclusion ------------------------
+
+
+def q_hll_pair_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user OVERLAP between every pair of event types from the
+    per-type HLL sketches alone — inclusion-exclusion on mergeable
+    sketches (|A∩B| ~ est(A) + est(B) - est(A∪B)), the audience-overlap
+    question a 100 TB store answers WITHOUT rescanning: per-type
+    sketches persist, every pairwise union is sketch-sized work on a
+    frame of #types rows. Emitted as VERIFIABLE CLAIMS (module
+    convention): the exact pair intersection plus a boolean that the
+    sketch estimate lands within HLL_REL_ERR of the UNION scale
+    (n_a + n_b — inclusion-exclusion compounds three estimates, so the
+    bound is on the inputs' scale, not the possibly-tiny overlap).
+
+    The pair enumeration is a non-equi self-join of the #types-row
+    sketch frame (tiny, broadcast); the exact side distincts (type,
+    user) once, self-joins on user within the pair order, and
+    aggregates — one shuffle each."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("n"))
+    a = per_type.select(F.col("event_type").alias("type_a"),
+                        F.col("sk").alias("sk_a"), F.col("n").alias("n_a"))
+    b = per_type.select(F.col("event_type").alias("type_b"),
+                        F.col("sk").alias("sk_b"), F.col("n").alias("n_b"))
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    est_inter = (F.hll_sketch_estimate("sk_a")
+                 + F.hll_sketch_estimate("sk_b")
+                 - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")))
+    du = ev.select("event_type", "user_id").distinct()
+    xa = du.select(F.col("event_type").alias("type_a"),
+                   F.col("user_id").alias("u"))
+    xb = du.select(F.col("event_type").alias("type_b"),
+                   F.col("user_id").alias("u"))
+    inter = (xa.join(xb, "u")
+             .where(F.col("type_a") < F.col("type_b"))
+             .groupBy("type_a", "type_b")
+             .agg(F.count(F.lit(1)).alias("exact_inter")))
+    j = pairs.join(F.broadcast(inter), ["type_a", "type_b"], "left")
+    exact = F.coalesce(F.col("exact_inter"), F.lit(0))
+    within = (F.abs(est_inter - exact)
+              <= (F.col("n_a") + F.col("n_b")) * F.lit(HLL_REL_ERR))
+    return j.select("type_a", "type_b",
+                    exact.cast("long").alias("exact_inter"),
+                    within.alias("within_bound"))
+
+
+QUERIES["hll_pair_intersection"] = q_hll_pair_intersection
+
+ORACLE["hll_pair_intersection"] = """
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+inter AS (
+  SELECT xa.event_type AS type_a, xb.event_type AS type_b,
+         count(*) AS exact_inter
+  FROM du xa JOIN du xb ON xa.user_id = xb.user_id
+  WHERE xa.event_type < xb.event_type
+  GROUP BY xa.event_type, xb.event_type
+)
+SELECT p.type_a, p.type_b,
+       CAST(coalesce(i.exact_inter, 0) AS BIGINT) AS exact_inter,
+       TRUE AS within_bound
+FROM pairs p
+LEFT JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b
+"""
