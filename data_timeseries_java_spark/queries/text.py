@@ -1180,3 +1180,102 @@ SELECT p.doc_id, p.n_words, s.n_sentences, p.n_syllables,
              - 84.6 * (p.n_syllables * 1.0 / p.n_words), 6) AS flesch
 FROM per_doc p JOIN sent s ON s.doc_id = p.doc_id
 """
+
+
+# ---- corpus keyness: per-source log-odds-ratio ---------------------------
+
+KEYNESS_PRIOR = 0.5  # flat Dirichlet pseudo-count per (source, term)
+KEYNESS_TOPN = 5
+
+
+def q_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What vocabulary distinguishes each source from the rest of the
+    corpus — the weighted log-odds-ratio with a Dirichlet prior
+    (Monroe, Colaresi & Quinn 2008, "Fightin' Words", public), the
+    statistically-sound replacement for raw tf-idf contrast when corpus
+    sizes differ. For each (source, term): delta = log-odds of the term
+    in the source vs in the Rest, shrunk by a flat 0.5 pseudo-count;
+    z = delta / sqrt(1/(y_sw + a) + 1/(y_rest + a)). Top-5 terms per
+    source by z.
+
+    One explode -> one (source, tok) aggregate; the term-total and
+    source-total joins reuse that aggregate (no rescan of documents);
+    corpus scalars ride in as a broadcast 1-row frame (the tf_idf
+    convention — never a driver-side count)."""
+    from pyspark.sql import Window
+
+    from data_timeseries_java_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source",
+                       F.explode(tokens(F.col("text"))).alias("tok"))
+    ysw = (toks.groupBy("source", "tok")
+           .agg(F.count(F.lit(1)).cast("double").alias("y_sw")))
+    yw = ysw.groupBy("tok").agg(F.sum("y_sw").alias("y_w"))
+    ns = ysw.groupBy("source").agg(F.sum("y_sw").alias("n_s"))
+    tot = yw.agg(F.sum("y_w").alias("n_tot"),
+                 F.count(F.lit(1)).cast("double").alias("n_vocab"))
+    a = F.lit(KEYNESS_PRIOR)
+    a0 = a * F.col("n_vocab")
+    y_rest = F.col("y_w") - F.col("y_sw")
+    n_rest = F.col("n_tot") - F.col("n_s")
+    delta = (F.log((F.col("y_sw") + a)
+                   / (F.col("n_s") + a0 - F.col("y_sw") - a))
+             - F.log((y_rest + a) / (n_rest + a0 - y_rest - a)))
+    z = delta / F.sqrt(1.0 / (F.col("y_sw") + a) + 1.0 / (y_rest + a))
+    j = (ysw.join(yw, "tok")
+         .join(F.broadcast(ns), "source")
+         .crossJoin(F.broadcast(tot)))
+    w = Window.partitionBy("source").orderBy(
+        F.desc(F.round(z, 9)), F.asc("tok"))
+    return (j.select("source", "tok",
+                     F.col("y_sw").cast("long").alias("y_sw"),
+                     F.round(delta, 6).alias("log_odds"),
+                     F.round(z, 6).alias("z"),
+                     F.row_number().over(w).cast("long").alias("rank"))
+            .where(F.col("rank") <= KEYNESS_TOPN))
+
+
+QUERIES["source_keyness"] = q_source_keyness
+
+ORACLE["source_keyness"] = f"""
+WITH toks AS (
+  SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS tok
+  FROM documents
+),
+ysw AS (
+  SELECT source, tok, CAST(count(*) AS DOUBLE) AS y_sw
+  FROM toks GROUP BY source, tok
+),
+yw AS (SELECT tok, sum(y_sw) AS y_w FROM ysw GROUP BY tok),
+ns AS (SELECT source, sum(y_sw) AS n_s FROM ysw GROUP BY source),
+tot AS (SELECT sum(y_w) AS n_tot, CAST(count(*) AS DOUBLE) AS n_vocab
+        FROM yw),
+scored AS (
+  SELECT s.source, s.tok, s.y_sw,
+         ln((s.y_sw + {KEYNESS_PRIOR})
+            / (n.n_s + {KEYNESS_PRIOR} * t.n_vocab - s.y_sw
+               - {KEYNESS_PRIOR}))
+         - ln(((w.y_w - s.y_sw) + {KEYNESS_PRIOR})
+              / ((t.n_tot - n.n_s) + {KEYNESS_PRIOR} * t.n_vocab
+                 - (w.y_w - s.y_sw) - {KEYNESS_PRIOR})) AS delta,
+         1.0 / (s.y_sw + {KEYNESS_PRIOR})
+         + 1.0 / ((w.y_w - s.y_sw) + {KEYNESS_PRIOR}) AS var
+  FROM ysw s
+  JOIN yw w ON w.tok = s.tok
+  JOIN ns n ON n.source = s.source
+  CROSS JOIN tot t
+),
+ranked AS (
+  SELECT source, tok, CAST(y_sw AS BIGINT) AS y_sw,
+         round(delta, 6) AS log_odds,
+         round(delta / sqrt(var), 6) AS z,
+         CAST(row_number() OVER (PARTITION BY source
+           ORDER BY round(delta / sqrt(var), 9) DESC, tok ASC)
+           AS BIGINT) AS rank
+  FROM scored
+)
+SELECT source, tok, y_sw, log_odds, z, rank
+FROM ranked WHERE rank <= {KEYNESS_TOPN}
+"""

@@ -47,9 +47,10 @@ def main() -> None:
     qs = all_queries()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     dirs = [("1x", "/root/testdata/sf0.1")]
+    max_reps = int(os.environ.get("SPARK_GRAFT_MAX_REPS", "100"))
     for reps in (10, 100):
         d = os.path.join(root, f".scale{reps}x")
-        if os.path.isdir(d):
+        if os.path.isdir(d) and reps <= max_reps:
             dirs.append((f"{reps}x", d))
     for _, d in dirs:
         for t in ("events", "documents", "embeddings"):
