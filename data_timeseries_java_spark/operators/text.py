@@ -647,18 +647,26 @@ def hashed_linear_classifier(df: DataFrame, weights: DataFrame | None = None,
 
 
 def tfidf_cosine_pairs(df: DataFrame, threshold: float = 0.3,
-                       max_df_frac: float = 0.1,
+                       max_df_frac: float = 0.1, max_df_abs: int = 50,
                        text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Sparse lexical near-dup: cosine over TF-IDF vectors computed
     term-at-a-time through an inverted-index self-join — the classic
     sparse-similarity layout (document pairs meet ONLY on shared terms).
 
-    Terms present in more than ``max_df_frac`` of the corpus are dropped
-    before pairing: a stop-term with document frequency d fans out into
-    d² candidate pairs, so the cutoff is what bounds the pair space (its
-    TF-IDF weight is near zero anyway — dropping it moves cosines a
-    hair, deterministically on both engines).
+    Terms with document frequency above min(``max_df_frac`` · N,
+    ``max_df_abs``) are dropped before pairing: a stop-term with
+    document frequency d fans out into d² candidate pairs, so the
+    cutoff is what bounds the pair space (its TF-IDF weight is near
+    zero anyway — dropping it moves cosines a hair, deterministically
+    on both engines). The ABSOLUTE cap is the scale-critical half: a
+    fractional cutoff alone stops pruning as N grows (0.1% of 100 TB is
+    still millions of postings per term ⇒ a quadratic per-term join);
+    capping d caps per-term fanout at max_df_abs² forever. Measured:
+    without the cap, the 100× replica corpus (where per-replica stop
+    terms sit at 0.5% document frequency — under any useful fraction)
+    drove the pair join into an executor-killing shuffle; with it the
+    decade is linear (SCALE.md).
 
     Shape at 100 TB: one token-keyed shuffle builds the index, the pair
     join is keyed by token (per-term fanout ≤ (max_df_frac·N)², spread
@@ -673,7 +681,9 @@ def tfidf_cosine_pairs(df: DataFrame, threshold: float = 0.3,
     # materialize once, same policy hook as the correlation builders
     kept = materialize(
         ti.crossJoin(F.broadcast(n_docs))
-        .where(F.col("doc_freq") <= F.col("_n_docs") * max_df_frac))
+        .where(F.col("doc_freq")
+               <= F.least(F.col("_n_docs") * max_df_frac,
+                          F.lit(float(max_df_abs)))))
     norms = kept.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("tf_idf") * F.col("tf_idf"))).alias("nrm"))
     a = kept.select(F.col(id_col).alias("id_a"), "tok",

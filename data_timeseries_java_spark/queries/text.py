@@ -996,6 +996,7 @@ FROM scored
 
 TFIDF_COS_T = 0.3
 TFIDF_MAX_DF_FRAC = 0.1
+TFIDF_MAX_DF_ABS = 50  # absolute posting-list cap — the 100-TB guard
 
 
 def q_tfidf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1006,7 +1007,8 @@ def q_tfidf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_cosine_pairs(docs, threshold=TFIDF_COS_T,
-                              max_df_frac=TFIDF_MAX_DF_FRAC)
+                              max_df_frac=TFIDF_MAX_DF_FRAC,
+                              max_df_abs=TFIDF_MAX_DF_ABS)
 
 
 QUERIES["tfidf_neardup"] = q_tfidf_neardup
@@ -1024,7 +1026,8 @@ kept AS (
   SELECT t.doc_id, t.tok,
          t.tf * ln(n.n_docs / d.doc_freq) AS w
   FROM tf t JOIN dfreq d ON d.tok = t.tok CROSS JOIN n
-  WHERE d.doc_freq <= n.n_docs * {TFIDF_MAX_DF_FRAC}
+  WHERE d.doc_freq <= least(n.n_docs * {TFIDF_MAX_DF_FRAC},
+                            {TFIDF_MAX_DF_ABS})
 ),
 norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM kept GROUP BY doc_id),
 dots AS (
