@@ -2288,3 +2288,122 @@ FROM (
   UNION ALL SELECT 'ship_before_order', 'lineitem_orders', n, sbo FROM lo
 )
 """
+
+
+# ---- triangle census on the brand association graph ----------------------
+
+
+def q_brand_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + local clustering coefficient per brand over the
+    POSITIVE-ASSOCIATION graph (brands are adjacent when their
+    within-order co-occurrence lift exceeds 1 — the scale-invariant
+    edge rule, where a raw support threshold degrades to a complete
+    graph as orders accumulate). The distributed-graph classic: ordered
+    edges (a<b) enumerate each triangle exactly once via two hash joins
+    (wedge a<b<c + closing edge); per-vertex counts come from exploding
+    each triangle to its three corners.
+
+    Scale shape: the wedge join is keyed on the shared vertex, the
+    closing join on the (a, c) edge pair — both hash-partitioned, never
+    all-pairs; production graphs would pre-orient edges by DEGREE
+    (lowest-degree-first) to bound wedge fanout on power-law hubs —
+    name order keeps the oracle trivial here and the census identical.
+    Lift membership compares round(lift, 9) (house threshold rule)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    items = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+             .select(F.col("l_orderkey").alias("okey"),
+                     F.col("p_brand").alias("brand"))
+             .distinct())
+    pairs = (items.alias("x").join(
+        items.alias("y"),
+        (F.col("x.okey") == F.col("y.okey"))
+        & (F.col("x.brand") < F.col("y.brand")))
+        .groupBy(F.col("x.brand").alias("ba"),
+                 F.col("y.brand").alias("bb"))
+        .agg(F.count(F.lit(1)).alias("support")))
+    freq = items.groupBy("brand").agg(F.count(F.lit(1)).alias("n_ord"))
+    tot = items.agg(F.countDistinct("okey").cast("double").alias("nt"))
+    lift = (F.col("support") * F.col("nt")
+            / (F.col("na") * F.col("nb")))
+    edges = (pairs
+             .join(F.broadcast(freq.select(F.col("brand").alias("ba"),
+                                           F.col("n_ord").alias("na"))),
+                   "ba")
+             .join(F.broadcast(freq.select(F.col("brand").alias("bb"),
+                                           F.col("n_ord").alias("nb"))),
+                   "bb")
+             .crossJoin(F.broadcast(tot))
+             .where(F.round(lift, 9) > 1.0)
+             .select("ba", "bb"))
+    e1 = edges.select(F.col("ba").alias("a"), F.col("bb").alias("b"))
+    e2 = edges.select(F.col("ba").alias("b"), F.col("bb").alias("c"))
+    e3 = edges.select(F.col("ba").alias("a"), F.col("bb").alias("c"))
+    tri = (e1.join(e2, "b").join(e3, ["a", "c"])
+           .select("a", "b", "c"))
+    corners = (tri.select(F.explode(F.array("a", "b", "c")).alias("brand"))
+               .groupBy("brand")
+               .agg(F.count(F.lit(1)).alias("n_triangles")))
+    deg = (edges.select(F.col("ba").alias("brand"))
+           .unionAll(edges.select(F.col("bb").alias("brand")))
+           .groupBy("brand").agg(F.count(F.lit(1)).alias("degree")))
+    cc = F.when(F.col("degree") >= 2,
+                F.round(2.0 * F.coalesce(F.col("n_triangles"), F.lit(0))
+                        / (F.col("degree") * (F.col("degree") - 1)), 6)) \
+        .otherwise(F.lit(0.0))
+    return (deg.join(corners, "brand", "left")
+            .select("brand", F.col("degree").cast("long").alias("degree"),
+                    F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+                    .alias("n_triangles"),
+                    cc.alias("clustering_coeff")))
+
+
+QUERIES["brand_triangles"] = q_brand_triangles
+
+ORACLE["brand_triangles"] = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+),
+pairs AS (
+  SELECT x.brand AS ba, y.brand AS bb, count(*) AS support
+  FROM items x JOIN items y
+    ON x.okey = y.okey AND x.brand < y.brand
+  GROUP BY x.brand, y.brand
+),
+freq AS (SELECT brand, count(*) AS n_ord FROM items GROUP BY brand),
+tot AS (SELECT CAST(count(DISTINCT okey) AS DOUBLE) AS nt FROM items),
+edges AS (
+  SELECT p.ba, p.bb
+  FROM pairs p
+  JOIN freq fa ON fa.brand = p.ba
+  JOIN freq fb ON fb.brand = p.bb
+  CROSS JOIN tot
+  WHERE round(p.support * tot.nt / (fa.n_ord * fb.n_ord), 9) > 1.0
+),
+tri AS (
+  SELECT e1.ba AS a, e1.bb AS b, e2.bb AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.ba = e1.bb
+  JOIN edges e3 ON e3.ba = e1.ba AND e3.bb = e2.bb
+),
+corners AS (
+  SELECT brand, count(*) AS n_triangles FROM (
+    SELECT a AS brand FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY brand
+),
+deg AS (
+  SELECT brand, count(*) AS degree FROM (
+    SELECT ba AS brand FROM edges UNION ALL SELECT bb FROM edges
+  ) GROUP BY brand
+)
+SELECT d.brand, CAST(d.degree AS BIGINT) AS degree,
+       CAST(coalesce(c.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN round(2.0 * coalesce(c.n_triangles, 0)
+                       / (d.degree * (d.degree - 1)), 6)
+            ELSE 0.0 END AS clustering_coeff
+FROM deg d LEFT JOIN corners c ON c.brand = d.brand
+"""
