@@ -2407,3 +2407,71 @@ SELECT d.brand, CAST(d.degree AS BIGINT) AS degree,
             ELSE 0.0 END AS clustering_coeff
 FROM deg d LEFT JOIN corners c ON c.brand = d.brand
 """
+
+
+# ---- robust trend: strided Theil-Sen slope -------------------------------
+
+
+def q_value_trend_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type value trend: the median of pairwise slopes over
+    the STRIDED pairing (row i with row i + n//2 in time order) — the
+    Theil-Sen estimator restricted to n/2 wide-baseline pairs (Siegel's
+    trick), immune to the outliers that bend q_value_trend_ols and
+    LINEAR in n (full Theil-Sen's all-pairs median is O(n²) — the
+    strided variant is the scale-honest form: n/2 slopes, one median).
+
+    Shape: one row_number window per type, an equi-join on (type,
+    rank + n//2) — hash-partitioned by type, no all-pairs — and one
+    exact-percentile aggregate. Slopes are per-day (Δms / 86 400 000)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    base = ev.select(
+        "event_type", "value", F.unix_millis("ts").alias("ts_ms"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("event_type")).alias("n"))
+    a = base.select("event_type", F.col("rn").alias("ra"),
+                    F.col("value").alias("va"),
+                    F.col("ts_ms").alias("ta"), "n")
+    b = base.select(F.col("event_type").alias("et_b"),
+                    F.col("rn").alias("rb"),
+                    F.col("value").alias("vb"),
+                    F.col("ts_ms").alias("tb"))
+    slope = ((F.col("vb") - F.col("va"))
+             / ((F.col("tb") - F.col("ta")) / F.lit(86400000.0)))
+    pairs = (a.join(b, (F.col("event_type") == F.col("et_b"))
+                    & (F.col("rb") == F.col("ra")
+                       + (F.col("n") / 2).cast("long")))
+             .where(F.col("tb") != F.col("ta"))
+             .select("event_type", slope.alias("slope")))
+    return (pairs.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.round(F.expr("percentile(slope, 0.5)"), 6)
+                 .alias("slope_per_day")))
+
+
+QUERIES["value_trend_theilsen"] = q_value_trend_theilsen
+
+ORACLE["value_trend_theilsen"] = """
+WITH base AS (
+  SELECT event_type, value, epoch_ms(ts) AS ts_ms,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+pairs AS (
+  SELECT a.event_type,
+         (b.value - a.value)
+           / ((b.ts_ms - a.ts_ms) / 86400000.0) AS slope
+  FROM base a
+  JOIN base b ON b.event_type = a.event_type
+             AND b.rn = a.rn + (a.n // 2)
+  WHERE b.ts_ms <> a.ts_ms
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(median(slope), 6) AS slope_per_day
+FROM pairs GROUP BY event_type
+"""
