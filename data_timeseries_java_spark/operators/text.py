@@ -647,7 +647,7 @@ def hashed_linear_classifier(df: DataFrame, weights: DataFrame | None = None,
 
 
 def tfidf_cosine_pairs(df: DataFrame, threshold: float = 0.3,
-                       max_df_frac: float = 0.1, max_df_abs: int = 50,
+                       max_df_frac: float = 0.1, max_df_abs: int = 500,
                        text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Sparse lexical near-dup: cosine over TF-IDF vectors computed

@@ -996,7 +996,9 @@ FROM scored
 
 TFIDF_COS_T = 0.3
 TFIDF_MAX_DF_FRAC = 0.1
-TFIDF_MAX_DF_ABS = 50  # absolute posting-list cap — the 100-TB guard
+TFIDF_MAX_DF_ABS = 500  # absolute posting-list cap — the 100-TB guard
+#   (inactive at every test/bench 1x scale: 0.1*N reaches 500 only past
+#   sf0.1; it exists to bound per-term fanout when N keeps growing)
 
 
 def q_tfidf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
