@@ -62,6 +62,8 @@ HEADLINE = [
     "fx_macd",
     "fx_ewma_cov",
     "semantic_dedup",
+    # the SRP-banded linear-assignment variant next to the exact path
+    "semantic_dedup_ann",
     "tfidf_neardup",
     "decontaminate_bloom",
     "quality_classifier",

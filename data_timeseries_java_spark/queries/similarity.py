@@ -970,3 +970,54 @@ lam AS (
 SELECT CAST(v.j AS BIGINT) AS dim, round(v.v, 6) AS loading, lam.eigenvalue
 FROM v{_P} v CROSS JOIN lam
 """
+
+
+# ---- ANN recall evaluation (approx vs exact ground truth) ----------------
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH ANN index against brute-force ground truth —
+    the index-quality gate a similarity deployment runs after building:
+    per query, |approx top-k ∩ exact top-k| / k. Composes the two
+    declared pipelines unchanged (one semi-join + one aggregate on two
+    k-row-per-query frames — evaluation cost is negligible next to
+    either index)."""
+    exact = q_knn_bruteforce(spark, sf_dir).select("query_id", "nbr_id")
+    approx = q_ann_lsh(spark, sf_dir).select(
+        F.col("query_id").alias("qa"), F.col("nbr_id").alias("na"))
+    hits = (exact.join(
+        approx, (F.col("query_id") == F.col("qa"))
+        & (F.col("nbr_id") == F.col("na")))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits")))
+    per_q = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("k"))
+    return (per_q.join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    F.round(F.coalesce(F.col("n_hits"), F.lit(0))
+                            / F.col("k"), 6).alias("recall")))
+
+
+QUERIES["ann_recall_eval"] = q_ann_recall_eval
+
+ORACLE["ann_recall_eval"] = f"""
+WITH exact AS (
+  SELECT query_id, nbr_id FROM ({ORACLE["knn_bruteforce"]})
+),
+approx AS (
+  SELECT query_id, nbr_id FROM ({ORACLE["ann_lsh"]})
+),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM exact e JOIN approx a
+    ON a.query_id = e.query_id AND a.nbr_id = e.nbr_id
+  GROUP BY e.query_id
+),
+per_q AS (SELECT query_id, count(*) AS k FROM exact GROUP BY query_id)
+SELECT p.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) * 1.0 / p.k, 6) AS recall
+FROM per_q p LEFT JOIN hits h ON h.query_id = p.query_id
+"""
