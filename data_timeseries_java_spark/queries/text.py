@@ -1284,3 +1284,55 @@ ranked AS (
 SELECT source, tok, y_sw, log_odds, z, rank
 FROM ranked WHERE rank <= {KEYNESS_TOPN}
 """
+
+
+# ---- language-mix drift per source (KL divergence) -----------------------
+
+
+def q_source_lang_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix drift per source: KL(source ‖ corpus) over the lang
+    distribution — the mixture-monitoring scalar a multilingual corpus
+    pipeline alerts on (a source whose language mix diverges from the
+    corpus baseline is mislabeled, scraped wrong, or drifting). Exact
+    count ratios; q > 0 whenever p > 0 because the corpus marginal
+    contains every source's docs — no smoothing needed. Two aggregates
+    over one (source, lang) count frame; corpus marginals broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    sl = (docs.groupBy("source", "lang")
+          .agg(F.count(F.lit(1)).alias("n")))
+    per_source = sl.groupBy("source").agg(F.sum("n").alias("n_docs"))
+    per_lang = sl.groupBy("lang").agg(F.sum("n").alias("n_lang"))
+    tot = sl.agg(F.sum("n").cast("double").alias("n_tot"))
+    p = F.col("n") / F.col("n_docs")
+    q = F.col("n_lang") / F.col("n_tot")
+    kl_term = p * F.log(p / q)
+    return (sl.join(F.broadcast(per_source), "source")
+            .join(F.broadcast(per_lang), "lang")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("source")
+            .agg(F.max("n_docs").cast("long").alias("n_docs"),
+                 F.count(F.lit(1)).cast("long").alias("n_langs"),
+                 F.round(F.sum(kl_term), 6).alias("kl_divergence")))
+
+
+QUERIES["source_lang_kl"] = q_source_lang_kl
+
+ORACLE["source_lang_kl"] = """
+WITH sl AS (
+  SELECT source, lang, count(*) AS n
+  FROM documents GROUP BY source, lang
+),
+per_source AS (SELECT source, sum(n) AS n_docs FROM sl GROUP BY source),
+per_lang AS (SELECT lang, sum(n) AS n_lang FROM sl GROUP BY lang),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n_tot FROM sl)
+SELECT s.source, CAST(max(ps.n_docs) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       round(sum((s.n * 1.0 / ps.n_docs)
+                 * ln((s.n * 1.0 / ps.n_docs)
+                      / (pl.n_lang / t.n_tot))), 6) AS kl_divergence
+FROM sl s
+JOIN per_source ps ON ps.source = s.source
+JOIN per_lang pl ON pl.lang = s.lang
+CROSS JOIN tot t
+GROUP BY s.source
+"""
