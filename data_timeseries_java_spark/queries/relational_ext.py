@@ -2475,3 +2475,72 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
        round(median(slope), 6) AS slope_per_day
 FROM pairs GROUP BY event_type
 """
+
+
+# ---- funnel time-to-convert ----------------------------------------------
+
+
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion timing: for each user, the delta from
+    their FIRST click to their first purchase at-or-after it, summarized
+    as conversion rate + exact p50/p90 minutes — the funnel-latency
+    readout next to q_funnel_conversion's step counts. Two per-user
+    aggregates (one per event-type slice of the same scan family) and a
+    user-keyed join; the final summary is a single-row exact-percentile
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .groupBy("user_id")
+              .agg(F.min("ts").alias("first_click")))
+    purchases = ev.where(F.col("event_type") == "purchase") \
+        .select("user_id", "ts")
+    conv = (purchases.join(clicks, "user_id")
+            .where(F.col("ts") >= F.col("first_click"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("first_purchase"),
+                 F.min("first_click").alias("first_click")))
+    delta_min = ((F.unix_millis("first_purchase")
+                  - F.unix_millis("first_click")) / F.lit(60000.0))
+    stats = conv.select(delta_min.alias("delta_min")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(delta_min, 0.5)"), 6).alias("p50_min"),
+        F.round(F.expr("percentile(delta_min, 0.9)"), 6).alias("p90_min"))
+    n_users = clicks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clickers"))
+    return (stats.crossJoin(F.broadcast(n_users))
+            .select("n_clickers", "n_converted",
+                    F.round(F.col("n_converted") / F.col("n_clickers"), 6)
+                    .alias("conv_rate"),
+                    "p50_min", "p90_min"))
+
+
+QUERIES["funnel_time_to_convert"] = q_funnel_time_to_convert
+
+ORACLE["funnel_time_to_convert"] = """
+WITH clicks AS (
+  SELECT user_id, min(ts) AS first_click
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+conv AS (
+  SELECT p.user_id,
+         min(epoch_ms(p.ts)) AS first_purchase_ms,
+         min(epoch_ms(c.first_click)) AS first_click_ms
+  FROM events p
+  JOIN clicks c ON c.user_id = p.user_id
+  WHERE p.event_type = 'purchase' AND p.ts >= c.first_click
+  GROUP BY p.user_id
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_converted,
+         round(quantile_cont((first_purchase_ms - first_click_ms)
+                             / 60000.0, 0.5), 6) AS p50_min,
+         round(quantile_cont((first_purchase_ms - first_click_ms)
+                             / 60000.0, 0.9), 6) AS p90_min
+  FROM conv
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_clickers FROM clicks)
+SELECT n.n_clickers, s.n_converted,
+       round(s.n_converted * 1.0 / n.n_clickers, 6) AS conv_rate,
+       s.p50_min, s.p90_min
+FROM stats s CROSS JOIN n
+"""
