@@ -167,3 +167,43 @@ def test_pca_top_component_matches_numpy(spark, sf_dir):
     assert lam_spark <= np.max(w) + 1e-6
     assert lam_spark >= 0.85 * np.max(w)
     assert lam_spark > np.sort(w)[-3]  # above the 3rd eigenvalue
+
+
+def test_srp_assign_identical_vector_hits_its_centroid(spark):
+    """A vector that IS a centroid collides with it in EVERY band (the
+    integer SRP signature is a pure function of the quantized vector),
+    so srp_assign must place it in that centroid's cluster with exact
+    cosine 1 beating any other candidate."""
+    from pyspark.sql import Row
+
+    from data_timeseries_java_spark.operators.similarity import srp_assign
+    from data_timeseries_java_spark.queries.similarity import (
+        SRP_BAND_BITS, SRP_DIM, _srp_signs)
+
+    base = [float((i * 37) % 11 - 5) or 1.0 for i in range(SRP_DIM)]
+    other = [float((i * 53) % 13 - 6) or 2.0 for i in range(SRP_DIM)]
+    cents = spark.createDataFrame([
+        Row(vec_id=0, embedding=base),
+        Row(vec_id=1, embedding=other)])
+    vecs = spark.createDataFrame([
+        Row(vec_id=100, embedding=base),          # exact centroid copy
+        Row(vec_id=101, embedding=[x * 2.0 for x in base])])  # scaled
+    out = {r.vec_id: r.centroid_id
+           for r in srp_assign(vecs, cents, _srp_signs(),
+                               band_bits=SRP_BAND_BITS).collect()}
+    assert out[100] == 0
+    # cosine is scale-invariant AND the quantized signature is too
+    # (absmax/127 normalizes the scale away): the doubled copy follows
+    assert out[101] == 0
+
+
+def test_semantic_dedup_ann_unassigned_are_kept(spark, sf_dir):
+    """Cluster -1 rows (no band collision) must always be kept with
+    null dup metadata — a miss may only under-dedup."""
+    from data_timeseries_java_spark.queries.similarity import (
+        q_semantic_dedup_ann)
+
+    rows = q_semantic_dedup_ann(spark, sf_dir).where("centroid_id = -1") \
+        .collect()
+    assert all(r.is_kept and r.dup_of is None and r.max_dup_cos is None
+               for r in rows)
