@@ -506,6 +506,11 @@ def semantic_dedup(df: DataFrame, centroids: DataFrame,
     stride — the same banded-candidates discipline as MinHash-LSH, never
     all-pairs. Cross-cluster near-dups are invisible by construction:
     that is SemDeDup's documented approximation, not a bug here.
+    CAVEAT — when the centroid count k tracks the corpus (constant
+    cluster size), the exact nearest-centroid scan is O(n·k·d) and this
+    path goes quadratic (measured, SCALE.md); the production fix is
+    fixed-k training on a bounded sample plus the SRP-banded assignment
+    of :func:`semantic_dedup_ann`.
     Threshold membership uses round(cos, 9) so a last-ulp dot-product
     difference cannot flip a verdict cross-engine.
 
@@ -566,22 +571,35 @@ def _srp_quantize(vec: "F.Column"):
     return absmax, qv
 
 
-def _srp_band_keys(qv: "F.Column", signs: list, band_bits: int):
-    """Array of integer band keys for a quantized vector: plane j's sign
-    bit is bit (j % band_bits) of band j // band_bits."""
-    n_planes = len(signs)
+def _srp_bands(df: DataFrame, signs: list, band_bits: int,
+               id_col: str, vec_col: str, id_out: str) -> DataFrame:
+    """(id_out, band_idx, band_key) rows for every vector with a
+    non-degenerate quantization. STAGED projections — quantize once,
+    then one column per plane projection, then cheap CASE-sum band
+    keys: each expensive HOF evaluates once per row (a single fused
+    expression tree would inline the quantize into all len(signs)
+    plane aggregates — measured 13x slower)."""
+    absmax, qv = _srp_quantize(F.col(vec_col))
+    q = (df.where(absmax > 0)
+         .select(F.col(id_col).alias(id_out), qv.alias("_qv")))
+    projs = [
+        F.aggregate(
+            F.zip_with(F.col("_qv"),
+                       F.array(*[F.lit(s) for s in signs[j]]),
+                       lambda x, y: x * y),
+            F.lit(0).cast("long"), lambda acc, v: acc + v).alias(f"_p{j}")
+        for j in range(len(signs))]
+    pr = q.select(id_out, *projs)
     keys = []
-    for b in range(0, n_planes, band_bits):
+    for b in range(0, len(signs), band_bits):
         key = F.lit(0).cast("long")
         for t in range(band_bits):
-            j = b + t
-            proj = F.aggregate(
-                F.zip_with(qv, F.array(*[F.lit(s) for s in signs[j]]),
-                           lambda x, y: x * y),
-                F.lit(0).cast("long"), lambda acc, v: acc + v)
-            key = key + F.when(proj >= 0, F.lit(1 << t)).otherwise(F.lit(0))
+            key = key + F.when(F.col(f"_p{b + t}") >= 0,
+                               F.lit(1 << t)).otherwise(F.lit(0))
         keys.append(key)
-    return F.array(*keys)
+    return pr.select(id_out,
+                     F.posexplode(F.array(*keys))
+                     .alias("band_idx", "band_key"))
 
 
 def srp_assign(df: DataFrame, centroids: DataFrame, signs: list,
@@ -612,16 +630,9 @@ def srp_assign(df: DataFrame, centroids: DataFrame, signs: list,
     rows — broadcast."""
     from pyspark.sql import Window
 
-    _vmax, vqv = _srp_quantize(F.col(vec_col))
-    vband = (df.where(_vmax > 0)
-             .select(F.col(id_col),
-                     F.posexplode(_srp_band_keys(vqv, signs, band_bits))
-                     .alias("band_idx", "band_key")))
-    _cmax, cqv = _srp_quantize(F.col(vec_col))
-    cband = (centroids.where(_cmax > 0)
-             .select(F.col(id_col).alias("centroid_id"),
-                     F.posexplode(_srp_band_keys(cqv, signs, band_bits))
-                     .alias("band_idx", "band_key")))
+    vband = _srp_bands(df, signs, band_bits, id_col, vec_col, id_col)
+    cband = _srp_bands(centroids, signs, band_bits, id_col, vec_col,
+                       "centroid_id")
     cand = (vband.join(F.broadcast(cband), ["band_idx", "band_key"])
             .select(id_col, "centroid_id").distinct())
     base = with_norm(df, vec_col).select(
@@ -652,7 +663,10 @@ def semantic_dedup_ann(df: DataFrame, centroids: DataFrame, signs: list,
     semantic_dedup, so the two are drop-in interchangeable."""
     from data_timeseries_java_spark.plans.materialize import materialize
 
-    assign = srp_assign(df, centroids, signs, band_bits, id_col, vec_col)
+    # assign feeds two consumers (inner join + anti join) and embeds the
+    # banded-candidate subtree — materialize once (house policy hook)
+    assign = materialize(
+        srp_assign(df, centroids, signs, band_bits, id_col, vec_col))
     normed = with_norm(df, vec_col)
     base = materialize(
         normed.join(assign, id_col)

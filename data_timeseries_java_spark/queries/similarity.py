@@ -743,9 +743,14 @@ def q_semantic_dedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_dedup_ann,
     )
 
+    from data_timeseries_java_spark.plans.materialize import materialize
+
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = centroid_vectors(kmeans_centroids(
-        emb, seed_stride=N_CENTROIDS_STRIDE, iterations=KMEANS_ITERS))
+    # the trained centroid table feeds THREE consumers (band side, exact
+    # rerank side, verdict base) and embeds the unrolled k-means tree —
+    # materialize the k x d vectors once
+    cent = materialize(centroid_vectors(kmeans_centroids(
+        emb, seed_stride=N_CENTROIDS_STRIDE, iterations=KMEANS_ITERS)))
     return semantic_dedup_ann(emb, cent, _srp_signs(),
                               threshold=SEMDEDUP_T,
                               band_bits=SRP_BAND_BITS)
