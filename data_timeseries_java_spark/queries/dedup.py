@@ -805,3 +805,47 @@ JOIN n nb ON nb.doc_id = p.id_b
 WHERE round(p.n_inter * 1.0 / (na.nt + nb.nt - p.n_inter), 9)
       >= {PREFIX_JACCARD_T}
 """
+
+
+# ---- duplicate-family size histogram -------------------------------------
+
+
+def q_dedup_family_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How duplicated is the corpus, at what multiplicity — the
+    distribution of exact-duplicate family sizes (md5 of text), plus
+    each bucket's share of total docs: the one-glance dedup audit that
+    decides whether exact dedup is worth a pass at all. Two cascaded
+    count aggregates (hash -> family size -> histogram), all integers
+    except the rounded share."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    fam = (docs.groupBy(F.md5(F.col("text")).alias("h"))
+           .agg(F.count(F.lit(1)).alias("family_size")))
+    hist = (fam.groupBy("family_size")
+            .agg(F.count(F.lit(1)).alias("n_families")))
+    tot = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    return (hist.crossJoin(F.broadcast(tot))
+            .select(F.col("family_size").cast("long").alias("family_size"),
+                    F.col("n_families").cast("long").alias("n_families"),
+                    F.round(F.col("family_size") * F.col("n_families")
+                            / F.col("n_docs"), 6).alias("doc_share")))
+
+
+QUERIES["dedup_family_histogram"] = q_dedup_family_histogram
+
+ORACLE["dedup_family_histogram"] = """
+WITH fam AS (
+  SELECT md5(text) AS h, count(*) AS family_size
+  FROM documents GROUP BY md5(text)
+),
+hist AS (
+  SELECT family_size, count(*) AS n_families
+  FROM fam GROUP BY family_size
+),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT CAST(family_size AS BIGINT) AS family_size,
+       CAST(n_families AS BIGINT) AS n_families,
+       round(family_size * n_families / n_docs, 6) AS doc_share
+FROM hist CROSS JOIN tot
+"""

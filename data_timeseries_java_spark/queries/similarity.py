@@ -1026,3 +1026,50 @@ SELECT p.query_id,
        round(coalesce(h.n_hits, 0) * 1.0 / p.k, 6) AS recall
 FROM per_q p LEFT JOIN hits h ON h.query_id = p.query_id
 """
+
+
+# ---- embedding norm outliers (per-label QC) ------------------------------
+
+NORM_OUT_Z = 2.0
+
+
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-norm z-scores, flagging |z| >= 2 — the cheap
+    embedding QC screen (a vector whose norm sits far from its label's
+    distribution is a truncated, zeroed or mis-scaled encode). One
+    narrow HOF norm column, one per-label moment aggregate broadcast
+    back; z thresholds compare round(z, 9) (house threshold rule)."""
+    from data_timeseries_java_spark.operators.similarity import with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = with_norm(emb).select("vec_id", "label",
+                                 F.col("_norm").alias("nrm"))
+    stats = base.groupBy("label").agg(
+        F.avg("nrm").alias("mu"),
+        F.stddev_samp("nrm").alias("sd"),
+        F.count(F.lit(1)).alias("n"))
+    z = (F.col("nrm") - F.col("mu")) / F.col("sd")
+    return (base.join(F.broadcast(stats), "label")
+            .where(F.col("sd") > 0)
+            .where(F.abs(F.round(z, 9)) >= NORM_OUT_Z)
+            .select("vec_id", "label", F.round("nrm", 6).alias("norm"),
+                    F.round(z, 6).alias("z")))
+
+
+QUERIES["embedding_norm_outliers"] = q_embedding_norm_outliers
+
+ORACLE["embedding_norm_outliers"] = f"""
+WITH {_COMP},
+stats AS (
+  SELECT e.label, avg(n.nrm) AS mu, stddev_samp(n.nrm) AS sd
+  FROM embeddings e JOIN norms n ON n.vec_id = e.vec_id
+  GROUP BY e.label
+)
+SELECT e.vec_id, e.label, round(n.nrm, 6) AS norm,
+       round((n.nrm - s.mu) / s.sd, 6) AS z
+FROM embeddings e
+JOIN norms n ON n.vec_id = e.vec_id
+JOIN stats s ON s.label = e.label
+WHERE s.sd > 0
+  AND abs(round((n.nrm - s.mu) / s.sd, 9)) >= {NORM_OUT_Z}
+"""
