@@ -49,12 +49,16 @@ def main() -> None:
     from data_timeseries_java_spark.tables import load_table
 
     n_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
+    paths = os.environ.get("SPARK_GRAFT_PATHS", "exact,srp").split(",")
+    max_reps = int(os.environ.get("SPARK_GRAFT_MAX_REPS", "100"))
     spark = get_spark("bench-semdedup-assign")
     spark.sparkContext.setLogLevel("ERROR")
     emb1 = load_table(spark, "/root/testdata/sf0.1", "embeddings")
     print(f"{'path':8s}{'scale':>7s}{'vectors':>9s}{'k':>7s}"
           f"{'bands':>12s}{'median_s':>10s}{'vecs/s':>9s}")
     for reps in (1, 10, 100):
+        if reps > max_reps:
+            continue
         emb = emb1 if reps == 1 else emb1.crossJoin(
             F.broadcast(spark.range(reps).select(
                 F.col("id").alias("_rep")))).select(
@@ -71,6 +75,8 @@ def main() -> None:
                 ("exact", lambda e=emb, c=cent: ivf_assign(e, c)),
                 ("srp", lambda e=emb, c=cent, s=signs, b=band_bits:
                  srp_assign(e, c, s, band_bits=b))):
+            if name not in paths:
+                continue
             ts = []
             for i in range(n_trials + 1):
                 df = build()
