@@ -146,11 +146,16 @@ _PANDAS_QUERIES = {"media_decode_features", "media_png_decode",
 
 def test_no_query_falls_into_row_python(spark, sf_dir):
     """Global guard: no declared query may contain row-at-a-time Python
-    evaluation (BatchEvalPython). Arrow-batched pandas operators are
-    allowed only for the known pandas-based queries."""
+    evaluation (BatchEvalPython), and none may plan a CartesianProduct
+    (broadcast nested loops over tiny dims are fine and show up as
+    BroadcastNestedLoopJoin — a CartesianProduct means BOTH sides were
+    big and unkeyed, the one join shape that cannot survive scale).
+    Arrow-batched pandas operators are allowed only for the known
+    pandas-based queries."""
     for name, fn in sorted(all_queries().items()):
         plan = formatted_plan(fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} uses a Python UDF"
+        assert "CartesianProduct" not in plan, f"{name} went cartesian"
         if name not in _PANDAS_QUERIES:
             assert "InPandas" not in plan and "ArrowEvalPython" not in plan, \
                 f"{name} unexpectedly crosses into pandas"
