@@ -2544,3 +2544,152 @@ SELECT n.n_clickers, s.n_converted,
        s.p50_min, s.p90_min
 FROM stats s CROSS JOIN n
 """
+
+
+# ---- calendar-spine gap-fill ---------------------------------------------
+
+
+def q_monthly_revenue_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue on a COMPLETE calendar spine — months with no
+    orders appear as explicit zero rows (the relational analogue of the
+    FX gap-fill contract: downstream window math must never silently
+    skip a period). The spine generates from the data's own min/max
+    month via sequence() on a one-row aggregate — no driver-side date
+    arithmetic, no eager scan; the revenue side joins in by month."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 month")))
+        .alias("month"))
+    rev = (orders.groupBy(F.date_trunc("month", "o_orderdate")
+                          .alias("month"))
+           .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                F.count(F.lit(1)).alias("n_orders")))
+    return (spine.join(rev, "month", "left")
+            .select(F.unix_millis("month").alias("month_ms"),
+                    F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+                    F.coalesce("n_orders", F.lit(0)).cast("long")
+                    .alias("n_orders")))
+
+
+QUERIES["monthly_revenue_complete"] = q_monthly_revenue_complete
+
+ORACLE["monthly_revenue_complete"] = """
+WITH bounds AS (
+  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+         date_trunc('month', max(o_orderdate)) AS hi
+  FROM orders
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month
+  FROM bounds
+),
+rev AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         round(sum(o_totalprice), 2) AS revenue,
+         count(*) AS n_orders
+  FROM orders GROUP BY date_trunc('month', o_orderdate)
+)
+SELECT epoch_ms(s.month) AS month_ms,
+       coalesce(r.revenue, 0.0) AS revenue,
+       CAST(coalesce(r.n_orders, 0) AS BIGINT) AS n_orders
+FROM spine s LEFT JOIN rev r ON r.month = s.month
+"""
+
+
+# ---- new vs returning users per month ------------------------------------
+
+
+def q_weekly_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per ISO week: users active for the FIRST time vs returning — the
+    growth-accounting split every activity dashboard opens with. One
+    (user, week) distinct, one per-user min-week join back; all-integer
+    output. (Week, not month: granularity must subdivide the data's
+    span to be a split at all — the fixture covers one month.)"""
+    ev = load_table(spark, sf_dir, "events")
+    um = (ev.select("user_id",
+                    F.date_trunc("week", "ts").alias("week"))
+          .distinct())
+    first = um.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    return (um.join(first, "user_id")
+            .groupBy("week")
+            .agg(F.sum(F.when(F.col("week") == F.col("first_week"), 1)
+                       .otherwise(0)).cast("long").alias("new_users"),
+                 F.sum(F.when(F.col("week") != F.col("first_week"), 1)
+                       .otherwise(0)).cast("long")
+                 .alias("returning_users"))
+            .select(F.unix_millis("week").alias("week_ms"),
+                    "new_users", "returning_users"))
+
+
+QUERIES["weekly_new_returning"] = q_weekly_new_returning
+
+ORACLE["weekly_new_returning"] = """
+WITH um AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+),
+first AS (
+  SELECT user_id, min(week) AS first_week FROM um GROUP BY user_id
+)
+SELECT epoch_ms(u.week) AS week_ms,
+       CAST(sum(CASE WHEN u.week = f.first_week THEN 1 ELSE 0 END)
+            AS BIGINT) AS new_users,
+       CAST(sum(CASE WHEN u.week <> f.first_week THEN 1 ELSE 0 END)
+            AS BIGINT) AS returning_users
+FROM um u JOIN first f ON f.user_id = u.user_id
+GROUP BY u.week
+"""
+
+
+# ---- rolling 7-day distinct users ----------------------------------------
+
+ROLLING_DAYS = 7
+
+
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per active day — the rolling-DAU
+    metric, computed EXACTLY with the covering-window explode: each
+    (user, day) distinct pair replicates to the <= 7 day-windows it can
+    contribute to (sequence() over a bounded literal range — work is
+    7x linear, never a range self-join of the fact table), then one
+    count-distinct per window day. Only days that actually appear in
+    the data are reported (the spine-join variant above shows the
+    zero-fill pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = (ev.select("user_id", F.to_date("ts").alias("day"))
+          .distinct())
+    covering = ud.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.col("day"),
+            F.date_add(F.col("day"), ROLLING_DAYS - 1))).alias("win_day"))
+    days = ud.select("day").distinct() \
+        .select(F.col("day").alias("win_day"))
+    return (covering.join(days, "win_day")
+            .groupBy("win_day")
+            .agg(F.countDistinct("user_id").cast("long")
+                 .alias("distinct_users_7d"))
+            .select(F.unix_millis(F.col("win_day").cast("timestamp"))
+                    .alias("day_ms"), "distinct_users_7d"))
+
+
+QUERIES["rolling_distinct_users"] = q_rolling_distinct_users
+
+ORACLE["rolling_distinct_users"] = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+covering AS (
+  SELECT user_id,
+         unnest(generate_series(day, day + INTERVAL {ROLLING_DAYS - 1} DAY,
+                                INTERVAL 1 DAY)) AS win_day
+  FROM ud
+),
+days AS (SELECT DISTINCT day AS win_day FROM ud)
+SELECT epoch_ms(CAST(c.win_day AS TIMESTAMP)) AS day_ms,
+       CAST(count(DISTINCT c.user_id) AS BIGINT) AS distinct_users_7d
+FROM covering c JOIN days d ON d.win_day = c.win_day
+GROUP BY c.win_day
+"""
