@@ -3265,3 +3265,76 @@ f AS (
 SELECT key, ts_ms, px, ref_px, round(px / ref_px, 6) AS ratio
 FROM f WHERE px IS NOT NULL AND ref_px IS NOT NULL
 """
+
+
+# ---- Spearman rank correlation for pairs ----------------------------------
+
+
+def q_fx_pair_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window pairwise SPEARMAN correlation — Pearson on
+    within-(window, key) ranks: the robust companion to the flagship
+    (immune to return outliers, detects monotone-nonlinear coupling).
+    Ranks are row_number over (ret, time) — a deterministic total order,
+    so tied returns break identically in both engines (the documented
+    deterministic-tie variant of classical Spearman). Same pair
+    machinery as Pearson: one rank window pass, equi-join on (window,
+    time), JVM corr; ranks within a joined subset stay distinct so the
+    coefficient is never NaN."""
+    from pyspark.sql import Window
+
+    slide_ms = RES_MS * 3
+    r = _returns_df(spark, sf_dir).select(
+        "key", _ms(F.col("time")).alias("time_ms"), F.col("value").alias("ret"))
+    slid = (r.select(
+        "key", "time_ms", "ret",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("o"))
+        .select(
+            ((F.col("time_ms") / slide_ms).cast("long") * slide_ms
+             - F.col("o") * slide_ms).alias("w_start_ms"),
+            "key", "time_ms", "ret"))
+    w = Window.partitionBy("w_start_ms", "key").orderBy("ret", "time_ms")
+    ranked = slid.select("w_start_ms", "key", "time_ms",
+                         F.row_number().over(w).alias("rnk"))
+    a = ranked.select("w_start_ms", "time_ms",
+                      F.col("key").alias("key1"),
+                      F.col("rnk").alias("rnk1"))
+    b = ranked.select(F.col("w_start_ms").alias("wb"),
+                      F.col("time_ms").alias("tb"),
+                      F.col("key").alias("key2"),
+                      F.col("rnk").alias("rnk2"))
+    return (a.join(b, (F.col("w_start_ms") == F.col("wb"))
+                   & (F.col("time_ms") == F.col("tb"))
+                   & (F.col("key1") < F.col("key2")))
+            .groupBy("w_start_ms", "key1", "key2")
+            .agg(F.corr("rnk1", "rnk2").alias("rho"),
+                 F.count(F.lit(1)).alias("n_points"))
+            .where(F.col("n_points") >= 2)
+            .select("w_start_ms", "key1", "key2",
+                    F.round("rho", 6).alias("rho"),
+                    F.col("n_points").cast("long").alias("n_points")))
+
+
+QUERIES["fx_pair_spearman"] = q_fx_pair_spearman
+
+ORACLE["fx_pair_spearman"] = f"""
+{_PRELUDE},
+{_SLIDING},
+ranked AS (
+  SELECT w_start_ms, key, time_ms,
+         row_number() OVER (PARTITION BY w_start_ms, key
+                            ORDER BY ret, time_ms) AS rnk
+  FROM sliding
+),
+pairs AS (
+  SELECT a.w_start_ms, a.key AS key1, b.key AS key2,
+         corr(a.rnk, b.rnk) AS rho, count(*) AS n_points
+  FROM ranked a JOIN ranked b
+    ON a.w_start_ms = b.w_start_ms AND a.time_ms = b.time_ms
+   AND a.key < b.key
+  GROUP BY 1, 2, 3
+  HAVING count(*) >= 2
+)
+SELECT w_start_ms, key1, key2, round(rho, 6) AS rho,
+       CAST(n_points AS BIGINT) AS n_points
+FROM pairs
+"""
