@@ -1336,3 +1336,63 @@ JOIN per_lang pl ON pl.lang = s.lang
 CROSS JOIN tot t
 GROUP BY s.source
 """
+
+
+# ---- near-dup threshold calibration sweep --------------------------------
+
+
+def q_neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair cosine HISTOGRAM (0.1-wide buckets) over the
+    TF-IDF inverted-index candidates — the calibration readout that
+    tells a corpus owner where to SET the near-dup threshold before
+    running dedup (a bimodal histogram separates noise from true dups;
+    counts above each bucket edge are the would-be-dropped volume).
+    Same banded candidate space as tfidf_neardup (threshold lifted, df
+    caps still bounding the pair fanout), one bucket aggregate on the
+    6-rounded cosine both engines already agree on."""
+    from data_timeseries_java_spark.operators.text import tfidf_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = tfidf_cosine_pairs(docs, threshold=-1.0,
+                               max_df_frac=TFIDF_MAX_DF_FRAC,
+                               max_df_abs=TFIDF_MAX_DF_ABS)
+    bucket = F.least(F.floor(F.col("cosine") * 10), F.lit(9)).cast("long")
+    return (pairs.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+            .select((F.col("bucket") / 10.0).alias("cos_lo"), "n_pairs"))
+
+
+QUERIES["neardup_threshold_sweep"] = q_neardup_threshold_sweep
+
+ORACLE["neardup_threshold_sweep"] = f"""
+WITH {_TOKS},
+tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, tok
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS doc_freq FROM tf GROUP BY tok),
+kept AS (
+  SELECT t.doc_id, t.tok,
+         t.tf * ln(n.n_docs / d.doc_freq) AS w
+  FROM tf t JOIN dfreq d ON d.tok = t.tok CROSS JOIN n
+  WHERE d.doc_freq <= least(n.n_docs * {TFIDF_MAX_DF_FRAC},
+                            {TFIDF_MAX_DF_ABS})
+),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM kept GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+  FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+cosines AS (
+  SELECT round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms na ON na.doc_id = d.id_a
+  JOIN norms nb ON nb.doc_id = d.id_b
+)
+SELECT least(floor(cosine * 10), 9) / 10.0 AS cos_lo,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM cosines GROUP BY least(floor(cosine * 10), 9)
+"""
