@@ -33,6 +33,8 @@ HEADLINE = [
     # FX pipeline (the reference's workload)
     "fx_candles_complete",
     "fx_pair_correlation",
+    # rank-correlation companion (round 7 session 2)
+    "fx_pair_spearman",
     # relational surface
     "pricing_summary",
     "revenue_by_nation",
