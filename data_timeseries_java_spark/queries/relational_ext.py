@@ -2693,3 +2693,65 @@ SELECT epoch_ms(CAST(c.win_day AS TIMESTAMP)) AS day_ms,
 FROM covering c JOIN days d ON d.win_day = c.win_day
 GROUP BY c.win_day
 """
+
+
+# ---- weighted median (quantity-weighted unit price) ----------------------
+
+
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED median unit price per part type — the weighted
+    quantile no built-in aggregate provides: sort each group by unit
+    price (deterministic tie-break on line identity), running-sum the
+    weights, and take the first row whose cumulative weight crosses
+    half the group total (min_by on the crossing set). One shuffle
+    (the per-type sort); the crossing pick is an aggregate, not a
+    second pass."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    base = (li.join(F.broadcast(part.select("p_partkey", "p_type")),
+                    li.l_partkey == part.p_partkey)
+            .select("p_type",
+                    (F.col("l_extendedprice") / F.col("l_quantity"))
+                    .alias("unit_price"),
+                    F.col("l_quantity").alias("w"),
+                    "l_orderkey", "l_linenumber"))
+    win = (Window.partitionBy("p_type")
+           .orderBy("unit_price", "l_orderkey", "l_linenumber")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = Window.partitionBy("p_type")
+    c = base.select(
+        "p_type", "unit_price",
+        F.sum("w").over(win).alias("cum"),
+        (F.sum("w").over(tot) / 2.0).alias("half"))
+    return (c.where(F.col("cum") >= F.col("half"))
+            .groupBy("p_type")
+            .agg(F.round(F.min_by("unit_price", "cum"), 6)
+                 .alias("weighted_median_unit_price"),
+                 F.count(F.lit(1)).cast("long").alias("n_above_half")))
+
+
+QUERIES["weighted_median_price"] = q_weighted_median_price
+
+ORACLE["weighted_median_price"] = """
+WITH base AS (
+  SELECT p_type, l_extendedprice / l_quantity AS unit_price,
+         l_quantity AS w, l_orderkey, l_linenumber
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+),
+c AS (
+  SELECT p_type, unit_price,
+         sum(w) OVER (PARTITION BY p_type
+                      ORDER BY unit_price, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(w) OVER (PARTITION BY p_type) / 2.0 AS half
+  FROM base
+)
+SELECT p_type,
+       round(min_by(unit_price, cum), 6) AS weighted_median_unit_price,
+       CAST(count(*) AS BIGINT) AS n_above_half
+FROM c WHERE cum >= half
+GROUP BY p_type
+"""
