@@ -2755,3 +2755,60 @@ SELECT p_type,
 FROM c WHERE cum >= half
 GROUP BY p_type
 """
+
+
+# ---- percent-of-parent hierarchy shares ----------------------------------
+
+
+def q_region_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level percent-of-parent: each nation's revenue share WITHIN
+    its region, and each region's share of the total — the hierarchy
+    rollup pattern (window-over-aggregate, no second scan). Revenue is
+    customer-nation attributed via broadcast dims; shares are ratios of
+    the same aggregate so one shuffle feeds all three levels."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dim = (customer
+           .join(F.broadcast(nation),
+                 customer.c_nationkey == nation.n_nationkey)
+           .join(F.broadcast(region),
+                 nation.n_regionkey == region.r_regionkey)
+           .select("c_custkey", F.col("n_name").alias("nation"),
+                   F.col("r_name").alias("region")))
+    rev = (orders.join(F.broadcast(dim),
+                       orders.o_custkey == dim.c_custkey)
+           .groupBy("region", "nation")
+           .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+    wr = Window.partitionBy("region")
+    wt = Window.partitionBy()
+    return rev.select(
+        "region", "nation", "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(wr), 6)
+        .alias("share_of_region"),
+        F.round(F.sum("revenue").over(wr) / F.sum("revenue").over(wt), 6)
+        .alias("region_share_of_total"))
+
+
+QUERIES["region_nation_share"] = q_region_nation_share
+
+ORACLE["region_nation_share"] = """
+WITH rev AS (
+  SELECT r_name AS region, n_name AS nation,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT region, nation, revenue,
+       round(revenue / sum(revenue) OVER (PARTITION BY region), 6)
+         AS share_of_region,
+       round(sum(revenue) OVER (PARTITION BY region)
+             / sum(revenue) OVER (), 6) AS region_share_of_total
+FROM rev
+"""
