@@ -585,14 +585,24 @@ def engle_granger(candles: DataFrame, price: F.Column | None = None,
                  .alias("s2"),
                  F.round(F.sum(de * de), 6).alias("s3"),
                  F.count(F.lit(1)).cast("long").alias("n_d")))
-    rho = F.col("s1") / F.col("s2")
-    ssr = F.col("s3") - 2.0 * rho * F.col("s1") + rho * rho * F.col("s2")
+    # degenerate-pair guards: a constant residual gives s2 = 0 (rho
+    # would divide by zero) and 6-decimal rounded sums can make the
+    # assembled ssr slightly negative for near-perfectly cointegrated
+    # pairs (sqrt → NaN).  Clamp ssr at 0 and gate both stats on
+    # s2 > 0 (and adf_t on a strictly positive clamped ssr) so
+    # degenerate pairs yield NULL deterministically, never NaN.
+    ok = F.col("s2") > 0
+    rho = F.when(ok, F.col("s1") / F.col("s2"))
+    ssr = F.greatest(
+        F.col("s3") - 2.0 * rho * F.col("s1") + rho * rho * F.col("s2"),
+        F.lit(0.0))
     se = F.sqrt(ssr / (F.col("n_d") - 1) / F.col("s2"))
     return sums.select(
         "key1", "key2", "n",
         F.col("beta"), F.col("alpha"),
         rho.alias("rho"),
-        (rho / se).alias("adf_t"),
+        F.when(ok & (ssr > 0) & (F.col("n_d") > 1), rho / se)
+        .alias("adf_t"),
     )
 
 
@@ -625,13 +635,16 @@ def ewma_pair_covariance(returns: DataFrame, alpha: float = 0.0625,
     b = returns.select(F.col("key").alias("key2"),
                        F.col("time").alias("t2"),
                        F.col("value").alias("rb"))
+    # the pair key is a STRUCT, not a concat_ws round-trip: a "|" inside
+    # an instrument key would silently mis-split back into wrong
+    # key1/key2 — the struct survives the grouped-map pass losslessly
     paired = (a.join(b, (F.col("time") == F.col("t2"))
                      & (F.col("key1") < F.col("key2"))).drop("t2")
-              .select(F.concat_ws("|", "key1", "key2").alias("key"),
+              .select(F.struct("key1", "key2").alias("key"),
                       "time", (F.col("ra") * F.col("rb")).alias("value")))
     cov = (ema(paired, alpha=alpha)
-           .select(F.split("key", "\\|")[0].alias("key1"),
-                   F.split("key", "\\|")[1].alias("key2"),
+           .select(F.col("key.key1").alias("key1"),
+                   F.col("key.key2").alias("key2"),
                    "time", F.col("ema").alias("ewma_cov")))
     sq = returns.select("key", "time",
                         (F.col("value") * F.col("value")).alias("value"))

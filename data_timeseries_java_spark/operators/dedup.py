@@ -639,7 +639,12 @@ def jaccard_prefix_join(df: DataFrame, threshold: float = 0.5, k: int = 3,
               .withColumn("_pos", F.row_number().over(
                   Window.partitionBy(id_col)
                   .orderBy(F.asc("_df"), F.asc("shingle")))))
-    prefix_len = (F.col("_n") - F.ceil(F.col("_n") * threshold) + 1)
+    # round before ceil: t*n in floating point can exceed the exact
+    # integral product by 1 ulp (0.07*100 = 7.000000000000001), which
+    # would ceil to 8 and shorten the prefix — a silent false-negative
+    # hole in the "no recall loss" guarantee
+    prefix_len = (F.col("_n")
+                  - F.ceil(F.round(F.col("_n") * threshold, 9)) + 1)
     pref = ranked.where(F.col("_pos") <= prefix_len)
     a = pref.select(F.col(id_col).alias("id_a"), "shingle")
     b = pref.select(F.col(id_col).alias("id_b"),

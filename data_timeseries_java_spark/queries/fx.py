@@ -2737,9 +2737,9 @@ s AS (
 SELECT key, w_start_ms, volume,
        round(close_price, 6) AS close_price,
        signed_volume,
-       sum(signed_volume) OVER (PARTITION BY key ORDER BY w_start_ms
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS obv
+       CAST(sum(signed_volume) OVER (PARTITION BY key ORDER BY w_start_ms
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS obv
 FROM s
 """.replace("{res}", str(RES_MS))
 
@@ -2869,10 +2869,14 @@ sums AS (
 SELECT key1, key2, n,
        round(beta, 6) AS beta,
        round(alpha, 6) AS alpha,
-       round(s1 / s2, 6) AS rho,
-       round((s1 / s2) / sqrt((s3 - 2.0 * (s1 / s2) * s1
-                               + (s1 / s2) * (s1 / s2) * s2)
-                              / (n_d - 1) / s2), 6) AS adf_t
+       CASE WHEN s2 > 0 THEN round(s1 / s2, 6) END AS rho,
+       CASE WHEN s2 > 0 AND n_d > 1
+                 AND greatest(s3 - 2.0 * (s1 / s2) * s1
+                              + (s1 / s2) * (s1 / s2) * s2, 0.0) > 0
+            THEN round((s1 / s2)
+                       / sqrt(greatest(s3 - 2.0 * (s1 / s2) * s1
+                                       + (s1 / s2) * (s1 / s2) * s2, 0.0)
+                              / (n_d - 1) / s2), 6) END AS adf_t
 FROM sums
 """
 

@@ -621,8 +621,9 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                   lineitem.l_partkey == part.p_partkey)
             .groupBy(F.unix_millis(F.date_trunc("month", "l_shipdate"))
                      .alias("month_ms"))
-            .agg(F.round(F.lit(100.0) * F.sum(promo_rev)
-                         / F.sum(_revenue()), 6).alias("promo_share"),
+            .agg(F.round(F.lit(100.0) * F.round(F.sum(promo_rev), 2)
+                         / F.round(F.sum(_revenue()), 2), 6)
+                 .alias("promo_share"),
                  F.round(F.sum(promo_rev), 2).alias("promo_revenue")))
 
 
@@ -630,10 +631,11 @@ QUERIES["promo_revenue"] = q_promo_revenue
 
 ORACLE["promo_revenue"] = f"""
 SELECT epoch_ms(date_trunc('month', l_shipdate)) AS month_ms,
-       round(100.0 * sum(CASE WHEN p_type = '{PROMO_TYPE}'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share,
+       round(100.0 * round(sum(CASE WHEN p_type = '{PROMO_TYPE}'
+                                    THEN l_extendedprice * (1 - l_discount)
+                                    ELSE 0.0 END), 2)
+             / round(sum(l_extendedprice * (1 - l_discount)), 2), 6)
+           AS promo_share,
        round(sum(CASE WHEN p_type = '{PROMO_TYPE}'
                       THEN l_extendedprice * (1 - l_discount)
                       ELSE 0.0 END), 2) AS promo_revenue

@@ -48,6 +48,19 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if problems:
         return problems
     s, d = normalize(spark_pdf), normalize(duck_pdf)
+    # Dtype-kind parity: the driver's canonical hash is representation-
+    # sensitive (int64 `40` vs float64 `40.0` mismatch even when values
+    # are equal — the fx_obv r7 red row).  After width normalization the
+    # numeric KIND (int vs float) must agree or the driver would flag it.
+    for c in s.columns:
+        sk, dk = s[c].dtype.kind, d[c].dtype.kind
+        if sk != dk:
+            problems.append(
+                f"col {c}: dtype-kind mismatch spark={s[c].dtype} "
+                f"duck={d[c].dtype} (driver hash would differ even on "
+                f"equal values — cast the oracle or the query)")
+    if problems:
+        return problems
     for c in s.columns:
         sv, dv = s[c].to_numpy(), d[c].to_numpy()
         if sv.dtype.kind == "f":
