@@ -377,6 +377,86 @@ def kmeans_centroids(df: DataFrame, seed_stride: int = 50,
     return cent
 
 
+# Knuth multiplicative scramble over the Mersenne prime 2^31-1: for ids
+# below the modulus the map id -> id*MULT mod PRIME is a bijection, so
+# ordering by the scrambled value is a deterministic pseudo-random
+# permutation both engines reproduce in exact BIGINT arithmetic (the id
+# is reduced mod the prime FIRST so the product never overflows int64).
+SCRAMBLE_MULT = 2654435761
+SCRAMBLE_PRIME = 2147483647
+
+
+def scramble(col: "F.Column") -> "F.Column":
+    """Deterministic pseudo-random BIGINT rank for an id column —
+    pure integer arithmetic, bit-identical in Spark and DuckDB."""
+    return F.pmod(F.pmod(col.cast("long"), F.lit(SCRAMBLE_PRIME))
+                  * F.lit(SCRAMBLE_MULT), F.lit(SCRAMBLE_PRIME))
+
+
+def kmeans_centroids_fixedk(df: DataFrame, k: int = 10,
+                            sample_size: int = 250, iterations: int = 3,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Fixed-k k-means trained on a bounded deterministic sample — the
+    SemDeDup paper's own training recipe (Abbas et al. 2023 fix k and
+    fit on a subset, not the corpus) and the scale fix for
+    :func:`kmeans_centroids`'s ``id % stride`` seeding, whose centroid
+    count — and therefore training cost O(n*k*d) — grows with the
+    corpus (the measured quadratic in SCALE.md §SemDeDup).
+
+    Sample: the ``sample_size`` vectors with the smallest scrambled id
+    (Knuth multiplicative hash mod a Mersenne prime — a deterministic
+    permutation, so this is a uniform sample that any engine
+    reproduces exactly; ties on scramble break by id). Seeds: the
+    first ``k`` of the same ordering. Lloyd's then runs the SAME
+    unrolled plan as kmeans_centroids but over sample components only.
+
+    Shape at 100 TB: the sample selection is a distributed top-S on a
+    two-column projection (per-partition top-S, tiny merge — never a
+    global sort of the corpus); training touches S*k*d components —
+    CONSTANT in n. Assignment of the full corpus is the caller's
+    problem and should be :func:`srp_assign` (linear). Together they
+    remove the last n-proportional term from SemDeDup training.
+
+    Returns the trained centroid COMPONENT frame (centroid_id, dim, w)
+    with centroid_id = the seed's vector id, same contract as
+    kmeans_centroids."""
+    from pyspark.sql import Window
+
+    sample_ids = (df.select(F.col(id_col), scramble(F.col(id_col))
+                            .alias("_scr"))
+                  .orderBy("_scr", id_col).limit(sample_size))
+    # sample components: S vectors — broadcast the id list, prune early
+    comp = (df.join(F.broadcast(sample_ids.select(id_col)), id_col)
+            .select(F.col(id_col), F.posexplode(vec_col).alias("dim", "x"))
+            .select(id_col, "dim", F.col("x").cast("double").alias("x")))
+    vnorm = comp.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("vnrm"))
+    seed_ids = sample_ids.orderBy("_scr", id_col).limit(k).select(id_col)
+    cent = (comp.join(F.broadcast(seed_ids), id_col)
+            .select(F.col(id_col).alias("centroid_id"), "dim",
+                    F.col("x").alias("w")))
+    for _ in range(iterations):
+        cnorm = cent.groupBy("centroid_id").agg(
+            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("cnrm"))
+        dots = (comp.join(F.broadcast(cent), "dim")
+                .groupBy(id_col, "centroid_id")
+                .agg(F.sum(F.col("x") * F.col("w")).alias("dot")))
+        scored = (dots.join(vnorm, id_col)
+                  .join(F.broadcast(cnorm), "centroid_id")
+                  .select(id_col, "centroid_id",
+                          (F.col("dot") / (F.col("vnrm") * F.col("cnrm"))
+                           ).alias("cos")))
+        wr = Window.partitionBy(id_col).orderBy(
+            F.desc(F.round("cos", 9)), F.asc("centroid_id"))
+        assign = (scored.withColumn("rnk", F.row_number().over(wr))
+                  .where(F.col("rnk") == 1).select(id_col, "centroid_id"))
+        cent = (assign.join(comp, id_col)
+                .groupBy("centroid_id", "dim")
+                .agg(F.round(F.avg("x"), 6).alias("w")))
+    return cent
+
+
 def centroid_vectors(cent_components: DataFrame, id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
     """Assemble a centroid component frame back into array vectors with

@@ -785,16 +785,18 @@ def _srp_band_sql(src: str, id_expr: str) -> str:
     return "\n  UNION ALL\n  ".join(parts)
 
 
-ORACLE["semantic_dedup_ann"] = f"""
-WITH {_COMP},
-{_kmeans_cte(_SD_N)},
-cnormf AS (
+def _semdedup_ann_tail(cent_cte: str) -> str:
+    """The SRP-banded-assignment + within-cluster-verdict CTE chain of
+    the SemDeDup-ANN oracle, parameterized on the trained-centroid CTE
+    name — shared verbatim by semantic_dedup_ann (corpus-trained
+    centroids) and semantic_dedup_fixedk (fixed-k sample-trained)."""
+    return f"""cnormf AS (
   SELECT centroid_id, sqrt(sum(w * w)) AS nrm
-  FROM cent{_SD_N} GROUP BY centroid_id
+  FROM {cent_cte} GROUP BY centroid_id
 ),
 cvec AS (
   SELECT centroid_id, list(w ORDER BY dim) AS cv
-  FROM cent{_SD_N} GROUP BY centroid_id
+  FROM {cent_cte} GROUP BY centroid_id
 ),
 vsc AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xe,
@@ -845,8 +847,8 @@ cdot AS (
   SELECT ca.vec_id, ca.centroid_id, sum(CAST(v.x AS DOUBLE) * cc.w) AS dot
   FROM cand ca
   JOIN comp v ON v.vec_id = ca.vec_id
-  JOIN cent{_SD_N} cc ON cc.centroid_id = ca.centroid_id
-                     AND cc.dim = v.dim
+  JOIN {cent_cte} cc ON cc.centroid_id = ca.centroid_id
+                    AND cc.dim = v.dim
   GROUP BY ca.vec_id, ca.centroid_id
 ),
 assign AS (
@@ -890,6 +892,112 @@ SELECT e.vec_id, CAST(-1 AS BIGINT) AS centroid_id,
        CAST(NULL AS DOUBLE) AS max_dup_cos
 FROM embeddings e
 WHERE e.vec_id NOT IN (SELECT vec_id FROM assign)
+"""
+
+
+ORACLE["semantic_dedup_ann"] = f"""
+WITH {_COMP},
+{_kmeans_cte(_SD_N)},
+{_semdedup_ann_tail(f"cent{_SD_N}")}
+"""
+
+
+# ---- SemDeDup, fully linear: fixed-k sample-trained + SRP assignment ------
+
+FIXEDK_K = 10       # fixed centroid count — does NOT grow with the corpus
+FIXEDK_SAMPLE = 250  # bounded training sample — constant as n grows
+
+
+def _kmeans_fixedk_cte(iterations: int, k: int, sample_size: int) -> str:
+    """Unrolled fixed-k Lloyd's over a bounded scrambled-id sample,
+    mirroring operators.similarity.kmeans_centroids_fixedk step for
+    step (Knuth-scramble top-S sample, first-k seeds, round(cos,9)
+    ranked assignment, 6-decimal mean update). Final centroid CTE is
+    fcent{{iterations}}."""
+    from data_timeseries_java_spark.operators.similarity import (
+        SCRAMBLE_MULT,
+        SCRAMBLE_PRIME,
+    )
+
+    sql = f"""
+fscr AS (
+  SELECT vec_id,
+         ((vec_id % {SCRAMBLE_PRIME}) * {SCRAMBLE_MULT})
+           % {SCRAMBLE_PRIME} AS s
+  FROM embeddings
+),
+fsamp AS (SELECT vec_id FROM fscr ORDER BY s, vec_id LIMIT {sample_size}),
+fcomp AS (
+  SELECT c.vec_id, c.dim, CAST(c.x AS DOUBLE) AS x
+  FROM comp c JOIN fsamp fs ON fs.vec_id = c.vec_id
+),
+fseeds AS (SELECT vec_id FROM fscr ORDER BY s, vec_id LIMIT {k}),
+fcent0 AS (
+  SELECT c.vec_id AS centroid_id, c.dim, c.x AS w
+  FROM fcomp c JOIN fseeds s ON s.vec_id = c.vec_id
+)"""
+    for i in range(iterations):
+        sql += f""",
+fcn{i} AS (
+  SELECT centroid_id, sqrt(sum(w * w)) AS nrm
+  FROM fcent{i} GROUP BY centroid_id
+),
+fvc{i} AS (
+  SELECT v.vec_id, c.centroid_id, sum(v.x * c.w) AS dot
+  FROM fcomp v JOIN fcent{i} c ON v.dim = c.dim
+  GROUP BY v.vec_id, c.centroid_id
+),
+fasg{i} AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vc.vec_id, vc.centroid_id,
+           row_number() OVER (PARTITION BY vc.vec_id
+             ORDER BY round(vc.dot / (n.nrm * cn.nrm), 9) DESC,
+                      vc.centroid_id ASC) AS rnk
+    FROM fvc{i} vc
+    JOIN norms n ON n.vec_id = vc.vec_id
+    JOIN fcn{i} cn ON cn.centroid_id = vc.centroid_id)
+  WHERE rnk = 1
+),
+fcent{i + 1} AS (
+  SELECT a.centroid_id, v.dim, round(avg(v.x), 6) AS w
+  FROM fasg{i} a JOIN fcomp v ON v.vec_id = a.vec_id
+  GROUP BY a.centroid_id, v.dim
+)"""
+    return sql
+
+
+def q_semantic_dedup_fixedk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with BOTH stages linear — the full 100-TB recipe. The
+    corpus-trained variants (semantic_dedup, semantic_dedup_ann) still
+    train k-means with k ~ n (the last n-proportional term, SCALE.md
+    §SemDeDup); here training is fixed-k Lloyd's on a bounded
+    deterministic sample (operators.similarity.kmeans_centroids_fixedk
+    — the paper's own recipe), so training cost is O(S*k*d) = constant
+    in n, and assignment stays SRP-banded (srp_assign, linear). Same
+    verdict contract as semantic_dedup_ann."""
+    from data_timeseries_java_spark.operators.similarity import (
+        centroid_vectors,
+        kmeans_centroids_fixedk,
+        semantic_dedup_ann,
+    )
+
+    from data_timeseries_java_spark.plans.materialize import materialize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = materialize(centroid_vectors(kmeans_centroids_fixedk(
+        emb, k=FIXEDK_K, sample_size=FIXEDK_SAMPLE,
+        iterations=KMEANS_ITERS)))
+    return semantic_dedup_ann(emb, cent, _srp_signs(),
+                              threshold=SEMDEDUP_T,
+                              band_bits=SRP_BAND_BITS)
+
+
+QUERIES["semantic_dedup_fixedk"] = q_semantic_dedup_fixedk
+
+ORACLE["semantic_dedup_fixedk"] = f"""
+WITH {_COMP},
+{_kmeans_fixedk_cte(KMEANS_ITERS, FIXEDK_K, FIXEDK_SAMPLE)},
+{_semdedup_ann_tail(f"fcent{KMEANS_ITERS}")}
 """
 
 
