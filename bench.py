@@ -66,6 +66,10 @@ HEADLINE = [
     "semantic_dedup",
     # the SRP-banded linear-assignment variant next to the exact path
     "semantic_dedup_ann",
+    # round 8: fully linear SemDeDup (fixed-k sampled training) and the
+    # production-vocab dictionary tokenizer (1024 ranks, segmented)
+    "semantic_dedup_fixedk",
+    "text_bpe_tokens_dict",
     "tfidf_neardup",
     "decontaminate_bloom",
     "quality_classifier",

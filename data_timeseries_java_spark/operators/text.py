@@ -606,6 +606,90 @@ def bpe_token_counts(df: DataFrame, text_col: str = "text",
         .alias("chars_per_token"))
 
 
+def bpe_token_counts_dict(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          merges: list[tuple[str, str]] | None = None,
+                          segment: int | None = 128) -> DataFrame:
+    """:func:`bpe_token_counts` via DICTIONARY tokenization — the shape
+    that survives a production-size merge table (32k-100k ranks).
+
+    The direct replace-chain pays O(merges x corpus_chars): every rank
+    rescans every document string, and past a few hundred ranks the
+    single nested expression tree also defeats whole-stage codegen (one
+    replace nests inside the next, so codegen cannot split the
+    generated method below the JVM 64 KB limit — measured in
+    scripts/bench_bpe_merges.py). Here the chain is applied to DISTINCT
+    WORDS only: corpus cost collapses to one explode + one broadcast
+    join, and the chain cost is paid on the vocabulary, which Heaps'
+    law keeps tiny relative to a 100 TB corpus.
+
+    ``segment`` bounds the expression-tree depth per stage: every
+    ``segment`` merges the vocabulary frame re-materializes (policy
+    hook), so no stage ever evaluates a recursion-deep tree. Depth 256
+    is measured safe (the direct chain runs at 256); 128 keeps a 2x
+    stack margin while halving the barrier count of 64 — barrier count
+    is what actually costs wall (measured at 1024 ranks, sf0.1:
+    seg=64 -> 12.8s, seg=128 -> 0.7s steady-state exec). The
+    vocabulary frame is small by construction, so the surviving
+    barriers are cheap. ``segment=None`` builds one unsegmented chain
+    (the measured comparison arm — JVM StackOverflowError at 1024).
+
+    Output contract is identical to :func:`bpe_token_counts` —
+    documents with zero ``[a-z0-9]+`` words still get a row of zeros."""
+    if merges is None:
+        from data_timeseries_java_spark.functions.bpe_vocab import MERGES
+        merges = MERGES
+    from data_timeseries_java_spark.plans.materialize import materialize
+
+    s = BPE_SEP
+    words = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                 F.lit("[a-z0-9]+"), 0)
+    doc_words = (df.select(F.col(id_col), F.explode(words).alias("_w"))
+                 .groupBy(id_col, "_w")
+                 .agg(F.count(F.lit(1)).alias("_c")))
+    vocab = doc_words.select("_w").distinct()
+    ser = F.substring(
+        F.concat(F.lit(s),
+                 F.regexp_replace(F.col("_w"), "(.)", f"$1{s}{s}")),
+        F.lit(1), F.length("_w") * 3)
+    cur = vocab.select("_w", ser.alias("_m"))
+    step = segment or len(merges) or 1
+    for i in range(0, len(merges), step):
+        col = F.col("_m")
+        for a, b in merges[i:i + step]:
+            col = F.replace(col, F.lit(f"{s}{a}{s}{s}{b}{s}"),
+                            F.lit(f"{s}{a}{b}{s}"))
+        cur = cur.select("_w", col.alias("_m"))
+        if segment and i + step < len(merges):
+            cur = materialize(cur)
+    ss = s + s
+    wtok = (F.lit(1)
+            + ((F.length("_m")
+                - F.length(F.replace(F.col("_m"), F.lit(ss), F.lit(""))))
+               / 2)).cast("long")
+    vocab_tok = cur.select("_w", wtok.alias("_wtok"),
+                           F.length("_w").cast("long").alias("_wlen"))
+    per_doc = (doc_words.join(F.broadcast(vocab_tok), "_w")
+               .groupBy(id_col)
+               .agg(F.sum("_c").cast("long").alias("n_words"),
+                    F.sum(F.col("_c") * F.col("_wlen")).cast("long")
+                    .alias("n_chars"),
+                    F.sum(F.col("_c") * F.col("_wtok")).cast("long")
+                    .alias("n_bpe_tokens")))
+    n_tok = F.coalesce(F.col("n_bpe_tokens"), F.lit(0))
+    return (df.select(id_col).join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("n_words"), F.lit(0)).cast("long")
+                    .alias("n_words"),
+                    F.coalesce(F.col("n_chars"), F.lit(0)).cast("long")
+                    .alias("n_chars"),
+                    n_tok.cast("long").alias("n_bpe_tokens"),
+                    F.when(n_tok > 0,
+                           _floor6(F.coalesce(F.col("n_chars"), F.lit(0))
+                                   / n_tok))
+                    .alias("chars_per_token")))
+
+
 def hashed_linear_classifier(df: DataFrame, weights: DataFrame | None = None,
                              n_buckets: int = 1024, bias: float = 0.0,
                              text_col: str = "text",

@@ -826,6 +826,96 @@ QUERIES["text_bpe_tokens"] = q_text_bpe_tokens
 ORACLE["text_bpe_tokens"] = _bpe_sql()
 
 
+BPE_DICT_SEGMENT = 128  # merges/stage: depth-bounded (256 measured safe),
+#   barrier-count-optimized (seg=64 costs 12.8s vs 0.7s — SCALE.md §BPE)
+
+
+def q_text_bpe_tokens_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`text_bpe_tokens` at production vocab scale: the full
+    1024-rank merge table (functions/bpe_vocab_1k.py) applied via
+    DICTIONARY tokenization (operators/text.bpe_token_counts_dict) —
+    the chain runs over DISTINCT WORDS in depth-bounded segments of
+    {seg} and token counts broadcast-join back to the corpus. The
+    direct chain is structurally impossible here: a depth-1024 nested
+    replace tree overflows the JVM thread stack (measured — it KILLS
+    the executor; scripts/bench_bpe_merges.py, SCALE.md §BPE). The
+    oracle applies the same 1024 ranks in {seg}-deep CTE stages
+    (DuckDB's max_expression_depth would likewise reject one nested
+    chain), so both engines prove the segmented mechanism.""".replace(
+        "{seg}", str(BPE_DICT_SEGMENT))
+    from data_timeseries_java_spark.functions.bpe_vocab_1k import (
+        MERGES as MERGES_1K)
+    from data_timeseries_java_spark.operators.text import (
+        bpe_token_counts_dict)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_counts_dict(docs, merges=MERGES_1K,
+                                 segment=BPE_DICT_SEGMENT)
+
+
+# DuckDB's expression BINDER recurses per nested call and caps at 128,
+# so the oracle segments at 64 regardless of the Spark-side stage depth
+# — segmentation granularity cannot change the result, only the plan.
+BPE_DICT_ORACLE_SEGMENT = 64
+
+
+def _bpe_dict_sql() -> str:
+    from data_timeseries_java_spark.functions.bpe_vocab_1k import (
+        MERGES as MERGES_1K)
+
+    s = "~"
+    ctes = []
+    n_seg = 0
+    for i in range(0, len(MERGES_1K), BPE_DICT_ORACLE_SEGMENT):
+        expr = "m"
+        for a, b in MERGES_1K[i:i + BPE_DICT_ORACLE_SEGMENT]:
+            expr = (f"replace({expr}, '{s}{a}{s}{s}{b}{s}',"
+                    f" '{s}{a}{b}{s}')")
+        ctes.append(f"v{n_seg + 1} AS (SELECT w, {expr} AS m"
+                    f" FROM v{n_seg})")
+        n_seg += 1
+    seg_sql = ",\n".join(ctes)
+    return f"""
+WITH dw AS (
+  SELECT doc_id, w, count(*) AS c FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+    FROM documents)
+  GROUP BY doc_id, w
+),
+v0 AS (
+  SELECT DISTINCT w,
+         substr('{s}' || regexp_replace(w, '(.)', '\\1{s}{s}', 'g'),
+                1, 3 * length(w)) AS m
+  FROM dw
+),
+{seg_sql},
+vt AS (
+  SELECT w, length(w) AS wlen,
+         1 + (length(m) - length(replace(m, '{s}{s}', ''))) // 2 AS wtok
+  FROM v{n_seg}
+),
+agg AS (
+  SELECT dw.doc_id, sum(c) AS n_words, sum(c * wlen) AS n_chars,
+         sum(c * wtok) AS n_bpe_tokens
+  FROM dw JOIN vt ON vt.w = dw.w
+  GROUP BY dw.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(a.n_chars, 0) AS BIGINT) AS n_chars,
+       CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+       CASE WHEN coalesce(a.n_bpe_tokens, 0) > 0
+            THEN floor(a.n_chars * 1000000.0 / a.n_bpe_tokens) / 1000000
+       END AS chars_per_token
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+QUERIES["text_bpe_tokens_dict"] = q_text_bpe_tokens_dict
+ORACLE["text_bpe_tokens_dict"] = _bpe_dict_sql()
+
+
 # ---- k-gram novelty (memorization probe) --------------------------------
 
 NOVELTY_K = 3

@@ -20,7 +20,14 @@ QUERIES = ["dedup_minhash_lsh", "corpus_build", "ann_lsh",
            "fx_cusum",
            # round-7 batch 2 additions
            "semantic_dedup", "tfidf_neardup", "decontaminate_bloom",
-           "quality_classifier", "semantic_dedup_ann"]
+           "quality_classifier", "semantic_dedup_ann",
+           # round-7 batch 3 additions (fact tables replicate from r8:
+           # lineitem/orders grow with the decade, dims stay fixed)
+           "fx_pair_spearman", "weighted_median_price",
+           "region_nation_share", "rolling_distinct_users",
+           "brand_triangles",
+           # round-8 additions
+           "semantic_dedup_fixedk", "text_bpe_tokens_dict"]
 
 
 def bench(spark, qs, name, sf_dir, n):

@@ -93,11 +93,29 @@ def main() -> None:
     ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
     """)
 
-    for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem"]:
+    # facts: lineitem/orders replicate with an orderkey offset so the
+    # fact side grows N x while every dimension stays fixed — the
+    # realistic warehouse shape (dims grow far slower than facts) and
+    # the one that stresses fact-side shuffles, wedge fanout (brand
+    # triangles: same brand universe, N x the orders), and the
+    # per-group sort of the weighted median.
+    con.execute(f"""
+    COPY (
+      SELECT l.* REPLACE (l.l_orderkey + r.i * {ID_OFF} AS l_orderkey)
+      FROM read_parquet('{SRC}/lineitem.parquet') l CROSS JOIN reps r
+    ) TO '{DST}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+    COPY (
+      SELECT o.* REPLACE (o.o_orderkey + r.i * {ID_OFF} AS o_orderkey)
+      FROM read_parquet('{SRC}/orders.parquet') o CROSS JOIN reps r
+    ) TO '{DST}/orders.parquet' (FORMAT PARQUET)
+    """)
+
+    for t in ["region", "nation", "customer", "supplier", "part"]:
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
 
-    for t in ["events", "documents", "embeddings"]:
+    for t in ["events", "documents", "embeddings", "lineitem", "orders"]:
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{DST}/{t}.parquet')"
         ).fetchone()[0]

@@ -170,3 +170,33 @@ def test_bpe_replace_chain_matches_classic_apply(spark):
            for r in bpe_token_counts(df).collect()}
     for i, t in enumerate(samples):
         assert got[i] == classic(t), (t, got[i], classic(t))
+
+
+def test_bpe_dict_mechanism_survives_1024_merges(spark, sf_dir):
+    """The production-vocab mechanism pin: the 1024-rank table applied
+    via dictionary tokenization in depth-64 segments must (a) not blow
+    the JVM stack — a direct depth-1024 replace chain does, measured
+    StackOverflowError in scripts/bench_bpe_merges.py — and (b) equal
+    the direct chain over the CORPUS-TRAINED prefix, because ranks
+    89..1023 are saturation filler that never fires on this corpus
+    (functions/bpe_vocab_1k.py docstring) while still costing a scan
+    each. Also pins dict == direct at the committed 64-rank table."""
+    from data_timeseries_java_spark.functions.bpe_vocab import MERGES
+    from data_timeseries_java_spark.functions.bpe_vocab_1k import (
+        MERGES as MERGES_1K)
+    from data_timeseries_java_spark.operators.text import (
+        bpe_token_counts,
+        bpe_token_counts_dict,
+    )
+    from data_timeseries_java_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    trained = [m for i, m in enumerate(MERGES_1K) if i < 89]
+    direct = sorted(bpe_token_counts(docs, merges=trained).collect())
+    dict_1k = sorted(
+        bpe_token_counts_dict(docs, merges=MERGES_1K, segment=64).collect())
+    assert dict_1k == direct
+
+    direct_64 = sorted(bpe_token_counts(docs, merges=MERGES).collect())
+    dict_64 = sorted(bpe_token_counts_dict(docs, merges=MERGES).collect())
+    assert dict_64 == direct_64

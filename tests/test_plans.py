@@ -238,6 +238,53 @@ def test_bucketed_table_eliminates_agg_shuffle(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS _test_ticks_bucketed")
 
 
+def test_bucketed_returns_eliminate_pair_join_shuffle(spark, sf_dir):
+    """Storage-layout evidence for the correlation PAIR JOIN itself
+    (the agg layout is the test above): the self-join clusters on
+    (window, time) — not on key — so the materialized windowed-returns
+    table buckets by (w_start, time), exactly the join's equi-keys
+    (requireAllClusterKeysForCoPartition, default true, rejects a
+    subset). Both aliases scan the same bucketed layout, so the pair
+    join runs with ZERO shuffle exchanges; the plain plan shuffles."""
+    from data_timeseries_java_spark.operators.candles import candles_pipeline
+    from data_timeseries_java_spark.operators.correlation import (
+        CorrelationConfig, _windowed)
+    from data_timeseries_java_spark.operators.returns import log_returns
+    from data_timeseries_java_spark.tables import events_as_ticks
+
+    ticks = events_as_ticks(spark, sf_dir)
+    r = log_returns(candles_pipeline(
+        ticks, ticks.select("key").distinct(), "1 hour"))
+    flat = _windowed(r, CorrelationConfig("6 hours", "3 hours", 0.0, True)
+                     ).select(F.col("w.start").alias("w_start"),
+                              "time", "key", "value")
+
+    def pair_join(df):
+        a, b = df.alias("a"), df.alias("b")
+        return a.join(b, (F.col("a.w_start") == F.col("b.w_start"))
+                      & (F.col("a.time") == F.col("b.time"))
+                      & (F.col("a.key") < F.col("b.key")))
+
+    # tiny test frames would broadcast; force the shuffle strategy the
+    # pair join takes at scale so the layout claim is what's measured
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sql("DROP TABLE IF EXISTS _test_returns_bucketed")
+    try:
+        plain = pair_join(flat)
+        assert exchange_count(plain) >= 1
+
+        (flat.write.mode("overwrite").bucketBy(8, "w_start", "time")
+         .sortBy("w_start", "time", "key")
+         .saveAsTable("_test_returns_bucketed"))
+        bucketed = pair_join(spark.table("_test_returns_bucketed"))
+        assert exchange_count(bucketed) == 0
+        assert bucketed.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS _test_returns_bucketed")
+
+
 def test_corpus_build_stays_fused(spark, sf_dir):
     """The corpus pipeline must keep its fused shape: at most 3 parquet
     scans (main projection + the two contamination shingle sides), no

@@ -283,3 +283,87 @@ def test_gridq_compaction_crash_safe(spark, sf_dir):
         shutil.rmtree(saved, ignore_errors=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_topk_compaction_racing_live_batch_is_excluded(spark, sf_dir,
+                                                       monkeypatch):
+    """The concurrent-writer hazard, exercised rather than asserted: a
+    live micro-batch that lands AFTER compaction snapshots the batch
+    list but BEFORE the fold swaps in must be (a) left on disk, (b)
+    absent from the fold's supersession set, and (c) counted IN
+    ADDITION to the fold — the _FOLD_OFFSET id-space claim says the
+    racer's id can never collide with or be claimed by the fold. A
+    follow-up quiesced compaction then folds the racer in with totals
+    unchanged."""
+    import data_timeseries_java_spark.streaming.topk_stream as ts
+    from data_timeseries_java_spark.streaming import (
+        compact_topk_store,
+        read_streaming_topk,
+        streaming_cms_topk,
+    )
+    from data_timeseries_java_spark.streaming.topk_stream import (
+        _FOLD_OFFSET,
+        _superseded_ids,
+    )
+    from data_timeseries_java_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="stopk_r_")
+    try:
+        _replay_files(spark, ev, d, 4, "event_id")
+        src = (spark.readStream.schema(ev.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{d}/in/f*"))
+        q = streaming_cms_topk(spark, src, f"{d}/out",
+                               key_col="user_id",
+                               candidates_per_batch=None)
+        assert q.awaitTermination(300)
+        store = f"{d}/out/topk"
+        originals = sorted(b for b in os.listdir(store)
+                           if b.startswith("batch_id="))
+
+        # expected totals = originals + the racing batch (a replayed
+        # copy of batch 0), resolved on an UNCOMPACTED store
+        racer_src = tempfile.mkdtemp(prefix="stopk_racer_")
+        shutil.copytree(f"{store}/{originals[0]}",
+                        f"{racer_src}/batch", dirs_exist_ok=True)
+        shutil.copytree(f"{racer_src}/batch", f"{store}/batch_id=4")
+        want = [(r.key, r.cms_estimate) for r in
+                read_streaming_topk(spark, f"{d}/out", k=10).collect()]
+        shutil.rmtree(f"{store}/batch_id=4")
+
+        # deterministic interleave: the racer lands between the batch
+        # listing and the fold swap — exactly the window a live
+        # micro-batch can hit
+        real_swap = ts.swap_in_fold
+
+        def racing_swap(folded, store_path, new_id, old_dirs):
+            shutil.copytree(f"{racer_src}/batch",
+                            f"{store_path}/batch_id=4")
+            real_swap(folded, store_path, new_id, old_dirs)
+
+        monkeypatch.setattr(ts, "swap_in_fold", racing_swap)
+        compact_topk_store(spark, f"{d}/out")
+        monkeypatch.setattr(ts, "swap_in_fold", real_swap)
+
+        dirs = sorted(b for b in os.listdir(store)
+                      if b.startswith("batch_id="))
+        assert f"batch_id=4" in dirs                      # racer survives
+        fold_ids = [int(b.split("=", 1)[1]) for b in dirs
+                    if int(b.split("=", 1)[1]) >= _FOLD_OFFSET]
+        assert len(fold_ids) == 1                         # one fold
+        sup = _superseded_ids(
+            spark.read.option("basePath", store).parquet(store))
+        assert 4 not in sup                               # racer not claimed
+        got = [(r.key, r.cms_estimate) for r in
+               read_streaming_topk(spark, f"{d}/out", k=10).collect()]
+        assert got == want                                # racer counted once
+
+        # quiesced follow-up compaction folds the racer in, totals fixed
+        stats = compact_topk_store(spark, f"{d}/out")
+        assert stats["batches_after"] == 1
+        again = [(r.key, r.cms_estimate) for r in
+                 read_streaming_topk(spark, f"{d}/out", k=10).collect()]
+        assert again == want
+        shutil.rmtree(racer_src, ignore_errors=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
