@@ -690,6 +690,68 @@ def bpe_token_counts_dict(df: DataFrame, text_col: str = "text",
                     .alias("chars_per_token")))
 
 
+def dsir_importance(df: DataFrame, target: Column, n_buckets: int = 1024,
+                    smoothing: float = 1.0, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """DSIR-style importance scoring (after Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling" — public):
+    fit hashed-ngram bag-of-words models of a TARGET (quality) corpus
+    and the RAW remainder, then score every document by its summed
+    per-bucket log-likelihood ratio — docs that look more target-like
+    than raw-like carry positive weight.
+
+    Features: unigrams + bigrams of the whitespace token stream, md5-
+    hashed into ``n_buckets`` (the paper's hashing trick; identical
+    bucket math in the DuckDB oracle). Bucket probabilities are add-
+    ``smoothing`` smoothed. ``target`` is any boolean Column over df's
+    rows (e.g. ``F.col("lang") == "en"``).
+
+    Selection: ``kept = log_weight > 0`` — a pure threshold, so the
+    plan is fully distributed (the paper's Gumbel top-k needs a global
+    rank = a global sort of the corpus; a production deployment picks
+    the threshold from a quantile sketch of the weights instead —
+    `gk_quantiles` here — and keeps selection itself shuffle-free).
+
+    Shape at 100 TB: the bucket-stats model is ``n_buckets`` rows
+    regardless of corpus size — ONE aggregate builds both corpus
+    models, the llr table broadcasts back, and scoring is a second
+    aggregate over the same exploded grams. No vocabulary
+    materialization, no driver round-trip. llr is rounded to 9 (the
+    cross-engine ln guard), per-doc sums to 6 (house convention)."""
+    t = tokens(F.col(text_col))
+    n1 = F.greatest(F.size(t) - 1, F.lit(0))
+    bigrams = F.zip_with(F.slice(t, 1, n1), F.slice(t, 2, n1),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    gb = (df.select(F.col(id_col), target.alias("_is_t"),
+                    F.explode(F.concat(t, bigrams)).alias("g"))
+          .select(id_col, "_is_t", F.expr(
+              f"CAST(conv(substr(md5(g), 1, 8), 16, 10) AS BIGINT)"
+              f" % {n_buckets}").alias("bucket")))
+    stats = (gb.groupBy("bucket")
+             .agg(F.sum(F.when(F.col("_is_t"), 1).otherwise(0))
+                  .alias("ct"),
+                  F.sum(F.when(F.col("_is_t"), 0).otherwise(1))
+                  .alias("cr")))
+    tot = stats.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    s, b = float(smoothing), n_buckets
+    llr = F.round(F.log(((F.col("ct") + s) * (F.col("tr") + s * b))
+                        / ((F.col("cr") + s) * (F.col("tt") + s * b))), 9)
+    w = stats.crossJoin(F.broadcast(tot)).select("bucket",
+                                                 llr.alias("llr"))
+    dw = (gb.join(F.broadcast(w), "bucket")
+          .groupBy(id_col)
+          .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+               F.round(F.sum("llr"), 6).alias("log_weight")))
+    lw = F.coalesce(F.col("log_weight"), F.lit(0.0))
+    return (df.select(id_col, target.alias("is_target"))
+            .join(dw, id_col, "left")
+            .select(id_col, "is_target",
+                    F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+                    .alias("n_grams"),
+                    (lw + 0.0).alias("log_weight"),
+                    (lw > 0).alias("kept")))
+
+
 def hashed_linear_classifier(df: DataFrame, weights: DataFrame | None = None,
                              n_buckets: int = 1024, bias: float = 0.0,
                              text_col: str = "text",

@@ -1082,6 +1082,70 @@ FROM scored
 """
 
 
+# ---- DSIR importance scoring ---------------------------------------------
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"  # the target (quality-proxy) corpus predicate
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): every document's hashed-
+    ngram log-likelihood ratio against the English-language slice as
+    the target corpus — positive weight = looks more target-like than
+    raw-like, the importance-resampling keeper signal
+    (operators/text.dsir_importance; one aggregate fits BOTH corpus
+    models, the 1024-row llr table broadcasts back)."""
+    from data_timeseries_java_spark.operators.text import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance(docs, F.col("lang") == DSIR_TARGET_LANG,
+                           n_buckets=DSIR_BUCKETS)
+
+
+QUERIES["dsir_importance"] = q_dsir_importance
+
+ORACLE["dsir_importance"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS is_t,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+gb AS (
+  SELECT doc_id, is_t,
+         (('0x' || substr(md5(g), 1, 8))::BIGINT) % {DSIR_BUCKETS} AS bucket
+  FROM (
+    SELECT doc_id, is_t,
+           unnest(list_concat(t,
+             list_transform(range(1, greatest(len(t), 1)),
+                            i -> t[i] || ' ' || t[i + 1]))) AS g
+    FROM toks)
+),
+stats AS (
+  SELECT bucket,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+  FROM gb GROUP BY bucket
+),
+tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM stats),
+w AS (
+  SELECT bucket,
+         round(ln(((ct + 1.0) * (tr + 1.0 * {DSIR_BUCKETS}))
+                  / ((cr + 1.0) * (tt + 1.0 * {DSIR_BUCKETS}))), 9) AS llr
+  FROM stats CROSS JOIN tot
+),
+dw AS (
+  SELECT gb.doc_id, count(*) AS n_grams, round(sum(w.llr), 6) AS log_weight
+  FROM gb JOIN w USING (bucket) GROUP BY gb.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       d.lang = '{DSIR_TARGET_LANG}' AS is_target,
+       CAST(coalesce(dw.n_grams, 0) AS BIGINT) AS n_grams,
+       coalesce(dw.log_weight, 0.0) + 0.0 AS log_weight,
+       coalesce(dw.log_weight, 0.0) > 0 AS kept
+FROM documents d LEFT JOIN dw ON dw.doc_id = d.doc_id
+"""
+
+
 # ---- sparse TF-IDF cosine pairs ------------------------------------------
 
 TFIDF_COS_T = 0.3

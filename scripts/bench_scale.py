@@ -26,8 +26,15 @@ QUERIES = ["dedup_minhash_lsh", "corpus_build", "ann_lsh",
            "fx_pair_spearman", "weighted_median_price",
            "region_nation_share", "rolling_distinct_users",
            "brand_triangles",
-           # round-8 additions
-           "semantic_dedup_fixedk", "text_bpe_tokens_dict"]
+           # round-8 additions. semantic_dedup_fixedk is NOT here by
+           # design: its k is pinned (oracle determinism), so cluster
+           # size — and the verdict pair space, n²/k — grows with the
+           # replica decade; the linearity claim it makes is about
+           # TRAINING, which bench_semdedup_train.py isolates and
+           # measures flat. A production deployment scales k with the
+           # corpus (srp_assign handles k~n) and keeps training on an
+           # S ∝ k sample.
+           "text_bpe_tokens_dict"]
 
 
 def bench(spark, qs, name, sf_dir, n):

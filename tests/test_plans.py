@@ -129,6 +129,11 @@ def test_semantic_dedup_ann_has_no_nested_loop_scan(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in exact  # the O(n*k) scan it replaces
     assert "BroadcastNestedLoopJoin" not in ann
     assert "CartesianProduct" not in ann
+    # the fully-linear variant keeps the banded assignment AND swaps the
+    # k~n training for fixed-k on a bounded sample — same plan guarantee
+    fixedk = formatted_plan(qs["semantic_dedup_fixedk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in fixedk
+    assert "CartesianProduct" not in fixedk
 
 
 # queries that intentionally cross into pandas/Arrow execution
