@@ -668,3 +668,80 @@ def jaccard_prefix_join(df: DataFrame, threshold: float = 0.5, k: int = 3,
             .where(F.round(F.col("jaccard"), 9) >= threshold)
             .select("id_a", "id_b", "n_inter", "n_union",
                     F.round("jaccard", 6).alias("jaccard")))
+
+
+def duplicated_substring_spans(df: DataFrame, k: int = 8,
+                               flag_frac: float = 0.2,
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """ExactSubstr-style duplicated-SPAN detection (after Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    every SLIDING ``k``-token gram (not the disjoint chunks of
+    :func:`segment_duplication`) whose hash occurs >= 2 times anywhere
+    in the corpus — cross-document or within-document repetition loops
+    alike — marks its position duplicated; per document, overlapping
+    duplicated grams merge into MAXIMAL spans (gaps-and-islands with a
+    <= k-1 step, so span token counts never double-count the overlap),
+    the suffix-array result the paper computes, reached by hashing.
+
+    Returns one row per doc: n_tokens, n_dup_grams, n_dup_spans,
+    dup_tokens (union of span lengths), longest_span, dup_frac
+    (floor-quantized), flagged (dup_frac >= ``flag_frac``).
+
+    Shape at 100 TB: sliding grams come from the posexplode + lead
+    window (the winnowing layout — NEVER transform(sequence, slice),
+    which inlines tokenization into every lambda element, the measured
+    O(len²) HOF trap); duplication is a hash-collision count, never
+    all-pairs; the span merge is one per-doc window pass over dup
+    positions only. Three shuffles total (token stream, gram-hash agg,
+    dup-position window), each keyed and linear."""
+    from pyspark.sql import Window
+
+    t = tokens(F.col(text_col))
+    toks_e = df.select(F.col(id_col), F.posexplode(t).alias("pos", "tok"))
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    gram = F.concat_ws(" ", F.col("tok"),
+                       *[F.lead("tok", i).over(wd) for i in range(1, k)])
+    grams = (toks_e.select(id_col, "pos", gram.alias("gram"))
+             .where(F.length("gram")
+                    - F.length(F.regexp_replace("gram", " ", ""))
+                    == k - 1))
+    gh = grams.select(id_col, "pos",
+                      F.substring(F.md5("gram"), 1, 16).alias("h"))
+    dup = (gh.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+           .where(F.col("c") >= 2).select("h"))
+    dpos = gh.join(dup, "h").select(id_col, "pos")
+    lagp = F.lag("pos").over(wd)
+    run = Window.partitionBy(id_col).orderBy("pos") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    isl = (dpos
+           .withColumn("f", F.when(lagp.isNull()
+                                   | (F.col("pos") - lagp > k - 1),
+                                   1).otherwise(0))
+           .withColumn("grp", F.sum("f").over(run)))
+    spans = isl.groupBy(id_col, "grp").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + (k - 1)).alias("e"),
+        F.count(F.lit(1)).alias("n_grams_in"))
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("n_grams_in").cast("long").alias("n_dup_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long")
+        .alias("dup_tokens"),
+        F.max(F.col("e") - F.col("s") + 1).cast("long")
+        .alias("longest_span"))
+    base = df.select(F.col(id_col), F.size(t).cast("long")
+                     .alias("n_tokens"))
+    dtok = F.coalesce(F.col("dup_tokens"), F.lit(0))
+    frac = _floor6(dtok / F.greatest(F.col("n_tokens"), F.lit(1)))
+    return (base.join(per_doc, id_col, "left")
+            .select(id_col, "n_tokens",
+                    F.coalesce(F.col("n_dup_grams"), F.lit(0))
+                    .cast("long").alias("n_dup_grams"),
+                    F.coalesce(F.col("n_dup_spans"), F.lit(0))
+                    .cast("long").alias("n_dup_spans"),
+                    dtok.cast("long").alias("dup_tokens"),
+                    F.coalesce(F.col("longest_span"), F.lit(0))
+                    .cast("long").alias("longest_span"),
+                    frac.alias("dup_frac"),
+                    (frac >= flag_frac).alias("flagged")))

@@ -752,6 +752,33 @@ def dsir_importance(df: DataFrame, target: Column, n_buckets: int = 1024,
                     (lw > 0).alias("kept")))
 
 
+def dsir_resample(scored: DataFrame, n_keep: int = 100,
+                  id_col: str = "doc_id") -> DataFrame:
+    """The DSIR paper's actual selection step — Gumbel top-k sampling
+    without replacement, proportional to the importance weights — made
+    DETERMINISTIC: the per-doc uniform comes from the Knuth scramble of
+    the doc id (u = (scramble(id)+1)/(PRIME+1), a fixed pseudo-random
+    permutation both engines reproduce), so g = -ln(-ln(u)) is a
+    reproducible Gumbel draw and key = log_weight + g ranks a
+    weighted sample. Takes :func:`dsir_importance`'s output.
+
+    Shape at 100 TB: top-n_keep is a TakeOrdered (per-partition top-k,
+    tiny driver merge) — never a global sort of the corpus. The Gumbel
+    key is rounded to 9 before ranking (cross-engine ln guard) with an
+    id tie-break, so the selected set is deterministic."""
+    from data_timeseries_java_spark.operators.similarity import (
+        SCRAMBLE_PRIME,
+        scramble,
+    )
+
+    u = (scramble(F.col(id_col)) + 1.0) / (SCRAMBLE_PRIME + 1.0)
+    key = F.round(F.col("log_weight") - F.log(-F.log(u)), 9)
+    return (scored.select(id_col, "is_target", "log_weight",
+                          key.alias("gumbel_key"))
+            .orderBy(F.desc("gumbel_key"), F.asc(id_col))
+            .limit(n_keep))
+
+
 def hashed_linear_classifier(df: DataFrame, weights: DataFrame | None = None,
                              n_buckets: int = 1024, bias: float = 0.0,
                              text_col: str = "text",

@@ -849,3 +849,82 @@ SELECT CAST(family_size AS BIGINT) AS family_size,
        round(family_size * n_families / n_docs, 6) AS doc_share
 FROM hist CROSS JOIN tot
 """
+
+
+# ---- ExactSubstr-style duplicated SPANS (sliding grams, merged) ----------
+
+SPAN_K = 8          # sliding gram width (tokens)
+SPAN_FLAG_FRAC = 0.2
+
+
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc maximal duplicated-substring spans: sliding 8-token
+    grams occurring >= 2 times anywhere in the corpus, merged per doc
+    into maximal spans with overlap-free token accounting — the
+    suffix-array ExactSubstr result reached by hashing
+    (operators.dedup.duplicated_substring_spans; the disjoint-chunk
+    variant is dedup_segments)."""
+    from data_timeseries_java_spark.operators.dedup import (
+        duplicated_substring_spans)
+
+    return duplicated_substring_spans(
+        load_table(spark, sf_dir, "documents"),
+        k=SPAN_K, flag_frac=SPAN_FLAG_FRAC)
+
+
+QUERIES["dedup_substring_spans"] = q_dedup_substring_spans
+
+ORACLE["dedup_substring_spans"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(len(t) - {SPAN_K} + 1, 0))) AS pos,
+         unnest(list_transform(range(1, greatest(len(t) - {SPAN_K} + 2, 1)),
+                i -> array_to_string(t[i:i + {SPAN_K - 1}], ' '))) AS gram
+  FROM toks
+),
+gh AS (SELECT doc_id, pos, substr(md5(gram), 1, 16) AS h FROM grams),
+dup AS (SELECT h FROM gh GROUP BY h HAVING count(*) >= 2),
+dpos AS (SELECT doc_id, pos FROM gh JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos - lag(pos) OVER w > {SPAN_K - 1}
+              THEN 1 ELSE 0 END AS f
+  FROM dpos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, grp, min(pos) AS s, max(pos) + {SPAN_K - 1} AS e,
+         count(*) AS n_grams_in
+  FROM isl2 GROUP BY doc_id, grp
+),
+pd AS (
+  SELECT doc_id,
+         sum(n_grams_in) AS n_dup_grams,
+         count(*) AS n_dup_spans,
+         sum(e - s + 1) AS dup_tokens,
+         max(e - s + 1) AS longest_span
+  FROM spans GROUP BY doc_id
+)
+SELECT CAST(tk.doc_id AS BIGINT) AS doc_id,
+       CAST(len(tk.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(pd.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(coalesce(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(coalesce(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(coalesce(pd.longest_span, 0) AS BIGINT) AS longest_span,
+       floor(coalesce(pd.dup_tokens, 0) * 1000000.0
+             / greatest(len(tk.t), 1)) / 1000000 AS dup_frac,
+       floor(coalesce(pd.dup_tokens, 0) * 1000000.0
+             / greatest(len(tk.t), 1)) / 1000000 >= {SPAN_FLAG_FRAC}
+           AS flagged
+FROM toks tk LEFT JOIN pd ON pd.doc_id = tk.doc_id
+"""

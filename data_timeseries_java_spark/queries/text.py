@@ -1145,6 +1145,51 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
 FROM documents d LEFT JOIN dw ON dw.doc_id = d.doc_id
 """
 
+DSIR_N_KEEP = 100
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's actual selection step: deterministic Gumbel top-k over
+    the importance weights (operators/text.dsir_resample — the uniform
+    comes from the Knuth id scramble, so the weighted sample is
+    reproducible in any engine; top-k is a TakeOrdered, never a global
+    sort)."""
+    from data_timeseries_java_spark.operators.text import (
+        dsir_importance,
+        dsir_resample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = dsir_importance(docs, F.col("lang") == DSIR_TARGET_LANG,
+                             n_buckets=DSIR_BUCKETS)
+    return dsir_resample(scored, n_keep=DSIR_N_KEEP)
+
+
+QUERIES["dsir_resample"] = q_dsir_resample
+
+_SCRAMBLE_PRIME = 2147483647
+_SCRAMBLE_MULT = 2654435761
+
+ORACLE["dsir_resample"] = ORACLE["dsir_importance"].replace(
+    f"""SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       d.lang = '{DSIR_TARGET_LANG}' AS is_target,
+       CAST(coalesce(dw.n_grams, 0) AS BIGINT) AS n_grams,
+       coalesce(dw.log_weight, 0.0) + 0.0 AS log_weight,
+       coalesce(dw.log_weight, 0.0) > 0 AS kept
+FROM documents d LEFT JOIN dw ON dw.doc_id = d.doc_id""",
+    f"""SELECT doc_id, is_target, log_weight, gumbel_key FROM (
+  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         d.lang = '{DSIR_TARGET_LANG}' AS is_target,
+         coalesce(dw.log_weight, 0.0) + 0.0 AS log_weight,
+         round(coalesce(dw.log_weight, 0.0)
+               - ln(-ln((((d.doc_id % {_SCRAMBLE_PRIME})
+                          * {_SCRAMBLE_MULT}) % {_SCRAMBLE_PRIME} + 1.0)
+                        / ({_SCRAMBLE_PRIME} + 1.0))), 9) AS gumbel_key
+  FROM documents d LEFT JOIN dw ON dw.doc_id = d.doc_id)
+ORDER BY gumbel_key DESC, doc_id ASC
+LIMIT {DSIR_N_KEEP}""")
+
+
 
 # ---- sparse TF-IDF cosine pairs ------------------------------------------
 

@@ -34,7 +34,8 @@ QUERIES = ["dedup_minhash_lsh", "corpus_build", "ann_lsh",
            # measures flat. A production deployment scales k with the
            # corpus (srp_assign handles k~n) and keeps training on an
            # S ∝ k sample.
-           "text_bpe_tokens_dict"]
+           "text_bpe_tokens_dict", "dsir_importance",
+           "dedup_substring_spans"]
 
 
 def bench(spark, qs, name, sf_dir, n):
