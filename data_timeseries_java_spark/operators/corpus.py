@@ -153,3 +153,82 @@ def temperature_sample(df: DataFrame, domain_col: str = "lang",
             .where(keep)
             .select(id_col, domain_col, "n_docs",
                     F.round("keep_p", 6).alias("keep_p")))
+
+
+def corpus_funnel_attrition(docs: DataFrame,
+                            eval_predicate: F.Column,
+                            quality_min: float = 0.55,
+                            decon_k: int = 5,
+                            decon_min_overlap: int = 3) -> DataFrame:
+    """Per-stage attrition report for the corpus-build funnel — the
+    pipeline-observability table every large filtering run publishes
+    next to its output: how many documents entered each stage, how many
+    survived it, and the cumulative survival fraction. Stage order
+    matches :func:`corpus_build` (quality → language agreement →
+    exact-dup keeper → decontamination); flags are computed globally
+    (keeper = min doc_id over the content hash of ALL docs, exactly as
+    corpus_build decides it) and the funnel is the conditional-count
+    cascade over those flags.
+
+    Output: one row per stage — (stage_idx, stage, n_in, n_out,
+    n_dropped, drop_frac, survival_frac [cumulative vs the full
+    corpus]).
+
+    Shape at 100 TB: one flags frame (the same <= 3-scan shape as
+    corpus_build: quality/langid are narrow columns of one scan, the
+    keeper a window min, contamination a broadcast anti-side), ONE
+    global aggregate of conditional sums, and a 4-element explode of
+    the result row — counters, never per-stage recounts of the
+    corpus."""
+    qc = quality_columns("text")
+    lc = language_columns("text", "lang")
+    base = docs.select(
+        "doc_id",
+        (qc["quality_score"] >= quality_min).alias("q_pass"),
+        lc["lang_match"].alias("l_pass"),
+        F.md5(F.lower(F.col("text"))).alias("content_hash"))
+    w = Window.partitionBy("content_hash")
+    flags = base.withColumn(
+        "keeper", F.col("doc_id") == F.min("doc_id").over(w))
+    contaminated = (ngram_contamination(
+        docs.where(~eval_predicate), docs.where(eval_predicate),
+        k=decon_k, min_overlap=decon_min_overlap)
+        .select("doc_id", F.lit(True).alias("_contam")))
+    flags = (flags.join(F.broadcast(contaminated), "doc_id", "left")
+             .withColumn("clean", F.col("_contam").isNull()))
+    one = F.lit(1)
+    zero = F.lit(0)
+    c = flags.agg(
+        F.count(one).cast("long").alias("n0"),
+        F.sum(F.when(F.col("q_pass"), one).otherwise(zero))
+        .cast("long").alias("n1"),
+        F.sum(F.when(F.col("q_pass") & F.col("l_pass"), one)
+              .otherwise(zero)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("q_pass") & F.col("l_pass")
+                     & F.col("keeper"), one).otherwise(zero))
+        .cast("long").alias("n3"),
+        F.sum(F.when(F.col("q_pass") & F.col("l_pass")
+                     & F.col("keeper") & F.col("clean"), one)
+              .otherwise(zero)).cast("long").alias("n4"))
+    stages = [("quality", "n0", "n1"), ("language", "n1", "n2"),
+              ("dedup_keeper", "n2", "n3"),
+              ("decontamination", "n3", "n4")]
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(i + 1).cast("long").alias("stage_idx"),
+                 F.lit(name).alias("stage"),
+                 F.col(a).alias("n_in"), F.col(b).alias("n_out"))
+        for i, (name, a, b) in enumerate(stages)]))
+    floor6 = lambda col: F.floor(col * 1_000_000) / 1_000_000  # noqa: E731
+    return (c.select(rows.alias("r"), "n0")
+            .select(F.col("r.stage_idx").alias("stage_idx"),
+                    F.col("r.stage").alias("stage"),
+                    F.col("r.n_in").alias("n_in"),
+                    F.col("r.n_out").alias("n_out"),
+                    (F.col("r.n_in") - F.col("r.n_out")).cast("long")
+                    .alias("n_dropped"),
+                    floor6((F.col("r.n_in") - F.col("r.n_out"))
+                           / F.greatest(F.col("r.n_in"), F.lit(1)))
+                    .alias("drop_frac"),
+                    floor6(F.col("r.n_out")
+                           / F.greatest(F.col("n0"), F.lit(1)))
+                    .alias("survival_frac")))

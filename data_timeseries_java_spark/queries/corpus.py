@@ -339,3 +339,70 @@ GROUP BY source, pack_id
 
 QUERIES["sequence_packing_bpe"] = q_sequence_packing_bpe
 ORACLE["sequence_packing_bpe"] = _packing_bpe_sql()
+
+
+# ---- funnel attrition report ---------------------------------------------
+
+
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage attrition of the corpus-build funnel (quality →
+    language → dedup keeper → decontamination): n_in / n_out /
+    drop_frac / cumulative survival per stage — the observability table
+    a 100 TB filtering run publishes next to its output. One flags
+    frame, ONE conditional-sum aggregate, a 4-row explode
+    (operators/corpus.corpus_funnel_attrition)."""
+    from data_timeseries_java_spark.operators.corpus import (
+        corpus_funnel_attrition,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_funnel_attrition(
+        docs, eval_predicate=F.col("doc_id") < DECON_EVAL_MAX_ID,
+        quality_min=QUALITY_MIN, decon_k=DECON_K,
+        decon_min_overlap=DECON_MIN_OVERLAP)
+
+
+QUERIES["corpus_funnel"] = q_corpus_funnel
+
+ORACLE["corpus_funnel"] = f"""
+WITH quality AS ({_QUALITY_SQL}),
+langid AS ({_langid_sql()}),
+dup AS ({_DEDUP_ORACLE["dedup_exact"]}),
+contaminated AS ({_DEDUP_ORACLE["decontaminate"]}),
+flags AS (
+  SELECT q.doc_id,
+         q.quality_score >= {QUALITY_MIN} AS q_pass,
+         l.lang_match AS l_pass,
+         NOT d.is_duplicate AS keeper,
+         q.doc_id NOT IN (SELECT doc_id FROM contaminated) AS clean
+  FROM quality q
+  JOIN langid l ON l.doc_id = q.doc_id
+  JOIN dup d ON d.doc_id = q.doc_id
+),
+c AS (
+  SELECT count(*) AS n0,
+         sum(CASE WHEN q_pass THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN q_pass AND l_pass THEN 1 ELSE 0 END) AS n2,
+         sum(CASE WHEN q_pass AND l_pass AND keeper
+                  THEN 1 ELSE 0 END) AS n3,
+         sum(CASE WHEN q_pass AND l_pass AND keeper AND clean
+                  THEN 1 ELSE 0 END) AS n4
+  FROM flags
+),
+u AS (
+  SELECT 1 AS stage_idx, 'quality' AS stage, n0 AS n_in, n1 AS n_out,
+         n0 FROM c
+  UNION ALL SELECT 2, 'language', n1, n2, n0 FROM c
+  UNION ALL SELECT 3, 'dedup_keeper', n2, n3, n0 FROM c
+  UNION ALL SELECT 4, 'decontamination', n3, n4, n0 FROM c
+)
+SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+       CAST(n_in AS BIGINT) AS n_in,
+       CAST(n_out AS BIGINT) AS n_out,
+       CAST(n_in - n_out AS BIGINT) AS n_dropped,
+       floor((n_in - n_out) * 1000000.0 / greatest(n_in, 1)) / 1000000
+           AS drop_frac,
+       floor(n_out * 1000000.0 / greatest(n0, 1)) / 1000000
+           AS survival_frac
+FROM u
+"""
