@@ -41,3 +41,21 @@ def test_pack_sizes_bounded_and_contiguous(spark, sf_dir):
         # doc ranges must not overlap between consecutive packs
         for a, b in zip(rows, rows[1:]):
             assert a.last_doc < b.first_doc, source
+
+
+def test_funnel_last_stage_equals_corpus_build(spark, sf_dir):
+    """The attrition report's final survivor count must equal the
+    actual corpus_build output row count — the funnel is an
+    observability VIEW of the same decisions, not a reimplementation
+    that can drift."""
+    from data_timeseries_java_spark.queries import all_queries
+
+    qs = all_queries()
+    funnel = {r.stage: r for r in qs["corpus_funnel"](spark, sf_dir).collect()}
+    built = qs["corpus_build"](spark, sf_dir).count()
+    assert funnel["decontamination"].n_out == built
+    # monotone: every stage's n_out <= n_in, chained
+    order = ["quality", "language", "dedup_keeper", "decontamination"]
+    for a, b in zip(order, order[1:]):
+        assert funnel[b].n_in == funnel[a].n_out
+        assert funnel[b].n_out <= funnel[b].n_in

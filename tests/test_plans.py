@@ -501,3 +501,28 @@ def test_round7_additions_plan_shapes(spark, sf_dir):
         assert n <= budget, (
             f"{name}: {n} exchanges > budget {budget}\n"
             f"{formatted_plan(q)[:3000]}")
+
+
+def test_round8_additions_plan_shapes(spark, sf_dir):
+    """Scale-shape pins for the round-8 operators: DSIR is two
+    aggregates over one gram explode plus a broadcast model (a shuffle
+    creeping past 5 means a join stopped broadcasting); the resample
+    adds ONLY a TakeOrdered (same budget, no extra exchange); substring
+    spans are three keyed shuffles (tokens, gram-hash agg, dup-position
+    window); the funnel is the corpus_build flags shape plus one global
+    aggregate. The fixedk SemDeDup budget is dominated by the unrolled
+    3-iteration Lloyd's on the bounded SAMPLE — high but constant in
+    corpus size by construction (the count would grow with ITERATIONS,
+    never with data)."""
+    spark.catalog.clearCache()
+    qs = all_queries()
+    for name, budget in [("dsir_importance", 5), ("dsir_resample", 5),
+                         ("dedup_substring_spans", 3),
+                         ("corpus_funnel", 4),
+                         ("text_bpe_tokens_dict", 4),
+                         ("semantic_dedup_fixedk", 55)]:
+        q = qs[name](spark, sf_dir)
+        n = exchange_count(q)
+        assert n <= budget, (
+            f"{name}: {n} exchanges > budget {budget}\n"
+            f"{formatted_plan(q)[:3000]}")
