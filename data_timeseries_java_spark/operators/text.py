@@ -718,26 +718,53 @@ def dsir_importance(df: DataFrame, target: Column, n_buckets: int = 1024,
     aggregate over the same exploded grams. No vocabulary
     materialization, no driver round-trip. llr is rounded to 9 (the
     cross-engine ln guard), per-doc sums to 6 (house convention)."""
+    gb = _dsir_grams(df, target, n_buckets, text_col, id_col)
+    w = _dsir_llr(_dsir_counts(gb), n_buckets, smoothing)
+    return _dsir_score(df, gb, w, target, id_col)
+
+
+def _dsir_grams(df: DataFrame, target: Column, n_buckets: int,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(id, _is_t, bucket) rows — one per unigram/bigram occurrence.
+    Shared verbatim by the batch operator and the streaming model
+    builder, so the two paths cannot drift."""
     t = tokens(F.col(text_col))
     n1 = F.greatest(F.size(t) - 1, F.lit(0))
     bigrams = F.zip_with(F.slice(t, 1, n1), F.slice(t, 2, n1),
                          lambda a, b: F.concat(a, F.lit(" "), b))
-    gb = (df.select(F.col(id_col), target.alias("_is_t"),
-                    F.explode(F.concat(t, bigrams)).alias("g"))
-          .select(id_col, "_is_t", F.expr(
-              f"CAST(conv(substr(md5(g), 1, 8), 16, 10) AS BIGINT)"
-              f" % {n_buckets}").alias("bucket")))
-    stats = (gb.groupBy("bucket")
-             .agg(F.sum(F.when(F.col("_is_t"), 1).otherwise(0))
-                  .alias("ct"),
-                  F.sum(F.when(F.col("_is_t"), 0).otherwise(1))
-                  .alias("cr")))
+    return (df.select(F.col(id_col), target.alias("_is_t"),
+                      F.explode(F.concat(t, bigrams)).alias("g"))
+            .select(id_col, "_is_t", F.expr(
+                f"CAST(conv(substr(md5(g), 1, 8), 16, 10) AS BIGINT)"
+                f" % {n_buckets}").alias("bucket")))
+
+
+def _dsir_counts(gb: DataFrame) -> DataFrame:
+    """(bucket, ct, cr) model partial — plain integer sums, so
+    per-batch partials merge losslessly (the streaming store's
+    contract: summed partials == the single-shot model, exactly)."""
+    return (gb.groupBy("bucket")
+            .agg(F.sum(F.when(F.col("_is_t"), 1).otherwise(0))
+                 .alias("ct"),
+                 F.sum(F.when(F.col("_is_t"), 0).otherwise(1))
+                 .alias("cr")))
+
+
+def _dsir_llr(stats: DataFrame, n_buckets: int,
+              smoothing: float) -> DataFrame:
+    """(bucket, llr) from the count model — rounded to 9 (cross-engine
+    ln guard)."""
     tot = stats.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
     s, b = float(smoothing), n_buckets
     llr = F.round(F.log(((F.col("ct") + s) * (F.col("tr") + s * b))
                         / ((F.col("cr") + s) * (F.col("tt") + s * b))), 9)
-    w = stats.crossJoin(F.broadcast(tot)).select("bucket",
-                                                 llr.alias("llr"))
+    return stats.crossJoin(F.broadcast(tot)).select("bucket",
+                                                    llr.alias("llr"))
+
+
+def _dsir_score(df: DataFrame, gb: DataFrame, w: DataFrame,
+                target: Column, id_col: str) -> DataFrame:
     dw = (gb.join(F.broadcast(w), "bucket")
           .groupBy(id_col)
           .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),

@@ -1595,3 +1595,66 @@ SELECT least(floor(cosine * 10), 9) / 10.0 AS cos_lo,
        CAST(count(*) AS BIGINT) AS n_pairs
 FROM cosines GROUP BY least(floor(cosine * 10), 9)
 """
+
+
+# ---- streaming DSIR model, driver-gated through replay --------------------
+
+_DSIR_REPLAY_SINKS: dict[tuple, str] = {}
+
+
+def q_dsir_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring with the MODEL built through the
+    STREAMING lane: documents replayed as 3 doc-id-range files, each
+    micro-batch persisting one (bucket, ct, cr) hashed-ngram count
+    partial (streaming/dsir_stream.py — the mergeable-store family);
+    the read-time merge is integer sums, LOSSLESS, so scoring with the
+    merged model hash-matches the batch `dsir_importance` oracle
+    exactly. The gram and scoring code is literally shared with the
+    batch operator, so the two lanes cannot drift. Building this query
+    RUNS the stream (laziness-guard exempt)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_timeseries_java_spark.streaming.dsir_stream import (
+        read_streaming_dsir,
+        streaming_dsir_model,
+    )
+    from data_timeseries_java_spark.streaming.replay import (
+        drive_query,
+        write_replay_buckets_long,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    work = _DSIR_REPLAY_SINKS.get(cache_key)
+    if work is None or not os.path.isdir(f"{work}/out/dsir"):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang")
+        lo, hi = docs.select(F.min("doc_id"), F.max("doc_id")).first()
+        work = tempfile.mkdtemp(prefix="dsir_stream_replay_")
+        write_replay_buckets_long(docs, F.col("doc_id"), f"{work}/in", 3,
+                                  int(lo), int(hi) - int(lo) + 1,
+                                  _time.time() - 1000, ["doc_id"])
+        src = (spark.readStream.schema(docs.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
+        q = streaming_dsir_model(spark, src, f"{work}/out",
+                                 target=F.col("lang") == DSIR_TARGET_LANG,
+                                 n_buckets=DSIR_BUCKETS)
+        drive_query(q, 600, "dsir stream replay")
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/out/checkpoint", ignore_errors=True)
+        _DSIR_REPLAY_SINKS[cache_key] = work
+    docs = load_table(spark, sf_dir, "documents")
+    from data_timeseries_java_spark.streaming.dsir_stream import (
+        read_streaming_dsir)
+    return read_streaming_dsir(spark, f"{work}/out", docs,
+                               target=F.col("lang") == DSIR_TARGET_LANG,
+                               n_buckets=DSIR_BUCKETS)
+
+
+QUERIES["dsir_stream_replay"] = q_dsir_stream_replay
+
+# the lossless-merge claim: the streamed model's scores equal the batch
+# operator's, so the gate is the SAME oracle
+ORACLE["dsir_stream_replay"] = ORACLE["dsir_importance"]

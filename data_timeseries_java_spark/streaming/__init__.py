@@ -22,6 +22,10 @@ from data_timeseries_java_spark.streaming.asof_stream import (
 from data_timeseries_java_spark.streaming.corpus_stream import (
     streaming_corpus_build,
 )
+from data_timeseries_java_spark.streaming.dsir_stream import (  # noqa: F401
+    read_streaming_dsir,
+    streaming_dsir_model,
+)
 from data_timeseries_java_spark.streaming.neardup_stream import (
     streaming_neardup,
 )
