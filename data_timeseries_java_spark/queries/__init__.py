@@ -44,52 +44,69 @@ _MODULES = [fx, relational, relational_ext, tpch_hard, dedup, text,
 # auto-prioritized.
 _DRIVER_GATED = frozenset({
     "above_segment_avg", "ann_ivf", "ann_ivf_trained", "ann_lsh",
-    "approx_distinct_users", "approx_topk_cms",
-    "approx_value_quantiles", "asof_purchase_click",
-    "asof_stream_replay", "bm25_search", "cohort_retention",
-    "corpus_build", "customer_rfm", "customer_set_ops",
-    "customer_spend_quartiles", "customers_without_orders",
-    "dataset_split", "decontaminate", "decontaminate_winnow",
-    "dedup_clusters", "dedup_containment", "dedup_exact", "dedup_fuzzy",
-    "dedup_keep_list", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_segments", "dedup_segments_cdc", "dedup_simhash",
-    "distinct_suppliers", "distinct_users_by_type",
-    "dominant_part_suppliers", "embedding_quantize",
-    "embedding_srp_sketch", "embedding_stats", "event_anomalies",
-    "event_gap_stats", "event_mad_outliers", "event_winsorize",
-    "events_json_props", "forecast_revenue", "funnel_conversion",
-    "fx_autocorr", "fx_bollinger", "fx_candles_bidask",
-    "fx_candles_complete", "fx_candles_interpolated", "fx_candles_ohlc",
-    "fx_candles_rollup", "fx_candles_stream_replay", "fx_corr_headline",
-    "fx_corr_threshold", "fx_corr_underlying", "fx_corr_user_buckets",
-    "fx_corr_wide", "fx_cross_rate", "fx_cross_zscore", "fx_cusum",
-    "fx_drawdown", "fx_ema_returns", "fx_gapfill_rows", "fx_lead_lag",
-    "fx_log_returns", "fx_pair_beta", "fx_pair_correlation",
-    "fx_pair_correlation_auto", "fx_realized_vol", "fx_rsi",
-    "fx_sliding_returns", "fx_spread_stats", "fx_twap",
-    "fx_variance_ratio", "fx_workpacket_stats", "hll_stream_replay",
-    "hll_user_rollup", "knn_bruteforce", "leakage_safe_split",
-    "lineitem_grouping_sets", "media_cross_format_dedup",
-    "media_decode_features", "media_jpeg_decode", "media_jpeg_header",
-    "media_metadata", "media_png_decode", "media_resize",
-    "media_video_frames", "media_wav_features", "media_wav_resample",
-    "media_wav_spectrum", "merge_corrections", "min_cost_supplier",
-    "mixture_sample", "monthly_order_stats", "moving_avg_range",
-    "moving_median", "nation_customer_list", "nation_market_share",
-    "nation_outer_join", "neardup_cosine", "neardup_cosine_auto",
-    "order_ranks", "orders_flag_filter", "orders_with_expensive_items",
-    "part_scalar_functions", "pii_scan", "price_quantiles",
-    "pricing_summary", "priority_pivot", "priority_rollup",
-    "profile_lineitem", "range_join_event_candle", "revenue_by_nation",
+    "anomaly_stream_replay", "approx_distinct_users", "approx_topk_cms",
+    "approx_value_quantiles", "asof_bucketed_stream_replay",
+    "asof_purchase_click", "asof_stream_replay", "benford_order_totals",
+    "bm25_search", "brand_pagerank", "brand_triangles",
+    "cohort_retention", "corpus_build", "customer_rfm",
+    "customer_set_ops", "customer_spend_quartiles",
+    "customers_without_orders", "dataset_split", "decontaminate",
+    "decontaminate_winnow", "dedup_clusters", "dedup_containment",
+    "dedup_exact", "dedup_fuzzy", "dedup_keep_list",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_segments",
+    "dedup_segments_cdc", "dedup_simhash", "distinct_suppliers",
+    "distinct_users_by_type", "dominant_part_suppliers",
+    "dq_expectations", "drawdown_stream_replay", "ema_stream_replay",
+    "embedding_quantize", "embedding_srp_sketch", "embedding_stats",
+    "event_ab_test", "event_anomalies", "event_gap_stats",
+    "event_hour_profile", "event_mad_outliers", "event_transitions",
+    "event_winsorize", "events_json_props", "forecast_revenue",
+    "funnel_conversion", "funnel_stream_replay",
+    "funnel_time_to_convert", "fx_align_series", "fx_atr",
+    "fx_autocorr", "fx_bollinger", "fx_candle_patterns",
+    "fx_candles_bidask", "fx_candles_complete",
+    "fx_candles_interpolated", "fx_candles_ohlc", "fx_candles_rollup",
+    "fx_candles_stream_replay", "fx_cointegration", "fx_corr_headline",
+    "fx_corr_stream_replay", "fx_corr_threshold", "fx_corr_underlying",
+    "fx_corr_user_buckets", "fx_corr_wide", "fx_cross_rate",
+    "fx_cross_zscore", "fx_cusum", "fx_drawdown", "fx_ema_returns",
+    "fx_ewma_cov", "fx_gapfill_rows", "fx_garch_vol", "fx_half_life",
+    "fx_holt_trend", "fx_hurst", "fx_kalman_level", "fx_kyle_lambda",
+    "fx_lead_lag", "fx_log_returns", "fx_macd",
+    "fx_ohlc_vol_estimators", "fx_pair_beta", "fx_pair_correlation",
+    "fx_pair_correlation_auto", "fx_pair_spearman", "fx_parkinson_vol",
+    "fx_realized_vol", "fx_roll_spread", "fx_rsi", "fx_sliding_returns",
+    "fx_spread_stats", "fx_stochastic", "fx_tick_rule", "fx_twap",
+    "fx_var_es", "fx_variance_ratio", "fx_workpacket_stats",
+    "garch_stream_replay", "hll_stream_replay", "hll_user_rollup",
+    "holt_stream_replay", "kalman_stream_replay", "knn_bruteforce",
+    "leakage_safe_split", "lineitem_grouping_sets",
+    "macd_stream_replay", "market_basket_pairs",
+    "media_cross_format_dedup", "media_decode_features",
+    "media_jpeg_decode", "media_jpeg_header", "media_metadata",
+    "media_png_decode", "media_resize", "media_video_frames",
+    "media_wav_features", "media_wav_resample", "media_wav_spectrum",
+    "merge_corrections", "min_cost_supplier", "mixture_sample",
+    "monthly_order_stats", "monthly_revenue_complete",
+    "moving_avg_range", "moving_median", "nation_customer_list",
+    "nation_market_share", "nation_outer_join", "neardup_cosine",
+    "neardup_cosine_auto", "order_ranks", "order_ship_latency",
+    "orders_flag_filter", "orders_with_expensive_items",
+    "part_abc_classification", "part_scalar_functions", "pii_scan",
+    "price_quantiles", "pricing_summary", "priority_pivot",
+    "priority_rollup", "profile_lineitem", "range_join_event_candle",
+    "recovery_stream_replay", "revenue_by_nation", "revenue_gini",
     "rich_idle_customers", "salted_event_stats", "scd2_user_status",
-    "seasonal_profile", "sequence_packing", "small_quantity_revenue",
-    "source_token_stats", "status_cube", "stratified_sample",
-    "supplier_share", "text_bigram_lm", "text_entropy",
-    "text_fingerprint", "text_langid", "text_quality",
+    "seasonal_profile", "sequence_packing", "sessions_stream_replay",
+    "small_quantity_revenue", "source_token_stats", "status_cube",
+    "stratified_sample", "supplier_share", "text_bigram_lm",
+    "text_entropy", "text_fingerprint", "text_langid", "text_quality",
     "text_repetition", "text_tokens", "text_winnowing",
     "tfidf_top_terms", "top_customers", "top_revenue_supplier",
-    "topk_stream_replay", "user_sessions", "value_trend_ols",
-    "vocabulary_topk", "waiting_suppliers", "window_sampler",
+    "topk_stream_replay", "user_behavior_entropy", "user_sessions",
+    "user_survival_km", "value_trend_ols", "value_trend_theilsen",
+    "vocabulary_topk", "vol_stream_replay", "waiting_suppliers",
+    "weekly_new_returning", "window_sampler",
 })
 
 
