@@ -309,6 +309,12 @@ def main() -> None:
         ("fx_pipeline_fb", lambda: streaming_correlations(
             spark, tick_src(), f"{work}/fx", "120 seconds",
             universe=universe)),
+        # round 8: DSIR model partials — O(n_buckets) state per trigger
+        ("dsir_model_fb", lambda: __import__(
+            "data_timeseries_java_spark.streaming.dsir_stream",
+            fromlist=["streaming_dsir_model"]).streaming_dsir_model(
+            spark, doc_src(), f"{work}/dsir",
+            target=F.col("lang") == "en")),
     ]
 
     # isolation hook, mirroring bench.py: SPARK_GRAFT_STREAM_OPS="a,b"
