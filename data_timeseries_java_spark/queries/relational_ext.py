@@ -2812,3 +2812,87 @@ SELECT region, nation, revenue,
              / sum(revenue) OVER (), 6) AS region_share_of_total
 FROM rev
 """
+
+
+def q_brand_triangles_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`brand_triangles` with DEGREE-ORIENTED edges — the skew guard
+    the plain name-order census defers (SCALE.md §batch-3 decades):
+    each undirected edge points from its lower-(degree, name) endpoint
+    to the higher, so every wedge is enumerated AT the lower-degree
+    vertex and a power-law hub of degree d contributes O(d) oriented
+    out-edges bounded by sqrt(edges) instead of an O(d²) wedge fanout
+    (the standard triangle-counting orientation). The triangle CENSUS
+    is orientation-invariant, so this query gates against the SAME
+    oracle as brand_triangles — the hash match IS the proof that the
+    guard changes the plan, not the answer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    items = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+             .select(F.col("l_orderkey").alias("okey"),
+                     F.col("p_brand").alias("brand"))
+             .distinct())
+    pairs = (items.alias("x").join(
+        items.alias("y"),
+        (F.col("x.okey") == F.col("y.okey"))
+        & (F.col("x.brand") < F.col("y.brand")))
+        .groupBy(F.col("x.brand").alias("ba"),
+                 F.col("y.brand").alias("bb"))
+        .agg(F.count(F.lit(1)).alias("support")))
+    freq = items.groupBy("brand").agg(F.count(F.lit(1)).alias("n_ord"))
+    tot = items.agg(F.countDistinct("okey").cast("double").alias("nt"))
+    lift = (F.col("support") * F.col("nt")
+            / (F.col("na") * F.col("nb")))
+    edges = (pairs
+             .join(F.broadcast(freq.select(F.col("brand").alias("ba"),
+                                           F.col("n_ord").alias("na"))),
+                   "ba")
+             .join(F.broadcast(freq.select(F.col("brand").alias("bb"),
+                                           F.col("n_ord").alias("nb"))),
+                   "bb")
+             .crossJoin(F.broadcast(tot))
+             .where(F.round(lift, 9) > 1.0)
+             .select("ba", "bb"))
+    deg = (edges.select(F.col("ba").alias("brand"))
+           .unionAll(edges.select(F.col("bb").alias("brand")))
+           .groupBy("brand").agg(F.count(F.lit(1)).alias("degree")))
+    da = F.broadcast(deg.select(F.col("brand").alias("ba"),
+                                F.col("degree").alias("dga")))
+    db = F.broadcast(deg.select(F.col("brand").alias("bb"),
+                                F.col("degree").alias("dgb")))
+    ranked = edges.join(da, "ba").join(db, "bb")
+    ka = F.struct(F.col("dga").alias("d"), F.col("ba").alias("n"))
+    kb = F.struct(F.col("dgb").alias("d"), F.col("bb").alias("n"))
+    oriented = ranked.select(
+        F.when(ka < kb, F.col("ba")).otherwise(F.col("bb")).alias("src"),
+        F.when(ka < kb, F.col("bb")).otherwise(F.col("ba")).alias("dst"),
+        F.when(ka < kb, F.col("dgb")).otherwise(F.col("dga"))
+        .alias("dst_deg"))
+    o1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"),
+                         F.col("dst_deg").alias("dv"))
+    o2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"),
+                         F.col("dst_deg").alias("dw"))
+    o3 = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    kw = F.struct(F.col("dw").alias("d"), F.col("w").alias("n"))
+    tri = (o1.join(o2, "u").where(kv < kw)
+           .join(o3, ["v", "w"])
+           .select("u", "v", "w"))
+    corners = (tri.select(F.explode(F.array("u", "v", "w")).alias("brand"))
+               .groupBy("brand")
+               .agg(F.count(F.lit(1)).alias("n_triangles")))
+    cc = F.when(F.col("degree") >= 2,
+                F.round(2.0 * F.coalesce(F.col("n_triangles"), F.lit(0))
+                        / (F.col("degree") * (F.col("degree") - 1)), 6)) \
+        .otherwise(F.lit(0.0))
+    return (deg.join(corners, "brand", "left")
+            .select("brand", F.col("degree").cast("long").alias("degree"),
+                    F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+                    .alias("n_triangles"),
+                    cc.alias("clustering_coeff")))
+
+
+QUERIES["brand_triangles_deg"] = q_brand_triangles_deg
+
+# orientation-invariance gate: the degree-oriented census must equal the
+# name-ordered census row for row — same oracle
+ORACLE["brand_triangles_deg"] = ORACLE["brand_triangles"]

@@ -35,7 +35,7 @@ QUERIES = ["dedup_minhash_lsh", "corpus_build", "ann_lsh",
            # corpus (srp_assign handles k~n) and keeps training on an
            # S ∝ k sample.
            "text_bpe_tokens_dict", "dsir_importance",
-           "dedup_substring_spans"]
+           "dedup_substring_spans", "brand_triangles_deg"]
 
 
 def bench(spark, qs, name, sf_dir, n):
