@@ -157,6 +157,28 @@ class CorpusEngine:
             watermark=o.dedup_watermark, decon_k=o.decon_k,
             decon_min_overlap=o.decon_min_overlap)
 
+    def funnel(self, docs: DataFrame, eval_predicate) -> DataFrame:
+        """Per-stage attrition report of the build funnel (quality →
+        language → dedup keeper → decontamination) — the observability
+        table published next to a filtering run's output."""
+        from data_timeseries_java_spark.operators.corpus import (
+            corpus_funnel_attrition,
+        )
+        o = self.options
+        return corpus_funnel_attrition(
+            docs, eval_predicate=eval_predicate, quality_min=o.quality_min,
+            decon_k=o.decon_k, decon_min_overlap=o.decon_min_overlap)
+
+    def select(self, docs: DataFrame, target, n_keep: int = 100) -> DataFrame:
+        """DSIR data selection: importance-score every document against
+        the ``target`` predicate's slice, then draw a deterministic
+        Gumbel top-``n_keep`` weighted sample."""
+        from data_timeseries_java_spark.operators.text import (
+            dsir_importance,
+            dsir_resample,
+        )
+        return dsir_resample(dsir_importance(docs, target), n_keep=n_keep)
+
 
 class MediaEngine:
     """Multimodal tier over (media_id, payload[, modality]) DataFrames —

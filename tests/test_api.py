@@ -224,3 +224,31 @@ def test_series_engine_facade(spark, sf_dir):
     assert {"kf_level", "kf_gain", "kf_var"} <= set(k.columns)
     g = eng.garch(series)
     assert {"garch_var", "garch_vol"} <= set(g.columns) and g.count() == n
+
+
+def test_corpus_engine_funnel_and_select(spark, sf_dir):
+    """The round-8 facade methods: funnel emits the 4-stage attrition
+    chain consistent with build(); select returns exactly n_keep docs
+    ranked by the deterministic Gumbel key."""
+    from pyspark.sql import functions as F
+
+    from data_timeseries_java_spark.api import CorpusEngine
+    from data_timeseries_java_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    eng = CorpusEngine(spark)
+    funnel = {r.stage: r for r in
+              eng.funnel(docs, F.col("doc_id") < 50).collect()}
+    assert set(funnel) == {"quality", "language", "dedup_keeper",
+                           "decontamination"}
+    built = eng.build(docs.where(F.col("doc_id") >= 0),
+                      eval_docs=docs.where(F.col("doc_id") < 50)).count()
+    # eval_docs path anti-joins the eval ids out of candidates, while
+    # the funnel's predicate path keeps eval docs as candidates — both
+    # end at the same survivor count on this corpus only if no eval doc
+    # survives; assert the weaker invariant that holds by construction
+    assert funnel["decontamination"].n_out >= built
+    sel = eng.select(docs, F.col("lang") == "en", n_keep=25).collect()
+    assert len(sel) == 25
+    keys = [r.gumbel_key for r in sel]
+    assert keys == sorted(keys, reverse=True)
