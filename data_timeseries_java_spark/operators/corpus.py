@@ -232,3 +232,44 @@ def corpus_funnel_attrition(docs: DataFrame,
                     floor6(F.col("r.n_out")
                            / F.greatest(F.col("n0"), F.lit(1)))
                     .alias("survival_frac")))
+
+
+def mixture_token_budget(docs: DataFrame, budget_tokens: int,
+                         alpha: float = 0.5,
+                         domain_col: str = "source",
+                         text_col: str = "text") -> DataFrame:
+    """Mixture planning table for a token-budgeted training run: given
+    a total ``budget_tokens`` and a temperature-``alpha`` target
+    mixture (weights ∝ natural_tokens^alpha, the multi-source
+    rebalancing rule temperature_sample applies to documents), report
+    per domain how many tokens the budget allocates and how many
+    EPOCHS of the domain that implies — the repetition-factor table a
+    data-mixing plan publishes before launch (epochs > 1 flags domains
+    the run will repeat; ≪ 1 flags domains it will subsample).
+
+    Output per domain: n_docs, n_tokens, natural_share, target_share,
+    budget_tokens (allocated), epochs. Shares/epochs floor-quantized
+    to 6 decimals.
+
+    Shape at 100 TB: one conditional aggregate over the corpus scan
+    (the token count is a narrow expression), then domain-sized
+    arithmetic — the corpus is read exactly once and nothing large
+    shuffles."""
+    n_tok = F.size(tokens(F.col(text_col))).cast("double")
+    stats = docs.groupBy(domain_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(n_tok).cast("double").alias("n_tokens"))
+    tot = stats.agg(
+        F.sum("n_tokens").alias("_tt"),
+        F.sum(F.pow(F.col("n_tokens"), F.lit(alpha))).alias("_tw"))
+    floor6 = lambda c: F.floor(c * 1_000_000) / 1_000_000  # noqa: E731
+    tshare = F.pow(F.col("n_tokens"), F.lit(alpha)) / F.col("_tw")
+    alloc = tshare * F.lit(float(budget_tokens))
+    return (stats.crossJoin(F.broadcast(tot))
+            .select(domain_col, "n_docs",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    floor6(F.col("n_tokens") / F.col("_tt"))
+                    .alias("natural_share"),
+                    floor6(tshare).alias("target_share"),
+                    F.floor(alloc).cast("long").alias("budget_tokens"),
+                    floor6(alloc / F.col("n_tokens")).alias("epochs")))

@@ -406,3 +406,51 @@ SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
            AS survival_frac
 FROM u
 """
+
+
+# ---- token-budget mixture planning ----------------------------------------
+
+BUDGET_TOKENS = 100_000
+
+
+def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget allocation for a temperature-0.5 target
+    mixture over a 100k-token run: natural vs target shares, allocated
+    tokens, and the implied EPOCHS per source (the repetition-factor
+    table a data-mixing plan publishes before launch) —
+    operators/corpus.mixture_token_budget; one corpus scan."""
+    from data_timeseries_java_spark.operators.corpus import (
+        mixture_token_budget,
+    )
+
+    return mixture_token_budget(load_table(spark, sf_dir, "documents"),
+                                budget_tokens=BUDGET_TOKENS,
+                                alpha=MIX_ALPHA)
+
+
+QUERIES["mixture_token_budget"] = q_mixture_token_budget
+
+ORACLE["mixture_token_budget"] = f"""
+WITH stats AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> ''))) AS DOUBLE) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT sum(n_tokens) AS tt,
+         sum(pow(n_tokens, {MIX_ALPHA})) AS tw
+  FROM stats
+)
+SELECT source, n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       floor(n_tokens / tt * 1000000) / 1000000 AS natural_share,
+       floor(pow(n_tokens, {MIX_ALPHA}) / tw * 1000000) / 1000000
+           AS target_share,
+       CAST(floor(pow(n_tokens, {MIX_ALPHA}) / tw
+                  * {float(BUDGET_TOKENS)}) AS BIGINT) AS budget_tokens,
+       floor(pow(n_tokens, {MIX_ALPHA}) / tw * {float(BUDGET_TOKENS)}
+             / n_tokens * 1000000) / 1000000 AS epochs
+FROM stats CROSS JOIN tot
+"""
