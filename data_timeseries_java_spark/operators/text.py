@@ -903,3 +903,27 @@ def tfidf_cosine_pairs(df: DataFrame, threshold: float = 0.3,
             .where(F.round(cos, 9) >= threshold)
             .select("id_a", "id_b", "n_shared_terms",
                     F.round(cos, 6).alias("cosine")))
+
+
+def dsir_quantile_select(scored: DataFrame, keep_frac: float = 0.25,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Quantile-threshold DSIR selection: keep the top ``keep_frac``
+    of documents by importance weight — the deterministic alternative
+    to :func:`dsir_resample` when the budget is a FRACTION rather than
+    a count. The threshold is the exact interpolated
+    (1 - keep_frac)-quantile of the weights, rounded to 6 so a
+    last-ulp interpolation difference can never flip a verdict
+    cross-engine.
+
+    Scale note: the exact percentile aggregate sorts the weight column
+    in one reducer — fine for a calibration run; a 100 TB production
+    pass gets the same threshold from the mergeable grid-quantile /
+    GK sketch stores (queries/scale.py) and keeps selection itself a
+    pure filter. Takes :func:`dsir_importance`'s output."""
+    q = 1.0 - keep_frac
+    thr = scored.agg(F.round(
+        F.expr(f"percentile(log_weight, {q!r})"), 6).alias("threshold"))
+    lw6 = F.round(F.col("log_weight"), 6)
+    return (scored.crossJoin(F.broadcast(thr))
+            .select(id_col, "is_target", "log_weight", "threshold",
+                    (lw6 >= F.col("threshold")).alias("kept")))

@@ -1187,3 +1187,82 @@ JOIN stats s ON s.label = e.label
 WHERE s.sd > 0
   AND abs(round((n.nrm - s.mu) / s.sd, 9)) >= {NORM_OUT_Z}
 """
+
+
+# ---- contrastive hard-negative mining -------------------------------------
+
+HN_K = 3
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor vector, the
+    top-k most-similar vectors with a DIFFERENT label — the negatives
+    an embedding-training run pairs with its positives (highest-cosine
+    wrong-label items are the gradient-rich ones). Anchors broadcast
+    against the corpus with the label-mismatch predicate in the join
+    (the knn_bruteforce shape); rank on round(cos, 9) with id
+    tie-break. At 100 TB the anchor side is the small broadcast
+    (queries/eval probes), exactly like knn; a corpus-x-corpus mining
+    pass would go through the SRP/LSH banded candidates instead."""
+    from data_timeseries_java_spark.operators.similarity import with_norm
+    from data_timeseries_java_spark.functions.vectors import dot as _dot
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = (with_norm(emb.where(F.col("vec_id") < N_QUERIES))
+         .select(F.col("vec_id").alias("anchor_id"),
+                 F.col("label").alias("anchor_label"),
+                 F.col("embedding").alias("_va"),
+                 F.col("_norm").alias("_na")))
+    c = (with_norm(emb)
+         .select(F.col("vec_id").alias("nbr_id"),
+                 F.col("label").alias("nbr_label"),
+                 F.col("embedding").alias("_vb"),
+                 F.col("_norm").alias("_nb")))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc(F.round("cosine", 9)), F.asc("nbr_id"))
+    return (c.join(F.broadcast(a),
+                   F.col("anchor_label") != F.col("nbr_label"))
+            .select("anchor_id", "anchor_label", "nbr_id", "nbr_label",
+                    cos.alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= HN_K)
+            .select("anchor_id", "anchor_label", "nbr_id", "nbr_label",
+                    F.col("rank").cast("long").alias("rank"),
+                    F.round("cosine", 6).alias("cosine")))
+
+
+QUERIES["hard_negatives"] = q_hard_negatives
+
+ORACLE["hard_negatives"] = f"""
+WITH {_COMP},
+lab AS (SELECT vec_id, label FROM embeddings),
+dots AS (
+  SELECT q.vec_id AS anchor_id, c.vec_id AS nbr_id,
+         sum(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE)) AS dot
+  FROM comp q JOIN comp c
+    ON q.dim = c.dim AND q.vec_id < {N_QUERIES} AND q.label <> c.label
+  GROUP BY q.vec_id, c.vec_id
+),
+scored AS (
+  SELECT d.anchor_id, la.label AS anchor_label,
+         d.nbr_id, lb.label AS nbr_label,
+         d.dot / (na.nrm * nb.nrm) AS cosine
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.anchor_id
+  JOIN norms nb ON nb.vec_id = d.nbr_id
+  JOIN lab la ON la.vec_id = d.anchor_id
+  JOIN lab lb ON lb.vec_id = d.nbr_id
+),
+ranked AS (
+  SELECT anchor_id, anchor_label, nbr_id, nbr_label, cosine,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY round(cosine, 9) DESC, nbr_id ASC)
+             AS rank
+  FROM scored
+)
+SELECT anchor_id, anchor_label, nbr_id, nbr_label,
+       CAST(rank AS BIGINT) AS rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {HN_K}
+"""

@@ -1658,3 +1658,37 @@ QUERIES["dsir_stream_replay"] = q_dsir_stream_replay
 # the lossless-merge claim: the streamed model's scores equal the batch
 # operator's, so the gate is the SAME oracle
 ORACLE["dsir_stream_replay"] = ORACLE["dsir_importance"]
+
+
+DSIR_KEEP_FRAC = 0.25
+
+
+def q_dsir_quantile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction-budgeted DSIR selection: keep the top 25% of documents
+    by importance weight against the exact interpolated quantile
+    threshold (operators/text.dsir_quantile_select; production swaps
+    the exact percentile for the mergeable quantile sketches)."""
+    from data_timeseries_java_spark.operators.text import (
+        dsir_importance,
+        dsir_quantile_select,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = dsir_importance(docs, F.col("lang") == DSIR_TARGET_LANG,
+                             n_buckets=DSIR_BUCKETS)
+    return dsir_quantile_select(scored, keep_frac=DSIR_KEEP_FRAC)
+
+
+QUERIES["dsir_quantile_select"] = q_dsir_quantile_select
+
+ORACLE["dsir_quantile_select"] = f"""
+WITH scored AS ({ORACLE["dsir_importance"]}),
+thr AS (
+  SELECT round(quantile_cont(log_weight, {1.0 - DSIR_KEEP_FRAC}), 6)
+      AS threshold
+  FROM scored
+)
+SELECT s.doc_id, s.is_target, s.log_weight, t.threshold,
+       round(s.log_weight, 6) >= t.threshold AS kept
+FROM scored s CROSS JOIN thr t
+"""
