@@ -70,6 +70,8 @@ HEADLINE = [
     # production-vocab dictionary tokenizer (1024 ranks, segmented)
     "semantic_dedup_fixedk",
     "text_bpe_tokens_dict",
+    "dsir_importance",
+    "dedup_substring_spans",
     "tfidf_neardup",
     "decontaminate_bloom",
     "quality_classifier",

@@ -58,6 +58,6 @@ def test_readme_quickstart_examples_run(spark):
     for block in blocks:
         exec(compile(block, "README.md", "exec"), ns)  # noqa: S102
     # the examples' own spark is the shared test session (getOrCreate)
-    for var in ("corr", "kept", "splits", "packs", "meta", "stats",
-                "resized"):
+    for var in ("corr", "kept", "splits", "packs", "report", "chosen",
+                "meta", "stats", "resized"):
         assert ns[var].count() > 0, f"README example frame {var} is empty"
