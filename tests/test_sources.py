@@ -143,3 +143,31 @@ def test_range_clustered_files_are_disjoint(spark, tmp_path):
     # and a range filter prunes to ~1 file's worth of splits
     got = spark.read.parquet(out).where(F.col("v") < 100).count()
     assert got == 100
+
+
+def test_dynamic_partition_pruning_fires(spark, tmpd):
+    """The 100 TB star-join layout contract: when the fact table is
+    directory-partitioned on the join key and the dim side carries a
+    selective filter, Catalyst must inject a dynamic-partition-pruning
+    subquery (the dim's surviving keys prune fact PARTITIONS at
+    runtime) — without DPP the fact side reads every partition and
+    filters after the scan, which is exactly the full-scan a
+    partitioned warehouse layout exists to avoid."""
+    fact = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 30).alias("day"),
+        (F.col("id") % 7).alias("k"))
+    fact.write.partitionBy("day").mode("overwrite").parquet(f"{tmpd}/fact")
+    dim = spark.range(0, 30).select(
+        F.col("id").alias("day"), (F.col("id") % 3).alias("grp"))
+    dim.write.mode("overwrite").parquet(f"{tmpd}/dim")
+
+    f = spark.read.parquet(f"{tmpd}/fact")
+    d = spark.read.parquet(f"{tmpd}/dim").where(F.col("grp") == 1)
+    j = f.join(d, "day").groupBy("k").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "no dynamic-partition-pruning subquery in the star-join plan")
+    # and the pruning is correct: only grp==1 days' rows aggregate
+    want = (f.join(F.broadcast(d.select("day")), "day")
+            .count())
+    assert j.agg(F.sum("count")).first()[0] == want
