@@ -1,0 +1,244 @@
+"""Event-based bars and liquidity measures over tick streams.
+
+The reference's pipeline is strictly time-bar shaped (fixed windows —
+`/root/reference/src/main/java/.../CreateCandlesFn.java`); this module
+adds the event-driven bar family a market-data engine is expected to
+carry (tick bars, anchored VWAP, volume-bucket VPIN, Amihud
+illiquidity, price-volume profile). All are built from the same two
+Spark shapes the candle pipeline already uses — one key-partitioned
+sort serving window functions, and one map-side-combinable aggregate —
+so they inherit its scale story: per-key parallelism, no driver
+collects, no cross-key shuffles beyond the grouping itself.
+
+Scale notes (100 TB): every operator here shuffles once on `key` (or
+(key, window)) and then stays within the partition. Tick bars and VPIN
+need a per-key total order — that is a per-key sort, exactly what a
+1000-executor range-partitioned sort does well; nothing is quadratic
+and no state exceeds the largest single key's tick count per window of
+interest. Volume profile's per-key min/max is a tiny two-row-per-key
+aggregate broadcast back onto the stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def anchored_vwap(ticks: DataFrame, resolution: str = "1 hour",
+                  anchor_ms: int = 86_400_000) -> DataFrame:
+    """Anchored (session) VWAP: within each anchor period (default one
+    day) the running volume-weighted average price up to and including
+    each resolution window. The events stream carries no size field, so
+    volume is the tick count — the same proxy as on_balance_volume.
+
+    Shape: one (key, window) aggregate (sum price, count) — map-side
+    combinable — then a cumulative sum over the candle-sized result
+    partitioned by (key, anchor). Output is candle-sized, not
+    tick-sized, so a 100 TB tick stream reduces before the window pass.
+    """
+    t_ms = F.unix_millis(F.col("event_time"))
+    agg = (ticks.where(F.col("is_live"))
+           .groupBy("key",
+                    F.window("event_time", resolution).alias("w"))
+           .agg(F.sum("ask").alias("sum_price"),
+                F.count(F.lit(1)).cast("long").alias("volume")))
+    w_start_ms = F.unix_millis(F.col("w.start"))
+    day = (F.floor(w_start_ms / F.lit(anchor_ms)) * anchor_ms)
+    run = (Window.partitionBy("key", "anchor_ms")
+           .orderBy("w_start_ms")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    base = agg.select(
+        "key", w_start_ms.alias("w_start_ms"), day.alias("anchor_ms"),
+        "sum_price", "volume")
+    # running sums are rounded to 6 decimals before the divide: input
+    # prices are exact 2-decimal values, so the true sums carry at most
+    # 2 decimals and the round strips only engine/order-dependent FP
+    # summation noise (~1e-12) that would otherwise flip the output's
+    # 6th decimal between equally-correct summation orders
+    return base.select(
+        "key", "w_start_ms", "anchor_ms", "volume",
+        (F.round(F.col("sum_price"), 6) / F.col("volume"))
+        .alias("window_vwap"),
+        (F.round(F.sum("sum_price").over(run), 6)
+         / F.sum("volume").over(run)).alias("anchored_vwap"),
+    )
+
+
+def tick_bars(ticks: DataFrame, bar_size: int = 50) -> DataFrame:
+    """Fixed-tick-count bars (the simplest event-driven bar: every bar
+    holds exactly `bar_size` consecutive ticks of one key; the final
+    partial bar is kept and carries its true tick count). Deterministic
+    because (key, event_time) is unique in the tick stream — asserted
+    by the data contract, not assumed silently.
+
+    Shape: row_number over the key-partitioned time sort assigns
+    bar ids, then one aggregate per (key, bar). The open/close picks
+    use min/max over (rn, price) structs so the same aggregate pass
+    yields all four OHLC fields — no second window pass.
+    """
+    wk = Window.partitionBy("key").orderBy("event_time")
+    t_ms = F.unix_millis(F.col("event_time"))
+    seq = (ticks.where(F.col("is_live"))
+           .select("key", "event_time", "ask")
+           .withColumn("rn", F.row_number().over(wk))
+           .withColumn("bar", ((F.col("rn") - 1) / bar_size)
+                       .cast("long")))
+    return (seq.groupBy("key", "bar")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_ticks"),
+                 F.min(F.struct("rn", "ask")).alias("o"),
+                 F.max(F.struct("rn", "ask")).alias("c"),
+                 F.min("ask").alias("low"),
+                 F.max("ask").alias("high"),
+                 F.min(t_ms).alias("t_open_ms"),
+                 F.max(t_ms).alias("t_close_ms"))
+            .select("key", "bar", "n_ticks",
+                    F.col("o.ask").alias("open"),
+                    "high", "low",
+                    F.col("c.ask").alias("close"),
+                    "t_open_ms", "t_close_ms"))
+
+
+def vpin(ticks: DataFrame, bucket_size: int = 50,
+         n_buckets: int = 5) -> DataFrame:
+    """Volume-synchronized probability of informed trading (Easley /
+    Lopez de Prado / O'Hara), with tick count standing in for volume:
+    classify each tick buy/sell by the tick rule (carry the last
+    nonzero direction through flat prints), cut the stream into
+    fixed-count buckets, and average the absolute order-flow imbalance
+    |B - S| / bucket over a trailing window of buckets.
+
+    Unclassified ticks (the leading flat run of each key) still occupy
+    bucket slots but count to neither side — documented, deterministic.
+
+    Shape: one key-partitioned sort serves the lag, the carry-forward
+    AND the row_number; one aggregate per (key, bucket); one trailing
+    average over the bucket-sized result.
+    """
+    wk = Window.partitionBy("key").orderBy("event_time")
+    chg = F.col("ask") - F.lag("ask").over(wk)
+    signed = F.when(chg > 0, 1).when(chg < 0, -1)  # NULL on flat/first
+    seq = (ticks.where(F.col("is_live"))
+           .select("key", "event_time", "ask")
+           .withColumn("s", signed)
+           .withColumn("dir", F.last("s", ignorenulls=True).over(
+               wk.rowsBetween(Window.unboundedPreceding, 0)))
+           .withColumn("rn", F.row_number().over(wk))
+           .withColumn("bucket", ((F.col("rn") - 1) / bucket_size)
+                       .cast("long")))
+    g = (seq.groupBy("key", "bucket")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_ticks"),
+              F.sum(F.when(F.col("dir") == 1, 1).otherwise(0))
+              .cast("long").alias("n_buy"),
+              F.sum(F.when(F.col("dir") == -1, 1).otherwise(0))
+              .cast("long").alias("n_sell")))
+    imb = (F.abs(F.col("n_buy") - F.col("n_sell"))
+           / F.col("n_ticks"))
+    trail = (Window.partitionBy("key").orderBy("bucket")
+             .rowsBetween(-(n_buckets - 1), 0))
+    return (g.withColumn("imbalance", imb)
+            .withColumn("vpin", F.avg("imbalance").over(trail)))
+
+
+def amihud_illiquidity(ticks: DataFrame, resolution: str = "1 hour",
+                       n_windows: int = 6) -> DataFrame:
+    """Amihud (2002) illiquidity: trailing mean of |return| / volume
+    per (key, window), the classic price-impact-per-unit-volume proxy.
+    Returns are close-over-previous-close of LIVE windows (gap windows
+    have no trades, hence no volume, hence no defined ratio — they are
+    skipped entirely, so the previous live close is the right base).
+    The first live window per key has no base and is excluded from the
+    trailing mean but still emitted with a null ratio.
+
+    Shape: one (key, window) map-side-combinable aggregate, then lag +
+    trailing average over the candle-sized result.
+    """
+    t_ms = F.unix_millis(F.col("event_time"))
+    agg = (ticks.where(F.col("is_live"))
+           .groupBy("key", F.window("event_time", resolution).alias("w"))
+           .agg(F.count(F.lit(1)).cast("long").alias("volume"),
+                F.max(F.struct(t_ms.alias("t"), F.col("ask")))
+                .alias("cl")))
+    wk = Window.partitionBy("key").orderBy("w.start")
+    close = F.col("cl.ask")
+    ret = F.log(close / F.lag(close).over(wk))
+    base = agg.select(
+        "key", F.unix_millis(F.col("w.start")).alias("w_start_ms"),
+        "volume", close.alias("close_price"), ret.alias("ret"))
+    ratio = F.abs(F.col("ret")) / F.col("volume")
+    trail = (Window.partitionBy("key").orderBy("w_start_ms")
+             .rowsBetween(-(n_windows - 1), 0))
+    return (base.withColumn("illiq", ratio)
+            .withColumn("amihud", F.avg(ratio).over(trail)))
+
+
+def volume_profile(ticks: DataFrame, n_bins: int = 20) -> DataFrame:
+    """Price-volume profile per key: tick volume histogram over
+    `n_bins` equal-width price bins spanning the key's [min, max] ask
+    range, with the point of control (max-volume bin; lowest bin wins
+    ties) flagged. The top-of-range tick lands in the last bin.
+
+    Shape: a two-column per-key extent aggregate (tiny — one row per
+    instrument) broadcast back onto the stream, then one (key, bin)
+    count and one per-key max for the POC flag. Nothing here grows
+    with tick count except the single histogram aggregate.
+    """
+    live = ticks.where(F.col("is_live")).select("key", "ask")
+    extent = (live.groupBy("key")
+              .agg(F.min("ask").alias("p_min"),
+                   F.max("ask").alias("p_max")))
+    j = live.join(F.broadcast(extent), "key")
+    width = (F.col("p_max") - F.col("p_min")) / n_bins
+    raw_bin = F.when(
+        F.col("p_max") == F.col("p_min"), F.lit(0)
+    ).otherwise(F.floor((F.col("ask") - F.col("p_min")) / width))
+    binned = j.select(
+        "key", "p_min", "p_max",
+        F.least(raw_bin.cast("long"), F.lit(n_bins - 1)).alias("bin"))
+    hist = (binned.groupBy("key", "bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("volume"),
+                 F.first("p_min").alias("p_min"),
+                 F.first("p_max").alias("p_max")))
+    width_out = (F.col("p_max") - F.col("p_min")) / n_bins
+    poc = Window.partitionBy("key")
+    best = F.min(F.struct(-F.col("volume"), F.col("bin"))).over(poc)
+    return hist.select(
+        "key", "bin", "volume",
+        (F.col("p_min") + F.col("bin") * width_out).alias("bin_low"),
+        (F.col("p_min") + (F.col("bin") + 1) * width_out)
+        .alias("bin_high"),
+        (F.col("bin") == best.getField("bin")).alias("is_poc"),
+    )
+
+
+def donchian_channels(candles: DataFrame, n_windows: int = 6) -> DataFrame:
+    """Donchian channel over complete candles: upper = max high and
+    lower = min low of the PRIOR `n_windows` candles (the current
+    candle is excluded, so a breakout compares today's close against
+    yesterday's channel — the textbook turtle rule). Candles with no
+    full prior channel (the first per key) emit null channel fields.
+
+    Shape: two trailing-frame window functions over the candle
+    pipeline's existing key-partitioned sort; no extra shuffle.
+    """
+    prior = (Window.partitionBy("key").orderBy("window_start")
+             .rowsBetween(-n_windows, -1))
+    hi = F.col("max_ask.ask")
+    lo = F.col("min_ask.ask")
+    close = F.col("close.ask")
+    base = candles.select(
+        "key", "window_start",
+        close.alias("close_price"),
+        F.max(hi).over(prior).alias("channel_high"),
+        F.min(lo).over(prior).alias("channel_low"))
+    return base.select(
+        "key", "window_start", "close_price", "channel_high",
+        "channel_low",
+        (F.col("channel_high") + F.col("channel_low")).alias("_s"),
+        (F.col("close_price") > F.col("channel_high"))
+        .alias("breakout_up"),
+        (F.col("close_price") < F.col("channel_low"))
+        .alias("breakout_down"),
+    ).select("key", "window_start", "close_price", "channel_high",
+             "channel_low", (F.col("_s") / 2).alias("channel_mid"),
+             "breakout_up", "breakout_down")

@@ -3342,3 +3342,279 @@ SELECT w_start_ms, key1, key2, round(rho, 6) AS rho,
        CAST(n_points AS BIGINT) AS n_points
 FROM pairs
 """
+
+
+# ---- event-driven bars & liquidity (round 8 batch) -----------------------
+
+
+def q_fx_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored (daily-session) VWAP per hour window — see
+    operators.bars.anchored_vwap: one map-side-combinable (key, window)
+    aggregate, then a day-partitioned running ratio over the
+    candle-sized result."""
+    from data_timeseries_java_spark.operators.bars import anchored_vwap
+
+    ticks, _ = _ticks_and_keys(spark, sf_dir)
+    v = anchored_vwap(ticks, RES)
+    return v.select(
+        "key", "w_start_ms", "anchor_ms", "volume",
+        F.round("window_vwap", 6).alias("window_vwap"),
+        F.round("anchored_vwap", 6).alias("anchored_vwap"),
+    )
+
+
+# anchored_vwap divides two running sums; the sums are rounded to 6
+# decimals inside the operator (prices are exact 2-decimal values, so
+# the round only strips engine-dependent FP summation noise ~1e-12)
+
+
+QUERIES["fx_vwap"] = q_fx_vwap
+
+ORACLE["fx_vwap"] = """
+WITH t AS (
+  SELECT event_type AS key, ts AS event_time, value AS price FROM events
+),
+g AS (
+  SELECT key, (epoch_ms(event_time) // {res}) * {res} AS w_start_ms,
+         sum(price) AS sum_price,
+         CAST(count(*) AS BIGINT) AS volume
+  FROM t GROUP BY key, w_start_ms
+)
+SELECT key, w_start_ms,
+       (w_start_ms // 86400000) * 86400000 AS anchor_ms,
+       volume,
+       round(round(sum_price, 6) / volume, 6) AS window_vwap,
+       round(round(sum(sum_price) OVER a, 6) / sum(volume) OVER a, 6)
+         AS anchored_vwap
+FROM g
+WINDOW a AS (PARTITION BY key, w_start_ms // 86400000
+             ORDER BY w_start_ms
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""".replace("{res}", str(RES_MS))
+
+
+def q_fx_tick_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-count tick bars (50 ticks/bar) — see operators.bars.
+    tick_bars. Event-driven bars the reference's time-window pipeline
+    cannot express; deterministic because (key, ts) is unique."""
+    from data_timeseries_java_spark.operators.bars import tick_bars
+
+    ticks, _ = _ticks_and_keys(spark, sf_dir)
+    b = tick_bars(ticks, bar_size=50)
+    return b.select(
+        "key", "bar", "n_ticks",
+        F.round("open", 6).alias("open"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        F.round("close", 6).alias("close"),
+        "t_open_ms", "t_close_ms",
+    )
+
+
+QUERIES["fx_tick_bars"] = q_fx_tick_bars
+
+ORACLE["fx_tick_bars"] = """
+WITH t AS (
+  SELECT event_type AS key, ts AS event_time, value AS price FROM events
+),
+seq AS (
+  SELECT key, event_time, price,
+         row_number() OVER (PARTITION BY key ORDER BY event_time) AS rn
+  FROM t
+),
+b AS (SELECT *, (rn - 1) // 50 AS bar FROM seq)
+SELECT key, bar,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       round(arg_min(price, rn), 6) AS open,
+       round(max(price), 6) AS high,
+       round(min(price), 6) AS low,
+       round(arg_max(price, rn), 6) AS close,
+       min(epoch_ms(event_time)) AS t_open_ms,
+       max(epoch_ms(event_time)) AS t_close_ms
+FROM b
+GROUP BY key, bar
+"""
+
+
+def q_fx_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VPIN (volume-synchronized probability of informed trading) over
+    50-tick buckets, trailing 5-bucket mean — see operators.bars.vpin.
+    The tick-rule classification reuses the fx_tick_rule carry-forward
+    semantics; unclassified leading ticks occupy slots but count to
+    neither side."""
+    from data_timeseries_java_spark.operators.bars import vpin
+
+    ticks, _ = _ticks_and_keys(spark, sf_dir)
+    v = vpin(ticks, bucket_size=50, n_buckets=5)
+    return v.select(
+        "key", "bucket", "n_ticks", "n_buy", "n_sell",
+        F.round("imbalance", 6).alias("imbalance"),
+        F.round("vpin", 6).alias("vpin"),
+    )
+
+
+QUERIES["fx_vpin"] = q_fx_vpin
+
+ORACLE["fx_vpin"] = """
+WITH ticks AS (
+  SELECT event_type AS key, ts AS event_time, value AS price
+  FROM events
+),""" + _TICK_DIR_CTE + """,
+seq AS (
+  SELECT key, event_time, dir,
+         row_number() OVER (PARTITION BY key ORDER BY event_time) AS rn
+  FROM tr_carried
+),
+g AS (
+  SELECT key, (rn - 1) // 50 AS bucket,
+         CAST(count(*) AS BIGINT) AS n_ticks,
+         CAST(count(*) FILTER (dir = 1) AS BIGINT) AS n_buy,
+         CAST(count(*) FILTER (dir = -1) AS BIGINT) AS n_sell
+  FROM seq GROUP BY key, bucket
+)
+SELECT key, bucket, n_ticks, n_buy, n_sell,
+       round(abs(n_buy - n_sell) * 1.0 / n_ticks, 6) AS imbalance,
+       round(avg(abs(n_buy - n_sell) * 1.0 / n_ticks) OVER tr, 6)
+         AS vpin
+FROM g
+WINDOW tr AS (PARTITION BY key ORDER BY bucket
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_fx_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud illiquidity (trailing mean |return|/volume over live
+    hour windows) — see operators.bars.amihud_illiquidity."""
+    from data_timeseries_java_spark.operators.bars import (
+        amihud_illiquidity)
+
+    ticks, _ = _ticks_and_keys(spark, sf_dir)
+    a = amihud_illiquidity(ticks, RES, n_windows=6)
+    return a.select(
+        "key", "w_start_ms", "volume",
+        F.round("close_price", 6).alias("close_price"),
+        F.round("illiq", 6).alias("illiq"),
+        F.round("amihud", 6).alias("amihud"),
+    )
+
+
+QUERIES["fx_amihud"] = q_fx_amihud
+
+ORACLE["fx_amihud"] = """
+WITH t AS (
+  SELECT event_type AS key, ts AS event_time, value AS price FROM events
+),
+g AS (
+  SELECT key, (epoch_ms(event_time) // {res}) * {res} AS w_start_ms,
+         CAST(count(*) AS BIGINT) AS volume,
+         arg_max(price, event_time) AS close_price
+  FROM t GROUP BY key, w_start_ms
+),
+r AS (
+  SELECT *,
+         abs(ln(close_price / lag(close_price) OVER wk)) / volume
+           AS illiq
+  FROM g
+  WINDOW wk AS (PARTITION BY key ORDER BY w_start_ms)
+)
+SELECT key, w_start_ms, volume,
+       round(close_price, 6) AS close_price,
+       round(illiq, 6) AS illiq,
+       round(avg(illiq) OVER tr, 6) AS amihud
+FROM r
+WINDOW tr AS (PARTITION BY key ORDER BY w_start_ms
+              ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+""".replace("{res}", str(RES_MS))
+
+
+def q_fx_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume profile (20 equal-width price bins per key, POC
+    flagged, lowest bin wins ties) — see operators.bars.volume_profile.
+    The per-key extent is a tiny broadcast; the histogram is one
+    map-side-combinable count."""
+    from data_timeseries_java_spark.operators.bars import volume_profile
+
+    ticks, _ = _ticks_and_keys(spark, sf_dir)
+    p = volume_profile(ticks, n_bins=20)
+    return p.select(
+        "key", "bin", "volume",
+        F.round("bin_low", 6).alias("bin_low"),
+        F.round("bin_high", 6).alias("bin_high"),
+        "is_poc",
+    )
+
+
+QUERIES["fx_volume_profile"] = q_fx_volume_profile
+
+ORACLE["fx_volume_profile"] = """
+WITH t AS (
+  SELECT event_type AS key, value AS price FROM events
+),
+ext AS (
+  SELECT key, min(price) AS p_min, max(price) AS p_max
+  FROM t GROUP BY key
+),
+binned AS (
+  SELECT t.key, ext.p_min, ext.p_max,
+         CASE WHEN ext.p_max = ext.p_min THEN 0
+              ELSE least(CAST(floor((t.price - ext.p_min)
+                         / ((ext.p_max - ext.p_min) / 20)) AS BIGINT),
+                         19) END AS bin
+  FROM t JOIN ext USING (key)
+),
+hist AS (
+  SELECT key, bin, CAST(count(*) AS BIGINT) AS volume,
+         any_value(p_min) AS p_min, any_value(p_max) AS p_max
+  FROM binned GROUP BY key, bin
+)
+SELECT key, bin, volume,
+       round(p_min + bin * (p_max - p_min) / 20, 6) AS bin_low,
+       round(p_min + (bin + 1) * (p_max - p_min) / 20, 6) AS bin_high,
+       (bin = min(bin) FILTER (volume = mx)
+              OVER (PARTITION BY key)) AS is_poc
+FROM (SELECT *, max(volume) OVER (PARTITION BY key) AS mx FROM hist)
+"""
+
+
+def q_fx_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channel (prior-6-candle high/low band + turtle breakout
+    flags) over complete candles — see operators.bars.donchian_channels;
+    rides the candle pipeline's existing key-partitioned sort."""
+    from data_timeseries_java_spark.operators.bars import (
+        donchian_channels)
+    from data_timeseries_java_spark.operators.candles import (
+        candles_pipeline)
+
+    ticks, keys = _ticks_and_keys(spark, sf_dir)
+    d = donchian_channels(candles_pipeline(ticks, keys, RES), n_windows=6)
+    d = d.where(F.col("channel_high").isNotNull())
+    return d.select(
+        "key", _ms(F.col("window_start")).alias("w_start_ms"),
+        F.round("close_price", 6).alias("close_price"),
+        F.round("channel_high", 6).alias("channel_high"),
+        F.round("channel_low", 6).alias("channel_low"),
+        F.round("channel_mid", 6).alias("channel_mid"),
+        "breakout_up", "breakout_down",
+    )
+
+
+QUERIES["fx_donchian"] = q_fx_donchian
+
+ORACLE["fx_donchian"] = _PRELUDE + """
+SELECT key, w_start_ms,
+       round(close_price, 6) AS close_price,
+       round(ch, 6) AS channel_high,
+       round(cl, 6) AS channel_low,
+       round((ch + cl) / 2, 6) AS channel_mid,
+       close_price > ch AS breakout_up,
+       close_price < cl AS breakout_down
+FROM (
+  SELECT key, w_start_ms, close_price,
+         max(max_price) OVER pr AS ch,
+         min(min_price) OVER pr AS cl
+  FROM complete
+  WINDOW pr AS (PARTITION BY key ORDER BY w_start_ms
+                ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+)
+WHERE ch IS NOT NULL
+"""
