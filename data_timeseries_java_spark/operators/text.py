@@ -927,3 +927,146 @@ def dsir_quantile_select(scored: DataFrame, keep_frac: float = 0.25,
     return (scored.crossJoin(F.broadcast(thr))
             .select(id_col, "is_target", "log_weight", "threshold",
                     (lw6 >= F.col("threshold")).alias("kept")))
+
+
+# ---- Gopher rule filter & collocations (round 8 batch) -------------------
+
+# The published Gopher quality-filter thresholds (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", App. A1.1 — public paper):
+# word count in [50, 100k], mean word length in [3, 10], >=80% of
+# words contain an alphabetic character, and >=2 hits of a small
+# required-stopword list. The symbol/ellipsis/bullet line rules are
+# no-ops on the whitespace word-soup corpus and are deliberately
+# omitted rather than shipped untestable.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_STOPLIST = ["and", "be", "have", "of", "that", "the", "to", "with"]
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher rule verdicts: each published threshold as
+    its own boolean flag plus the conjunction. Unlike quality_score
+    (continuous features), this is the FILTER a corpus build applies.
+
+    Shape: a single-scan projection — every rule is a built-in
+    expression over one tokens() array; no shuffle, no UDF, prunes to
+    (doc_id, text) at the source.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    nd = n.cast("double")
+    sum_len = F.aggregate(F.transform(toks, F.length),
+                          F.lit(0), lambda acc, x: acc + x)
+    mean_len = sum_len.cast("double") / F.greatest(nd, F.lit(1.0))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_ratio = alpha.cast("double") / F.greatest(nd, F.lit(1.0))
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPLIST])
+    stop_hits = F.size(F.filter(toks,
+                                lambda t: F.array_contains(stop_arr, t)))
+    ok_words = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    ok_len = ((mean_len >= GOPHER_MIN_MEAN_LEN)
+              & (mean_len <= GOPHER_MAX_MEAN_LEN))
+    ok_alpha = alpha_ratio >= GOPHER_MIN_ALPHA_RATIO
+    ok_stop = stop_hits >= GOPHER_MIN_STOP_HITS
+    return df.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        stop_hits.cast("long").alias("stop_hits"),
+        ok_words.alias("ok_word_count"),
+        ok_len.alias("ok_mean_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_len & ok_alpha & ok_stop).alias("keep"),
+    )
+
+
+def collocation_pmi(df: DataFrame, text_col: str = "text",
+                    min_count: int = 5) -> DataFrame:
+    """Corpus-level collocation mining: pointwise mutual information of
+    adjacent word pairs, PMI = ln((c_xy/N2) / ((c_x/N1)(c_y/N1))) with
+    unigram stats over the full token stream and bigram stats over
+    adjacent positions. Integer counts everywhere, one ln at the end —
+    bit-identical across engines.
+
+    Shape: one explode → bigram count, one explode → unigram count
+    (both map-side combinable), then two broadcast joins (the unigram
+    table is vocabulary-sized) and two broadcast-scalar totals. At
+    100 TB the only big shuffle is the bigram count itself, and its
+    key space is |V|² bounded.
+    """
+    toks = tokenize(df, text_col).select("doc_id", "toks")
+    uni = (toks.select(F.explode("toks").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c")))
+    n1 = uni.agg(F.sum("c").alias("n1"))
+    pairs = toks.select(F.explode(F.expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), "
+        "(x, i) -> struct(x as w1, toks[i + 1] as w2))")).alias("bg"))
+    big = (pairs.groupBy(F.col("bg.w1").alias("w1"),
+                         F.col("bg.w2").alias("w2"))
+           .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+           .where(F.col("c_xy") >= min_count))
+    n2 = pairs.agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    j = (big.join(F.broadcast(u1), "w1").join(F.broadcast(u2), "w2")
+         .crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(n2)))
+    pmi = F.log((F.col("c_xy") * F.col("n1") * F.col("n1"))
+                / (F.col("n2") * F.col("c_x") * F.col("c_y")))
+    return j.select("w1", "w2", "c_xy", "c_x", "c_y",
+                    F.round(pmi, 6).alias("pmi"))
+
+
+def source_ngram_overlap(df: DataFrame, text_col: str = "text",
+                         source_col: str = "source",
+                         n: int = 3) -> DataFrame:
+    """Cross-source contamination matrix: Jaccard overlap of the
+    DISTINCT word-n-gram sets of every source pair (the corpus-level
+    companion to per-document dedup — answers "how much do my sources
+    repeat each other", the first question before mixture weighting).
+
+    Shape: explode to (source, gram) → distinct, then an equi-join on
+    the gram key to count intersections and a tiny per-source count
+    broadcast onto the pair frame. The join's fanout per gram is
+    bounded by the number of sources carrying it (≤ |sources|, a
+    config-sized constant), so the plan is linear in distinct grams —
+    never all-pairs of documents.
+    """
+    toks = tokenize(df, text_col).select(
+        F.col(source_col).alias("source"), "toks")
+    gram_expr = (
+        "transform(slice(toks, 1, greatest(size(toks) - {k}, 0)), "
+        "(x, i) -> concat_ws(' ', {parts}))"
+    ).format(k=n - 1,
+             parts=", ".join(["x"] + [f"toks[i + {j}]"
+                                      for j in range(1, n)]))
+    grams = (toks.select("source",
+                         F.explode(F.expr(gram_expr)).alias("g"))
+             .distinct())
+    counts = grams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"))
+    a = grams.select(F.col("source").alias("source1"), "g")
+    b = grams.select(F.col("source").alias("source2"),
+                     F.col("g").alias("g2"))
+    inter = (a.join(b, (F.col("g") == F.col("g2"))
+                    & (F.col("source1") < F.col("source2")))
+             .groupBy("source1", "source2")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_inter")))
+    ca = counts.select(F.col("source").alias("source1"),
+                       F.col("n_grams").alias("n_a"))
+    cb = counts.select(F.col("source").alias("source2"),
+                       F.col("n_grams").alias("n_b"))
+    pairs = (ca.join(cb, F.col("source1") < F.col("source2"))
+             .join(inter, ["source1", "source2"], "left")
+             .withColumn("n_inter",
+                         F.coalesce(F.col("n_inter"), F.lit(0))))
+    un = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return pairs.select(
+        "source1", "source2", "n_a", "n_b", "n_inter",
+        un.alias("n_union"),
+        F.round(F.col("n_inter") / un, 6).alias("jaccard"))

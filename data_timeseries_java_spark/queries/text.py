@@ -1692,3 +1692,148 @@ SELECT s.doc_id, s.is_target, s.log_weight, t.threshold,
        round(s.log_weight, 6) >= t.threshold AS kept
 FROM scored s CROSS JOIN thr t
 """
+
+
+# ---- Gopher filter, collocations, source overlap (round 8 batch) ---------
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published Gopher quality-filter thresholds as per-document
+    boolean verdicts (operators/text.gopher_rules) — the FILTER stage a
+    corpus build applies, complementing text_quality's continuous
+    features. Single-scan projection, no shuffle."""
+    from data_timeseries_java_spark.operators.text import gopher_rules
+
+    return gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["gopher_rules"] = q_gopher_rules
+
+# flags are computed on UNROUNDED features in both engines (the round
+# is output-only) so a boundary document cannot flip cross-engine
+ORACLE["gopher_rules"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(t) AS n_words,
+         list_sum(list_transform(t, x -> length(x))) * 1.0
+           / greatest(len(t), 1) AS mean_word_len,
+         len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) * 1.0
+           / greatest(len(t), 1) AS alpha_ratio,
+         len(list_filter(t, x -> list_contains(
+             ['and','be','have','of','that','the','to','with'], x)))
+           AS stop_hits
+  FROM toks
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       n_words BETWEEN 50 AND 100000 AS ok_word_count,
+       mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_mean_len,
+       alpha_ratio >= 0.8 AS ok_alpha,
+       stop_hits >= 2 AS ok_stopwords,
+       (n_words BETWEEN 50 AND 100000)
+         AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         AND alpha_ratio >= 0.8 AND stop_hits >= 2 AS keep
+FROM feat
+"""
+
+
+COLLOC_MIN_COUNT = 5
+
+
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-ranked adjacent-word collocations over the corpus
+    (operators/text.collocation_pmi): integer counts everywhere, one
+    ln at the end; the only big shuffle is the |V|²-bounded bigram
+    count."""
+    from data_timeseries_java_spark.operators.text import collocation_pmi
+
+    return collocation_pmi(load_table(spark, sf_dir, "documents"),
+                           min_count=COLLOC_MIN_COUNT)
+
+
+QUERIES["text_collocations"] = q_text_collocations
+
+ORACLE["text_collocations"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+uni AS (
+  SELECT unnest(t) AS w FROM toks
+),
+uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w),
+n1t AS (SELECT CAST(sum(c) AS BIGINT) AS n1 FROM uc),
+doc_bg AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS s
+  FROM toks WHERE len(t) >= 2
+),
+bc AS (
+  SELECT s.w1 AS w1, s.w2 AS w2, CAST(count(*) AS BIGINT) AS c_xy
+  FROM doc_bg GROUP BY 1, 2
+  HAVING count(*) >= {COLLOC_MIN_COUNT}
+),
+n2t AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM doc_bg)
+SELECT bc.w1, bc.w2, bc.c_xy, ua.c AS c_x, ub.c AS c_y,
+       round(ln((bc.c_xy * n1t.n1 * n1t.n1) * 1.0
+                / (n2t.n2 * ua.c * ub.c)), 6) AS pmi
+FROM bc
+JOIN uc ua ON ua.w = bc.w1
+JOIN uc ub ON ub.w = bc.w2
+CROSS JOIN n1t CROSS JOIN n2t
+"""
+
+
+def q_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source trigram Jaccard overlap matrix
+    (operators/text.source_ngram_overlap) — "how much do my sources
+    repeat each other" before mixture weighting; gram-keyed join,
+    fanout bounded by |sources|."""
+    from data_timeseries_java_spark.operators.text import (
+        source_ngram_overlap)
+
+    return source_ngram_overlap(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["source_ngram_overlap"] = q_source_ngram_overlap
+
+ORACLE["source_ngram_overlap"] = """
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+tg AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+  FROM toks WHERE len(t) >= 3
+),
+sc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+       FROM tg GROUP BY source),
+inter AS (
+  SELECT a.source AS source1, b.source AS source2,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM tg a JOIN tg b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT ca.source AS source1, cb.source AS source2,
+       ca.n_grams AS n_a, cb.n_grams AS n_b,
+       coalesce(i.n_inter, 0) AS n_inter,
+       ca.n_grams + cb.n_grams - coalesce(i.n_inter, 0) AS n_union,
+       round(coalesce(i.n_inter, 0) * 1.0
+             / (ca.n_grams + cb.n_grams - coalesce(i.n_inter, 0)), 6)
+         AS jaccard
+FROM sc ca JOIN sc cb ON ca.source < cb.source
+LEFT JOIN inter i
+  ON i.source1 = ca.source AND i.source2 = cb.source
+"""
