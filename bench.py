@@ -75,6 +75,14 @@ HEADLINE = [
     "tfidf_neardup",
     "decontaminate_bloom",
     "quality_classifier",
+    # round 8 session 2: event-driven bars (per-key total-order sort +
+    # bucket aggregate — the non-time-bar family) and the cross-source
+    # trigram contamination matrix (gram-keyed join, |sources|-bounded
+    # fanout)
+    "fx_vpin",
+    "fx_tick_bars",
+    "source_ngram_overlap",
+    "gopher_rules",
     # media codec tier (pure-Python codecs, Arrow-batched mapInPandas;
     # these time synthesize+decode end-to-end — decode-only docs/s and
     # MB/s ceilings live in bench_media.py and SCALE.md)

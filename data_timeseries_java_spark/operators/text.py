@@ -1030,12 +1030,14 @@ def source_ngram_overlap(df: DataFrame, text_col: str = "text",
     companion to per-document dedup — answers "how much do my sources
     repeat each other", the first question before mixture weighting).
 
-    Shape: explode to (source, gram) → distinct, then an equi-join on
-    the gram key to count intersections and a tiny per-source count
-    broadcast onto the pair frame. The join's fanout per gram is
-    bounded by the number of sources carrying it (≤ |sources|, a
-    config-sized constant), so the plan is linear in distinct grams —
-    never all-pairs of documents.
+    Shape: inverted-index co-occurrence counting — explode to
+    (source, gram) → distinct, group by gram into a sorted source set,
+    then explode each gram's source PAIRS and count. Per-gram fanout
+    is C(|sources carrying it|, 2) ≤ C(|sources|, 2), a config-sized
+    constant, so the plan is linear in distinct grams — never a
+    gram-keyed self-join (which would scan the corpus twice) and never
+    all-pairs of documents. Per-source totals ride the same grouped
+    frame; only the tiny |sources|² pair frame is joined at the end.
     """
     toks = tokenize(df, text_col).select(
         F.col(source_col).alias("source"), "toks")
@@ -1048,14 +1050,18 @@ def source_ngram_overlap(df: DataFrame, text_col: str = "text",
     grams = (toks.select("source",
                          F.explode(F.expr(gram_expr)).alias("g"))
              .distinct())
-    counts = grams.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams"))
-    a = grams.select(F.col("source").alias("source1"), "g")
-    b = grams.select(F.col("source").alias("source2"),
-                     F.col("g").alias("g2"))
-    inter = (a.join(b, (F.col("g") == F.col("g2"))
-                    & (F.col("source1") < F.col("source2")))
-             .groupBy("source1", "source2")
+    per_gram = grams.groupBy("g").agg(
+        F.sort_array(F.collect_set("source")).alias("ss"))
+    counts = (per_gram.select(F.explode("ss").alias("source"))
+              .groupBy("source")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_grams")))
+    pair_expr = (
+        "flatten(transform(ss, (x, i) -> "
+        "transform(slice(ss, i + 2, size(ss)), "
+        "y -> struct(x as s1, y as s2))))")
+    inter = (per_gram.select(F.explode(F.expr(pair_expr)).alias("p"))
+             .groupBy(F.col("p.s1").alias("source1"),
+                      F.col("p.s2").alias("source2"))
              .agg(F.count(F.lit(1)).cast("long").alias("n_inter")))
     ca = counts.select(F.col("source").alias("source1"),
                        F.col("n_grams").alias("n_a"))

@@ -35,7 +35,13 @@ QUERIES = ["dedup_minhash_lsh", "corpus_build", "ann_lsh",
            # corpus (srp_assign handles k~n) and keeps training on an
            # S ∝ k sample.
            "text_bpe_tokens_dict", "dsir_importance",
-           "dedup_substring_spans", "brand_triangles_deg"]
+           "dedup_substring_spans", "brand_triangles_deg",
+           # round-8 session-2 additions: event-driven bars (per-key
+           # total-order sort — the row_number shape under replica
+           # growth), the gram-keyed source overlap join, and the two
+           # single-scan text projections as cheap linear controls
+           "fx_vpin", "fx_tick_bars", "fx_vwap",
+           "source_ngram_overlap", "text_collocations", "gopher_rules"]
 
 
 def bench(spark, qs, name, sf_dir, n):
