@@ -261,6 +261,17 @@ def main() -> None:
             tick_src(), price_col="ask")),
         ("sessions", lambda: streaming_sessions(
             ev_src(), "user_id", "ts", "30 minutes")),
+        # round 8 session 2: anchored VWAP keyed state — two numbers
+        # per key forever (reset on day rollover); fed at tick
+        # granularity (each tick is a volume-1 window row), the
+        # worst-case row rate for this operator
+        ("vwap_state", lambda: __import__(
+            "data_timeseries_java_spark.streaming.vwap_stream",
+            fromlist=["streaming_anchored_vwap"]).streaming_anchored_vwap(
+            tick_src().select(
+                "key", "event_time",
+                F.col("ask").alias("sum_price"),
+                F.lit(1).cast("long").alias("volume")))),
         ("realized_vol", lambda: streaming_realized_volatility(
             returns_src(), "1 hour")),
         ("asof_join_state", lambda: streaming_asof_join(

@@ -3618,3 +3618,78 @@ FROM (
 )
 WHERE ch IS NOT NULL
 """
+
+
+# ---- streaming anchored VWAP, driver-gated through replay ----------------
+
+_VWAP_STREAM_REPLAY_SINKS: dict[tuple, str] = {}
+
+
+def q_vwap_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored daily VWAP executed through the STREAMING lane
+    (`streaming/vwap_stream.py` — per-key (anchor, run_sum, run_vol)
+    keyed state, reset on day rollover; bounded at two numbers per key
+    forever) and hash-matched against the SAME DuckDB oracle as the
+    batch `fx_vwap`.
+
+    The replay input is the hourly (key, window, sum_price, volume)
+    pre-aggregate — the same grouping fx_vwap's first stage is
+    oracle-checked on — split into 3 time-range files with
+    md5-scrambled within-file order (the stateful fold sorts each
+    micro-batch by event time; time-range bucketing keeps batches in
+    per-key time order, the documented contract). No sentinel: the
+    processor emits every row it sees. Building this query RUNS the
+    stream; the declared result is a pruned parquet scan of the sink."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_timeseries_java_spark.streaming.replay import (
+        read_replay_sink,
+        run_to_parquet_sink,
+        write_replay_buckets,
+    )
+    from data_timeseries_java_spark.streaming.vwap_stream import (
+        streaming_anchored_vwap,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    sink = _VWAP_STREAM_REPLAY_SINKS.get(cache_key)
+    if sink is None or not os.path.isdir(sink):
+        ticks, _ = _ticks_and_keys(spark, sf_dir)
+        hourly = (ticks.groupBy(
+            "key", F.window("event_time", RES).alias("w"))
+            .agg(F.sum("ask").alias("sum_price"),
+                 F.count(F.lit(1)).cast("long").alias("volume"))
+            .select("key", F.col("w.start").alias("event_time"),
+                    "sum_price", "volume"))
+        t0_ms, t1_ms = hourly.select(
+            F.min(_ms(F.col("event_time"))),
+            F.max(_ms(F.col("event_time")))).first()
+        n_files = 3
+        work = tempfile.mkdtemp(prefix="vwap_stream_replay_")
+        base = _time.time() - 1000
+        write_replay_buckets(hourly, "event_time", f"{work}/in", n_files,
+                             t0_ms, t1_ms - t0_ms + 1, base,
+                             ["key", "event_time"])
+        src = (spark.readStream.schema(hourly.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
+        v = streaming_anchored_vwap(src)
+        sink = run_to_parquet_sink(v, f"{work}/out", f"{work}/ckpt")
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+        _VWAP_STREAM_REPLAY_SINKS[cache_key] = sink
+    v = read_replay_sink(spark, sink)
+    return v.select(
+        "key",
+        _ms(F.col("event_time")).alias("w_start_ms"),
+        "anchor_ms", "volume",
+        F.round("window_vwap", 6).alias("window_vwap"),
+        F.round("anchored_vwap", 6).alias("anchored_vwap"),
+    )
+
+
+QUERIES["vwap_stream_replay"] = q_vwap_stream_replay
+
+ORACLE["vwap_stream_replay"] = ORACLE["fx_vwap"]
