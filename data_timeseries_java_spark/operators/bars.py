@@ -242,3 +242,43 @@ def donchian_channels(candles: DataFrame, n_windows: int = 6) -> DataFrame:
     ).select("key", "window_start", "close_price", "channel_high",
              "channel_low", (F.col("_s") / 2).alias("channel_mid"),
              "breakout_up", "breakout_down")
+
+
+def dollar_bars(ticks: DataFrame, threshold: float = 5_000.0) -> DataFrame:
+    """Value-threshold bars (the "dollar bar" of the event-driven bar
+    family): a tick belongs to bar floor(preceding_cum_value / T), so a
+    new bar opens exactly when cumulative traded value crosses a
+    multiple of T. With no size field, each tick's value is its price —
+    the same proxy discipline as the tick-count volume elsewhere.
+
+    Determinism note: the cumulative sum is a SEQUENTIAL fold in
+    (key, event_time) order in any engine, so the double is
+    bit-identical cross-engine (unlike a reduction-order-free
+    aggregate) and the floor cannot straddle engines differently.
+
+    Shape: identical to tick_bars — one key-partitioned sort (serving
+    the running sum), one OHLC aggregate per (key, bar).
+    """
+    wk = Window.partitionBy("key").orderBy("event_time")
+    prev_cum = F.coalesce(
+        F.sum("ask").over(wk.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0.0))
+    t_ms = F.unix_millis(F.col("event_time"))
+    seq = (ticks.where(F.col("is_live"))
+           .select("key", "event_time", "ask")
+           .withColumn("rn", F.row_number().over(wk))
+           .withColumn("bar", F.floor(prev_cum / threshold)))
+    return (seq.groupBy("key", "bar")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_ticks"),
+                 F.sum("ask").alias("bar_value"),
+                 F.min(F.struct("rn", "ask")).alias("o"),
+                 F.max(F.struct("rn", "ask")).alias("c"),
+                 F.min("ask").alias("low"),
+                 F.max("ask").alias("high"),
+                 F.min(t_ms).alias("t_open_ms"),
+                 F.max(t_ms).alias("t_close_ms"))
+            .select("key", "bar", "n_ticks", "bar_value",
+                    F.col("o.ask").alias("open"),
+                    "high", "low",
+                    F.col("c.ask").alias("close"),
+                    "t_open_ms", "t_close_ms"))

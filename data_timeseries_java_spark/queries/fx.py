@@ -3693,3 +3693,53 @@ def q_vwap_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["vwap_stream_replay"] = q_vwap_stream_replay
 
 ORACLE["vwap_stream_replay"] = ORACLE["fx_vwap"]
+
+
+def q_fx_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-threshold ("dollar") bars, T=5000 — see
+    operators.bars.dollar_bars. Bar id = floor(preceding cumulative
+    value / T): the sequential per-key fold is bit-identical
+    cross-engine, so the floor is hash-safe."""
+    from data_timeseries_java_spark.operators.bars import dollar_bars
+
+    ticks, _ = _ticks_and_keys(spark, sf_dir)
+    b = dollar_bars(ticks, threshold=5_000.0)
+    return b.select(
+        "key", "bar", "n_ticks",
+        F.round("bar_value", 6).alias("bar_value"),
+        F.round("open", 6).alias("open"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        F.round("close", 6).alias("close"),
+        "t_open_ms", "t_close_ms",
+    )
+
+
+QUERIES["fx_dollar_bars"] = q_fx_dollar_bars
+
+ORACLE["fx_dollar_bars"] = """
+WITH t AS (
+  SELECT event_type AS key, ts AS event_time, value AS price FROM events
+),
+seq AS (
+  SELECT key, event_time, price,
+         row_number() OVER wk AS rn,
+         coalesce(sum(price) OVER (PARTITION BY key ORDER BY event_time
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0.0) AS prev_cum
+  FROM t
+  WINDOW wk AS (PARTITION BY key ORDER BY event_time)
+),
+b AS (SELECT *, CAST(floor(prev_cum / 5000.0) AS BIGINT) AS bar FROM seq)
+SELECT key, bar,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       round(sum(price), 6) AS bar_value,
+       round(arg_min(price, rn), 6) AS open,
+       round(max(price), 6) AS high,
+       round(min(price), 6) AS low,
+       round(arg_max(price, rn), 6) AS close,
+       min(epoch_ms(event_time)) AS t_open_ms,
+       max(epoch_ms(event_time)) AS t_close_ms
+FROM b
+GROUP BY key, bar
+"""

@@ -2896,3 +2896,85 @@ QUERIES["brand_triangles_deg"] = q_brand_triangles_deg
 # orientation-invariance gate: the degree-oriented census must equal the
 # name-ordered census row for row — same oracle
 ORACLE["brand_triangles_deg"] = ORACLE["brand_triangles"]
+
+
+# ---- linear multi-touch attribution (round 8 session 2) ------------------
+
+ATTR_HORIZON_MS = 7 * 86_400_000
+
+
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase splits its value
+    equally across ALL the user's click/view touches in the preceding
+    7 days (inclusive of the purchase instant), the many-touch
+    companion to `asof_purchase_click`'s single nearest-touch lookup.
+    Output grain = touch event: its type, how many purchases it helped,
+    and its total credited value in exact micro-units (credit_micros =
+    sum of round(value/n_touches * 1e6) BIGINTs — integer arithmetic
+    after one deterministic per-purchase division, so the cross-engine
+    hash cannot drift with float summation order).
+
+    Shape: purchases x touches is an equi-join on user_id with the
+    time band as a pushed residual — per-user fanout is bounded by
+    touches-per-horizon, not history length. At 100 TB the same plan
+    holds after week-bucketing both sides (each purchase probes 2
+    buckets); the user-keyed shuffle is the only big exchange.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id",
+        F.unix_millis("ts").alias("p_ts_ms"), "value")
+    touches = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("touch_type"), "user_id",
+        F.unix_millis("ts").alias("t_ts_ms"))
+    j = purchases.join(
+        touches,
+        (purchases.user_id == touches.user_id)
+        & (F.col("t_ts_ms") <= F.col("p_ts_ms"))
+        & (F.col("t_ts_ms") > F.col("p_ts_ms") - ATTR_HORIZON_MS),
+    ).select(purchases.user_id, "p_id", "value", "t_id", "touch_type",
+             "t_ts_ms")
+    w = Window.partitionBy("p_id")
+    per_touch = j.withColumn(
+        "credit_micros",
+        F.round(F.col("value") / F.count(F.lit(1)).over(w) * 1e6)
+        .cast("long"))
+    return (per_touch.groupBy("t_id", "touch_type", "user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"),
+                 F.sum("credit_micros").cast("long")
+                 .alias("credit_micros")))
+
+
+QUERIES["attribution_linear"] = q_attribution_linear
+
+ORACLE["attribution_linear"] = f"""
+WITH purchases AS (
+  SELECT event_id AS p_id, user_id, epoch_ms(ts) AS p_ts_ms, value
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT event_id AS t_id, event_type AS touch_type, user_id,
+         epoch_ms(ts) AS t_ts_ms
+  FROM events WHERE event_type IN ('click', 'view')
+),
+j AS (
+  SELECT p.p_id, p.value, t.t_id, t.touch_type, t.user_id
+  FROM purchases p JOIN touches t
+    ON p.user_id = t.user_id
+   AND t.t_ts_ms <= p.p_ts_ms
+   AND t.t_ts_ms > p.p_ts_ms - {ATTR_HORIZON_MS}
+),
+per_touch AS (
+  SELECT *, CAST(round(value / (count(*) OVER (PARTITION BY p_id))
+                       * 1e6) AS BIGINT) AS credit_micros
+  FROM j
+)
+SELECT t_id, touch_type, user_id,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(credit_micros) AS BIGINT) AS credit_micros
+FROM per_touch
+GROUP BY t_id, touch_type, user_id
+"""
