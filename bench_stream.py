@@ -261,6 +261,12 @@ def main() -> None:
             tick_src(), price_col="ask")),
         ("sessions", lambda: streaming_sessions(
             ev_src(), "user_id", "ts", "30 minutes")),
+        # round 8 session 2: count-based tick bars — the non-time-window
+        # aggregation; state = total count + in-flight partial bar
+        ("tick_bars_state", lambda: __import__(
+            "data_timeseries_java_spark.streaming.bars_stream",
+            fromlist=["streaming_tick_bars"]).streaming_tick_bars(
+            tick_src(), bar_size=50)),
         # round 8 session 2: anchored VWAP keyed state — two numbers
         # per key forever (reset on day rollover); fed at tick
         # granularity (each tick is a volume-1 window row), the

@@ -3743,3 +3743,74 @@ SELECT key, bar,
 FROM b
 GROUP BY key, bar
 """
+
+
+# ---- streaming tick bars, driver-gated through replay --------------------
+
+_BARS_STREAM_REPLAY_SINKS: dict[tuple, str] = {}
+
+
+def q_tick_bars_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-count tick bars executed through the STREAMING lane
+    (`streaming/bars_stream.py` — count-based bar boundaries, the
+    aggregation time windows cannot express; keyed state = total count
+    + the in-flight partial bar, eight numbers per key forever) and
+    hash-matched against the batch `fx_tick_bars` oracle restricted to
+    COMPLETED bars (a live stream hasn't finished its partial bar by
+    definition — the same semantics as an open time window before the
+    watermark).
+
+    Ticks replay in 3 time-range files with md5-scrambled within-file
+    order (the fold sorts each micro-batch; bucketing keeps batches in
+    per-key time order). Building this query RUNS the stream."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_timeseries_java_spark.streaming.bars_stream import (
+        streaming_tick_bars,
+    )
+    from data_timeseries_java_spark.streaming.replay import (
+        read_replay_sink,
+        run_to_parquet_sink,
+        write_replay_buckets,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    sink = _BARS_STREAM_REPLAY_SINKS.get(cache_key)
+    if sink is None or not os.path.isdir(sink):
+        ticks, _ = _ticks_and_keys(spark, sf_dir)
+        feed = ticks.select("key", "event_time", "ask")
+        t0_ms, t1_ms = feed.select(
+            F.min(_ms(F.col("event_time"))),
+            F.max(_ms(F.col("event_time")))).first()
+        n_files = 3
+        work = tempfile.mkdtemp(prefix="bars_stream_replay_")
+        base = _time.time() - 1000
+        write_replay_buckets(feed, "event_time", f"{work}/in", n_files,
+                             t0_ms, t1_ms - t0_ms + 1, base,
+                             ["key", "event_time"])
+        src = (spark.readStream.schema(feed.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
+        b = streaming_tick_bars(src, bar_size=50)
+        sink = run_to_parquet_sink(b, f"{work}/out", f"{work}/ckpt")
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+        _BARS_STREAM_REPLAY_SINKS[cache_key] = sink
+    b = read_replay_sink(spark, sink)
+    return b.select(
+        "key", "bar", "n_ticks",
+        F.round("open", 6).alias("open"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        F.round("close", 6).alias("close"),
+        "t_open_ms", "t_close_ms",
+    )
+
+
+QUERIES["tick_bars_stream_replay"] = q_tick_bars_stream_replay
+
+# the batch oracle restricted to completed bars (see docstring)
+ORACLE["tick_bars_stream_replay"] = ORACLE["fx_tick_bars"].replace(
+    "GROUP BY key, bar", "GROUP BY key, bar\nHAVING count(*) = 50")

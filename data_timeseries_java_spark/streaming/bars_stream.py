@@ -1,0 +1,89 @@
+"""Streaming tick bars: count-based (event-driven) bars from a tick
+stream, the non-time-window aggregation Structured Streaming's
+windowed operators cannot express — bar boundaries depend on the
+per-key ARRIVAL COUNT, not the clock.
+
+Keyed state carries (total ticks seen, the in-flight partial bar);
+a bar is emitted the moment its `bar_size`-th tick arrives. The
+in-flight bar stays in state — exactly like an open time window
+before the watermark passes — so the streaming result is "all
+COMPLETED bars", and the replay gate compares against the batch
+operator restricted to full bars (the batch run also emits the final
+partial; a live stream by definition hasn't finished it yet).
+
+Order contract (same as ema_stream): rows fold in event-time order
+within a batch, batches arrive in per-key time order (replay
+harness's time-range bucketing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+BARS_OUT_SCHEMA = ("key string, bar long, n_ticks long, open double, "
+                   "high double, low double, close double, "
+                   "t_open_ms long, t_close_ms long")
+_STATE_SCHEMA = ("total long, n long, open double, high double, "
+                 "low double, close double, t_open_ms long, "
+                 "t_close_ms long")
+
+
+def streaming_tick_bars(ticks: DataFrame, bar_size: int = 50,
+                        price_col: str = "ask",
+                        watermark: str = "0 seconds") -> DataFrame:
+    """Per-key streaming fixed-count tick bars. Emits one row per
+    COMPLETED bar; the in-flight partial bar lives in state (eight
+    numbers per key forever — bounded regardless of stream length)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def process(key, pdf_iter, state: GroupState):
+        (k,) = key
+        if state.exists:
+            (total, pn, po, ph, pl, pc, pto, ptc) = state.get
+        else:
+            total, pn = 0, 0
+            po = ph = pl = pc = 0.0
+            pto = ptc = 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("event_time")
+            px = pdf[price_col].astype("float64").to_numpy()
+            ts = (pdf["event_time"].astype("int64") // 1_000_000
+                  ).to_numpy()
+            pos = total + np.arange(len(px))
+            bars = pos // bar_size
+            out_rows = []
+            for b in np.unique(bars):
+                m = bars == b
+                bpx, bts = px[m], ts[m]
+                if pn and b == total // bar_size and total % bar_size:
+                    # continue the carried partial bar
+                    o, hi = po, max(ph, float(bpx.max()))
+                    lo = min(pl, float(bpx.min()))
+                    to = pto
+                    n = pn + int(m.sum())
+                else:
+                    o, hi = float(bpx[0]), float(bpx.max())
+                    lo, to = float(bpx.min()), int(bts[0])
+                    n = int(m.sum())
+                c, tc = float(bpx[-1]), int(bts[-1])
+                if n == bar_size:
+                    out_rows.append((k, int(b), n, o, hi, lo, c, to, tc))
+                else:
+                    pn, po, ph, pl, pc, pto, ptc = n, o, hi, lo, c, to, tc
+            total += len(px)
+            if total % bar_size == 0:
+                pn = 0
+            yield pd.DataFrame(
+                out_rows, columns=["key", "bar", "n_ticks", "open",
+                                   "high", "low", "close", "t_open_ms",
+                                   "t_close_ms"])
+        state.update((total, pn, po, ph, pl, pc, pto, ptc))
+
+    return (ticks
+            .withWatermark("event_time", watermark)
+            .groupBy("key")
+            .applyInPandasWithState(
+                process, BARS_OUT_SCHEMA, _STATE_SCHEMA, "append",
+                GroupStateTimeout.NoTimeout))
