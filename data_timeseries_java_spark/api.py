@@ -97,6 +97,33 @@ class FXEngine:
         return cusum_changepoints(returns, drift=drift,
                                   threshold=threshold)
 
+    def tick_bars(self, ticks: DataFrame, bar_size: int = 50) -> DataFrame:
+        """Fixed-count event-driven bars (operators.bars.tick_bars)."""
+        from data_timeseries_java_spark.operators.bars import tick_bars
+
+        return tick_bars(ticks, bar_size=bar_size)
+
+    def dollar_bars(self, ticks: DataFrame,
+                    threshold: float = 5_000.0) -> DataFrame:
+        """Value-threshold event-driven bars (operators.bars.dollar_bars)."""
+        from data_timeseries_java_spark.operators.bars import dollar_bars
+
+        return dollar_bars(ticks, threshold=threshold)
+
+    def vwap(self, ticks: DataFrame) -> DataFrame:
+        """Anchored daily-session VWAP at the configured candle
+        resolution (operators.bars.anchored_vwap)."""
+        from data_timeseries_java_spark.operators.bars import anchored_vwap
+
+        return anchored_vwap(ticks, self.options.candle_resolution)
+
+    def vpin(self, ticks: DataFrame, bucket_size: int = 50,
+             n_buckets: int = 5) -> DataFrame:
+        """VPIN order-flow toxicity (operators.bars.vpin)."""
+        from data_timeseries_java_spark.operators.bars import vpin
+
+        return vpin(ticks, bucket_size=bucket_size, n_buckets=n_buckets)
+
 
 @dataclass
 class CorpusOptions:
