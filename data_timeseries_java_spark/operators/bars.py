@@ -282,3 +282,73 @@ def dollar_bars(ticks: DataFrame, threshold: float = 5_000.0) -> DataFrame:
                     "high", "low",
                     F.col("c.ask").alias("close"),
                     "t_open_ms", "t_close_ms"))
+
+
+IMBALANCE_OUT_SCHEMA = ("key string, bar long, n_ticks long, "
+                        "n_buy long, n_sell long, imbalance long, "
+                        "open double, close double, "
+                        "t_open_ms long, t_close_ms long")
+
+
+def imbalance_bars(ticks: DataFrame, threshold: int = 7) -> DataFrame:
+    """Order-flow imbalance bars (the third event-driven bar type): a
+    bar closes the moment the absolute running signed-tick imbalance
+    since the bar opened reaches `threshold`. Unlike tick/dollar bars
+    the boundary depends on a reset-at-boundary running sum — a
+    genuinely sequential recursion, not a floor of a global cumsum —
+    so this is a grouped-map operator (the same family as EMA/Holt/
+    Kalman/GARCH), with the oracle replaying the identical recursion
+    in a RECURSIVE CTE.
+
+    Signs use the tick rule with carry-through-flat (dir of the
+    leading flat run is 0 — counted to neither side, contributing
+    nothing to the imbalance, same convention as vpin). The final
+    in-flight bar is emitted with its partial imbalance.
+
+    Shape: one shuffle on key, then a per-key linear scan inside an
+    Arrow batch. Parallelism unit = key — the right grain, since the
+    recursion itself is inherently serial per instrument.
+    """
+    import pandas as pd
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("event_time")
+        px = pdf["ask"].to_numpy()
+        ts = (pdf["event_time"].astype("int64") // 1_000_000).to_numpy()
+        n = len(px)
+        # tick-rule signs, carried through flats (0 until first move)
+        sgn = np.zeros(n, dtype=np.int64)
+        last = 0
+        for i in range(1, n):
+            if px[i] > px[i - 1]:
+                last = 1
+            elif px[i] < px[i - 1]:
+                last = -1
+            sgn[i] = last
+        bars = []
+        bar = 0
+        i0 = 0
+        imb = buy = sell = 0
+        for i in range(n):
+            s = sgn[i]
+            imb += s
+            buy += s == 1
+            sell += s == -1
+            if abs(imb) >= threshold or i == n - 1:
+                bars.append((pdf["key"].iloc[0], bar, i - i0 + 1,
+                             int(buy), int(sell), int(imb),
+                             float(px[i0]), float(px[i]),
+                             int(ts[i0]), int(ts[i])))
+                bar += 1
+                i0 = i + 1
+                imb = buy = sell = 0
+        return pd.DataFrame(bars, columns=[
+            "key", "bar", "n_ticks", "n_buy", "n_sell", "imbalance",
+            "open", "close", "t_open_ms", "t_close_ms"])
+
+    return (ticks.where(F.col("is_live"))
+            .select("key", "event_time", "ask")
+            .groupBy("key")
+            .applyInPandas(per_key, IMBALANCE_OUT_SCHEMA))

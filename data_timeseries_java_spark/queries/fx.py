@@ -3814,3 +3814,130 @@ QUERIES["tick_bars_stream_replay"] = q_tick_bars_stream_replay
 # the batch oracle restricted to completed bars (see docstring)
 ORACLE["tick_bars_stream_replay"] = ORACLE["fx_tick_bars"].replace(
     "GROUP BY key, bar", "GROUP BY key, bar\nHAVING count(*) = 50")
+
+
+IMB_THRESHOLD = 7
+
+
+def q_fx_imbalance_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-flow imbalance bars (threshold 7) — see
+    operators.bars.imbalance_bars: the reset-at-boundary running-sum
+    recursion (grouped-map per key), completing the event-driven bar
+    trilogy next to tick and dollar bars. The oracle replays the
+    identical recursion in a RECURSIVE CTE advancing one tick per key
+    per iteration."""
+    from data_timeseries_java_spark.operators.bars import imbalance_bars
+
+    ticks, _ = _ticks_and_keys(spark, sf_dir)
+    b = imbalance_bars(ticks, threshold=IMB_THRESHOLD)
+    return b.select(
+        "key", "bar", "n_ticks", "n_buy", "n_sell", "imbalance",
+        F.round("open", 6).alias("open"),
+        F.round("close", 6).alias("close"),
+        "t_open_ms", "t_close_ms",
+    )
+
+
+QUERIES["fx_imbalance_bars"] = q_fx_imbalance_bars
+
+ORACLE["fx_imbalance_bars"] = """
+WITH ticks AS (
+  SELECT event_type AS key, ts AS event_time, value AS price
+  FROM events
+),""" + _TICK_DIR_CTE + """,
+seq AS MATERIALIZED (
+  SELECT t.key, t.event_time, t.price,
+         coalesce(c.dir, 0) AS sgn,
+         row_number() OVER (PARTITION BY t.key
+                            ORDER BY t.event_time) AS rn
+  FROM ticks t
+  JOIN tr_carried c
+    ON c.key = t.key AND c.event_time = t.event_time
+),
+rec AS (
+  WITH RECURSIVE m AS (
+    SELECT key, rn, price, epoch_ms(event_time) AS t_ms,
+           CAST(0 AS BIGINT) AS bar,
+           sgn AS imb,
+           CAST(sgn = 1 AS BIGINT) AS buy,
+           CAST(sgn = -1 AS BIGINT) AS sell,
+           rn AS bar_start_rn,
+           abs(sgn) >= {thr} AS closed
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.key, s.rn, s.price, epoch_ms(s.event_time),
+           CASE WHEN m.closed THEN m.bar + 1 ELSE m.bar END,
+           CASE WHEN m.closed THEN s.sgn ELSE m.imb + s.sgn END,
+           CASE WHEN m.closed THEN CAST(s.sgn = 1 AS BIGINT)
+                ELSE m.buy + CAST(s.sgn = 1 AS BIGINT) END,
+           CASE WHEN m.closed THEN CAST(s.sgn = -1 AS BIGINT)
+                ELSE m.sell + CAST(s.sgn = -1 AS BIGINT) END,
+           CASE WHEN m.closed THEN s.rn ELSE m.bar_start_rn END,
+           abs(CASE WHEN m.closed THEN s.sgn
+                    ELSE m.imb + s.sgn END) >= {thr}
+    FROM m JOIN seq s ON s.key = m.key AND s.rn = m.rn + 1
+  )
+  SELECT * FROM m
+)
+SELECT key, bar,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       CAST(arg_max(buy, rn) AS BIGINT) AS n_buy,
+       CAST(arg_max(sell, rn) AS BIGINT) AS n_sell,
+       CAST(arg_max(imb, rn) AS BIGINT) AS imbalance,
+       round(arg_min(price, rn), 6) AS open,
+       round(arg_max(price, rn), 6) AS close,
+       arg_min(t_ms, rn) AS t_open_ms,
+       arg_max(t_ms, rn) AS t_close_ms
+FROM rec
+GROUP BY key, bar
+""".replace("{thr}", str(IMB_THRESHOLD))
+
+
+def q_fx_volume_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraday volume curve (execution-scheduling U-curve): each
+    instrument's average share of daily tick volume by hour-of-day —
+    the curve a VWAP execution algo schedules against. Two map-side
+    aggregates (hour cells, then day totals joined back) and one tiny
+    per-key normalization; integer counts until the final division."""
+    ticks, _ = _ticks_and_keys(spark, sf_dir)
+    t_ms = F.unix_millis(F.col("event_time"))
+    day = (F.floor(t_ms / F.lit(86_400_000)) * 86_400_000).alias("day_ms")
+    hod = F.hour("event_time").alias("hour_of_day")
+    cells = (ticks.groupBy("key", day, hod)
+             .agg(F.count(F.lit(1)).cast("long").alias("v")))
+    day_tot = (cells.groupBy("key", "day_ms")
+               .agg(F.sum("v").cast("long").alias("day_v")))
+    shares = (cells.join(day_tot, ["key", "day_ms"])
+              .select("key", "hour_of_day",
+                      (F.col("v") / F.col("day_v")).alias("share")))
+    return (shares.groupBy("key", "hour_of_day")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
+                 F.round(F.avg("share"), 6).alias("avg_share")))
+
+
+QUERIES["fx_volume_curve"] = q_fx_volume_curve
+
+# avg of per-day shares: each share is one exact division; the final
+# mean is sum/count whose operand order is engine-dependent only at
+# ~1e-17 — round(6) over ~30 terms of magnitude <= 1 is safe
+ORACLE["fx_volume_curve"] = """
+WITH t AS (
+  SELECT event_type AS key, ts FROM events
+),
+cells AS (
+  SELECT key,
+         (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+         hour(ts) AS hour_of_day,
+         CAST(count(*) AS BIGINT) AS v
+  FROM t GROUP BY 1, 2, 3
+),
+day_tot AS (
+  SELECT key, day_ms, CAST(sum(v) AS BIGINT) AS day_v
+  FROM cells GROUP BY 1, 2
+)
+SELECT c.key, c.hour_of_day,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(avg(c.v * 1.0 / d.day_v), 6) AS avg_share
+FROM cells c JOIN day_tot d USING (key, day_ms)
+GROUP BY c.key, c.hour_of_day
+"""

@@ -146,7 +146,8 @@ _PANDAS_QUERIES = {"media_decode_features", "media_png_decode",
                    "fx_garch_vol", "fx_macd", "fx_ewma_cov",
                    "neardup_cosine", "neardup_cosine_auto",
                    "fx_corr_wide", "fx_corr_headline",
-                   "embedding_covariance", "embedding_pca_top"}
+                   "embedding_covariance", "embedding_pca_top",
+                   "fx_imbalance_bars"}
 
 
 def test_no_query_falls_into_row_python(spark, sf_dir):
