@@ -2978,3 +2978,100 @@ SELECT t_id, touch_type, user_id,
 FROM per_touch
 GROUP BY t_id, touch_type, user_id
 """
+
+
+DECAY_TAU_MS = 3 * 86_400_000  # 3-day e-folding recency horizon
+
+
+def q_event_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted activity score per user: sum of exp(-(T - t_i)
+    / tau) over the user's events, evaluated at the corpus's global
+    max timestamp T (a deterministic "now"). The exponential-decay
+    counter every engagement/alerting system keeps — one closed-form
+    aggregate, no recursion, because the eval instant is fixed:
+    the weights are per-row expressions and the sum is map-side
+    combinable. Weights are rounded to 9 dp before summing so the
+    cross-engine sum is over identical quantized terms.
+
+    Shape: a one-row global max broadcast onto the scan, then one
+    hash aggregate by user. At 100 TB: the same two stages; the decay
+    horizon makes old partitions prunable by date predicate pushdown
+    when T is supplied by config instead of derived."""
+    ev = load_table(spark, sf_dir, "events")
+    t_ms = F.unix_millis("ts")
+    now = ev.agg(F.max(t_ms).alias("now_ms"))
+    w = F.round(
+        F.exp(-(F.col("now_ms") - t_ms) / F.lit(float(DECAY_TAU_MS))), 9)
+    return (ev.crossJoin(F.broadcast(now))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.round(F.sum(w), 6).alias("decay_score"),
+                 F.max(t_ms).alias("last_seen_ms")))
+
+
+QUERIES["event_decay_score"] = q_event_decay_score
+
+ORACLE["event_decay_score"] = f"""
+WITH now_t AS (SELECT max(epoch_ms(ts)) AS now_ms FROM events)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(round(exp(-(n.now_ms - epoch_ms(ts))
+                           / {float(DECAY_TAU_MS)}), 9)), 6)
+         AS decay_score,
+       max(epoch_ms(ts)) AS last_seen_ms
+FROM events CROSS JOIN now_t n
+GROUP BY user_id
+"""
+
+
+def q_part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration Herfindahl index per part brand: sum of
+    squared revenue shares across suppliers (1/n = perfectly split,
+    1.0 = single-supplier dependency — the procurement-risk rollup
+    complementing revenue_gini's order-level inequality). Per-supplier
+    revenue quantizes to exact integer CENTS after the first rounding,
+    so every downstream sum is integer arithmetic — immune to float
+    summation order; shares are exact long/long divisions and HHI is a
+    sum of <= n_suppliers squared terms rounded at 6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = (li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                        li.l_partkey == part.p_partkey)
+                .groupBy("p_brand", "l_suppkey")
+                .agg(F.round(F.sum(rev) * 100).cast("long")
+                     .alias("supp_cents")))
+    per_brand = per_supp.groupBy("p_brand").agg(
+        F.sum("supp_cents").cast("long").alias("brand_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"))
+    share = F.col("supp_cents") / F.col("brand_cents")
+    return (per_supp.join(per_brand, "p_brand")
+            .groupBy("p_brand")
+            .agg(F.first("n_suppliers").alias("n_suppliers"),
+                 F.first("brand_cents").alias("brand_cents"),
+                 F.round(F.sum(share * share), 6).alias("hhi")))
+
+
+QUERIES["part_supplier_hhi"] = q_part_supplier_hhi
+
+ORACLE["part_supplier_hhi"] = """
+WITH per_supp AS (
+  SELECT p.p_brand, l.l_suppkey,
+         CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100)
+              AS BIGINT) AS supp_cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+per_brand AS (
+  SELECT p_brand, CAST(sum(supp_cents) AS BIGINT) AS brand_cents,
+         CAST(count(*) AS BIGINT) AS n_suppliers
+  FROM per_supp GROUP BY 1
+)
+SELECT s.p_brand,
+       any_value(b.n_suppliers) AS n_suppliers,
+       any_value(b.brand_cents) AS brand_cents,
+       round(sum((s.supp_cents * 1.0 / b.brand_cents)
+                 * (s.supp_cents * 1.0 / b.brand_cents)), 6) AS hhi
+FROM per_supp s JOIN per_brand b USING (p_brand)
+GROUP BY s.p_brand
+"""
