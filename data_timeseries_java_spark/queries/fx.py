@@ -3941,3 +3941,84 @@ SELECT c.key, c.hour_of_day,
 FROM cells c JOIN day_tot d USING (key, day_ms)
 GROUP BY c.key, c.hour_of_day
 """
+
+
+TSRV_K = 4
+
+
+def q_fx_tsrv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-scale realized variance (Zhang-Mykland-Ait-Sahalia): the
+    microstructure-noise-robust daily variance — average subsampled
+    K-hour RV across all K offset grids minus the noise correction
+    (n_bar/n)·RV_all. Log returns add, so the slow-scale return is a
+    rolling K-sum of the hourly returns; every hour is the endpoint of
+    exactly one overlapping slow interval, so one rolling window per
+    key serves all K grids at once. Slow intervals never span days
+    (partitioned by (key, day)); TSRV is clamped at 0 (the estimator
+    can go negative on tiny n).
+
+    Shape: the candle pipeline's existing key sort + one rolling sum +
+    one daily aggregate — no extra shuffle beyond the daily grouping.
+    """
+    r = _returns_df(spark, sf_dir).select(
+        "key", F.col("time").alias("time"),
+        F.col("value").alias("ret"))
+    from pyspark.sql import Window
+
+    day = (F.floor(_ms(F.col("time")) / F.lit(86_400_000))
+           * 86_400_000).alias("day_ms")
+    base = r.select("key", day, _ms(F.col("time")).alias("t_ms"), "ret")
+    wd = Window.partitionBy("key", "day_ms").orderBy("t_ms")
+    slow = F.sum("ret").over(wd.rowsBetween(-(TSRV_K - 1), 0))
+    rn = F.row_number().over(wd)
+    scored = base.select(
+        "key", "day_ms", "ret",
+        F.when(rn >= TSRV_K, slow).alias("r_slow"))
+    g = (scored.groupBy("key", "day_ms")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum(F.col("ret") * F.col("ret")).alias("rv_all"),
+              F.count("r_slow").cast("long").alias("n_slow"),
+              F.sum(F.col("r_slow") * F.col("r_slow")).alias("ss_slow")))
+    n_bar = F.col("n_slow") / F.lit(float(TSRV_K))
+    tsrv = (F.col("ss_slow") / TSRV_K
+            - n_bar / F.col("n") * F.col("rv_all"))
+    return (g.where(F.col("n_slow") > 0)
+            .select("key", "day_ms", "n", "n_slow",
+                    F.round("rv_all", 6).alias("rv_all"),
+                    F.round(F.greatest(tsrv, F.lit(0.0)), 6)
+                    .alias("tsrv")))
+
+
+QUERIES["fx_tsrv"] = q_fx_tsrv
+
+ORACLE["fx_tsrv"] = _PRELUDE + f""",
+base AS (
+  SELECT key, (time_ms // 86400000) * 86400000 AS day_ms, time_ms, ret
+  FROM returns
+),
+scored AS (
+  SELECT key, day_ms, ret,
+         CASE WHEN row_number() OVER wd >= {TSRV_K}
+              THEN sum(ret) OVER (PARTITION BY key, day_ms
+                                  ORDER BY time_ms
+                                  ROWS BETWEEN {TSRV_K - 1} PRECEDING
+                                  AND CURRENT ROW) END AS r_slow
+  FROM base
+  WINDOW wd AS (PARTITION BY key, day_ms ORDER BY time_ms)
+),
+g AS (
+  SELECT key, day_ms,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(ret * ret) AS rv_all,
+         CAST(count(r_slow) AS BIGINT) AS n_slow,
+         sum(r_slow * r_slow) AS ss_slow
+  FROM scored GROUP BY key, day_ms
+)
+SELECT key, day_ms, n, n_slow,
+       round(rv_all, 6) AS rv_all,
+       round(greatest(ss_slow / {TSRV_K}
+                      - (n_slow * 1.0 / {TSRV_K}) / n * rv_all,
+                      0.0), 6) AS tsrv
+FROM g
+WHERE n_slow > 0
+"""

@@ -41,7 +41,12 @@ QUERIES = ["dedup_minhash_lsh", "corpus_build", "ann_lsh",
            # growth), the gram-keyed source overlap join, and the two
            # single-scan text projections as cheap linear controls
            "fx_vpin", "fx_tick_bars", "fx_vwap",
-           "source_ngram_overlap", "text_collocations", "gopher_rules"]
+           "source_ngram_overlap", "text_collocations", "gopher_rules",
+           # session-2 batch 2: the recursive bar (grouped-map Arrow
+           # path under replica growth), the banded attribution join,
+           # and the decay/HHI aggregates as linear controls
+           "fx_imbalance_bars", "fx_dollar_bars", "attribution_linear",
+           "event_decay_score", "part_supplier_hhi", "fx_volume_curve"]
 
 
 def bench(spark, qs, name, sf_dir, n):

@@ -124,3 +124,52 @@ def test_donchian_channel_ordering(spark, ticks, sf_dir):
                 assert r.close_price > r.channel_high
             if r.breakout_down:
                 assert r.close_price < r.channel_low
+
+
+def test_dollar_bars_value_threshold_and_conservation(spark, ticks):
+    from data_timeseries_java_spark.operators.bars import dollar_bars
+
+    T = 5_000.0
+    bars = dollar_bars(ticks, threshold=T).collect()
+    assert sum(b.n_ticks for b in bars) == ticks.count()
+    last_bar = {}
+    for b in bars:
+        last_bar[b.key] = max(last_bar.get(b.key, -1), b.bar)
+        assert b.low <= b.open <= b.high
+        assert b.low <= b.close <= b.high
+    for b in bars:
+        if b.bar < last_bar[b.key]:
+            # a completed bar's value reaches the threshold with its
+            # last tick but not without it (bar_value - close < T)
+            assert b.bar_value >= T - 1e-6 or b.bar_value - b.close < T
+            # and never overshoots by more than one tick's price
+            assert b.bar_value - b.close < T + 1e-6
+
+
+def test_imbalance_bars_threshold_and_conservation(spark, ticks):
+    from data_timeseries_java_spark.operators.bars import imbalance_bars
+
+    thr = 7
+    bars = imbalance_bars(ticks, threshold=thr).collect()
+    assert sum(b.n_ticks for b in bars) == ticks.count()
+    last_bar = {}
+    for b in bars:
+        last_bar[b.key] = max(last_bar.get(b.key, -1), b.bar)
+        assert b.n_buy + b.n_sell <= b.n_ticks
+        assert b.n_buy - b.n_sell == b.imbalance
+    for b in bars:
+        if b.bar < last_bar[b.key]:
+            assert abs(b.imbalance) == thr  # closes EXACTLY at the hit
+        else:
+            assert abs(b.imbalance) <= thr
+
+
+def test_imbalance_bars_sequential_non_overlap(spark, ticks):
+    from data_timeseries_java_spark.operators.bars import imbalance_bars
+
+    bars = sorted(imbalance_bars(ticks).collect(),
+                  key=lambda b: (b.key, b.bar))
+    for a, b in zip(bars, bars[1:]):
+        if a.key == b.key:
+            assert b.bar == a.bar + 1
+            assert a.t_close_ms < b.t_open_ms
