@@ -3075,3 +3075,46 @@ SELECT s.p_brand,
 FROM per_supp s JOIN per_brand b USING (p_brand)
 GROUP BY s.p_brand
 """
+
+
+K_ANON_K = 5
+
+
+def q_events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk report over the events table published with
+    quasi-identifiers (event_type, hour-of-day, value rounded to the
+    nearest 10): for each equivalence class, its size and whether it
+    breaches k=5 — plus each class's share of total rows. The
+    data-governance companion to pii_scan (which looks INSIDE text;
+    this measures re-identification risk of the released schema
+    itself). One hash aggregate + one broadcast-scalar total."""
+    ev = load_table(spark, sf_dir, "events")
+    qid_val = (F.round(F.col("value") / 10) * 10).cast("long")
+    cls = (ev.groupBy(F.col("event_type").alias("qi_type"),
+                      F.hour("ts").alias("qi_hour"),
+                      qid_val.alias("qi_value"))
+           .agg(F.count(F.lit(1)).cast("long").alias("class_size")))
+    total = cls.agg(F.sum("class_size").cast("long").alias("n_total"))
+    return (cls.crossJoin(F.broadcast(total))
+            .select("qi_type", "qi_hour", "qi_value", "class_size",
+                    (F.col("class_size") < K_ANON_K).alias("at_risk"),
+                    F.round(F.col("class_size") / F.col("n_total"), 6)
+                    .alias("row_share")))
+
+
+QUERIES["events_k_anonymity"] = q_events_k_anonymity
+
+ORACLE["events_k_anonymity"] = f"""
+WITH cls AS (
+  SELECT event_type AS qi_type,
+         hour(ts) AS qi_hour,
+         CAST(round(value / 10) * 10 AS BIGINT) AS qi_value,
+         CAST(count(*) AS BIGINT) AS class_size
+  FROM events GROUP BY 1, 2, 3
+),
+tot AS (SELECT CAST(sum(class_size) AS BIGINT) AS n_total FROM cls)
+SELECT qi_type, qi_hour, qi_value, class_size,
+       class_size < {K_ANON_K} AS at_risk,
+       round(class_size * 1.0 / n_total, 6) AS row_share
+FROM cls CROSS JOIN tot
+"""

@@ -1266,3 +1266,69 @@ SELECT anchor_id, anchor_label, nbr_id, nbr_label,
        CAST(rank AS BIGINT) AS rank, round(cosine, 6) AS cosine
 FROM ranked WHERE rank <= {HN_K}
 """
+
+
+def q_label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between LABEL CENTROIDS — the
+    cluster-confusion-risk matrix that complements embedding_stats'
+    per-label norms (two labels whose centroids sit close are the
+    pair a classifier or dedup pass will blur). Per-dim mean via one
+    posexplode aggregate (rounded to 9 — the same quantization the
+    ann/kmeans oracles use), then the tiny labels x labels frame
+    crosses in a broadcast."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x"))
+    cent = (comp.groupBy("label", "dim")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 9)
+                 .alias("m")))
+    # per-label dot products with itself (norm) and every other label
+    a = cent.select(F.col("label").alias("label1"), "dim",
+                    F.col("m").alias("ma"))
+    b = cent.select(F.col("label").alias("label2"), "dim",
+                    F.col("m").alias("mb"))
+    dots = (a.join(b, "dim")
+            .groupBy("label1", "label2")
+            .agg(F.sum(F.col("ma") * F.col("mb")).alias("dot")))
+    norms = (dots.where(F.col("label1") == F.col("label2"))
+             .select(F.col("label1").alias("nl"),
+                     F.sqrt("dot").alias("nrm")))
+    na = norms.select(F.col("nl").alias("label1"),
+                      F.col("nrm").alias("na"))
+    nb = norms.select(F.col("nl").alias("label2"),
+                      F.col("nrm").alias("nb"))
+    return (dots.where(F.col("label1") < F.col("label2"))
+            .join(F.broadcast(na), "label1")
+            .join(F.broadcast(nb), "label2")
+            .select("label1", "label2",
+                    F.round(F.col("dot") / (F.col("na") * F.col("nb")),
+                            6).alias("centroid_cosine")))
+
+
+QUERIES["label_centroid_distances"] = q_label_centroid_distances
+
+ORACLE["label_centroid_distances"] = f"""
+WITH {_COMP},
+cent AS (
+  SELECT label, dim, round(avg(CAST(x AS DOUBLE)), 9) AS m
+  FROM comp GROUP BY label, dim
+),
+dots AS (
+  SELECT a.label AS label1, b.label AS label2,
+         sum(a.m * b.m) AS dot
+  FROM cent a JOIN cent b USING (dim)
+  GROUP BY 1, 2
+),
+nrm AS (
+  SELECT label1 AS nl, sqrt(dot) AS nrm
+  FROM dots WHERE label1 = label2
+)
+SELECT d.label1, d.label2,
+       round(d.dot / (x.nrm * y.nrm), 6) AS centroid_cosine
+FROM dots d
+JOIN nrm x ON x.nl = d.label1
+JOIN nrm y ON y.nl = d.label2
+WHERE d.label1 < d.label2
+"""
