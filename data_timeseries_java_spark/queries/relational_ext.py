@@ -3118,3 +3118,129 @@ SELECT qi_type, qi_hour, qi_value, class_size,
        round(class_size * 1.0 / n_total, 6) AS row_share
 FROM cls CROSS JOIN tot
 """
+
+
+PSI_SPLIT_MS = 1_705_276_800_000  # 2024-01-15: reference = first half
+
+
+def q_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index per event_type: decile bins fitted on
+    the REFERENCE period (first half of the month), applied to the
+    comparison period, PSI = sum (p_cmp - p_ref)·ln(p_cmp/p_ref) with
+    0.5-count smoothing so empty bins stay finite — the standard
+    tabular drift monitor next to source_lang_kl's distribution drift.
+    Output grain = (event_type, bin) with per-bin shares and
+    contribution plus the type's total PSI on every row (window sum).
+
+    Determinism: bin edges are the exact interpolated deciles of the
+    reference values rounded to 6 (same quantile definition both
+    engines), bin assignment = count of edges strictly below the
+    value — identical comparisons on identical doubles.
+
+    Shape: one percentile aggregate per type (tiny — 9 edges x types,
+    broadcast back), one binned count per (type, period, bin), a
+    10-row-per-type spine so empty bins exist, one window sum."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t_ms = F.unix_millis("ts")
+    tagged = ev.select(
+        F.col("event_type").alias("etype"), "value",
+        (t_ms < PSI_SPLIT_MS).alias("is_ref"))
+    qs = ", ".join(str(q / 10.0) for q in range(1, 10))
+    edges = (tagged.where("is_ref")
+             .groupBy("etype")
+             .agg(F.expr(
+                 f"transform(percentile(value, array({qs})), "
+                 "e -> round(e, 6))").alias("edges")))
+    binned = (tagged.join(F.broadcast(edges), "etype")
+              .select("etype", "is_ref",
+                      F.size(F.filter(
+                          "edges", lambda e: F.col("value") > e))
+                      .alias("bin")))
+    counts = (binned.groupBy("etype", "bin")
+              .agg(F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+                   .cast("long").alias("c_ref"),
+                   F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
+                   .cast("long").alias("c_cmp")))
+    spine = (edges.select("etype",
+                          F.explode(F.sequence(F.lit(0), F.lit(9)))
+                          .alias("bin")))
+    full = (spine.join(counts, ["etype", "bin"], "left")
+            .fillna(0, ["c_ref", "c_cmp"]))
+    tot = full.groupBy("etype").agg(
+        F.sum("c_ref").cast("long").alias("n_ref"),
+        F.sum("c_cmp").cast("long").alias("n_cmp"))
+    j = full.join(F.broadcast(tot), "etype")
+    p_ref = (F.col("c_ref") + 0.5) / (F.col("n_ref") + 5.0)
+    p_cmp = (F.col("c_cmp") + 0.5) / (F.col("n_cmp") + 5.0)
+    contrib = (p_cmp - p_ref) * F.log(p_cmp / p_ref)
+    w = Window.partitionBy("etype")
+    return j.select(
+        "etype", "bin", "c_ref", "c_cmp",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cmp, 6).alias("p_cmp"),
+        F.round(contrib, 6).alias("contribution"),
+        F.round(F.sum(F.round(contrib, 6)).over(w), 6).alias("psi"),
+    )
+
+
+QUERIES["value_psi"] = q_value_psi
+
+ORACLE["value_psi"] = f"""
+WITH tagged AS (
+  SELECT event_type AS etype, value,
+         epoch_ms(ts) < {PSI_SPLIT_MS} AS is_ref
+  FROM events
+),
+edges AS (
+  SELECT etype,
+         list_transform(
+           quantile_cont(value, [{', '.join(str(q / 10.0) for q in range(1, 10))}]),
+           e -> round(e, 6)) AS edges
+  FROM tagged WHERE is_ref GROUP BY etype
+),
+binned AS (
+  SELECT t.etype, t.is_ref,
+         len(list_filter(e.edges, x -> t.value > x)) AS bin
+  FROM tagged t JOIN edges e USING (etype)
+),
+counts AS (
+  SELECT etype, bin,
+         CAST(count(*) FILTER (is_ref) AS BIGINT) AS c_ref,
+         CAST(count(*) FILTER (NOT is_ref) AS BIGINT) AS c_cmp
+  FROM binned GROUP BY etype, bin
+),
+spine AS (
+  SELECT e.etype, b.bin
+  FROM edges e CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) b
+),
+fb AS (
+  SELECT s.etype, s.bin,
+         coalesce(c.c_ref, 0) AS c_ref,
+         coalesce(c.c_cmp, 0) AS c_cmp
+  FROM spine s LEFT JOIN counts c USING (etype, bin)
+),
+tot AS (
+  SELECT etype, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+         CAST(sum(c_cmp) AS BIGINT) AS n_cmp
+  FROM fb GROUP BY etype
+),
+scored AS (
+  SELECT f.etype, f.bin, f.c_ref, f.c_cmp,
+         (f.c_ref + 0.5) / (t.n_ref + 5.0) AS p_ref,
+         (f.c_cmp + 0.5) / (t.n_cmp + 5.0) AS p_cmp,
+         ((f.c_cmp + 0.5) / (t.n_cmp + 5.0)
+          - (f.c_ref + 0.5) / (t.n_ref + 5.0))
+         * ln(((f.c_cmp + 0.5) / (t.n_cmp + 5.0))
+              / ((f.c_ref + 0.5) / (t.n_ref + 5.0))) AS contrib
+  FROM fb f JOIN tot t USING (etype)
+)
+SELECT etype, CAST(bin AS INTEGER) AS bin, c_ref, c_cmp,
+       round(p_ref, 6) AS p_ref,
+       round(p_cmp, 6) AS p_cmp,
+       round(contrib, 6) AS contribution,
+       round(sum(round(contrib, 6)) OVER (PARTITION BY etype), 6)
+         AS psi
+FROM scored
+"""
