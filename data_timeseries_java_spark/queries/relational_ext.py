@@ -3244,3 +3244,113 @@ SELECT etype, CAST(bin AS INTEGER) AS bin, c_ref, c_cmp,
          AS psi
 FROM scored
 """
+
+
+def q_event_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for an A/B readout: users split by
+    id parity, per-user purchase-value totals in the pre period (first
+    half-month, the covariate X) and post period (the metric Y);
+    theta = cov(X,Y)/var(X) POOLED, adjusted metric
+    Y' = Y − theta·(X − mean X). Reports per-variant adjusted means
+    and the variance-reduction factor — the standard experiment-
+    sensitivity trick, closed-form from one user-level aggregate.
+
+    Determinism: per-user sums round to 6 (house convention); theta
+    and the pooled X mean round to 6 before adjustment so every
+    engine adjusts with identical constants.
+
+    Shape: one scan → user aggregate; moments are one tiny aggregate
+    broadcast back; nothing rescans events per variant."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t_ms = F.unix_millis("ts")
+    pre = F.when((t_ms < PSI_SPLIT_MS)
+                 & (F.col("event_type") == "purchase"),
+                 F.col("value")).otherwise(0.0)
+    post = F.when((t_ms >= PSI_SPLIT_MS)
+                  & (F.col("event_type") == "purchase"),
+                  F.col("value")).otherwise(0.0)
+    users = (ev.groupBy("user_id")
+             .agg(F.round(F.sum(pre), 6).alias("x"),
+                  F.round(F.sum(post), 6).alias("y"))
+             .withColumn("variant", (F.col("user_id") % 2).cast("long")))
+    mom = users.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.sum("x"), 6).alias("sx"),
+        F.round(F.sum("y"), 6).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("x")), 6).alias("sxx"),
+        F.round(F.sum(F.col("x") * F.col("y")), 6).alias("sxy"))
+    mom = mom.select(
+        F.round((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+                / (F.col("sxx") - F.col("sx") * F.col("sx")
+                   / F.col("n")), 6).alias("theta"),
+        F.round(F.col("sx") / F.col("n"), 6).alias("xbar"))
+    adj = (users.crossJoin(F.broadcast(mom))
+           .withColumn("y_adj", F.col("y") - F.col("theta")
+                       * (F.col("x") - F.col("xbar"))))
+    g = (adj.groupBy("variant")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+              F.round(F.sum("y"), 6).alias("sy"),
+              F.round(F.sum(F.col("y") * F.col("y")), 6).alias("syy"),
+              F.round(F.sum("y_adj"), 6).alias("sa"),
+              F.round(F.sum(F.col("y_adj") * F.col("y_adj")), 6)
+              .alias("saa"),
+              F.first("theta").alias("theta")))
+    n = F.col("n_users").cast("double")
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    var_a = (F.col("saa") - F.col("sa") * F.col("sa") / n) / (n - 1)
+    return g.select(
+        "variant", "n_users",
+        F.round(F.col("sy") / n, 6).alias("mean_post"),
+        F.round(F.col("sa") / n, 6).alias("mean_adj"),
+        "theta",
+        F.round(1.0 - var_a / var_y, 6).alias("var_reduction"))
+
+
+QUERIES["event_cuped"] = q_event_cuped
+
+ORACLE["event_cuped"] = f"""
+WITH users AS (
+  SELECT user_id,
+         round(sum(CASE WHEN epoch_ms(ts) < {PSI_SPLIT_MS}
+                         AND event_type = 'purchase'
+                        THEN value ELSE 0.0 END), 6) AS x,
+         round(sum(CASE WHEN epoch_ms(ts) >= {PSI_SPLIT_MS}
+                         AND event_type = 'purchase'
+                        THEN value ELSE 0.0 END), 6) AS y,
+         CAST(user_id % 2 AS BIGINT) AS variant
+  FROM events GROUP BY user_id
+),
+mom AS (
+  SELECT round((round(sum(x * y), 6)
+                - round(sum(x), 6) * round(sum(y), 6) / count(*))
+               / (round(sum(x * x), 6)
+                  - round(sum(x), 6) * round(sum(x), 6) / count(*)),
+               6) AS theta,
+         round(round(sum(x), 6) / count(*), 6) AS xbar
+  FROM users
+),
+adj AS (
+  SELECT u.*, m.theta, u.y - m.theta * (u.x - m.xbar) AS y_adj
+  FROM users u CROSS JOIN mom m
+),
+g AS (
+  SELECT variant,
+         CAST(count(*) AS BIGINT) AS n_users,
+         round(sum(y), 6) AS sy,
+         round(sum(y * y), 6) AS syy,
+         round(sum(y_adj), 6) AS sa,
+         round(sum(y_adj * y_adj), 6) AS saa,
+         any_value(theta) AS theta
+  FROM adj GROUP BY variant
+)
+SELECT variant, n_users,
+       round(sy / n_users, 6) AS mean_post,
+       round(sa / n_users, 6) AS mean_adj,
+       theta,
+       round(1.0 - ((saa - sa * sa / n_users) / (n_users - 1))
+                   / ((syy - sy * sy / n_users) / (n_users - 1)), 6)
+         AS var_reduction
+FROM g
+"""
