@@ -3129,8 +3129,8 @@ def q_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison period, PSI = sum (p_cmp - p_ref)·ln(p_cmp/p_ref) with
     0.5-count smoothing so empty bins stay finite — the standard
     tabular drift monitor next to source_lang_kl's distribution drift.
-    Output grain = (event_type, bin) with per-bin shares and
-    contribution plus the type's total PSI on every row (window sum).
+    Derivation shared with the streaming monitor via operators/drift.py
+    (edges → mergeable integer bin counts → assembly).
 
     Determinism: bin edges are the exact interpolated deciles of the
     reference values rounded to 6 (same quantile definition both
@@ -3140,49 +3140,19 @@ def q_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one percentile aggregate per type (tiny — 9 edges x types,
     broadcast back), one binned count per (type, period, bin), a
     10-row-per-type spine so empty bins exist, one window sum."""
-    from pyspark.sql import Window
+    from data_timeseries_java_spark.operators.drift import (
+        psi_assemble,
+        psi_bin_counts,
+        psi_edges,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     t_ms = F.unix_millis("ts")
     tagged = ev.select(
         F.col("event_type").alias("etype"), "value",
         (t_ms < PSI_SPLIT_MS).alias("is_ref"))
-    qs = ", ".join(str(q / 10.0) for q in range(1, 10))
-    edges = (tagged.where("is_ref")
-             .groupBy("etype")
-             .agg(F.expr(
-                 f"transform(percentile(value, array({qs})), "
-                 "e -> round(e, 6))").alias("edges")))
-    binned = (tagged.join(F.broadcast(edges), "etype")
-              .select("etype", "is_ref",
-                      F.size(F.filter(
-                          "edges", lambda e: F.col("value") > e))
-                      .alias("bin")))
-    counts = (binned.groupBy("etype", "bin")
-              .agg(F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
-                   .cast("long").alias("c_ref"),
-                   F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
-                   .cast("long").alias("c_cmp")))
-    spine = (edges.select("etype",
-                          F.explode(F.sequence(F.lit(0), F.lit(9)))
-                          .alias("bin")))
-    full = (spine.join(counts, ["etype", "bin"], "left")
-            .fillna(0, ["c_ref", "c_cmp"]))
-    tot = full.groupBy("etype").agg(
-        F.sum("c_ref").cast("long").alias("n_ref"),
-        F.sum("c_cmp").cast("long").alias("n_cmp"))
-    j = full.join(F.broadcast(tot), "etype")
-    p_ref = (F.col("c_ref") + 0.5) / (F.col("n_ref") + 5.0)
-    p_cmp = (F.col("c_cmp") + 0.5) / (F.col("n_cmp") + 5.0)
-    contrib = (p_cmp - p_ref) * F.log(p_cmp / p_ref)
-    w = Window.partitionBy("etype")
-    return j.select(
-        "etype", "bin", "c_ref", "c_cmp",
-        F.round(p_ref, 6).alias("p_ref"),
-        F.round(p_cmp, 6).alias("p_cmp"),
-        F.round(contrib, 6).alias("contribution"),
-        F.round(F.sum(F.round(contrib, 6)).over(w), 6).alias("psi"),
-    )
+    edges = psi_edges(tagged)
+    return psi_assemble(psi_bin_counts(tagged, edges), edges)
 
 
 QUERIES["value_psi"] = q_value_psi
@@ -3354,3 +3324,68 @@ SELECT variant, n_users,
          AS var_reduction
 FROM g
 """
+
+
+# ---- streaming PSI drift monitor, driver-gated through replay ------------
+
+_PSI_REPLAY_SINKS: dict[tuple, str] = {}
+
+
+def q_psi_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PSI drift monitor with bin counts accumulated through the
+    STREAMING lane: events replayed as 3 time-range files, each
+    micro-batch binned against FIXED reference decile edges (fit
+    offline — how a production monitor deploys) and persisting one
+    integer (etype, bin, c_ref, c_cmp) partial
+    (streaming/drift_stream.py — the mergeable-store family). Integer
+    sums merge losslessly, so the resolved report hash-matches the
+    batch `value_psi` oracle exactly; the edge/bin/assembly code is
+    literally shared (operators/drift.py), so the lanes cannot drift.
+    Building this query RUNS the stream (laziness-guard exempt)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_timeseries_java_spark.operators.drift import psi_edges
+    from data_timeseries_java_spark.streaming.drift_stream import (
+        read_streaming_psi,
+        streaming_psi_counts,
+    )
+    from data_timeseries_java_spark.streaming.replay import (
+        drive_query,
+        write_replay_buckets,
+    )
+
+    def _tagged(ev):
+        t_ms = F.unix_millis("ts")
+        return ev.select(F.col("event_type").alias("etype"), "value",
+                         (t_ms < PSI_SPLIT_MS).alias("is_ref"), "ts")
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    work = _PSI_REPLAY_SINKS.get(cache_key)
+    ev = load_table(spark, sf_dir, "events")
+    edges = psi_edges(_tagged(ev))
+    if work is None or not os.path.isdir(f"{work}/out/psi"):
+        feed = _tagged(ev)
+        t0_ms, t1_ms = feed.select(
+            F.min(F.unix_millis("ts")), F.max(F.unix_millis("ts"))).first()
+        work = tempfile.mkdtemp(prefix="psi_stream_replay_")
+        write_replay_buckets(feed, "ts", f"{work}/in", 3,
+                             t0_ms, t1_ms - t0_ms + 1,
+                             _time.time() - 1000, ["etype", "ts"])
+        src = (spark.readStream.schema(feed.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
+        q = streaming_psi_counts(spark, src, edges, f"{work}/out")
+        drive_query(q, 600, "psi stream replay")
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/out/checkpoint", ignore_errors=True)
+        _PSI_REPLAY_SINKS[cache_key] = work
+    return read_streaming_psi(spark, f"{work}/out", edges)
+
+
+QUERIES["psi_stream_replay"] = q_psi_stream_replay
+
+# lossless-merge claim: the streamed counts equal the batch counts, so
+# the gate is the SAME oracle
+ORACLE["psi_stream_replay"] = ORACLE["value_psi"]

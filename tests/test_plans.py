@@ -185,7 +185,8 @@ _ITERATIVE_QUERIES = {"dedup_clusters", "dedup_keep_list",
                       "kalman_stream_replay", "gridq_stream_replay",
                       "funnel_stream_replay", "asof_bucketed_stream_replay",
                       "macd_stream_replay", "dsir_stream_replay",
-                      "vwap_stream_replay", "tick_bars_stream_replay"}
+                      "vwap_stream_replay", "tick_bars_stream_replay",
+                      "psi_stream_replay"}
 
 
 
