@@ -3389,3 +3389,77 @@ QUERIES["psi_stream_replay"] = q_psi_stream_replay
 # lossless-merge claim: the streamed counts equal the batch counts, so
 # the gate is the SAME oracle
 ORACLE["psi_stream_replay"] = ORACLE["value_psi"]
+
+
+def q_value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance per event_type between
+    the reference and comparison half-months: D = max |ECDF_ref −
+    ECDF_cmp| evaluated at every distinct value (right-continuous
+    ECDFs make distinct-value evaluation exact) — the distribution-
+    free drift test completing the monitor family (event_ab_test:
+    means; value_psi: binned shares; this: whole-distribution shape).
+    ECDF fractions are exact integer-count ratios rounded to 9 before
+    the difference, so the max is over identical doubles cross-engine.
+
+    Shape: per-(type, value) counts collapse the scan first; one sort
+    per type over DISTINCT values (far smaller than rows); two running
+    sums and a max on the same sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t_ms = F.unix_millis("ts")
+    cells = (ev.groupBy(F.col("event_type").alias("etype"),
+                        "value")
+             .agg(F.sum(F.when(t_ms < PSI_SPLIT_MS, 1).otherwise(0))
+                  .cast("long").alias("c_ref"),
+                  F.sum(F.when(t_ms >= PSI_SPLIT_MS, 1).otherwise(0))
+                  .cast("long").alias("c_cmp")))
+    w = (Window.partitionBy("etype").orderBy("value")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    tot = Window.partitionBy("etype")
+    ecdf_ref = F.round(F.sum("c_ref").over(w)
+                       / F.sum("c_ref").over(tot), 9)
+    ecdf_cmp = F.round(F.sum("c_cmp").over(w)
+                       / F.sum("c_cmp").over(tot), 9)
+    d = F.abs(ecdf_ref - ecdf_cmp)
+    scored = cells.select(
+        "etype",
+        F.sum("c_ref").over(tot).alias("n_ref"),
+        F.sum("c_cmp").over(tot).alias("n_cmp"),
+        d.alias("d"))
+    return (scored.groupBy("etype")
+            .agg(F.first("n_ref").alias("n_ref"),
+                 F.first("n_cmp").alias("n_cmp"),
+                 F.round(F.max("d"), 6).alias("ks_d")))
+
+
+QUERIES["value_ks_test"] = q_value_ks_test
+
+ORACLE["value_ks_test"] = f"""
+WITH cells AS (
+  SELECT event_type AS etype, value,
+         CAST(count(*) FILTER (epoch_ms(ts) < {PSI_SPLIT_MS})
+              AS BIGINT) AS c_ref,
+         CAST(count(*) FILTER (epoch_ms(ts) >= {PSI_SPLIT_MS})
+              AS BIGINT) AS c_cmp
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT etype,
+         sum(c_ref) OVER (PARTITION BY etype) AS n_ref,
+         sum(c_cmp) OVER (PARTITION BY etype) AS n_cmp,
+         abs(round(sum(c_ref) OVER cum * 1.0
+                   / sum(c_ref) OVER (PARTITION BY etype), 9)
+             - round(sum(c_cmp) OVER cum * 1.0
+                     / sum(c_cmp) OVER (PARTITION BY etype), 9)) AS d
+  FROM cells
+  WINDOW cum AS (PARTITION BY etype ORDER BY value
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT etype,
+       CAST(any_value(n_ref) AS BIGINT) AS n_ref,
+       CAST(any_value(n_cmp) AS BIGINT) AS n_cmp,
+       round(max(d), 6) AS ks_d
+FROM scored
+GROUP BY etype
+"""
