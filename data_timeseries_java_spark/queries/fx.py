@@ -4022,3 +4022,71 @@ SELECT key, day_ms, n, n_slow,
 FROM g
 WHERE n_slow > 0
 """
+
+
+# ---- streaming imbalance bars, driver-gated through replay ---------------
+
+_IMB_STREAM_REPLAY_SINKS: dict[tuple, str] = {}
+
+
+def q_imbalance_bars_stream_replay(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Order-flow imbalance bars through the STREAMING lane
+    (`streaming/bars_stream.streaming_imbalance_bars` — the recursive
+    bar as nine numbers of keyed state incl. the carried tick-rule
+    direction and previous price). A closed bar always has
+    |imbalance| == threshold (±1 steps), so the gate is the batch
+    `fx_imbalance_bars` oracle restricted to threshold-hit bars —
+    the in-flight partial stays in state, the open-window analogy.
+    Ticks replay in 3 scrambled time-range files; building this query
+    RUNS the stream."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_timeseries_java_spark.streaming.bars_stream import (
+        streaming_imbalance_bars,
+    )
+    from data_timeseries_java_spark.streaming.replay import (
+        read_replay_sink,
+        run_to_parquet_sink,
+        write_replay_buckets,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    sink = _IMB_STREAM_REPLAY_SINKS.get(cache_key)
+    if sink is None or not os.path.isdir(sink):
+        ticks, _ = _ticks_and_keys(spark, sf_dir)
+        feed = ticks.select("key", "event_time", "ask")
+        t0_ms, t1_ms = feed.select(
+            F.min(_ms(F.col("event_time"))),
+            F.max(_ms(F.col("event_time")))).first()
+        work = tempfile.mkdtemp(prefix="imb_stream_replay_")
+        base = _time.time() - 1000
+        write_replay_buckets(feed, "event_time", f"{work}/in", 3,
+                             t0_ms, t1_ms - t0_ms + 1, base,
+                             ["key", "event_time"])
+        src = (spark.readStream.schema(feed.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
+        b = streaming_imbalance_bars(src, threshold=IMB_THRESHOLD)
+        sink = run_to_parquet_sink(b, f"{work}/out", f"{work}/ckpt")
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+        _IMB_STREAM_REPLAY_SINKS[cache_key] = sink
+    b = read_replay_sink(spark, sink)
+    return b.select(
+        "key", "bar", "n_ticks", "n_buy", "n_sell", "imbalance",
+        F.round("open", 6).alias("open"),
+        F.round("close", 6).alias("close"),
+        "t_open_ms", "t_close_ms",
+    )
+
+
+QUERIES["imbalance_bars_stream_replay"] = q_imbalance_bars_stream_replay
+
+# the batch oracle restricted to threshold-hit (closed) bars
+ORACLE["imbalance_bars_stream_replay"] = (
+    ORACLE["fx_imbalance_bars"].replace(
+        "GROUP BY key, bar",
+        f"GROUP BY key, bar\nHAVING abs(arg_max(imb, rn)) >= {IMB_THRESHOLD}"))

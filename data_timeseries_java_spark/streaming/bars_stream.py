@@ -87,3 +87,76 @@ def streaming_tick_bars(ticks: DataFrame, bar_size: int = 50,
             .applyInPandasWithState(
                 process, BARS_OUT_SCHEMA, _STATE_SCHEMA, "append",
                 GroupStateTimeout.NoTimeout))
+
+
+IMB_OUT_SCHEMA = ("key string, bar long, n_ticks long, n_buy long, "
+                  "n_sell long, imbalance long, open double, "
+                  "close double, t_open_ms long, t_close_ms long")
+_IMB_STATE_SCHEMA = ("bar long, n long, imb long, buy long, sell long, "
+                     "open double, t_open_ms long, prev_price double, "
+                     "last_dir long")
+
+
+def streaming_imbalance_bars(ticks: DataFrame, threshold: int = 7,
+                             price_col: str = "ask",
+                             watermark: str = "0 seconds") -> DataFrame:
+    """Per-key streaming order-flow imbalance bars: the recursive bar
+    type as keyed state — (in-flight bar counters, open price/time,
+    previous tick price, carried tick-rule direction), nine numbers
+    per key forever. A bar is emitted the moment |running imbalance|
+    hits the threshold; the in-flight bar stays in state (the same
+    completed-bars contract as streaming_tick_bars, and since
+    imbalance steps by ±1 a closed bar always has |imbalance| ==
+    threshold — which is exactly how the replay gate filters the
+    batch oracle)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def process(key, pdf_iter, state: GroupState):
+        (k,) = key
+        if state.exists:
+            (bar, n, imb, buy, sell, op, to, prev, last) = state.get
+        else:
+            bar, n, imb, buy, sell = 0, 0, 0, 0, 0
+            op, to = 0.0, 0
+            prev, last = None, 0
+            prev = float("nan")  # state schema needs a double; NaN = none
+        import math
+
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("event_time")
+            px = pdf[price_col].astype("float64").to_numpy()
+            ts = (pdf["event_time"].astype("int64") // 1_000_000
+                  ).to_numpy()
+            out = []
+            for i in range(len(px)):
+                p, t = float(px[i]), int(ts[i])
+                if not math.isnan(prev):
+                    if p > prev:
+                        last = 1
+                    elif p < prev:
+                        last = -1
+                prev = p
+                if n == 0:
+                    op, to = p, t
+                s = last  # 0 until the key's first price move
+                n += 1
+                imb += s
+                buy += s == 1
+                sell += s == -1
+                if abs(imb) >= threshold:
+                    out.append((k, bar, n, buy, sell, imb, op, p, to, t))
+                    bar += 1
+                    n = imb = buy = sell = 0
+            yield pd.DataFrame(
+                out, columns=["key", "bar", "n_ticks", "n_buy",
+                              "n_sell", "imbalance", "open", "close",
+                              "t_open_ms", "t_close_ms"])
+        state.update((bar, n, imb, buy, sell, op, to, prev, last))
+
+    return (ticks
+            .withWatermark("event_time", watermark)
+            .groupBy("key")
+            .applyInPandasWithState(
+                process, IMB_OUT_SCHEMA, _IMB_STATE_SCHEMA, "append",
+                GroupStateTimeout.NoTimeout))
