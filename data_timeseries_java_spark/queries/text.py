@@ -1837,3 +1837,90 @@ FROM sc ca JOIN sc cb ON ca.source < cb.source
 LEFT JOIN inter i
   ON i.source1 = ca.source AND i.source2 = cb.source
 """
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: the (declared, predicted) confusion
+    matrix with per-cell counts, per-declared-language recall and
+    per-predicted precision — the eval layer over the SAME langid
+    derivation text_langid gates (one extra aggregate, nothing
+    re-derived differently). Exact integer-ratio metrics rounded 6."""
+    from data_timeseries_java_spark.operators.text import language_id
+
+    preds = language_id(load_table(spark, sf_dir, "documents"))
+    cells = (preds.groupBy(F.col("declared_lang"),
+                           F.col("predicted_lang"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    from pyspark.sql import Window
+
+    decl_tot = F.sum("n").over(Window.partitionBy("declared_lang"))
+    pred_tot = F.sum("n").over(Window.partitionBy("predicted_lang"))
+    return cells.select(
+        "declared_lang", "predicted_lang", "n",
+        F.round(F.col("n") / decl_tot, 6).alias("recall_share"),
+        F.round(F.col("n") / pred_tot, 6).alias("precision_share"))
+
+
+QUERIES["langid_confusion"] = q_langid_confusion
+
+ORACLE["langid_confusion"] = f"""
+WITH preds AS ({_langid_sql()}),
+cells AS (
+  SELECT declared_lang, predicted_lang,
+         CAST(count(*) AS BIGINT) AS n
+  FROM preds GROUP BY 1, 2
+)
+SELECT declared_lang, predicted_lang, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY declared_lang), 6)
+         AS recall_share,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY predicted_lang), 6)
+         AS precision_share
+FROM cells
+"""
+
+
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the quality classifier: scores bucketed
+    into deciles, per-bin mean predicted score vs observed positive
+    rate against the weak language label (lang = 'en', the same weak
+    target the DSIR lane uses) — the calibration read a score-based
+    selection pipeline needs before trusting thresholds. One extra
+    aggregate over the classifier's own gated derivation."""
+    from data_timeseries_java_spark.operators.text import (
+        hashed_linear_classifier)
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = hashed_linear_classifier(docs, n_buckets=CLF_BUCKETS)
+    scored = (s.select("doc_id", F.round("score", 6).alias("score"))
+              .join(docs.select("doc_id",
+                                (F.col("lang") == "en").alias("pos")),
+                    "doc_id"))
+    bin_ = F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("long")
+    # mean of 6-dp scores via exact micro-unit integers: the float sum
+    # is order-dependent at the 6th decimal on ties-heavy bins
+    micros = F.round(F.col("score") * 1e6).cast("long")
+    return (scored.groupBy(bin_.alias("bin"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.sum(micros) / F.count(F.lit(1)) / 1e6, 6)
+                 .alias("mean_score"),
+                 F.round(F.avg(F.col("pos").cast("double")), 6)
+                 .alias("frac_positive")))
+
+
+QUERIES["classifier_calibration"] = q_classifier_calibration
+
+ORACLE["classifier_calibration"] = f"""
+WITH clf AS ({ORACLE["quality_classifier"]}),
+scored AS (
+  SELECT c.doc_id, c.score, d.lang = 'en' AS pos
+  FROM clf c JOIN documents d USING (doc_id)
+)
+SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(CAST(round(score * 1e6) AS BIGINT)) * 1.0
+             / count(*) / 1e6, 6) AS mean_score,
+       round(avg(CASE WHEN pos THEN 1.0 ELSE 0.0 END), 6)
+         AS frac_positive
+FROM scored
+GROUP BY 1
+"""
