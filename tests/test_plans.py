@@ -529,3 +529,54 @@ def test_round8_additions_plan_shapes(spark, sf_dir):
         assert n <= budget, (
             f"{name}: {n} exchanges > budget {budget}\n"
             f"{formatted_plan(q)[:3000]}")
+
+
+def test_value_sorted_layout_prunes_row_groups(spark, sf_dir, tmp_path):
+    """Storage-layout trilogy part 3 (next to partition pruning and
+    bucketing): a value-SORTED parquet layout concentrates each row
+    group's [min, max] envelope, so a stats-aware reader (Spark's
+    parquet pushdown — the PushedFilters the other tests pin) skips
+    all but the matching groups; arrival-order layout leaves every
+    envelope spanning the full range, forcing a full decode. Asserted
+    on the actual footer statistics a reader consults."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_timeseries_java_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = 100.0, 110.0
+
+    def touched(path):
+        t = n = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            m = pq.ParquetFile(f).metadata
+            idx = {m.schema.column(i).name: i
+                   for i in range(m.num_columns)}["value"]
+            for rg in range(m.num_row_groups):
+                st = m.row_group(rg).column(idx).statistics
+                n += 1
+                if st.min < hi and st.max >= lo:
+                    t += 1
+        return t, n
+
+    # small input: force many row groups via many single-group files
+    # (one row group per file — the file footer envelope IS the row
+    # group envelope, same stats a reader consults)
+    (ev.repartition(1).sortWithinPartitions("value").write
+     .option("maxRecordsPerFile", 200)
+     .mode("overwrite").parquet(str(tmp_path / "sorted")))
+    (ev.repartition(1).write.option("maxRecordsPerFile", 200)
+     .mode("overwrite").parquet(str(tmp_path / "plain")))
+    t_sorted, n_sorted = touched(str(tmp_path / "sorted"))
+    t_plain, n_plain = touched(str(tmp_path / "plain"))
+    assert n_sorted > 3 and n_plain > 3  # multiple groups exist
+    assert t_plain == n_plain  # arrival order: every envelope matches
+    assert t_sorted < n_sorted / 2  # sorted: most groups skippable
+    # both layouts return identical rows through the engine
+    from pyspark.sql import functions as F
+    pred = (F.col("value") >= lo) & (F.col("value") < hi)
+    a = spark.read.parquet(str(tmp_path / "sorted")).where(pred).count()
+    b = spark.read.parquet(str(tmp_path / "plain")).where(pred).count()
+    assert a == b
