@@ -4090,3 +4090,109 @@ ORACLE["imbalance_bars_stream_replay"] = (
     ORACLE["fx_imbalance_bars"].replace(
         "GROUP BY key, bar",
         f"GROUP BY key, bar\nHAVING abs(arg_max(imb, rn)) >= {IMB_THRESHOLD}"))
+
+
+def q_fx_backtest_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turtle-breakout backtest — the "so what" capstone composing the
+    indicator family into an evaluation: signal = +1 on close above
+    the prior-6 Donchian high, -1 below the low, else carry the last
+    signal (last-non-null window, the same carry idiom as gap-fill);
+    position = yesterday's signal (no look-ahead); strategy return =
+    position x close-to-close log return. Per key: total/mean return,
+    volatility and a per-candle Sharpe from ROUNDED decomposable sums
+    (the house convention — never engine-native stddev, whose
+    Welford-vs-moments arithmetic differs across engines)."""
+    from pyspark.sql import Window
+
+    from data_timeseries_java_spark.operators.bars import (
+        donchian_channels)
+    from data_timeseries_java_spark.operators.candles import (
+        candles_pipeline)
+
+    ticks, keys = _ticks_and_keys(spark, sf_dir)
+    d = donchian_channels(candles_pipeline(ticks, keys, RES), n_windows=6)
+    wk = Window.partitionBy("key").orderBy("window_start")
+    prev_close = F.lag("close_price").over(wk)
+    # leading gap candles carry the 0.0 back-fill sentinel — a return
+    # is only defined once both closes are real prices
+    ret = F.when((prev_close > 0) & (F.col("close_price") > 0),
+                 F.log(F.col("close_price") / prev_close))
+    sig_event = (F.when(F.col("breakout_up"), 1)
+                 .when(F.col("breakout_down"), -1))
+    signal = F.coalesce(
+        F.last(sig_event, ignorenulls=True).over(
+            wk.rowsBetween(Window.unboundedPreceding, 0)), F.lit(0))
+    base = d.select("key", "window_start", ret.alias("ret"),
+                    signal.alias("signal"))
+    pos = F.lag("signal").over(wk)
+    scored = (base.withColumn("position", pos)
+              .where(F.col("ret").isNotNull()
+                     & F.col("position").isNotNull()))
+    sr = F.col("position") * F.col("ret")
+    g = (scored.groupBy("key")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_candles"),
+              F.sum(F.when(F.col("position") != 0, 1).otherwise(0))
+              .cast("long").alias("n_invested"),
+              F.round(F.sum(sr), 6).alias("s"),
+              F.round(F.sum(sr * sr), 6).alias("ss")))
+    n = F.col("n_candles").cast("double")
+    mean = F.col("s") / n
+    var = (F.col("ss") - F.col("s") * F.col("s") / n) / (n - 1)
+    return g.select(
+        "key", "n_candles", "n_invested",
+        F.col("s").alias("total_ret"),
+        F.round(mean, 6).alias("mean_ret"),
+        F.round(F.sqrt(var), 6).alias("vol"),
+        F.round(mean / F.sqrt(var), 6).alias("sharpe"))
+
+
+QUERIES["fx_backtest_donchian"] = q_fx_backtest_donchian
+
+ORACLE["fx_backtest_donchian"] = _PRELUDE + """,
+chan AS (
+  SELECT key, w_start_ms, close_price,
+         max(max_price) OVER pr AS ch,
+         min(min_price) OVER pr AS cl
+  FROM complete
+  WINDOW pr AS (PARTITION BY key ORDER BY w_start_ms
+                ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+),
+sig AS (
+  SELECT key, w_start_ms,
+         CASE WHEN close_price > 0 AND lag(close_price) OVER wk > 0
+              THEN ln(close_price / lag(close_price) OVER wk) END AS ret,
+         coalesce(last_value(
+             CASE WHEN close_price > ch THEN 1
+                  WHEN close_price < cl THEN -1 END IGNORE NULLS)
+           OVER (PARTITION BY key ORDER BY w_start_ms
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           0) AS signal
+  FROM chan
+  WINDOW wk AS (PARTITION BY key ORDER BY w_start_ms)
+),
+scored AS (
+  SELECT key, ret,
+         lag(signal) OVER (PARTITION BY key ORDER BY w_start_ms)
+           AS position
+  FROM sig
+),
+g AS (
+  SELECT key,
+         CAST(count(*) AS BIGINT) AS n_candles,
+         CAST(count(*) FILTER (position <> 0) AS BIGINT) AS n_invested,
+         round(sum(position * ret), 6) AS s,
+         round(sum(position * ret * position * ret), 6) AS ss
+  FROM scored
+  WHERE ret IS NOT NULL AND position IS NOT NULL
+  GROUP BY key
+)
+SELECT key, n_candles, n_invested,
+       s AS total_ret,
+       round(s / n_candles, 6) AS mean_ret,
+       round(sqrt((ss - s * s / n_candles) / (n_candles - 1)), 6)
+         AS vol,
+       round((s / n_candles)
+             / sqrt((ss - s * s / n_candles) / (n_candles - 1)), 6)
+         AS sharpe
+FROM g
+"""
