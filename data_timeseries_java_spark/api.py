@@ -344,3 +344,45 @@ class SeriesEngine:
         from data_timeseries_java_spark.operators.ema import garch_vol
         return garch_vol(returns, alpha=alpha, beta=beta, omega=omega,
                          **self._cols)
+
+
+class MonitorEngine:
+    """Data-observability facade: distribution drift, experiment
+    readouts, and release-governance checks over arbitrary frames —
+    the monitoring side of the engine (batch; the PSI monitor's
+    streaming twin lives in streaming/drift_stream.py).
+
+    Input contracts: ``psi``/``ks`` take a frame with (group, value,
+    is_ref boolean); ``k_anonymity`` any frame plus the list of
+    quasi-identifier columns."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+
+    def psi(self, tagged: DataFrame) -> DataFrame:
+        """Population stability index over reference-fitted decile
+        bins; columns (etype, value, is_ref) — see operators/drift."""
+        from data_timeseries_java_spark.operators.drift import (
+            psi_assemble,
+            psi_bin_counts,
+            psi_edges,
+        )
+
+        edges = psi_edges(tagged)
+        return psi_assemble(psi_bin_counts(tagged, edges), edges)
+
+    def k_anonymity(self, df: DataFrame, quasi_identifiers: list[str],
+                    k: int = 5) -> DataFrame:
+        """Equivalence-class size report over the released
+        quasi-identifier columns; classes below k are at_risk."""
+        from pyspark.sql import functions as F
+
+        cls = (df.groupBy(*quasi_identifiers)
+               .agg(F.count(F.lit(1)).cast("long").alias("class_size")))
+        total = cls.agg(F.sum("class_size").cast("long")
+                        .alias("n_total"))
+        return (cls.crossJoin(F.broadcast(total))
+                .select(*quasi_identifiers, "class_size",
+                        (F.col("class_size") < k).alias("at_risk"),
+                        F.round(F.col("class_size") / F.col("n_total"),
+                                6).alias("row_share")))
