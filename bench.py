@@ -83,6 +83,11 @@ HEADLINE = [
     "fx_tick_bars",
     "source_ngram_overlap",
     "gopher_rules",
+    # session-2 batch 2/3: the recursive grouped-map bar, the banded
+    # attribution join, and the drift monitor
+    "fx_imbalance_bars",
+    "attribution_linear",
+    "value_psi",
     # media codec tier (pure-Python codecs, Arrow-batched mapInPandas;
     # these time synthesize+decode end-to-end — decode-only docs/s and
     # MB/s ceilings live in bench_media.py and SCALE.md)

@@ -46,7 +46,11 @@ QUERIES = ["dedup_minhash_lsh", "corpus_build", "ann_lsh",
            # path under replica growth), the banded attribution join,
            # and the decay/HHI aggregates as linear controls
            "fx_imbalance_bars", "fx_dollar_bars", "attribution_linear",
-           "event_decay_score", "part_supplier_hhi", "fx_volume_curve"]
+           "event_decay_score", "part_supplier_hhi", "fx_volume_curve",
+           # session-2 batch 3: drift/eval family + the backtest and
+           # the noise-robust vol estimator
+           "value_psi", "value_ks_test", "fx_tsrv",
+           "fx_backtest_donchian", "langid_confusion", "event_cuped"]
 
 
 def bench(spark, qs, name, sf_dir, n):
