@@ -454,3 +454,48 @@ SELECT source, n_docs,
              / n_tokens * 1000000) / 1000000 AS epochs
 FROM stats CROSS JOIN tot
 """
+
+
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-waste report per source shard: how much of each shard's
+    token budget the greedy doc-order packing actually fills — per
+    source: packs, docs, tokens, mean tokens-per-pack, and the padding
+    waste fraction 1 − tokens/(packs·budget) a training run pays in
+    padded FLOPs. One aggregate over the SAME gated pack manifest
+    (sequence_packing); exact integer ratios rounded 6."""
+    from data_timeseries_java_spark.operators.corpus import (
+        sequence_packing,
+    )
+
+    m = sequence_packing(load_table(spark, sf_dir, "documents"),
+                         pack_budget=PACK_BUDGET)
+    g = (m.groupBy("source")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_packs"),
+              F.sum("n_docs").cast("long").alias("n_docs"),
+              F.sum("total_tokens").cast("long").alias("n_tokens")))
+    cap = F.col("n_packs") * PACK_BUDGET
+    return g.select(
+        "source", "n_packs", "n_docs", "n_tokens",
+        F.round(F.col("n_tokens") / F.col("n_packs"), 6)
+        .alias("mean_tokens_per_pack"),
+        F.round(F.lit(1.0) - F.col("n_tokens") / cap, 6)
+        .alias("waste_frac"))
+
+
+QUERIES["packing_efficiency"] = q_packing_efficiency
+
+ORACLE["packing_efficiency"] = f"""
+WITH manifest AS ({ORACLE["sequence_packing"]}),
+g AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_packs,
+         CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         CAST(sum(total_tokens) AS BIGINT) AS n_tokens
+  FROM manifest GROUP BY source
+)
+SELECT source, n_packs, n_docs, n_tokens,
+       round(n_tokens * 1.0 / n_packs, 6) AS mean_tokens_per_pack,
+       round(1.0 - n_tokens * 1.0 / (n_packs * {PACK_BUDGET}), 6)
+         AS waste_frac
+FROM g
+"""
