@@ -4196,3 +4196,77 @@ SELECT key, n_candles, n_invested,
          AS sharpe
 FROM g
 """
+
+
+def q_fx_vol_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volatility-regime labeling + transition matrix: each (key, day)
+    gets a LOW/MID/HIGH label by the key's own realized-vol terciles
+    (exact interpolated, rounded 6 — the PSI edge discipline), then
+    day-over-day transitions are counted into the 3x3 Markov matrix a
+    regime-switching overlay consumes. Shape: the daily RV aggregate,
+    a tiny per-key tercile frame broadcast back, one lag, one count."""
+    from pyspark.sql import Window
+
+    from data_timeseries_java_spark.operators.resample import (
+        realized_volatility)
+
+    rv = realized_volatility(_returns_df(spark, sf_dir), "1 day").select(
+        "key", F.unix_millis("window_start").alias("day_ms"),
+        F.round("realized_vol", 9).alias("rv"))
+    edges = (rv.groupBy("key")
+             .agg(F.expr("transform(percentile(rv, array(0.3333333333,"
+                         " 0.6666666667)), e -> round(e, 6))")
+                  .alias("e")))
+    lab = (rv.join(F.broadcast(edges), "key")
+           .select("key", "day_ms",
+                   F.when(F.col("rv") <= F.col("e")[0], "LOW")
+                   .when(F.col("rv") <= F.col("e")[1], "MID")
+                   .otherwise("HIGH").alias("regime")))
+    wk = Window.partitionBy("key").orderBy("day_ms")
+    tr = (lab.withColumn("prev", F.lag("regime").over(wk))
+          .where(F.col("prev").isNotNull())
+          .groupBy("key", F.col("prev").alias("from_regime"),
+                   F.col("regime").alias("to_regime"))
+          .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    tot = Window.partitionBy("key")
+    return tr.select(
+        "key", "from_regime", "to_regime", "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("share"))
+
+
+QUERIES["fx_vol_regimes"] = q_fx_vol_regimes
+
+ORACLE["fx_vol_regimes"] = _PRELUDE + """,
+rv AS (
+  SELECT key, (time_ms // 86400000) * 86400000 AS day_ms,
+         round(sqrt(sum(ret * ret)), 9) AS rv
+  FROM returns GROUP BY key, day_ms
+),
+edges AS (
+  SELECT key,
+         round(quantile_cont(rv, 0.3333333333), 6) AS e1,
+         round(quantile_cont(rv, 0.6666666667), 6) AS e2
+  FROM rv GROUP BY key
+),
+lab AS (
+  SELECT r.key, r.day_ms,
+         CASE WHEN r.rv <= e.e1 THEN 'LOW'
+              WHEN r.rv <= e.e2 THEN 'MID'
+              ELSE 'HIGH' END AS regime
+  FROM rv r JOIN edges e USING (key)
+),
+tr AS (
+  SELECT key,
+         lag(regime) OVER (PARTITION BY key ORDER BY day_ms)
+           AS from_regime,
+         regime AS to_regime
+  FROM lab
+)
+SELECT key, from_regime, to_regime,
+       CAST(count(*) AS BIGINT) AS n,
+       round(count(*) * 1.0
+             / sum(count(*)) OVER (PARTITION BY key), 6) AS share
+FROM tr
+WHERE from_regime IS NOT NULL
+GROUP BY key, from_regime, to_regime
+"""

@@ -3463,3 +3463,73 @@ SELECT etype,
 FROM scored
 GROUP BY etype
 """
+
+
+def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz/Pareto revenue-concentration curve: customers ranked by
+    total spend (ties broken by custkey for determinism), bucketed
+    into spend deciles, each reporting its cumulative share of total
+    revenue — the "top 10% carry X%" table that complements
+    revenue_gini's scalar. Per-customer revenue quantizes to integer
+    cents after one rounding, so every running sum is exact integer
+    arithmetic.
+
+    Scale note: the global rank is one total-order sort of the
+    CUSTOMER frame (dimension-sized, 150k/SF — fine into the
+    billions on a range-partitioned sort); a sketch-only variant
+    would read the decile boundaries off the mergeable grid-quantile
+    store (queries/scale.py) and keep everything pre-aggregated."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = (orders.groupBy("o_custkey")
+            .agg(F.round(F.sum("o_totalprice") * 100).cast("long")
+                 .alias("cents")))
+    wr = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+    n_w = Window.partitionBy()
+    ranked = cust.select(
+        "o_custkey", "cents",
+        F.row_number().over(wr).alias("rnk"),
+        F.count(F.lit(1)).over(n_w).alias("n_cust"),
+        F.sum("cents").over(n_w).alias("total_cents"),
+        F.sum("cents").over(
+            wr.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_cents"))
+    decile = F.least(F.floor((F.col("rnk") - 1) * 10 / F.col("n_cust")),
+                     F.lit(9)).cast("long")
+    g = (ranked.groupBy(decile.alias("decile"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+              F.max("cum_cents").cast("long").alias("cum_cents"),
+              F.first("total_cents").alias("total_cents")))
+    return g.select(
+        "decile", "n_customers",
+        F.round(F.col("cum_cents") / F.col("total_cents"), 6)
+        .alias("cum_revenue_share"))
+
+
+QUERIES["revenue_pareto"] = q_revenue_pareto
+
+ORACLE["revenue_pareto"] = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, cents,
+         row_number() OVER wr AS rnk,
+         count(*) OVER () AS n_cust,
+         sum(cents) OVER () AS total_cents,
+         sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum_cents
+  FROM cust
+  WINDOW wr AS (ORDER BY cents DESC, o_custkey)
+)
+SELECT CAST(least((rnk - 1) * 10 // n_cust, 9) AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(max(cum_cents) * 1.0 / any_value(total_cents), 6)
+         AS cum_revenue_share
+FROM ranked
+GROUP BY 1
+"""
