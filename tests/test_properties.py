@@ -222,3 +222,66 @@ def test_bpe_replace_chain_equals_classic_on_random_text(spark, texts):
            for r in bpe_token_counts(df).collect()}
     for i, t in enumerate(texts):
         assert got[i] == classic(t), (t, got[i], classic(t))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(ticks=tick_lists)
+def test_bar_trilogy_invariants_random_streams(spark, ticks):
+    """Event-driven bars on randomized streams: every bar type
+    conserves the tick count exactly; tick bars hold ceil(n/size) bars
+    per key with only the last partial; dollar bars never exceed the
+    threshold by more than one tick's value; imbalance bars close at
+    exactly |threshold| (±1 steps) except the final partial. These
+    hold under ANY tie order, so duplicate timestamps in the strategy
+    are fine."""
+    import math as _math
+
+    from data_timeseries_java_spark.operators.bars import (
+        dollar_bars,
+        imbalance_bars,
+        tick_bars,
+    )
+
+    rows = [(k, _ts(T0 + m * 60_000), bid, ask, True)
+            for (k, m, bid, ask) in ticks]
+    df = spark.createDataFrame(rows, TICK_SCHEMA)
+    n_per_key: dict[str, int] = {}
+    for (k, m, bid, ask) in ticks:
+        n_per_key[k] = n_per_key.get(k, 0) + 1
+    n_total = len(rows)
+
+    tb = tick_bars(df, bar_size=5).collect()
+    assert sum(b.n_ticks for b in tb) == n_total
+    per_key: dict[str, list] = {}
+    for b in tb:
+        per_key.setdefault(b.key, []).append(b)
+    for k, bs in per_key.items():
+        assert len(bs) == _math.ceil(n_per_key[k] / 5)
+        bs.sort(key=lambda b: b.bar)
+        for b in bs[:-1]:
+            assert b.n_ticks == 5
+        assert 1 <= bs[-1].n_ticks <= 5
+
+    T = 500.0
+    db = dollar_bars(df, threshold=T).collect()
+    assert sum(b.n_ticks for b in db) == n_total
+    last = {}
+    for b in db:
+        last[b.key] = max(last.get(b.key, -1), b.bar)
+    for b in db:
+        if b.bar < last[b.key]:
+            assert b.bar_value - b.close < T + 1e-6
+
+    thr = 3
+    ib = imbalance_bars(df, threshold=thr).collect()
+    assert sum(b.n_ticks for b in ib) == n_total
+    last = {}
+    for b in ib:
+        last[b.key] = max(last.get(b.key, -1), b.bar)
+        assert b.n_buy - b.n_sell == b.imbalance
+    for b in ib:
+        if b.bar < last[b.key]:
+            assert abs(b.imbalance) == thr
+        else:
+            assert abs(b.imbalance) <= thr
