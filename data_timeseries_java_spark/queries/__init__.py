@@ -46,67 +46,83 @@ _DRIVER_GATED = frozenset({
     "above_segment_avg", "ann_ivf", "ann_ivf_trained", "ann_lsh",
     "anomaly_stream_replay", "approx_distinct_users", "approx_topk_cms",
     "approx_value_quantiles", "asof_bucketed_stream_replay",
-    "asof_purchase_click", "asof_stream_replay", "benford_order_totals",
-    "bm25_search", "brand_pagerank", "brand_triangles",
-    "cohort_retention", "corpus_build", "customer_rfm",
-    "customer_set_ops", "customer_spend_quartiles",
-    "customers_without_orders", "dataset_split", "decontaminate",
+    "asof_purchase_click", "asof_stream_replay", "attribution_linear",
+    "benford_order_totals", "bm25_search", "brand_pagerank",
+    "brand_supplier_counts", "brand_triangles", "brand_triangles_deg",
+    "cohort_retention", "corpus_build", "cross_source_dup",
+    "customer_order_distribution", "customer_rfm", "customer_set_ops",
+    "customer_spend_quartiles", "customers_without_orders",
+    "dataset_split", "decontaminate", "decontaminate_bloom",
     "decontaminate_winnow", "dedup_clusters", "dedup_containment",
-    "dedup_exact", "dedup_fuzzy", "dedup_keep_list",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_segments",
-    "dedup_segments_cdc", "dedup_simhash", "distinct_suppliers",
+    "dedup_exact", "dedup_family_histogram", "dedup_fuzzy",
+    "dedup_keep_list", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_segments", "dedup_segments_cdc", "dedup_simhash",
+    "dedup_stream_replay", "dedup_substring_spans",
+    "disjunctive_revenue", "distinct_suppliers",
     "distinct_users_by_type", "dominant_part_suppliers",
-    "dq_expectations", "drawdown_stream_replay", "ema_stream_replay",
-    "embedding_quantize", "embedding_srp_sketch", "embedding_stats",
-    "event_ab_test", "event_anomalies", "event_gap_stats",
-    "event_hour_profile", "event_mad_outliers", "event_transitions",
-    "event_winsorize", "events_json_props", "forecast_revenue",
-    "funnel_conversion", "funnel_stream_replay",
-    "funnel_time_to_convert", "fx_align_series", "fx_atr",
-    "fx_autocorr", "fx_bollinger", "fx_candle_patterns",
-    "fx_candles_bidask", "fx_candles_complete",
-    "fx_candles_interpolated", "fx_candles_ohlc", "fx_candles_rollup",
-    "fx_candles_stream_replay", "fx_cointegration", "fx_corr_headline",
-    "fx_corr_stream_replay", "fx_corr_threshold", "fx_corr_underlying",
-    "fx_corr_user_buckets", "fx_corr_wide", "fx_cross_rate",
-    "fx_cross_zscore", "fx_cusum", "fx_drawdown", "fx_ema_returns",
-    "fx_ewma_cov", "fx_gapfill_rows", "fx_garch_vol", "fx_half_life",
-    "fx_holt_trend", "fx_hurst", "fx_kalman_level", "fx_kyle_lambda",
-    "fx_lead_lag", "fx_log_returns", "fx_macd",
-    "fx_ohlc_vol_estimators", "fx_pair_beta", "fx_pair_correlation",
-    "fx_pair_correlation_auto", "fx_pair_spearman", "fx_parkinson_vol",
-    "fx_realized_vol", "fx_roll_spread", "fx_rsi", "fx_sliding_returns",
-    "fx_spread_stats", "fx_stochastic", "fx_tick_rule", "fx_twap",
-    "fx_var_es", "fx_variance_ratio", "fx_workpacket_stats",
-    "garch_stream_replay", "hll_stream_replay", "hll_user_rollup",
-    "holt_stream_replay", "kalman_stream_replay", "knn_bruteforce",
-    "leakage_safe_split", "lineitem_grouping_sets",
-    "macd_stream_replay", "market_basket_pairs",
-    "media_cross_format_dedup", "media_decode_features",
-    "media_jpeg_decode", "media_jpeg_header", "media_metadata",
-    "media_png_decode", "media_resize", "media_video_frames",
-    "media_wav_features", "media_wav_resample", "media_wav_spectrum",
-    "merge_corrections", "min_cost_supplier", "mixture_sample",
-    "monthly_order_stats", "monthly_revenue_complete",
+    "dq_expectations", "drawdown_stream_replay", "dsir_importance",
+    "dsir_resample", "ema_stream_replay", "embedding_quantize",
+    "embedding_srp_sketch", "embedding_stats", "event_ab_test",
+    "event_anomalies", "event_cuped", "event_decay_score",
+    "event_gap_stats", "event_hour_profile", "event_mad_outliers",
+    "event_transitions", "event_winsorize", "events_json_props",
+    "events_k_anonymity", "forecast_revenue", "funnel_conversion",
+    "funnel_stream_replay", "funnel_time_to_convert", "fx_align_series",
+    "fx_amihud", "fx_atr", "fx_autocorr", "fx_backtest_donchian",
+    "fx_bollinger", "fx_candle_patterns", "fx_candles_bidask",
+    "fx_candles_complete", "fx_candles_interpolated", "fx_candles_ohlc",
+    "fx_candles_rollup", "fx_candles_stream_replay", "fx_cointegration",
+    "fx_corr_headline", "fx_corr_stream_replay", "fx_corr_threshold",
+    "fx_corr_underlying", "fx_corr_user_buckets", "fx_corr_wide",
+    "fx_cross_rate", "fx_cross_zscore", "fx_cusum", "fx_dollar_bars",
+    "fx_donchian", "fx_drawdown", "fx_ema_returns", "fx_ewma_cov",
+    "fx_gapfill_rows", "fx_garch_vol", "fx_half_life", "fx_holt_trend",
+    "fx_hurst", "fx_imbalance_bars", "fx_kalman_level",
+    "fx_kyle_lambda", "fx_lead_lag", "fx_log_returns", "fx_macd",
+    "fx_obv", "fx_ohlc_vol_estimators", "fx_pair_beta",
+    "fx_pair_correlation", "fx_pair_correlation_auto",
+    "fx_pair_spearman", "fx_parkinson_vol", "fx_realized_vol",
+    "fx_roll_spread", "fx_rsi", "fx_sliding_returns", "fx_spread_stats",
+    "fx_stochastic", "fx_tick_bars", "fx_tick_rule", "fx_tsrv",
+    "fx_twap", "fx_var_es", "fx_variance_ratio", "fx_vol_regimes",
+    "fx_volume_curve", "fx_volume_profile", "fx_vpin", "fx_vwap",
+    "fx_workpacket_stats", "garch_stream_replay", "hll_stream_replay",
+    "hll_user_rollup", "holt_stream_replay",
+    "imbalance_bars_stream_replay", "jaccard_prefix_join",
+    "kalman_stream_replay", "knn_bruteforce", "leakage_safe_split",
+    "lineitem_grouping_sets", "macd_stream_replay",
+    "market_basket_pairs", "media_cross_format_dedup",
+    "media_decode_features", "media_jpeg_decode", "media_jpeg_header",
+    "media_metadata", "media_png_decode", "media_resize",
+    "media_video_frames", "media_wav_features", "media_wav_resample",
+    "media_wav_spectrum", "merge_corrections", "min_cost_supplier",
+    "mixture_sample", "monthly_order_stats", "monthly_revenue_complete",
     "moving_avg_range", "moving_median", "nation_customer_list",
-    "nation_market_share", "nation_outer_join", "neardup_cosine",
-    "neardup_cosine_auto", "order_ranks", "order_ship_latency",
-    "orders_flag_filter", "orders_with_expensive_items",
-    "part_abc_classification", "part_scalar_functions", "pii_scan",
+    "nation_market_share", "nation_outer_join", "nation_profit",
+    "neardup_cosine", "neardup_cosine_auto", "neardup_stream_replay",
+    "order_ranks", "order_ship_latency", "orders_flag_filter",
+    "orders_with_expensive_items", "part_abc_classification",
+    "part_scalar_functions", "part_supplier_hhi", "pii_scan",
     "price_quantiles", "pricing_summary", "priority_pivot",
-    "priority_rollup", "profile_lineitem", "range_join_event_candle",
-    "recovery_stream_replay", "revenue_by_nation", "revenue_gini",
-    "rich_idle_customers", "salted_event_stats", "scd2_user_status",
-    "seasonal_profile", "sequence_packing", "sessions_stream_replay",
+    "priority_rollup", "profile_lineitem", "promo_revenue",
+    "psi_stream_replay", "quality_classifier",
+    "range_join_event_candle", "recovery_stream_replay",
+    "region_nation_share", "revenue_by_nation", "revenue_gini",
+    "revenue_pareto", "rich_idle_customers", "rolling_distinct_users",
+    "salted_event_stats", "scd2_user_status", "seasonal_profile",
+    "sequence_packing", "sessions_stream_replay", "shipping_priority",
     "small_quantity_revenue", "source_token_stats", "status_cube",
     "stratified_sample", "supplier_share", "text_bigram_lm",
-    "text_entropy", "text_fingerprint", "text_langid", "text_quality",
-    "text_repetition", "text_tokens", "text_winnowing",
-    "tfidf_top_terms", "top_customers", "top_revenue_supplier",
-    "topk_stream_replay", "user_behavior_entropy", "user_sessions",
-    "user_survival_km", "value_trend_ols", "value_trend_theilsen",
-    "vocabulary_topk", "vol_stream_replay", "waiting_suppliers",
-    "weekly_new_returning", "window_sampler",
+    "text_bpe_tokens", "text_bpe_tokens_dict", "text_entropy",
+    "text_fingerprint", "text_langid", "text_novelty", "text_quality",
+    "text_repetition", "text_tokens", "text_winnowing", "tfidf_neardup",
+    "tfidf_top_terms", "tick_bars_stream_replay", "top_customers",
+    "top_revenue_supplier", "topk_stream_replay",
+    "user_behavior_entropy", "user_sessions", "user_survival_km",
+    "value_ks_test", "value_psi", "value_trend_ols",
+    "value_trend_theilsen", "vocabulary_topk", "vol_stream_replay",
+    "volume_shipping", "vwap_stream_replay", "waiting_suppliers",
+    "weekly_new_returning", "weighted_median_price", "window_sampler",
 })
 
 
