@@ -37,7 +37,6 @@ def anchored_vwap(ticks: DataFrame, resolution: str = "1 hour",
     partitioned by (key, anchor). Output is candle-sized, not
     tick-sized, so a 100 TB tick stream reduces before the window pass.
     """
-    t_ms = F.unix_millis(F.col("event_time"))
     agg = (ticks.where(F.col("is_live"))
            .groupBy("key",
                     F.window("event_time", resolution).alias("w"))
@@ -82,8 +81,11 @@ def tick_bars(ticks: DataFrame, bar_size: int = 50) -> DataFrame:
     seq = (ticks.where(F.col("is_live"))
            .select("key", "event_time", "ask")
            .withColumn("rn", F.row_number().over(wk))
-           .withColumn("bar", ((F.col("rn") - 1) / bar_size)
-                       .cast("long")))
+           # exact integer division (`div`), not a double divide + cast:
+           # the float path is correct only while (rn-1)/bar_size is
+           # exactly representable — `div` matches the oracle's `//` at
+           # any row count
+           .withColumn("bar", F.expr(f"(rn - 1) div {int(bar_size)}")))
     return (seq.groupBy("key", "bar")
             .agg(F.count(F.lit(1)).cast("long").alias("n_ticks"),
                  F.min(F.struct("rn", "ask")).alias("o"),
@@ -124,8 +126,9 @@ def vpin(ticks: DataFrame, bucket_size: int = 50,
            .withColumn("dir", F.last("s", ignorenulls=True).over(
                wk.rowsBetween(Window.unboundedPreceding, 0)))
            .withColumn("rn", F.row_number().over(wk))
-           .withColumn("bucket", ((F.col("rn") - 1) / bucket_size)
-                       .cast("long")))
+           # integer `div` for the same exactness reason as tick_bars
+           .withColumn("bucket",
+                       F.expr(f"(rn - 1) div {int(bucket_size)}")))
     g = (seq.groupBy("key", "bucket")
          .agg(F.count(F.lit(1)).cast("long").alias("n_ticks"),
               F.sum(F.when(F.col("dir") == 1, 1).otherwise(0))
@@ -296,59 +299,87 @@ def imbalance_bars(ticks: DataFrame, threshold: int = 7) -> DataFrame:
     since the bar opened reaches `threshold`. Unlike tick/dollar bars
     the boundary depends on a reset-at-boundary running sum — a
     genuinely sequential recursion, not a floor of a global cumsum —
-    so this is a grouped-map operator (the same family as EMA/Holt/
-    Kalman/GARCH), with the oracle replaying the identical recursion
-    in a RECURSIVE CTE.
+    with the oracle replaying the identical recursion in a RECURSIVE
+    CTE.
 
     Signs use the tick rule with carry-through-flat (dir of the
     leading flat run is 0 — counted to neither side, contributing
     nothing to the imbalance, same convention as vpin). The final
     in-flight bar is emitted with its partial imbalance.
 
-    Shape: one shuffle on key, then a per-key linear scan inside an
-    Arrow batch. Parallelism unit = key — the right grain, since the
-    recursion itself is inherently serial per instrument.
+    Shape (bounded-memory): one shuffle on key, a per-partition
+    EXTERNAL sort on (key, event_time) — Spark's sort spills, it never
+    needs a key in memory — then a single streaming pass over Arrow
+    batches (`mapInPandas`) carrying O(1) state per key: (bar id,
+    in-flight counters, open price/time, previous price, carried
+    tick-rule direction) — the exact fold `streaming/bars_stream.py:
+    streaming_imbalance_bars` runs per micro-batch, reused batch-side.
+    Peak Python memory is ONE Arrow batch
+    (spark.sql.execution.arrow.maxRecordsPerBatch, default 10k rows),
+    NOT a key's full tick history — a hot instrument with billions of
+    ticks streams through instead of materializing in one pandas
+    frame. Parallelism unit is the shuffle partition; the recursion
+    itself stays serial per instrument, which is inherent.
     """
     import pandas as pd
 
-    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
+    cols = ["key", "bar", "n_ticks", "n_buy", "n_sell", "imbalance",
+            "open", "close", "t_open_ms", "t_close_ms"]
 
-        pdf = pdf.sort_values("event_time")
-        px = pdf["ask"].to_numpy()
-        ts = (pdf["event_time"].astype("int64") // 1_000_000).to_numpy()
-        n = len(px)
-        # tick-rule signs, carried through flats (0 until first move)
-        sgn = np.zeros(n, dtype=np.int64)
-        last = 0
-        for i in range(1, n):
-            if px[i] > px[i - 1]:
-                last = 1
-            elif px[i] < px[i - 1]:
-                last = -1
-            sgn[i] = last
-        bars = []
-        bar = 0
-        i0 = 0
-        imb = buy = sell = 0
-        for i in range(n):
-            s = sgn[i]
-            imb += s
-            buy += s == 1
-            sell += s == -1
-            if abs(imb) >= threshold or i == n - 1:
-                bars.append((pdf["key"].iloc[0], bar, i - i0 + 1,
-                             int(buy), int(sell), int(imb),
-                             float(px[i0]), float(px[i]),
-                             int(ts[i0]), int(ts[i])))
-                bar += 1
-                i0 = i + 1
-                imb = buy = sell = 0
-        return pd.DataFrame(bars, columns=[
-            "key", "bar", "n_ticks", "n_buy", "n_sell", "imbalance",
-            "open", "close", "t_open_ms", "t_close_ms"])
+    def fold(batches):
+        # carried per-key state; a batch boundary may fall anywhere,
+        # including mid-bar — state crosses it untouched
+        key = None
+        bar = n = buy = sell = imb = 0
+        open_px = 0.0
+        t_open = 0
+        prev = float("nan")   # previous price (NaN = none yet)
+        last = 0              # carried tick-rule direction
+        seen_px, seen_ts = 0.0, 0
+
+        def partial():
+            return (key, bar, n, buy, sell, imb,
+                    open_px, seen_px, t_open, seen_ts)
+
+        for pdf in batches:
+            ks = pdf["key"].to_numpy()
+            px = pdf["ask"].to_numpy()
+            ts = (pdf["event_time"].astype("int64")
+                  // 1_000_000).to_numpy()
+            out = []
+            for i in range(len(ks)):
+                p, t = float(px[i]), int(ts[i])
+                if ks[i] != key:
+                    if key is not None and n > 0:
+                        out.append(partial())
+                    key = ks[i]
+                    bar = n = buy = sell = imb = 0
+                    prev, last = float("nan"), 0
+                if prev == prev:  # not NaN
+                    if p > prev:
+                        last = 1
+                    elif p < prev:
+                        last = -1
+                prev = p
+                if n == 0:
+                    open_px, t_open = p, t
+                n += 1
+                imb += last  # 0 through a key's leading flat run
+                buy += last == 1
+                sell += last == -1
+                seen_px, seen_ts = p, t
+                if abs(imb) >= threshold:
+                    out.append((key, bar, n, buy, sell, imb,
+                                open_px, p, t_open, t))
+                    bar += 1
+                    n = buy = sell = imb = 0
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+        if key is not None and n > 0:
+            yield pd.DataFrame([partial()], columns=cols)
 
     return (ticks.where(F.col("is_live"))
             .select("key", "event_time", "ask")
-            .groupBy("key")
-            .applyInPandas(per_key, IMBALANCE_OUT_SCHEMA))
+            .repartition("key")
+            .sortWithinPartitions("key", "event_time")
+            .mapInPandas(fold, IMBALANCE_OUT_SCHEMA))

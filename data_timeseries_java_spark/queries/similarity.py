@@ -1289,9 +1289,15 @@ def q_label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("m").alias("ma"))
     b = cent.select(F.col("label").alias("label2"), "dim",
                     F.col("m").alias("mb"))
+    # quantize each per-dim product before the cross-partition sum
+    # (house rounded-decomposable-sums rule): the 9-decimal means make
+    # products 18-decimal-exact, so round(·, 12) is a pure noise strip
+    # and the summation order can no longer flip the output's 6th
+    # decimal between engines
     dots = (a.join(b, "dim")
             .groupBy("label1", "label2")
-            .agg(F.sum(F.col("ma") * F.col("mb")).alias("dot")))
+            .agg(F.sum(F.round(F.col("ma") * F.col("mb"), 12))
+                 .alias("dot")))
     norms = (dots.where(F.col("label1") == F.col("label2"))
              .select(F.col("label1").alias("nl"),
                      F.sqrt("dot").alias("nrm")))
@@ -1317,7 +1323,7 @@ cent AS (
 ),
 dots AS (
   SELECT a.label AS label1, b.label AS label2,
-         sum(a.m * b.m) AS dot
+         sum(round(a.m * b.m, 12)) AS dot
   FROM cent a JOIN cent b USING (dim)
   GROUP BY 1, 2
 ),

@@ -23,16 +23,18 @@ from pyspark.sql import DataFrame
 BARS_OUT_SCHEMA = ("key string, bar long, n_ticks long, open double, "
                    "high double, low double, close double, "
                    "t_open_ms long, t_close_ms long")
+# in-flight partial bar: close price/time are NOT carried — a
+# continued bar always recomputes them from the newest batch's last
+# row, so carrying them would be write-only state
 _STATE_SCHEMA = ("total long, n long, open double, high double, "
-                 "low double, close double, t_open_ms long, "
-                 "t_close_ms long")
+                 "low double, t_open_ms long")
 
 
 def streaming_tick_bars(ticks: DataFrame, bar_size: int = 50,
                         price_col: str = "ask",
                         watermark: str = "0 seconds") -> DataFrame:
     """Per-key streaming fixed-count tick bars. Emits one row per
-    COMPLETED bar; the in-flight partial bar lives in state (eight
+    COMPLETED bar; the in-flight partial bar lives in state (six
     numbers per key forever — bounded regardless of stream length)."""
     import numpy as np
     import pandas as pd
@@ -41,11 +43,11 @@ def streaming_tick_bars(ticks: DataFrame, bar_size: int = 50,
     def process(key, pdf_iter, state: GroupState):
         (k,) = key
         if state.exists:
-            (total, pn, po, ph, pl, pc, pto, ptc) = state.get
+            (total, pn, po, ph, pl, pto) = state.get
         else:
             total, pn = 0, 0
-            po = ph = pl = pc = 0.0
-            pto = ptc = 0
+            po = ph = pl = 0.0
+            pto = 0
         for pdf in pdf_iter:
             pdf = pdf.sort_values("event_time")
             px = pdf[price_col].astype("float64").to_numpy()
@@ -71,7 +73,7 @@ def streaming_tick_bars(ticks: DataFrame, bar_size: int = 50,
                 if n == bar_size:
                     out_rows.append((k, int(b), n, o, hi, lo, c, to, tc))
                 else:
-                    pn, po, ph, pl, pc, pto, ptc = n, o, hi, lo, c, to, tc
+                    pn, po, ph, pl, pto = n, o, hi, lo, to
             total += len(px)
             if total % bar_size == 0:
                 pn = 0
@@ -79,7 +81,7 @@ def streaming_tick_bars(ticks: DataFrame, bar_size: int = 50,
                 out_rows, columns=["key", "bar", "n_ticks", "open",
                                    "high", "low", "close", "t_open_ms",
                                    "t_close_ms"])
-        state.update((total, pn, po, ph, pl, pc, pto, ptc))
+        state.update((total, pn, po, ph, pl, pto))
 
     return (ticks
             .withWatermark("event_time", watermark)
@@ -119,7 +121,7 @@ def streaming_imbalance_bars(ticks: DataFrame, threshold: int = 7,
         else:
             bar, n, imb, buy, sell = 0, 0, 0, 0, 0
             op, to = 0.0, 0
-            prev, last = None, 0
+            last = 0
             prev = float("nan")  # state schema needs a double; NaN = none
         import math
 

@@ -27,6 +27,18 @@ _STATE_SCHEMA = "anchor_ms long, run_sum double, run_vol long"
 _ANCHOR_MS = 86_400_000
 
 
+def _round6_half_up(a):
+    """Round to 6 decimals half-AWAY-FROM-ZERO — the convention of
+    ``F.round`` (java HALF_UP) and DuckDB's ROUND. pandas/numpy
+    ``.round`` is half-to-even, which diverges on exact .5 ties; the
+    batch lane and oracle both use half-up, so the stream must too
+    (fixture prices happen to be 2-decimal-exact and can never tie at
+    the 6th decimal, but the operator shouldn't depend on that)."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(a) * 1e6 + 0.5), a) / 1e6
+
+
 def streaming_anchored_vwap(hourly: DataFrame,
                             anchor_ms: int = _ANCHOR_MS,
                             watermark: str = "0 seconds") -> DataFrame:
@@ -71,9 +83,9 @@ def streaming_anchored_vwap(hourly: DataFrame,
                 "event_time": pdf["event_time"].to_numpy(),
                 "anchor_ms": day.to_numpy(),
                 "volume": vols,
-                "window_vwap": (pdf["sum_price"].round(6).to_numpy()
-                                / vols),
-                "anchored_vwap": run_sum.round(6) / run_vol,
+                "window_vwap": (_round6_half_up(
+                    pdf["sum_price"].to_numpy()) / vols),
+                "anchored_vwap": _round6_half_up(run_sum) / run_vol,
             })
             yield out
         if st_anchor is not None:
