@@ -63,12 +63,15 @@ HEADLINE = [
     # Bloom-bitset decontamination, hashed linear classifier
     "fx_macd",
     "fx_ewma_cov",
-    "semantic_dedup",
+    # the explicit exact variant (corpus-trained k-means, brute-force
+    # assignment) — the accuracy companion the flagship routed away from
+    "semantic_dedup_exact",
     # the SRP-banded linear-assignment variant next to the exact path
     "semantic_dedup_ann",
-    # round 8: fully linear SemDeDup (fixed-k sampled training) and the
+    # the flagship: since round 9 the unsuffixed name IS the fully
+    # linear fixed-k sampled-training + SRP-assignment path
+    "semantic_dedup",
     # production-vocab dictionary tokenizer (1024 ranks, segmented)
-    "semantic_dedup_fixedk",
     "text_bpe_tokens_dict",
     "dsir_importance",
     "dedup_substring_spans",

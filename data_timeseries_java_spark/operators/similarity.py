@@ -590,7 +590,10 @@ def semantic_dedup(df: DataFrame, centroids: DataFrame,
     cluster size), the exact nearest-centroid scan is O(n·k·d) and this
     path goes quadratic (measured, SCALE.md); the production fix is
     fixed-k training on a bounded sample plus the SRP-banded assignment
-    of :func:`semantic_dedup_ann`.
+    of :func:`semantic_dedup_ann`. For that reason the query-level
+    flagship name ``semantic_dedup`` routes to the fixed-k + SRP path
+    (queries/similarity.py:q_semantic_dedup); this exact-assignment
+    operator backs the explicit ``semantic_dedup_exact`` variant.
     Threshold membership uses round(cos, 9) so a last-ulp dot-product
     difference cannot flip a verdict cross-engine.
 

@@ -4092,16 +4092,30 @@ ORACLE["imbalance_bars_stream_replay"] = (
         f"GROUP BY key, bar\nHAVING abs(arg_max(imb, rn)) >= {IMB_THRESHOLD}"))
 
 
+# per-side transaction cost in log-return units (1 bp per unit of
+# position change — FX majors' spread-cost order of magnitude); exact
+# at 4 decimals so cost sums stay on the rounding lattice
+DONCHIAN_COST_PER_SIDE = 0.0001
+
+
 def q_fx_backtest_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Turtle-breakout backtest — the "so what" capstone composing the
     indicator family into an evaluation: signal = +1 on close above
     the prior-6 Donchian high, -1 below the low, else carry the last
     signal (last-non-null window, the same carry idiom as gap-fill);
     position = yesterday's signal (no look-ahead); strategy return =
-    position x close-to-close log return. Per key: total/mean return,
-    volatility and a per-candle Sharpe from ROUNDED decomposable sums
-    (the house convention — never engine-native stddev, whose
-    Welford-vs-moments arithmetic differs across engines)."""
+    position x close-to-close log return. Frictions (round 9): a
+    per-side transaction cost of DONCHIAN_COST_PER_SIDE log-return
+    units is charged on every unit of position change (a flip
+    -1 -> +1 costs two sides; the opening trade from flat costs one),
+    with position changes measured over the FULL candle sequence
+    (before the defined-return filter) so a flip across a gap candle
+    still pays. Per key: gross total/mean/vol/Sharpe plus turnover
+    (units traded), total_cost, net_total_ret and net_sharpe — the
+    difference between a demo and a usable evaluation. All moments
+    come from ROUNDED decomposable sums (the house convention — never
+    engine-native stddev, whose Welford-vs-moments arithmetic differs
+    across engines)."""
     from pyspark.sql import Window
 
     from data_timeseries_java_spark.operators.bars import (
@@ -4125,25 +4139,41 @@ def q_fx_backtest_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select("key", "window_start", ret.alias("ret"),
                     signal.alias("signal"))
     pos = F.lag("signal").over(wk)
+    # |Δposition| over the unfiltered sequence; the backtest starts
+    # flat, so the first held position pays its full entry
+    dpos = F.abs(F.col("position")
+                 - F.coalesce(F.lag("position").over(wk), F.lit(0)))
     scored = (base.withColumn("position", pos)
+              .withColumn("dpos", dpos)
               .where(F.col("ret").isNotNull()
                      & F.col("position").isNotNull()))
     sr = F.col("position") * F.col("ret")
+    net = sr - F.lit(DONCHIAN_COST_PER_SIDE) * F.col("dpos")
     g = (scored.groupBy("key")
          .agg(F.count(F.lit(1)).cast("long").alias("n_candles"),
               F.sum(F.when(F.col("position") != 0, 1).otherwise(0))
               .cast("long").alias("n_invested"),
               F.round(F.sum(sr), 6).alias("s"),
-              F.round(F.sum(sr * sr), 6).alias("ss")))
+              F.round(F.sum(sr * sr), 6).alias("ss"),
+              F.sum("dpos").cast("long").alias("turnover"),
+              F.round(F.sum(net), 6).alias("sn"),
+              F.round(F.sum(net * net), 6).alias("ssn")))
     n = F.col("n_candles").cast("double")
     mean = F.col("s") / n
     var = (F.col("ss") - F.col("s") * F.col("s") / n) / (n - 1)
+    net_mean = F.col("sn") / n
+    net_var = (F.col("ssn") - F.col("sn") * F.col("sn") / n) / (n - 1)
     return g.select(
         "key", "n_candles", "n_invested",
         F.col("s").alias("total_ret"),
         F.round(mean, 6).alias("mean_ret"),
         F.round(F.sqrt(var), 6).alias("vol"),
-        F.round(mean / F.sqrt(var), 6).alias("sharpe"))
+        F.round(mean / F.sqrt(var), 6).alias("sharpe"),
+        "turnover",
+        F.round(F.lit(DONCHIAN_COST_PER_SIDE) * F.col("turnover"), 6)
+        .alias("total_cost"),
+        F.col("sn").alias("net_total_ret"),
+        F.round(net_mean / F.sqrt(net_var), 6).alias("net_sharpe"))
 
 
 QUERIES["fx_backtest_donchian"] = q_fx_backtest_donchian
@@ -4171,18 +4201,29 @@ sig AS (
   WINDOW wk AS (PARTITION BY key ORDER BY w_start_ms)
 ),
 scored AS (
-  SELECT key, ret,
+  SELECT key, w_start_ms, ret,
          lag(signal) OVER (PARTITION BY key ORDER BY w_start_ms)
            AS position
   FROM sig
+),
+traded AS (
+  SELECT key, ret, position,
+         abs(position - coalesce(
+             lag(position) OVER (PARTITION BY key ORDER BY w_start_ms),
+             0)) AS dpos
+  FROM scored
 ),
 g AS (
   SELECT key,
          CAST(count(*) AS BIGINT) AS n_candles,
          CAST(count(*) FILTER (position <> 0) AS BIGINT) AS n_invested,
          round(sum(position * ret), 6) AS s,
-         round(sum(position * ret * position * ret), 6) AS ss
-  FROM scored
+         round(sum(position * ret * position * ret), 6) AS ss,
+         CAST(sum(dpos) AS BIGINT) AS turnover,
+         round(sum(position * ret - {cost} * dpos), 6) AS sn,
+         round(sum((position * ret - {cost} * dpos)
+                   * (position * ret - {cost} * dpos)), 6) AS ssn
+  FROM traded
   WHERE ret IS NOT NULL AND position IS NOT NULL
   GROUP BY key
 )
@@ -4193,9 +4234,15 @@ SELECT key, n_candles, n_invested,
          AS vol,
        round((s / n_candles)
              / sqrt((ss - s * s / n_candles) / (n_candles - 1)), 6)
-         AS sharpe
+         AS sharpe,
+       turnover,
+       round({cost} * turnover, 6) AS total_cost,
+       sn AS net_total_ret,
+       round((sn / n_candles)
+             / sqrt((ssn - sn * sn / n_candles) / (n_candles - 1)), 6)
+         AS net_sharpe
 FROM g
-"""
+""".replace("{cost}", repr(DONCHIAN_COST_PER_SIDE))
 
 
 def q_fx_vol_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:

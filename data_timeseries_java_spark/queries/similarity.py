@@ -650,11 +650,18 @@ JOIN dim_sums sj ON sj.label = c.label AND sj.dim = c.j
 SEMDEDUP_T = 0.3  # same corpus-calibrated threshold as NEARDUP_T
 
 
-def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic dedup over k-means clusters (SemDeDup): within-cluster
-    cosine >= threshold against a lower-id mate drops a vector — see
-    operators.similarity.semantic_dedup. Same trained centroids as
-    ann_ivf_trained; pair space is Σ cluster², never all-pairs."""
+def q_semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICIT exact variant of SemDeDup: corpus-trained k-means
+    (k ~ n via the seed stride — O(n*k*d) per Lloyd iteration, the
+    measured 38x-per-decade term in SCALE.md) plus exact brute-force
+    nearest-centroid assignment. Kept under an explicit ``_exact``
+    name as the accuracy companion; the unsuffixed ``semantic_dedup``
+    flagship routes to the scale-safe fixed-k + SRP-banded path so a
+    user reaching for the default never lands on the quadratic
+    trainer. Within-cluster cosine >= threshold against a lower-id
+    mate drops a vector — see operators.similarity.semantic_dedup.
+    Same trained centroids as ann_ivf_trained; pair space is
+    Σ cluster², never all-pairs."""
     from data_timeseries_java_spark.operators.similarity import (
         centroid_vectors,
         kmeans_centroids,
@@ -667,10 +674,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, cent, threshold=SEMDEDUP_T)
 
 
-QUERIES["semantic_dedup"] = q_semantic_dedup
+QUERIES["semantic_dedup_exact"] = q_semantic_dedup_exact
 
 _SD_N = KMEANS_ITERS
-ORACLE["semantic_dedup"] = f"""
+ORACLE["semantic_dedup_exact"] = f"""
 WITH {_COMP},
 {_kmeans_cte(_SD_N)},
 cnorms AS (
@@ -1005,6 +1012,26 @@ WITH {_COMP},
 {_kmeans_fixedk_cte(KMEANS_ITERS, FIXEDK_K, FIXEDK_SAMPLE)},
 {_semdedup_ann_tail(f"fcent{KMEANS_ITERS}")}
 """
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNSUFFIXED SemDeDup flagship — routed to the scale-safe
+    path (fixed-k sample-trained Lloyd's + SRP-banded assignment,
+    q_semantic_dedup_fixedk) so the name a user reaches for by
+    default is the one that survives a 100x scale-up. The routing is
+    STATIC, not a runtime size dispatch: unlike
+    pairwise_correlations_auto (whose kernels produce identical
+    results, so the crossover may flip freely under one oracle), the
+    exact and fixed-k trainers produce DIFFERENT centroids — a
+    data-dependent branch would make the declared oracle wrong on one
+    side of the crossover. The exact corpus-trained variant stays
+    available under the explicit ``semantic_dedup_exact`` name; the
+    k~n-trained SRP-assigned hybrid under ``semantic_dedup_ann``."""
+    return q_semantic_dedup_fixedk(spark, sf_dir)
+
+
+QUERIES["semantic_dedup"] = q_semantic_dedup
+ORACLE["semantic_dedup"] = ORACLE["semantic_dedup_fixedk"]
 
 
 # ---- top principal component by power iteration --------------------------

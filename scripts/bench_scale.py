@@ -19,7 +19,10 @@ QUERIES = ["dedup_minhash_lsh", "corpus_build", "ann_lsh",
            "text_winnowing", "text_bigram_lm", "dedup_segments_cdc",
            "fx_cusum",
            # round-7 batch 2 additions
-           "semantic_dedup", "tfidf_neardup", "decontaminate_bloom",
+           # semantic_dedup_exact is the corpus-trained quadratic,
+           # measured honestly under its explicit name (the unsuffixed
+           # flagship routes to the flat fixed-k path since round 9)
+           "semantic_dedup_exact", "tfidf_neardup", "decontaminate_bloom",
            "quality_classifier", "semantic_dedup_ann",
            # round-7 batch 3 additions (fact tables replicate from r8:
            # lineitem/orders grow with the decade, dims stay fixed)

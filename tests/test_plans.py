@@ -124,16 +124,19 @@ def test_semantic_dedup_ann_has_no_nested_loop_scan(spark, sf_dir):
     buckets: the ann plan must be free of nested-loop joins AND of
     cartesians — that IS the linear-time claim, visible in the plan."""
     qs = all_queries()
-    exact = formatted_plan(qs["semantic_dedup"](spark, sf_dir))
+    exact = formatted_plan(qs["semantic_dedup_exact"](spark, sf_dir))
     ann = formatted_plan(qs["semantic_dedup_ann"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in exact  # the O(n*k) scan it replaces
     assert "BroadcastNestedLoopJoin" not in ann
     assert "CartesianProduct" not in ann
     # the fully-linear variant keeps the banded assignment AND swaps the
-    # k~n training for fixed-k on a bounded sample — same plan guarantee
-    fixedk = formatted_plan(qs["semantic_dedup_fixedk"](spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" not in fixedk
-    assert "CartesianProduct" not in fixedk
+    # k~n training for fixed-k on a bounded sample — same plan guarantee.
+    # The unsuffixed flagship name routes HERE (static routing), so the
+    # default a user reaches for carries the linear-plan guarantee too.
+    for name in ("semantic_dedup_fixedk", "semantic_dedup"):
+        fixedk = formatted_plan(qs[name](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in fixedk, name
+        assert "CartesianProduct" not in fixedk, name
 
 
 # queries that intentionally cross into pandas/Arrow execution
@@ -523,7 +526,12 @@ def test_round8_additions_plan_shapes(spark, sf_dir):
                          ("dedup_substring_spans", 3),
                          ("corpus_funnel", 4),
                          ("text_bpe_tokens_dict", 4),
-                         ("semantic_dedup_fixedk", 55)]:
+                         # the unsuffixed flagship routes to the same
+                         # fixed-k plan: both pinned to a budget that is
+                         # constant in corpus size (grows only with the
+                         # unrolled ITERATIONS, never with data)
+                         ("semantic_dedup_fixedk", 55),
+                         ("semantic_dedup", 55)]:
         q = qs[name](spark, sf_dir)
         n = exchange_count(q)
         assert n <= budget, (
