@@ -4317,3 +4317,151 @@ FROM tr
 WHERE from_regime IS NOT NULL
 GROUP BY key, from_regime, to_regime
 """
+
+
+# ---- late-data contract gate ---------------------------------------------
+
+_LATE_REPLAY_SINKS: dict[tuple, str] = {}
+
+
+def _late_tick_pred(time_ms_col, t_cut: int):
+    """The engine-portable late-row selector: a tick is designated LATE
+    iff it falls in the first third of the stream's time span AND the
+    first hex digit of md5("key:time_ms") is '0' (~1/16 of early rows).
+    md5 over the same string yields identical hex in Spark and DuckDB,
+    so both sides of the oracle carve out the exact same set."""
+    digest = F.md5(F.concat_ws(
+        ":", F.col("key"), time_ms_col.cast("string")))
+    return (time_ms_col < F.lit(t_cut)) & \
+        (F.substring(digest, 1, 1) == "0")
+
+
+def q_late_data_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE LATE-DATA CONTRACT, pinned through the driver gate: rows
+    delivered AFTER the watermark has sealed their window are DROPPED,
+    and the streaming result equals the batch result computed on the
+    input minus exactly those rows.
+
+    The reference has no late-data semantics at all (default trigger,
+    `FXTimeSeriesPipelineDemo.java:276`); this engine claims an
+    explicit watermark policy (`streaming/candles_stream.py` module
+    doc), so the claim is defended by construction: the designated
+    late set (md5-selected first-third ticks, ~1/16 of them) is
+    withheld from its time bucket and delivered as the second-to-last
+    micro-batch — by which point the watermark (delay 0) stands at the
+    stream's max event time, far past those windows' ends — then a
+    far-future sentinel flushes the tail windows. The oracle is the
+    plain batch OHLC SQL over `events` minus the same md5-carved set:
+    a hash match proves the drops happened AND nothing else changed.
+
+    Allowed-lateness cost note (SCALE.md §late-data): a watermark
+    delay D widens the open-window set per key from 1 to
+    ceil(D/resolution)+1 — state grows linearly in D, never with
+    stream length; the drop contract itself is free (a pre-aggregation
+    filter against the state-store watermark)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_timeseries_java_spark.streaming.candles_stream import (
+        streaming_ohlc_candles,
+    )
+    from data_timeseries_java_spark.streaming.replay import (
+        SENTINEL_KEY,
+        read_replay_sink,
+        run_to_parquet_sink,
+        write_replay_buckets,
+        write_sentinel_file,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    sink = _LATE_REPLAY_SINKS.get(cache_key)
+    if sink is None or not os.path.isdir(sink):
+        ticks, _ = _ticks_and_keys(spark, sf_dir)
+        t0_ms, t1_ms = ticks.select(
+            F.min(_ms(F.col("event_time"))),
+            F.max(_ms(F.col("event_time")))).first()
+        span = t1_ms - t0_ms + 1
+        # first-bucket boundary: t < t_cut <=> floor((t-t0)*3/span) == 0
+        t_cut = t0_ms + (span + 2) // 3
+        if t1_ms - t0_ms <= 3 * RES_MS:
+            raise ValueError(
+                "late_data_stream_replay needs a time span of several "
+                "windows so first-third windows are sealed by the time "
+                f"the late file arrives (span={span}ms, res={RES_MS}ms)")
+        late = _late_tick_pred(_ms(F.col("event_time")), t_cut)
+        work = tempfile.mkdtemp(prefix="late_data_replay_")
+        n_files = 3
+        base = _time.time() - 1000
+        # on-time rows stream in 3 ascending time buckets...
+        write_replay_buckets(ticks.where(~late), "event_time",
+                             f"{work}/in", n_files, t0_ms, span, base,
+                             ["key", "event_time"])
+        # ...the late set arrives as its own micro-batch AFTER the full
+        # stream (watermark already at t1), then the sentinel seals the
+        # tail windows
+        write_sentinel_file(ticks.where(late).coalesce(1),
+                            f"{work}/in", n_files, base)
+        sent = spark.createDataFrame(
+            [(SENTINEL_KEY,)], "key string").select(
+            "key",
+            F.timestamp_millis(F.lit(t1_ms + 30 * 86_400_000))
+            .alias("event_time"),
+            F.lit(1.0).alias("bid"), F.lit(1.0).alias("ask"),
+            F.lit(True).alias("is_live"))
+        write_sentinel_file(sent, f"{work}/in", n_files + 1, base)
+
+        src = (spark.readStream.schema(ticks.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
+        candles = streaming_ohlc_candles(src, RES, watermark="0 seconds")
+        flat = candles.select(
+            "key", "window_start",
+            F.col("min_ask.ask").alias("min_price"),
+            F.col("max_ask.ask").alias("max_price"),
+            F.col("close.ask").alias("close_price"),
+            F.col("close.time").alias("close_time"))
+        sink = run_to_parquet_sink(flat, f"{work}/out", f"{work}/ckpt")
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+        _LATE_REPLAY_SINKS[cache_key] = sink
+    out = (read_replay_sink(spark, sink)
+           .where(F.col("key") != SENTINEL_KEY))
+    return out.select(
+        "key", _ms(F.col("window_start")).alias("w_start_ms"),
+        "min_price", "max_price", "close_price",
+        _ms(F.col("close_time")).alias("close_time_ms"))
+
+
+QUERIES["late_data_stream_replay"] = q_late_data_stream_replay
+
+# batch OHLC over events MINUS the md5-carved late set — the drop
+# contract as one static SQL string (t_cut derives from the data)
+ORACLE["late_data_stream_replay"] = f"""
+WITH raw AS (
+  SELECT event_type AS key, ts AS event_time, value AS price,
+         epoch_ms(ts) AS time_ms
+  FROM events
+),
+ext AS (
+  SELECT min(time_ms) AS t0,
+         min(time_ms) + ((max(time_ms) - min(time_ms) + 1) + 2) // 3
+           AS t_cut
+  FROM raw
+),
+kept AS (
+  SELECT r.* FROM raw r, ext e
+  WHERE NOT (r.time_ms < e.t_cut AND
+             substr(md5(r.key || ':' || CAST(r.time_ms AS VARCHAR)),
+                    1, 1) = '0')
+),
+tk AS (
+  SELECT *, (time_ms // {RES_MS}) * {RES_MS} AS w_start_ms FROM kept
+)
+SELECT key, w_start_ms,
+       min(price) AS min_price,
+       max(price) AS max_price,
+       arg_max(price, time_ms) AS close_price,
+       max(time_ms) AS close_time_ms
+FROM tk GROUP BY key, w_start_ms
+"""
