@@ -71,7 +71,25 @@ def kafka_tick_stream(spark: SparkSession, bootstrap_servers: str,
                       topic: str,
                       starting_offsets: str = "latest") -> DataFrame:
     """Live tick stream from a Kafka topic (production entry point;
-    requires the spark-sql-kafka connector on the classpath)."""
+    requires the spark-sql-kafka connector on the classpath — gated
+    below with a fail-fast probe so a missing jar surfaces as one
+    actionable error at call time, not a DataSource resolution stack
+    trace at stream start). Everything downstream of the connector's
+    (key, value, timestamp) shape is covered by the replayed-capture
+    tests; the connector config line itself is the documented
+    untested boundary (module docstring)."""
+    jvm = spark.sparkContext._jvm
+    try:
+        jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider")
+    except Exception as e:  # Py4J wraps ClassNotFoundException
+        raise RuntimeError(
+            "kafka_tick_stream needs the spark-sql-kafka-0-10 connector "
+            "on the driver classpath (spark.jars.packages="
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>). "
+            "For broker-less environments use replay_bus_capture, which "
+            "drives the identical parse transform from captured "
+            "wire-format files.") from e
     raw = (spark.readStream
            .format("kafka")
            .option("kafka.bootstrap.servers", bootstrap_servers)

@@ -173,3 +173,24 @@ def test_imbalance_bars_sequential_non_overlap(spark, ticks):
         if a.key == b.key:
             assert b.bar == a.bar + 1
             assert a.t_close_ms < b.t_open_ms
+
+
+def test_imbalance_bars_invariant_to_arrow_batch_size(spark, ticks):
+    """The bounded-memory claim's correctness half: the mapInPandas
+    fold carries (bar id, in-flight counters, open state, tick-rule
+    direction) across Arrow batch boundaries, so the result must be
+    IDENTICAL whether a key's history arrives as one batch or as many
+    64-row slivers (batch boundaries then fall mid-bar and mid-key
+    constantly — any state-carry bug shows immediately)."""
+    from data_timeseries_java_spark.operators.bars import imbalance_bars
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    baseline = sorted(map(tuple, imbalance_bars(ticks, 7).collect()))
+    try:
+        spark.conf.set(key, "64")
+        slivers = sorted(map(tuple, imbalance_bars(ticks, 7).collect()))
+    finally:
+        spark.conf.set(key, old)
+    assert baseline == slivers
+    assert len(baseline) > 0
