@@ -273,3 +273,49 @@ def mixture_token_budget(docs: DataFrame, budget_tokens: int,
                     floor6(tshare).alias("target_share"),
                     F.floor(alloc).cast("long").alias("budget_tokens"),
                     floor6(alloc / F.col("n_tokens")).alias("epochs")))
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
+                    overlap: int = 16, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """RAG-style document chunking: fixed-size token windows with
+    overlap. Chunk i of a document covers whitespace tokens
+    [i*stride, i*stride + chunk_tokens) with stride = chunk_tokens -
+    overlap; a document of n tokens yields 1 chunk when n <=
+    chunk_tokens, else 1 + ceil((n - chunk_tokens) / stride) — so the
+    last chunk always carries more than `overlap` tokens (never a
+    degenerate pure-overlap tail) and every token is covered. Chunk
+    identity is (doc_id, chunk_idx): stable under re-runs, the key a
+    vector store upserts on.
+
+    Shape: ONE narrow projection + one generator (explode of an
+    integer sequence) — no shuffle, no UDF; tokenization and slicing
+    are built-in higher-order functions inside whole-stage codegen.
+    At 100 TB this is a pure map over the scan: output partitioning
+    inherits the input's, and chunk fan-out is bounded by
+    n_tokens/stride per document.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                    lambda x: x != "")
+    base = (docs.select(F.col(id_col), toks.alias("_t"))
+            .where(F.size("_t") > 0))
+    n = F.size("_t")
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.lit(1) + F.expr(f"(size(_t) - {chunk_tokens} + {stride - 1}) "
+                          f"div {stride}"))
+    ch = base.select(
+        id_col, "_t",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+        .alias("chunk_idx"))
+    start = F.col("chunk_idx").cast("long") * stride
+    piece = F.slice(F.col("_t"), (start + 1).cast("int"), chunk_tokens)
+    return ch.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.alias("start_tok"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"))

@@ -499,3 +499,54 @@ SELECT source, n_packs, n_docs, n_tokens,
          AS waste_frac
 FROM g
 """
+
+
+# ---- RAG chunk manifest ----------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+_CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunk manifest: fixed 64-token windows with 16-token overlap
+    over every document — the retrieval-side complement to
+    sequence_packing (training packs documents INTO budgets; retrieval
+    splits them into overlapping windows a vector store embeds). Chunk
+    identity (doc_id, chunk_idx) is stable under re-runs. One
+    projection + one generator, no shuffle —
+    operators/corpus.chunk_documents."""
+    from data_timeseries_java_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(load_table(spark, sf_dir, "documents"),
+                           chunk_tokens=CHUNK_TOKENS,
+                           overlap=CHUNK_OVERLAP)
+
+
+QUERIES["doc_chunks"] = q_doc_chunks
+
+ORACLE["doc_chunks"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+par AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+ch AS (
+  SELECT doc_id, t,
+         unnest(range(CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+                ELSE 1 + (n - {CHUNK_TOKENS} + {_CHUNK_STRIDE - 1})
+                         // {_CHUNK_STRIDE} END)) AS chunk_idx
+  FROM par
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * {_CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(len(t[chunk_idx * {_CHUNK_STRIDE} + 1 :
+                  chunk_idx * {_CHUNK_STRIDE} + {CHUNK_TOKENS}])
+            AS BIGINT) AS n_tokens,
+       array_to_string(t[chunk_idx * {_CHUNK_STRIDE} + 1 :
+                         chunk_idx * {_CHUNK_STRIDE} + {CHUNK_TOKENS}],
+                       ' ') AS chunk_text
+FROM ch
+"""

@@ -4465,3 +4465,160 @@ SELECT key, w_start_ms,
        max(time_ms) AS close_time_ms
 FROM tk GROUP BY key, w_start_ms
 """
+
+
+# ---- cross-sectional momentum long-short ----------------------------------
+
+MOM_J = 6  # formation window: trailing candles in the momentum signal
+
+
+def q_fx_momentum_ls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional momentum long-short backtest (the second
+    evaluation capstone next to fx_backtest_donchian, which is
+    time-series / per-instrument — this one is CROSS-SECTIONAL: at
+    each candle, instruments are RANKED against each other). Signal =
+    trailing MOM_J-candle return sum (current candle excluded, rounded
+    to 9 before ranking so a last-ulp summation difference cannot
+    reorder the book cross-engine; ties break by key). Portfolio:
+    long the top 2, short the bottom 2 (disjoint once >= 4 instruments
+    rank), earning the NEXT candle's return — no look-ahead. Output
+    per formation window: equal-weight long / short / long-short
+    next-period returns from rounded decomposable sums.
+
+    Shape: the candle pipeline's existing per-key sort serves the
+    trailing sum and the lead; one shuffle on window for the
+    cross-sectional rank (a k-row-per-window frame, candle-sized);
+    one aggregate. At a 10k-instrument universe the rank partition is
+    10k rows — trivially in-memory per window."""
+    from pyspark.sql import Window
+
+    r = _returns_df(spark, sf_dir).select(
+        "key", _ms(F.col("time")).alias("t_ms"),
+        F.col("value").alias("ret"))
+    wk = Window.partitionBy("key").orderBy("t_ms")
+    tr = wk.rowsBetween(-MOM_J, -1)
+    base = r.select(
+        "key", "t_ms", "ret",
+        F.round(F.sum("ret").over(tr), 9).alias("mom"),
+        F.count("ret").over(tr).alias("n_tr"),
+        F.lead("ret").over(wk).alias("nxt"))
+    elig = base.where((F.col("n_tr") == MOM_J)
+                      & F.col("nxt").isNotNull())
+    wt = Window.partitionBy("t_ms")
+    ranked = elig.select(
+        "t_ms", "nxt",
+        F.row_number().over(
+            wt.orderBy(F.col("mom").desc(), "key")).alias("rd"),
+        F.row_number().over(
+            wt.orderBy(F.col("mom").asc(), "key")).alias("ra"),
+        F.count(F.lit(1)).over(wt).alias("n_ranked"))
+    long_s = F.round(F.sum(F.when(F.col("rd") <= 2, F.col("nxt"))), 6)
+    short_s = F.round(F.sum(F.when(F.col("ra") <= 2, F.col("nxt"))), 6)
+    return (ranked.where(F.col("n_ranked") >= 4)
+            .groupBy(F.col("t_ms").alias("w_ms"))
+            .agg(F.max("n_ranked").cast("long").alias("n_ranked"),
+                 (long_s / 2).alias("long_ret"),
+                 (short_s / 2).alias("short_ret"),
+                 (long_s / 2 - short_s / 2).alias("ls_ret")))
+
+
+QUERIES["fx_momentum_ls"] = q_fx_momentum_ls
+
+ORACLE["fx_momentum_ls"] = _PRELUDE + f""",
+mom AS (
+  SELECT key, time_ms, ret,
+         round(sum(ret) OVER tr, 9) AS mom,
+         count(ret) OVER tr AS n_tr,
+         lead(ret) OVER wk AS nxt
+  FROM returns
+  WINDOW wk AS (PARTITION BY key ORDER BY time_ms),
+         tr AS (PARTITION BY key ORDER BY time_ms
+                ROWS BETWEEN {MOM_J} PRECEDING AND 1 PRECEDING)
+),
+elig AS (SELECT * FROM mom WHERE n_tr = {MOM_J} AND nxt IS NOT NULL),
+ranked AS (
+  SELECT time_ms, nxt,
+         row_number() OVER (PARTITION BY time_ms
+                            ORDER BY mom DESC, key) AS rd,
+         row_number() OVER (PARTITION BY time_ms
+                            ORDER BY mom ASC, key) AS ra,
+         count(*) OVER (PARTITION BY time_ms) AS n_ranked
+  FROM elig
+)
+SELECT time_ms AS w_ms,
+       CAST(max(n_ranked) AS BIGINT) AS n_ranked,
+       round(sum(CASE WHEN rd <= 2 THEN nxt END), 6) / 2 AS long_ret,
+       round(sum(CASE WHEN ra <= 2 THEN nxt END), 6) / 2 AS short_ret,
+       round(sum(CASE WHEN rd <= 2 THEN nxt END), 6) / 2
+         - round(sum(CASE WHEN ra <= 2 THEN nxt END), 6) / 2 AS ls_ret
+FROM ranked
+WHERE n_ranked >= 4
+GROUP BY time_ms
+"""
+
+
+def q_fx_index_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-instrument CAPM-style beta/alpha against the equal-weight
+    market index of the whole universe — the portfolio-level
+    complement to fx_pair_beta (pairwise hedge ratios). The index is
+    defined only at candle times where ALL N_EVENT_TYPES instruments
+    have a return (the configured universe constant, reference S3 —
+    never an eager distinct), so its composition cannot drift.
+    Moments come from ROUNDED decomposable sums (round 9, ~1e-3-scale
+    returns: strips cross-partition summation-order noise); the final
+    beta/alpha round at 6. Shape: one per-time aggregate (candle-
+    sized), one join back on time, one per-key aggregate."""
+    r = _returns_df(spark, sf_dir).select(
+        "key", _ms(F.col("time")).alias("t_ms"),
+        F.col("value").alias("ret"))
+    mkt = (r.groupBy("t_ms")
+           .agg((F.round(F.sum("ret"), 9) / N_EVENT_TYPES)
+                .alias("mkt_ret"),
+                F.count(F.lit(1)).alias("_n"))
+           .where(F.col("_n") == N_EVENT_TYPES)
+           .drop("_n"))
+    j = r.join(mkt, "t_ms")
+    g = j.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.round(F.sum("mkt_ret"), 9).alias("sx"),
+        F.round(F.sum("ret"), 9).alias("sy"),
+        F.round(F.sum(F.col("mkt_ret") * F.col("mkt_ret")), 9)
+        .alias("sxx"),
+        F.round(F.sum(F.col("mkt_ret") * F.col("ret")), 9).alias("sxy"))
+    n = F.col("n_windows").cast("double")
+    beta = ((n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (n * F.col("sxx") - F.col("sx") * F.col("sx")))
+    alpha = (F.col("sy") - beta * F.col("sx")) / n
+    return g.select("key", "n_windows",
+                    F.round(beta, 6).alias("beta"),
+                    F.round(alpha, 6).alias("alpha"))
+
+
+QUERIES["fx_index_beta"] = q_fx_index_beta
+
+ORACLE["fx_index_beta"] = _PRELUDE + f""",
+mkt AS (
+  SELECT time_ms, round(sum(ret), 9) / {N_EVENT_TYPES} AS mkt_ret
+  FROM returns GROUP BY time_ms
+  HAVING count(*) = {N_EVENT_TYPES}
+),
+j AS (
+  SELECT r.key, r.ret, m.mkt_ret
+  FROM returns r JOIN mkt m USING (time_ms)
+),
+g AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_windows,
+         round(sum(mkt_ret), 9) AS sx,
+         round(sum(ret), 9) AS sy,
+         round(sum(mkt_ret * mkt_ret), 9) AS sxx,
+         round(sum(mkt_ret * ret), 9) AS sxy
+  FROM j GROUP BY key
+)
+SELECT key, n_windows,
+       round((n_windows * sxy - sx * sy)
+             / (n_windows * sxx - sx * sx), 6) AS beta,
+       round((sy - (n_windows * sxy - sx * sy)
+                   / (n_windows * sxx - sx * sx) * sx)
+             / n_windows, 6) AS alpha
+FROM g
+"""

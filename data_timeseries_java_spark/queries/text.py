@@ -1924,3 +1924,52 @@ SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
 FROM scored
 GROUP BY 1
 """
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: BPE subword tokens per
+    whitespace word, the standard measure of how well a tokenizer fits
+    each language (fertility ~1 = native; >>1 = the tokenizer
+    fragments that language and its docs cost proportionally more
+    compute per word). Uses the committed merge table's exact counts
+    (operators/text.bpe_token_counts — replace-chain, no UDF) grouped
+    by the corpus's language column; integer sums, floor-quantized
+    ratios (the repo ratio convention). One scan + one tiny
+    per-language aggregate."""
+    from data_timeseries_java_spark.operators.text import bpe_token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = bpe_token_counts(docs).join(
+        docs.select("doc_id", "lang"), "doc_id")
+    g = counts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"))
+    f6 = lambda c: F.floor(c * 1_000_000) / 1_000_000  # noqa: E731
+    return g.select(
+        "lang", "n_docs", "n_words", "n_bpe_tokens",
+        f6(F.col("n_bpe_tokens") / F.col("n_words")).alias("fertility"),
+        f6(F.col("n_chars") / F.col("n_bpe_tokens"))
+        .alias("chars_per_token"))
+
+
+QUERIES["tokenizer_fertility"] = q_tokenizer_fertility
+
+ORACLE["tokenizer_fertility"] = f"""
+WITH bpe AS ({{bpe}}),
+j AS (SELECT b.*, d.lang FROM bpe b JOIN documents d USING (doc_id)),
+g AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS n_words,
+         CAST(sum(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM j GROUP BY lang
+)
+SELECT lang, n_docs, n_words, n_bpe_tokens,
+       floor(n_bpe_tokens * 1000000.0 / n_words) / 1000000 AS fertility,
+       floor(n_chars * 1000000.0 / n_bpe_tokens) / 1000000
+         AS chars_per_token
+FROM g
+""".replace("{bpe}", _bpe_sql())
