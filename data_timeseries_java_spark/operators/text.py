@@ -571,14 +571,18 @@ def bpe_apply(serialized: Column,
 
 def bpe_token_counts(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
-                     merges: list[tuple[str, str]] | None = None
-                     ) -> DataFrame:
+                     merges: list[tuple[str, str]] | None = None,
+                     keep_cols: list[str] | None = None) -> DataFrame:
     """Per-document REAL subword token counts (vs the regex estimate in
     :func:`token_counts`): n_words, n_chars, n_bpe_tokens, and the
     chars-per-token compression the merge table achieves. Token count
     falls out of the serialized string's separator arithmetic —
     ``n_tokens = n_words + count('~~')`` — so nothing is ever exploded
-    or re-parsed. Narrow single-scan column expressions."""
+    or re-parsed. Narrow single-scan column expressions. ``keep_cols``
+    passes extra input columns through the same scan, so a consumer
+    grouping counts by e.g. language never needs a doc_id self-join
+    back onto the source."""
+    keep = list(keep_cols or [])
     ss = BPE_SEP + BPE_SEP
     words = F.regexp_extract_all(F.lower(F.col(text_col)),
                                  F.lit("[a-z0-9]+"), 0)
@@ -588,7 +592,7 @@ def bpe_token_counts(df: DataFrame, text_col: str = "text",
     # the analyzed tree (inlining it doubles analysis cost and tree
     # size — measured 1.4s/trial of pure Catalyst time at bench)
     staged = df.select(
-        id_col,
+        id_col, *keep,
         words.alias("_w"),
         bpe_apply(bpe_serialized(text_col), merges).alias("_m"))
     n_words = F.size(F.col("_w"))
@@ -598,7 +602,7 @@ def bpe_token_counts(df: DataFrame, text_col: str = "text",
                  - F.length(F.replace(F.col("_m"), F.lit(ss), F.lit(""))))
                 / 2).cast("long"))
     return staged.select(
-        id_col,
+        id_col, *keep,
         n_words.cast("long").alias("n_words"),
         n_chars.cast("long").alias("n_chars"),
         n_tok.alias("n_bpe_tokens"),

@@ -4566,11 +4566,16 @@ def q_fx_index_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     never an eager distinct), so its composition cannot drift.
     Moments come from ROUNDED decomposable sums (round 9, ~1e-3-scale
     returns: strips cross-partition summation-order noise); the final
-    beta/alpha round at 6. Shape: one per-time aggregate (candle-
-    sized), one join back on time, one per-key aggregate."""
-    r = _returns_df(spark, sf_dir).select(
+    beta/alpha round at 6. Shape: the returns frame feeds BOTH the
+    index aggregate and the join side, so it materializes once (house
+    policy hook) instead of running the candle pipeline twice; then
+    one per-time aggregate (candle-sized), one join back on time, one
+    per-key aggregate."""
+    from data_timeseries_java_spark.plans.materialize import materialize
+
+    r = materialize(_returns_df(spark, sf_dir).select(
         "key", _ms(F.col("time")).alias("t_ms"),
-        F.col("value").alias("ret"))
+        F.col("value").alias("ret")))
     mkt = (r.groupBy("t_ms")
            .agg((F.round(F.sum("ret"), 9) / N_EVENT_TYPES)
                 .alias("mkt_ret"),

@@ -1939,8 +1939,8 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_timeseries_java_spark.operators.text import bpe_token_counts
 
     docs = load_table(spark, sf_dir, "documents")
-    counts = bpe_token_counts(docs).join(
-        docs.select("doc_id", "lang"), "doc_id")
+    # lang rides the SAME scan (keep_cols) — no doc_id self-join
+    counts = bpe_token_counts(docs, keep_cols=["lang"])
     g = counts.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_words").cast("long").alias("n_words"),
