@@ -98,6 +98,10 @@ HEADLINE = [
     "media_resize",
     "media_wav_features",
     "media_video_frames",
+    # round 9: RAG chunk manifest (pure-map control lane) and the
+    # cross-sectional momentum long-short capstone
+    "doc_chunks",
+    "fx_momentum_ls",
 ]
 
 

@@ -53,7 +53,13 @@ QUERIES = ["dedup_minhash_lsh", "corpus_build", "ann_lsh",
            # session-2 batch 3: drift/eval family + the backtest and
            # the noise-robust vol estimator
            "value_psi", "value_ks_test", "fx_tsrv",
-           "fx_backtest_donchian", "langid_confusion", "event_cuped"]
+           "fx_backtest_donchian", "langid_confusion", "event_cuped",
+           # round-9 additions: chunk manifest (pure map — linear
+           # control), fertility (one scan + tiny agg), the cross-
+           # sectional rank backtest (per-window shuffle), index beta
+           # (materialized returns + two aggregates)
+           "doc_chunks", "tokenizer_fertility", "fx_momentum_ls",
+           "fx_index_beta"]
 
 
 def bench(spark, qs, name, sf_dir, n):

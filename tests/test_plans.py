@@ -189,7 +189,8 @@ _ITERATIVE_QUERIES = {"dedup_clusters", "dedup_keep_list",
                       "funnel_stream_replay", "asof_bucketed_stream_replay",
                       "macd_stream_replay", "dsir_stream_replay",
                       "vwap_stream_replay", "tick_bars_stream_replay",
-                      "psi_stream_replay", "imbalance_bars_stream_replay"}
+                      "psi_stream_replay", "imbalance_bars_stream_replay",
+                      "late_data_stream_replay"}
 
 
 
