@@ -59,3 +59,44 @@ def test_funnel_last_stage_equals_corpus_build(spark, sf_dir):
     for a, b in zip(order, order[1:]):
         assert funnel[b].n_in == funnel[a].n_out
         assert funnel[b].n_out <= funnel[b].n_in
+
+
+def test_chunk_documents_coverage_and_overlap(spark, sf_dir):
+    """Chunk invariants the value-hash oracle can't express directly:
+    (a) consecutive chunks of a doc overlap by exactly `overlap`
+    tokens (except a shorter final chunk, which still starts at its
+    stride offset), (b) concatenating each chunk's non-overlap prefix
+    plus the final chunk reconstructs the document's token stream —
+    i.e. full coverage, nothing skipped or duplicated beyond the
+    declared overlap."""
+    from data_timeseries_java_spark.operators.corpus import (
+        chunk_documents,
+    )
+    from data_timeseries_java_spark.tables import load_table
+
+    chunk, overlap = 16, 4
+    stride = chunk - overlap
+    docs = load_table(spark, sf_dir, "documents")
+    rows = (chunk_documents(docs, chunk_tokens=chunk, overlap=overlap)
+            .collect())
+    toks = {r.doc_id: [t for t in r.text.lower().split(" ") if t]
+            for r in docs.select("doc_id", "text").collect()}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {d for d, t in toks.items() if t}
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        t = toks[doc_id]
+        rebuilt = []
+        for i, c in enumerate(chunks):
+            assert c.start_tok == i * stride
+            piece = c.chunk_text.split(" ") if c.chunk_text else []
+            assert len(piece) == c.n_tokens <= chunk
+            assert piece == t[c.start_tok:c.start_tok + c.n_tokens]
+            rebuilt += piece if i == len(chunks) - 1 else piece[:stride]
+        assert rebuilt == t, f"doc {doc_id} not reconstructed"
+        # a multi-chunk doc's final chunk must carry more than the
+        # pure-overlap tail (the no-degenerate-tail rule)
+        if len(chunks) > 1:
+            assert chunks[-1].n_tokens > overlap
