@@ -3533,3 +3533,147 @@ SELECT CAST(least((rnk - 1) * 10 // n_cust, 9) AS BIGINT) AS decile,
 FROM ranked
 GROUP BY 1
 """
+
+
+# ---- change-log -> SCD2 dimension history ---------------------------------
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a change log — the
+    warehouse-maintenance staple: per user, consecutive runs of the
+    same attribute (event_type) collapse to one versioned row with
+    [valid_from, valid_to) millisecond bounds, valid_to NULL on the
+    current row. Ordering ties break on event_id ((user, ts) is not
+    unique in a real change log — never trust it silently).
+
+    Shape: ONE per-user sort serves the change detector (lag), the
+    version counter (a conditional running sum over the same frame)
+    and the interval close (lead on the collapsed rows) — no
+    self-join, no second shuffle. At 100 TB this is the standard
+    key-partitioned window pass; version state never leaves the
+    partition."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_ms = F.unix_millis(F.col("ts"))
+    chg = (F.lag("event_type").over(wk).isNull()
+           | (F.col("event_type") != F.lag("event_type").over(wk)))
+    marked = ev.select(
+        "user_id", t_ms.alias("t_ms"), "event_id", "event_type",
+        chg.cast("int").alias("is_chg"))
+    starts = (marked.where(F.col("is_chg") == 1)
+              .select("user_id", "event_type",
+                      F.col("t_ms").alias("valid_from_ms"), "event_id"))
+    wv = Window.partitionBy("user_id").orderBy("valid_from_ms",
+                                               "event_id")
+    nxt = F.lead("valid_from_ms").over(wv)
+    return starts.select(
+        "user_id",
+        (F.row_number().over(wv)).cast("long").alias("version"),
+        F.col("event_type").alias("attr"),
+        "valid_from_ms",
+        (nxt - 1).alias("valid_to_ms"),
+        nxt.isNull().alias("is_current"))
+
+
+QUERIES["scd2_history"] = q_scd2_history
+
+ORACLE["scd2_history"] = """
+WITH ordered AS (
+  SELECT user_id, epoch_ms(ts) AS t_ms, event_id, event_type,
+         CASE WHEN lag(event_type) OVER wk IS NULL
+                   OR event_type <> lag(event_type) OVER wk
+              THEN 1 ELSE 0 END AS is_chg
+  FROM events
+  WINDOW wk AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+starts AS (
+  SELECT user_id, event_type, t_ms AS valid_from_ms, event_id
+  FROM ordered WHERE is_chg = 1
+)
+SELECT user_id,
+       CAST(row_number() OVER wv AS BIGINT) AS version,
+       event_type AS attr,
+       valid_from_ms,
+       lead(valid_from_ms) OVER wv - 1 AS valid_to_ms,
+       lead(valid_from_ms) OVER wv IS NULL AS is_current
+FROM starts
+WINDOW wv AS (PARTITION BY user_id ORDER BY valid_from_ms, event_id)
+"""
+
+
+# ---- snapshot reconciliation diff ------------------------------------------
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: per-user latest state at the stream's
+    temporal MIDPOINT vs at the end, classified added / changed /
+    unchanged — the audit diff a pipeline runs between two loads of
+    the same dimension. The cut derives from the data's own extent
+    (broadcast single-row aggregate inside the plan — never an eager
+    driver action), so the query is scale-independent. 'Latest' ties
+    break on event_id, same contract as scd2_history.
+
+    Shape: one extent broadcast, two latest-per-key aggregates off
+    one scan (max_by over (ts, event_id)), one full-outer-style left
+    join on the new side (a user present before the cut is present at
+    the end by construction — removal would need deletes, which an
+    append-only event log cannot express; stated, not assumed)."""
+    ev = load_table(spark, sf_dir, "events")
+    t_ms = F.unix_millis(F.col("ts"))
+    ext = ev.agg(
+        ((F.min(t_ms) + F.max(t_ms)) / 2).cast("long").alias("cut_ms"))
+    e = (ev.select("user_id", t_ms.alias("t_ms"), "event_id",
+                   "event_type", "value")
+         .crossJoin(F.broadcast(ext)))
+    ord_key = F.struct(F.col("t_ms"), F.col("event_id"))
+    state = F.struct(F.col("event_type"), F.col("value"))
+    new = (e.groupBy("user_id")
+           .agg(F.max_by(state, ord_key).alias("n")))
+    old = (e.where(F.col("t_ms") < F.col("cut_ms"))
+           .groupBy("user_id")
+           .agg(F.max_by(state, ord_key).alias("o")))
+    j = new.join(old, "user_id", "left")
+    status = (F.when(F.col("o").isNull(), "added")
+              .when((F.col("o.event_type") == F.col("n.event_type"))
+                    & (F.col("o.value") == F.col("n.value")),
+                    "unchanged")
+              .otherwise("changed"))
+    return j.select(
+        "user_id", status.alias("status"),
+        F.col("o.event_type").alias("old_type"),
+        F.col("n.event_type").alias("new_type"),
+        F.col("o.value").alias("old_value"),
+        F.col("n.value").alias("new_value"))
+
+
+QUERIES["snapshot_diff"] = q_snapshot_diff
+
+ORACLE["snapshot_diff"] = """
+WITH ext AS (
+  SELECT CAST((min(epoch_ms(ts)) + max(epoch_ms(ts))) / 2 AS BIGINT)
+           AS cut_ms
+  FROM events
+),
+new_s AS (
+  SELECT user_id, event_type AS new_type, value AS new_value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+  WHERE rn = 1
+),
+old_s AS (
+  SELECT user_id, event_type AS old_type, value AS old_value
+  FROM (SELECT e.*, row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events e, ext WHERE epoch_ms(ts) < cut_ms)
+  WHERE rn = 1
+)
+SELECT n.user_id,
+       CASE WHEN o.user_id IS NULL THEN 'added'
+            WHEN o.old_type = n.new_type AND o.old_value = n.new_value
+              THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       o.old_type, n.new_type, o.old_value, n.new_value
+FROM new_s n LEFT JOIN old_s o USING (user_id)
+"""
