@@ -34,16 +34,12 @@ _DEFAULTS = {
     # Small dims (instruments, nation, region) should broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Parquet vectorized reader + pushdown are on by default; keep them.
+    # (A lower spark.sql.files.openCostInBytes was tried for the
+    # small-but-CPU-heavy text scans and measured INEFFECTIVE: parquet
+    # parallelism is row-group-bound, and a single-row-group file stays
+    # one task no matter how small the byte splits — the real lever is
+    # the writer's row-group size, covered in SCALE.md §storage.)
     "spark.sql.parquet.filterPushdown": "true",
-    # Split-size floor: maxSplitBytes = min(maxPartitionBytes,
-    # max(openCostInBytes, totalBytes/defaultParallelism)). The 4 MB
-    # default caps a small-but-CPU-heavy scan (e.g. the 64-replace BPE
-    # chain over a 6 MB documents file) at 1-2 tasks; 1 MB restores
-    # core-count parallelism there. A 100 TB scan is unaffected —
-    # bytesPerCore >> the floor, so splits stay at maxPartitionBytes.
-    # (Measured: tokenizer_fertility at the 10x replica decade 16.1 s
-    # -> see SCALE.md round-9 note after this change.)
-    "spark.sql.files.openCostInBytes": str(1024 * 1024),
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
 }
