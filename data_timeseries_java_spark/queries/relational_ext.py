@@ -3677,3 +3677,63 @@ SELECT n.user_id,
        o.old_type, n.new_type, o.old_value, n.new_value
 FROM new_s n LEFT JOIN old_s o USING (user_id)
 """
+
+
+_SCD2_REPLAY_SINKS: dict[tuple, str] = {}
+
+
+def q_scd2_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 through the driver gate: the events change log
+    replayed as 3 time-bucketed files (rows scrambled within each),
+    folded by `streaming/scd2_stream.py`'s keyed state, and the sink
+    of CLOSED versions hash-matched against the batch scd2_history
+    oracle restricted to WHERE NOT is_current — the open current
+    version is, by the completed-units contract, still in state when
+    the stream ends."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from data_timeseries_java_spark.streaming.replay import (
+        read_replay_sink,
+        run_to_parquet_sink,
+        write_replay_buckets,
+    )
+    from data_timeseries_java_spark.streaming.scd2_stream import (
+        streaming_scd2,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    sink = _SCD2_REPLAY_SINKS.get(cache_key)
+    if sink is None or not os.path.isdir(sink):
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type")
+        t0_ms, t1_ms = ev.select(
+            F.min(F.unix_millis("ts")),
+            F.max(F.unix_millis("ts"))).first()
+        work = tempfile.mkdtemp(prefix="scd2_stream_replay_")
+        base = _time.time() - 1000
+        write_replay_buckets(ev, "ts", f"{work}/in", 3, t0_ms,
+                             t1_ms - t0_ms + 1, base,
+                             ["user_id", "event_id"])
+        src = (spark.readStream.schema(ev.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
+        sink = run_to_parquet_sink(streaming_scd2(src), f"{work}/out",
+                                   f"{work}/ckpt")
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+        _SCD2_REPLAY_SINKS[cache_key] = sink
+    return read_replay_sink(spark, sink).select(
+        "user_id", "version", "attr", "valid_from_ms", "valid_to_ms",
+        "is_current")
+
+
+QUERIES["scd2_stream_replay"] = q_scd2_stream_replay
+
+ORACLE["scd2_stream_replay"] = f"""
+SELECT * FROM ({ORACLE["scd2_history"]})
+WHERE NOT is_current
+"""
