@@ -124,6 +124,24 @@ class FXEngine:
 
         return vpin(ticks, bucket_size=bucket_size, n_buckets=n_buckets)
 
+    def imbalance_bars(self, ticks: DataFrame,
+                       threshold: int = 7) -> DataFrame:
+        """Order-flow imbalance bars — the recursive bar type, in its
+        bounded-memory batch form (operators.bars.imbalance_bars)."""
+        from data_timeseries_java_spark.operators.bars import (
+            imbalance_bars,
+        )
+        return imbalance_bars(ticks, threshold=threshold)
+
+    def donchian(self, candles: DataFrame,
+                 n_windows: int = 6) -> DataFrame:
+        """Donchian channel + breakout flags over complete candles
+        (operators.bars.donchian_channels)."""
+        from data_timeseries_java_spark.operators.bars import (
+            donchian_channels,
+        )
+        return donchian_channels(candles, n_windows=n_windows)
+
 
 @dataclass
 class CorpusOptions:
@@ -170,6 +188,17 @@ class CorpusEngine:
             sequence_packing,
         )
         return sequence_packing(docs, pack_budget=self.options.pack_budget)
+
+    def chunks(self, docs: DataFrame, chunk_tokens: int = 64,
+               overlap: int = 16) -> DataFrame:
+        """RAG chunk manifest: fixed-token windows with overlap,
+        stable (doc_id, chunk_idx) identity
+        (operators.corpus.chunk_documents)."""
+        from data_timeseries_java_spark.operators.corpus import (
+            chunk_documents,
+        )
+        return chunk_documents(docs, chunk_tokens=chunk_tokens,
+                               overlap=overlap)
 
     def stream(self, docs_stream: DataFrame, eval_docs: DataFrame,
                work_dir: str, time_col: str = "ts"):
