@@ -332,6 +332,13 @@ def main() -> None:
             fromlist=["streaming_dsir_model"]).streaming_dsir_model(
             spark, doc_src(), f"{work}/dsir",
             target=F.col("lang") == "en")),
+        # round 9: streaming SCD2 — state is the one OPEN version per
+        # user (three scalars), emissions only on attribute change
+        ("scd2_state", lambda: __import__(
+            "data_timeseries_java_spark.streaming.scd2_stream",
+            fromlist=["streaming_scd2"]).streaming_scd2(
+            ev_src().select("user_id", "ts", "event_id",
+                            "event_type"))),
     ]
 
     # isolation hook, mirroring bench.py: SPARK_GRAFT_STREAM_OPS="a,b"
