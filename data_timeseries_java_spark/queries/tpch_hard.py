@@ -713,3 +713,121 @@ SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE {_Q19_PRED}
 """
+
+
+# ---- q18: large-volume customers -------------------------------------------
+
+Q18_QTY = 250.0  # ~top 1-2% of orders by total quantity at every sf
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q18 shape: customers holding an order whose TOTAL line quantity
+    exceeds a threshold — the classic aggregated-HAVING IN-subquery.
+    Spark plan: the subquery becomes a grouped filter semi-joined back
+    onto the fact; the per-order quantity is then re-aggregated with
+    the customer attached. Top-100 by (o_totalprice DESC, o_orderdate,
+    o_orderkey) via TakeOrdered — never a full sort. Quantities are
+    integral doubles, so sum/threshold comparisons are exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("total_qty"))
+           .where(F.col("total_qty") > Q18_QTY))
+    return (orders.join(big, orders.o_orderkey == big.l_orderkey)
+            .join(customer, orders.o_custkey == customer.c_custkey)
+            .select("c_name",
+                    F.col("c_custkey").cast("long").alias("c_custkey"),
+                    F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_orderdate"),
+                    F.round("o_totalprice", 2).alias("o_totalprice"),
+                    F.col("total_qty"))
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"),
+                     F.asc("o_orderkey"))
+            .limit(100))
+
+
+QUERIES["large_volume_customers"] = q_large_volume_customers
+
+ORACLE["large_volume_customers"] = f"""
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > {Q18_QTY}
+)
+SELECT c.c_name, CAST(c.c_custkey AS BIGINT) AS c_custkey,
+       CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       b.total_qty
+FROM orders o
+JOIN big b ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderdate ASC, o.o_orderkey ASC
+LIMIT 100
+"""
+
+
+# ---- q10: returned-item revenue report --------------------------------------
+
+Q10_QUARTER_START = "1996-01-01"
+Q10_QUARTER_END = "1996-04-01"
+
+
+def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q10 shape: customers who returned items in a quarter, ranked by
+    lost revenue — fact filtered on two dimensions (order date range,
+    returnflag), customer + nation broadcast, top-20 TakeOrdered.
+    Per-line revenue is quantized to the exact basis-point lattice
+    (price 2dp x discount-complement 2dp = 4 decimals, exactly
+    integer-representable) and summed as BIGINT — no float summation
+    can sit on a rounding boundary (a round(sum, 2) variant mismatched
+    the oracle by one cent on a true .xx5 sum), the same integer-money
+    discipline as revenue_pareto."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    rev_bp = F.round(_revenue() * 10_000).cast("long")
+    o = orders.where(
+        (F.col("o_orderdate") >= Q10_QUARTER_START)
+        & (F.col("o_orderdate") < Q10_QUARTER_END))
+    r = (li.where(F.col("l_returnflag") == "R")
+         .join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(customer), o.o_custkey == customer.c_custkey)
+         .join(F.broadcast(nation),
+               customer.c_nationkey == nation.n_nationkey)
+         .groupBy("c_custkey", "c_name", "n_name")
+         .agg(F.sum(rev_bp).alias("rev_bp"),
+              F.count(F.lit(1)).cast("long").alias("n_lines")))
+    return (r.select(F.col("c_custkey").cast("long").alias("c_custkey"),
+                     "c_name", F.col("n_name").alias("nation"),
+                     (F.col("rev_bp") / 10_000).alias("revenue"),
+                     "n_lines")
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20))
+
+
+QUERIES["returned_item_report"] = q_returned_item_report
+
+ORACLE["returned_item_report"] = f"""
+SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name,
+       n.n_name AS nation,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                           * 10000) AS BIGINT)) AS BIGINT)
+         / 10000.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= DATE '{Q10_QUARTER_START}'
+  AND o.o_orderdate < DATE '{Q10_QUARTER_END}'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
