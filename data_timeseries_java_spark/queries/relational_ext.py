@@ -3737,3 +3737,101 @@ ORACLE["scd2_stream_replay"] = f"""
 SELECT * FROM ({ORACLE["scd2_history"]})
 WHERE NOT is_current
 """
+
+
+# ---- weight-of-evidence / information-value feature report -----------------
+
+WOE_ACTIVE_FROM = "2000-08-01"  # "active" = ordered in the final year
+
+
+def q_feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value report: customer account
+    balance cut into rank deciles (exact row_number cut, custkey
+    tie-break — never an approximate ntile) scored against the
+    'active in the final year' label — the feature-screening table a
+    scoring model is fed from. Counts are exact integers; shares are
+    floor-quantized at 9 before the log so both engines take ln() of
+    the IDENTICAL double; woe/iv round at 6 (house convention, same
+    as every fx log-return lane). Degenerate one-class deciles emit
+    NULL woe rather than ±inf.
+
+    Shape: one distinct semi-join for the label (broadcast — active
+    customers are a dim-sized set), one global-rank window over the
+    customer dim, one decile aggregate. The global sort is over the
+    CUSTOMER DIM, not a fact table — the value_ks_test-style bounded
+    sort."""
+    from pyspark.sql import Window
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    active = (orders.where(F.col("o_orderdate") >= WOE_ACTIVE_FROM)
+              .select(F.col("o_custkey").alias("c_custkey")).distinct())
+    lab = (customer.select("c_custkey", "c_acctbal")
+           .join(F.broadcast(active.withColumn("pos", F.lit(1))),
+                 "c_custkey", "left")
+           .select("c_custkey", "c_acctbal",
+                   F.coalesce(F.col("pos"), F.lit(0)).alias("pos")))
+    wr = Window.orderBy("c_acctbal", "c_custkey")
+    ranked = lab.select(
+        "pos",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()).alias("n_all"))
+    decile = F.least(F.floor((F.col("rn") - 1) * 10 / F.col("n_all")),
+                     F.lit(9)).cast("long")
+    g = (ranked.groupBy(decile.alias("decile"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("pos").cast("long").alias("n_pos")))
+    tot = g.agg(F.sum("n_pos").alias("t_pos"),
+                F.sum(F.col("n") - F.col("n_pos")).alias("t_neg"))
+    j = g.crossJoin(F.broadcast(tot))
+    f9 = lambda c: F.floor(c * 1e9) / 1e9  # noqa: E731
+    ps = f9(F.col("n_pos") / F.col("t_pos"))
+    ns = f9((F.col("n") - F.col("n_pos")) / F.col("t_neg"))
+    woe = F.when((F.col("n_pos") > 0)
+                 & (F.col("n") - F.col("n_pos") > 0),
+                 F.log(ps / ns))
+    return j.select(
+        "decile", "n", "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        F.round(woe, 6).alias("woe"),
+        F.round((ps - ns) * woe, 6).alias("iv_term"))
+
+
+QUERIES["feature_woe_iv"] = q_feature_woe_iv
+
+ORACLE["feature_woe_iv"] = f"""
+WITH active AS (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+  WHERE o_orderdate >= DATE '{WOE_ACTIVE_FROM}'
+),
+lab AS (
+  SELECT c.c_custkey, c.c_acctbal,
+         CASE WHEN a.c_custkey IS NULL THEN 0 ELSE 1 END AS pos
+  FROM customer c LEFT JOIN active a USING (c_custkey)
+),
+ranked AS (
+  SELECT pos,
+         row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn,
+         count(*) OVER () AS n_all
+  FROM lab
+),
+g AS (
+  SELECT CAST(least((rn - 1) * 10 // n_all, 9) AS BIGINT) AS decile,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS n_pos
+  FROM ranked GROUP BY 1
+),
+tot AS (SELECT sum(n_pos) AS t_pos, sum(n - n_pos) AS t_neg FROM g)
+SELECT decile, n, n_pos, n - n_pos AS n_neg,
+       round(CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+         ln((floor(n_pos * 1e9 / t_pos) / 1e9)
+            / (floor((n - n_pos) * 1e9 / t_neg) / 1e9)) END, 6) AS woe,
+       round((floor(n_pos * 1e9 / t_pos) / 1e9
+              - floor((n - n_pos) * 1e9 / t_neg) / 1e9)
+             * CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+                 ln((floor(n_pos * 1e9 / t_pos) / 1e9)
+                    / (floor((n - n_pos) * 1e9 / t_neg) / 1e9)) END,
+             6) AS iv_term
+FROM g, tot
+"""

@@ -1973,3 +1973,86 @@ SELECT lang, n_docs, n_words, n_bpe_tokens,
          AS chars_per_token
 FROM g
 """.replace("{bpe}", _bpe_sql())
+
+
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC for the quality classifier against the weak
+    language label, via the Mann-Whitney rank-sum identity —
+    completing the eval pair with classifier_calibration (calibration
+    says whether scores are honest probabilities; AUC says whether
+    their ORDER separates the classes at all). Ties (many — the
+    hashed classifier's 6-dp scores collide) get the standard average
+    rank, computed exactly: per distinct score, avg_rank =
+    preceding_count + (count+1)/2 lives on the half-integer lattice,
+    so every sum here is exact integer-or-half arithmetic; only the
+    final ratio is floor-quantized at 6 (the repo ratio convention).
+
+    Shape: the classifier's gated derivation, one tiny groupBy
+    DISTINCT 6-dp score (bounded at 1e6+1 groups at ANY corpus size),
+    one ordered window over that bounded frame, one global aggregate
+    — the value_ks_test pattern."""
+    from pyspark.sql import Window
+
+    from data_timeseries_java_spark.operators.text import (
+        hashed_linear_classifier)
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = hashed_linear_classifier(docs, n_buckets=CLF_BUCKETS)
+    scored = (s.select("doc_id", F.round("score", 6).alias("score"))
+              .join(docs.select("doc_id",
+                                (F.col("lang") == "en").alias("pos")),
+                    "doc_id"))
+    g = scored.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col("pos").cast("long")).alias("pos_cnt"))
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1)
+    ranked = g.select(
+        "score", "cnt", "pos_cnt",
+        (F.coalesce(F.sum("cnt").over(w), F.lit(0))
+         + (F.col("cnt") + 1) / 2).alias("avg_rank"))
+    tot = ranked.agg(
+        F.sum("pos_cnt").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos_cnt")).alias("n_neg"),
+        F.sum(F.col("pos_cnt") * F.col("avg_rank")).alias("rank_sum"))
+    auc = ((F.col("rank_sum")
+            - F.col("n_pos") * (F.col("n_pos") + 1) / 2)
+           / (F.col("n_pos") * F.col("n_neg")))
+    return tot.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        (F.floor(auc * 1_000_000) / 1_000_000).alias("auc"))
+
+
+QUERIES["classifier_auc"] = q_classifier_auc
+
+ORACLE["classifier_auc"] = f"""
+WITH clf AS ({{clf}}),
+lab AS (
+  SELECT c.doc_id, c.score, d.lang = 'en' AS pos
+  FROM clf c JOIN documents d USING (doc_id)
+),
+g AS (
+  SELECT score, count(*) AS cnt,
+         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS pos_cnt
+  FROM lab GROUP BY score
+),
+ranked AS (
+  SELECT score, cnt, pos_cnt,
+         coalesce(sum(cnt) OVER (ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (cnt + 1) / 2.0 AS avg_rank
+  FROM g
+),
+tot AS (
+  SELECT sum(pos_cnt) AS n_pos,
+         sum(cnt - pos_cnt) AS n_neg,
+         sum(pos_cnt * avg_rank) AS rank_sum
+  FROM ranked
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       floor((rank_sum - n_pos * (n_pos + 1) / 2.0)
+             / (n_pos * n_neg) * 1000000) / 1000000 AS auc
+FROM tot
+""".replace("{clf}", ORACLE["quality_classifier"])
