@@ -1365,3 +1365,100 @@ JOIN nrm x ON x.nl = d.label1
 JOIN nrm y ON y.nl = d.label2
 WHERE d.label1 < d.label2
 """
+
+
+# ---- Matryoshka truncation recall -----------------------------------------
+
+MRL_DIMS = 16  # prefix dims for the truncated index (full = 64)
+
+
+def q_ann_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation study (after Kusupati et al. 2022,
+    "Matryoshka Representation Learning", public): recall@k of exact
+    top-k computed on only the FIRST MRL_DIMS embedding dimensions
+    against the full-dimension ground truth — the sizing table that
+    decides whether a deployment can serve the cheap prefix index.
+    Both sides are the declared knn machinery (broadcast queries,
+    streaming corpus, round(cos,9) rank ties); evaluation is one
+    semi-join + one aggregate over two k-row-per-query frames, the
+    ann_recall_eval pattern."""
+    from data_timeseries_java_spark.operators.similarity import (
+        knn_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    trunc = emb.select("vec_id",
+                       F.slice("embedding", 1, MRL_DIMS)
+                       .alias("embedding"))
+    exact = q_knn_bruteforce(spark, sf_dir).select("query_id", "nbr_id")
+    approx = knn_bruteforce(
+        trunc, trunc.where(F.col("vec_id") < N_QUERIES),
+        k=KNN_K).select(F.col("query_id").alias("qa"),
+                        F.col("nbr_id").alias("na"))
+    hits = (exact.join(
+        approx, (F.col("query_id") == F.col("qa"))
+        & (F.col("nbr_id") == F.col("na")))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits")))
+    per_q = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    return (per_q.join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    F.round(F.coalesce(F.col("n_hits"), F.lit(0))
+                            / F.col("k"), 6).alias("recall")))
+
+
+QUERIES["ann_truncation_recall"] = q_ann_truncation_recall
+
+_KNN_TRUNC_SQL = f"""
+WITH compt AS (
+  SELECT vec_id,
+         unnest(embedding[1:{MRL_DIMS}]) AS x,
+         unnest(generate_series(0, {MRL_DIMS} - 1)) AS dim
+  FROM embeddings
+),
+normst AS (
+  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+  FROM compt GROUP BY vec_id
+),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+         sum(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE)) AS dot
+  FROM compt q JOIN compt c
+    ON q.dim = c.dim AND q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id
+),
+scored AS (
+  SELECT d.query_id, d.nbr_id, d.dot / (nq.nrm * nc.nrm) AS cosine
+  FROM dots d
+  JOIN normst nq ON nq.vec_id = d.query_id
+  JOIN normst nc ON nc.vec_id = d.nbr_id
+),
+ranked AS (
+  SELECT query_id, nbr_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cosine, 9) DESC, nbr_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT query_id, nbr_id FROM ranked WHERE rank <= {KNN_K}
+"""
+
+ORACLE["ann_truncation_recall"] = f"""
+WITH exact AS (
+  SELECT query_id, nbr_id FROM ({_KNN_SQL})
+),
+approx AS ({_KNN_TRUNC_SQL}),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM exact e JOIN approx a
+    ON a.query_id = e.query_id AND a.nbr_id = e.nbr_id
+  GROUP BY e.query_id
+),
+per_q AS (SELECT query_id, count(*) AS k FROM exact GROUP BY query_id)
+SELECT p.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) * 1.0 / p.k, 6) AS recall
+FROM per_q p LEFT JOIN hits h ON h.query_id = p.query_id
+"""
