@@ -532,7 +532,10 @@ def test_round8_additions_plan_shapes(spark, sf_dir):
                          # constant in corpus size (grows only with the
                          # unrolled ITERATIONS, never with data)
                          ("semantic_dedup_fixedk", 55),
-                         ("semantic_dedup", 55)]:
+                         ("semantic_dedup", 55),
+                         # RAG chunking is a pure map: ANY exchange
+                         # would mean the generator plan regressed
+                         ("doc_chunks", 0)]:
         q = qs[name](spark, sf_dir)
         n = exchange_count(q)
         assert n <= budget, (
