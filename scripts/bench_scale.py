@@ -59,7 +59,14 @@ QUERIES = ["dedup_minhash_lsh", "corpus_build", "ann_lsh",
            # sectional rank backtest (per-window shuffle), index beta
            # (materialized returns + two aggregates)
            "doc_chunks", "tokenizer_fertility", "fx_momentum_ls",
-           "fx_index_beta"]
+           "fx_index_beta",
+           # round-9 batch 2: change-log SCD2 + snapshot diff (events
+           # replicate), q18/q10 (lineitem/orders replicate), rank-sum
+           # AUC (documents replicate), WOE/IV (dims fixed — flat
+           # control), Matryoshka recall (embeddings replicate)
+           "scd2_history", "snapshot_diff", "large_volume_customers",
+           "returned_item_report", "classifier_auc", "feature_woe_iv",
+           "ann_truncation_recall"]
 
 
 def bench(spark, qs, name, sf_dir, n):
