@@ -4627,3 +4627,50 @@ SELECT key, n_windows,
              / n_windows, 6) AS alpha
 FROM g
 """
+
+
+def q_fx_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraday seasonality profile: per (instrument, hour-of-day),
+    the mean candle return and mean |return| — the time-of-day
+    activity/drift fingerprint a seasonal-adjustment or
+    execution-scheduling layer consumes (the return-space complement
+    to event_hour_profile's count space). UTC hour (session pins the
+    zone), means from ROUNDED decomposable sums; a seasonal_share
+    column reports each hour's share of the key's total absolute
+    return on the exact quantized lattice."""
+    r = _returns_df(spark, sf_dir).select(
+        "key", F.hour(F.col("time")).cast("long").alias("hod"),
+        F.col("value").alias("ret"))
+    g = (r.groupBy("key", "hod")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.round(F.sum("ret"), 9).alias("s"),
+              F.round(F.sum(F.abs(F.col("ret"))), 9).alias("sa")))
+    tot = (g.groupBy("key")
+           .agg(F.round(F.sum("sa"), 9).alias("ta")))
+    return (g.join(F.broadcast(tot), "key")
+            .select("key", "hod", "n",
+                    F.round(F.col("s") / F.col("n"), 6)
+                    .alias("mean_ret"),
+                    F.round(F.col("sa") / F.col("n"), 6)
+                    .alias("mean_abs_ret"),
+                    (F.floor(F.col("sa") / F.col("ta") * 1_000_000)
+                     / 1_000_000).alias("seasonal_share")))
+
+
+QUERIES["fx_hourly_seasonality"] = q_fx_hourly_seasonality
+
+ORACLE["fx_hourly_seasonality"] = _PRELUDE + """,
+g AS (
+  SELECT key, CAST(hour(to_timestamp(time_ms / 1000)) AS BIGINT) AS hod,
+         CAST(count(*) AS BIGINT) AS n,
+         round(sum(ret), 9) AS s,
+         round(sum(abs(ret)), 9) AS sa
+  FROM returns GROUP BY 1, 2
+),
+tot AS (SELECT key, round(sum(sa), 9) AS ta FROM g GROUP BY key)
+SELECT g.key, g.hod, g.n,
+       round(g.s / g.n, 6) AS mean_ret,
+       round(g.sa / g.n, 6) AS mean_abs_ret,
+       floor(g.sa / t.ta * 1000000) / 1000000 AS seasonal_share
+FROM g JOIN tot t ON t.key = g.key
+"""

@@ -3835,3 +3835,141 @@ SELECT decile, n, n_pos, n - n_pos AS n_neg,
              6) AS iv_term
 FROM g, tot
 """
+
+
+# ---- supplier ship-lag quantiles --------------------------------------------
+
+
+def q_ship_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational lead-time report: per supplier nation, exact
+    interpolated median / p90 of the order-to-ship lag in days — the
+    SLA table a fulfillment dashboard is built on. Lags are exact
+    integer day differences; quantiles use the exact interpolated
+    percentile on both engines (percentile / quantile_cont), rounded
+    at 6 — the fx_vol_regimes discipline. One fact join (order date
+    attached), one per-nation aggregate over a 25-row group space."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    j = (li.join(orders.select("o_orderkey", "o_orderdate"),
+                 li.l_orderkey == F.col("o_orderkey"))
+         .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+               li.l_suppkey == F.col("s_suppkey"))
+         .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+         .select(F.col("n_name").alias("nation"),
+                 lag.cast("double").alias("lag_days")))
+    return (j.groupBy("nation")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_lines"),
+                 F.round(F.expr("percentile(lag_days, 0.5)"), 6)
+                 .alias("median_lag"),
+                 F.round(F.expr("percentile(lag_days, 0.9)"), 6)
+                 .alias("p90_lag"),
+                 F.max("lag_days").cast("long").alias("max_lag")))
+
+
+QUERIES["ship_lag_quantiles"] = q_ship_lag_quantiles
+
+ORACLE["ship_lag_quantiles"] = """
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(quantile_cont(datediff('day', o.o_orderdate,
+                                    l.l_shipdate)::DOUBLE, 0.5), 6)
+         AS median_lag,
+       round(quantile_cont(datediff('day', o.o_orderdate,
+                                    l.l_shipdate)::DOUBLE, 0.9), 6)
+         AS p90_lag,
+       CAST(max(datediff('day', o.o_orderdate, l.l_shipdate))
+            AS BIGINT) AS max_lag
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+# ---- cohort lifetime value ---------------------------------------------------
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month, revenue accumulated by months-since-first-order — the
+    companion to cohort_retention that prices a cohort instead of
+    counting it. Cohort/age arithmetic is exact integer month
+    indices; money is exact integer cents summed as BIGINT; the
+    per-customer LTV ratio floor-quantizes at 6. Shape: one
+    per-customer min (first order), broadcast back, one
+    (cohort, age) aggregate, one cumulative window per cohort over a
+    months x months frame."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+    first = (orders.groupBy("o_custkey")
+             .agg(F.min(mi).alias("cohort_mi")))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    j = (orders.select("o_custkey", mi.alias("mi"),
+                       cents.alias("cents"))
+         .join(first, "o_custkey"))
+    g = (j.groupBy(F.col("cohort_mi"),
+                   (F.col("mi") - F.col("cohort_mi")).alias("age_months"))
+         .agg(F.countDistinct("o_custkey").cast("long")
+              .alias("n_active"),
+              F.sum("cents").alias("cents")))
+    size = (first.groupBy("cohort_mi")
+            .agg(F.count(F.lit(1)).cast("long").alias("cohort_size")))
+    wc = (Window.partitionBy("cohort_mi").orderBy("age_months")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    out = (g.join(F.broadcast(size), "cohort_mi")
+           .withColumn("cum_cents", F.sum("cents").over(wc)))
+    cohort_label = F.concat(
+        F.floor(F.col("cohort_mi") / 12).cast("string"), F.lit("-"),
+        F.lpad((F.col("cohort_mi") % 12 + 1).cast("string"), 2, "0"))
+    return out.select(
+        cohort_label.alias("cohort_month"),
+        "age_months", "n_active", "cohort_size",
+        F.col("cum_cents").cast("long").alias("cum_cents"),
+        (F.floor(F.col("cum_cents") / F.col("cohort_size") / 100
+                 * 1_000_000) / 1_000_000).alias("ltv_per_customer"))
+
+
+QUERIES["cohort_ltv"] = q_cohort_ltv
+
+ORACLE["cohort_ltv"] = """
+WITH o AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+first AS (SELECT o_custkey, min(mi) AS cohort_mi FROM o GROUP BY 1),
+sz AS (SELECT cohort_mi, CAST(count(*) AS BIGINT) AS cohort_size
+       FROM first GROUP BY 1),
+g AS (
+  SELECT f.cohort_mi, o.mi - f.cohort_mi AS age_months,
+         CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+         sum(o.cents) AS cents
+  FROM o JOIN first f USING (o_custkey)
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT g.*, sz.cohort_size,
+         sum(g.cents) OVER (PARTITION BY g.cohort_mi
+                            ORDER BY g.age_months
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_cents
+  FROM g JOIN sz USING (cohort_mi)
+)
+SELECT CAST(cohort_mi // 12 AS VARCHAR) || '-' ||
+         lpad(CAST(cohort_mi % 12 + 1 AS VARCHAR), 2, '0')
+         AS cohort_month,
+       age_months, n_active, cohort_size,
+       CAST(cum_cents AS BIGINT) AS cum_cents,
+       floor(cum_cents * 1.0 / cohort_size / 100 * 1000000) / 1000000
+         AS ltv_per_customer
+FROM cum
+"""
