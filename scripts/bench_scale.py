@@ -66,7 +66,9 @@ QUERIES = ["dedup_minhash_lsh", "corpus_build", "ann_lsh",
            # control), Matryoshka recall (embeddings replicate)
            "scd2_history", "snapshot_diff", "large_volume_customers",
            "returned_item_report", "classifier_auc", "feature_woe_iv",
-           "ann_truncation_recall"]
+           "ann_truncation_recall",
+           # round-9 batch 3
+           "ship_lag_quantiles", "cohort_ltv", "fx_hourly_seasonality"]
 
 
 def bench(spark, qs, name, sf_dir, n):
