@@ -264,3 +264,30 @@ def test_multimodal_operators_compose_with_streams(spark, tmp_path):
     stream = {(r.media_id, r.width, r.height, round(r.feature[0], 6))
               for r in spark.table("media_stream").collect()}
     assert stream == batch and len(stream) == 8
+
+
+def test_scd2_intervals_partition_the_timeline(spark, sf_dir):
+    """SCD2 structural invariants the value-hash oracle can't state:
+    per user, versions number 1..K consecutively; intervals are
+    adjacent ([valid_from, valid_to] ends exactly 1ms before the next
+    valid_from); the attribute CHANGES at every boundary (no
+    zero-length or no-op versions); exactly one open current row per
+    user (NULL valid_to) and it is the last version."""
+    from data_timeseries_java_spark.queries.relational_ext import (
+        q_scd2_history,
+    )
+
+    rows = q_scd2_history(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for uid, vs in by_user.items():
+        vs.sort(key=lambda r: r.version)
+        assert [v.version for v in vs] == list(range(1, len(vs) + 1))
+        opens = [v for v in vs if v.is_current]
+        assert len(opens) == 1 and opens[0] is vs[-1], uid
+        assert vs[-1].valid_to_ms is None
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to_ms == b.valid_from_ms - 1, uid
+            assert a.attr != b.attr, (uid, a.version)
