@@ -44,11 +44,15 @@ N_EVENT_TYPES = 5
 # derivation covers the 5-instrument and the 20-user-bucket universes.
 
 
-def _prelude(key_sql: str, res_ms: int) -> str:
+def _prelude(key_sql: str, res_ms: int,
+             source_sql: str = "events") -> str:
+    # source_sql lets a gate derive the SAME candle pipeline over a
+    # filtered tick set (late_data_state_stream_replay: events minus
+    # the md5-carved late rows) without duplicating the derivation
     return f"""
 WITH ticks AS (
   SELECT {key_sql} AS key, ts AS event_time, value AS price
-  FROM events
+  FROM {source_sql}
 ),
 tk AS (
   SELECT *, (epoch_ms(event_time) // {res_ms}) * {res_ms} AS w_start_ms
@@ -4673,4 +4677,108 @@ SELECT g.key, g.hod, g.n,
        round(g.sa / g.n, 6) AS mean_abs_ret,
        floor(g.sa / t.ta * 1000000) / 1000000 AS seasonal_share
 FROM g JOIN tot t ON t.key = g.key
+"""
+
+
+_LATE_STATE_REPLAY_SINKS: dict[tuple, str] = {}
+
+
+def q_late_data_state_stream_replay(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The late-data drop contract on the KEYED-STATE path:
+    late_data_stream_replay pins it for the watermarked window
+    aggregation; this gate pins it for the stateful global gap-fill
+    candle operator (applyInPandasWithState), whose state-side
+    consequences are deeper — a dropped late tick must also not
+    perturb gap synthesis or carry-forward for any OTHER key, because
+    its window-activity marker is itself late and dropped by the same
+    watermark filter. The oracle is therefore the COMPLETE batch
+    candle derivation (gap rows, 0.0 leading back-fill, carry-forward
+    close -> open) computed over events MINUS the identical md5-carved
+    late set: a hash match proves drops, gap semantics and carry all
+    stayed consistent."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_timeseries_java_spark.streaming.candles_stream import (
+        streaming_complete_candles_global,
+    )
+    from data_timeseries_java_spark.streaming.replay import (
+        SENTINEL_KEY,
+        read_replay_sink,
+        run_to_parquet_sink,
+        write_replay_buckets,
+        write_sentinel_file,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    sink = _LATE_STATE_REPLAY_SINKS.get(cache_key)
+    if sink is None or not os.path.isdir(sink):
+        ticks, keys_df = _ticks_and_keys(spark, sf_dir)
+        universe = sorted(r[0] for r in keys_df.collect())
+        t0_ms, t1_ms = ticks.select(
+            F.min(_ms(F.col("event_time"))),
+            F.max(_ms(F.col("event_time")))).first()
+        span = t1_ms - t0_ms + 1
+        t_cut = t0_ms + (span + 2) // 3
+        late = _late_tick_pred(_ms(F.col("event_time")), t_cut)
+        work = tempfile.mkdtemp(prefix="late_state_replay_")
+        n_files = 3
+        base = _time.time() - 1000
+        write_replay_buckets(ticks.where(~late), "event_time",
+                             f"{work}/in", n_files, t0_ms, span, base,
+                             ["key", "event_time"])
+        write_sentinel_file(ticks.where(late).coalesce(1),
+                            f"{work}/in", n_files, base)
+        sent = spark.createDataFrame(
+            [(SENTINEL_KEY,)], "key string").select(
+            "key",
+            F.timestamp_millis(F.lit(t1_ms + 30 * 86_400_000))
+            .alias("event_time"),
+            F.lit(1.0).alias("bid"), F.lit(1.0).alias("ask"),
+            F.lit(True).alias("is_live"))
+        write_sentinel_file(sent, f"{work}/in", n_files + 1, base)
+
+        src = (spark.readStream.schema(ticks.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
+        candles = streaming_complete_candles_global(src, universe, RES)
+        sink = run_to_parquet_sink(candles, f"{work}/out", f"{work}/ckpt")
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+        _LATE_STATE_REPLAY_SINKS[cache_key] = sink
+    flat = (read_replay_sink(spark, sink)
+            .where(F.col("key") != SENTINEL_KEY))
+    return flat.select(
+        "key",
+        _ms(F.col("window_start")).alias("w_start_ms"),
+        F.col("is_live"),
+        _ms(F.col("open_time")).alias("open_time_ms"),
+        F.col("open_ask").alias("open_price"),
+        _ms(F.col("close_time")).alias("close_time_ms"),
+        F.col("close_ask").alias("close_price"),
+        F.col("min_ask").alias("min_price"),
+        F.col("max_ask").alias("max_price"),
+    )
+
+
+QUERIES["late_data_state_stream_replay"] = q_late_data_state_stream_replay
+
+# the full batch candle derivation over events MINUS the md5-carved
+# late set (same carve as late_data_stream_replay's oracle)
+_KEPT_EVENTS_SQL = """(
+  SELECT e.* FROM events e,
+       (SELECT min(epoch_ms(ts)) + ((max(epoch_ms(ts)) - min(epoch_ms(ts))
+               + 1) + 2) // 3 AS t_cut FROM events) x
+  WHERE NOT (epoch_ms(e.ts) < x.t_cut AND
+             substr(md5(e.event_type || ':' ||
+                        CAST(epoch_ms(e.ts) AS VARCHAR)), 1, 1) = '0')
+)"""
+
+ORACLE["late_data_state_stream_replay"] = _prelude(
+    "event_type", RES_MS, source_sql=_KEPT_EVENTS_SQL) + """
+SELECT key, w_start_ms, is_live, open_time_ms, open_price,
+       close_time_ms, close_price, min_price, max_price
+FROM complete
 """

@@ -190,7 +190,8 @@ _ITERATIVE_QUERIES = {"dedup_clusters", "dedup_keep_list",
                       "macd_stream_replay", "dsir_stream_replay",
                       "vwap_stream_replay", "tick_bars_stream_replay",
                       "psi_stream_replay", "imbalance_bars_stream_replay",
-                      "late_data_stream_replay", "scd2_stream_replay"}
+                      "late_data_stream_replay", "scd2_stream_replay",
+                      "late_data_state_stream_replay"}
 
 
 
