@@ -4782,3 +4782,39 @@ SELECT key, w_start_ms, is_live, open_time_ms, open_price,
        close_time_ms, close_price, min_price, max_price
 FROM complete
 """
+
+
+def q_fx_mean_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systemic-risk gauge: per sliding window, the cross-sectional
+    MEAN pairwise correlation (plus min/max and pair count) — the
+    'correlation breakdown' dashboard number risk desks watch (mean
+    pair-corr spiking toward 1 = diversification gone). Composes the
+    declared pair-correlation pipeline unchanged and aggregates its
+    6-dp values (already on the cross-engine lattice): one extra
+    window-sized aggregate, NaN pairs excluded as undefined."""
+    base = q_fx_pair_correlation(spark, sf_dir).where(~F.col("is_nan"))
+    # FLOOR-quantized mean (not round): sum/n can land exactly on a
+    # .5e-6 boundary whose half-up decision differs between engines'
+    # decimal paths — floor of the identical double never does
+    mean6 = F.floor(F.round(F.sum("value"), 9)
+                    / F.count(F.lit(1)) * 1_000_000) / 1_000_000
+    return (base.groupBy("w_start_ms")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 mean6.alias("mean_corr"),
+                 F.min("value").alias("min_corr"),
+                 F.max("value").alias("max_corr")))
+
+
+QUERIES["fx_mean_correlation"] = q_fx_mean_correlation
+
+ORACLE["fx_mean_correlation"] = _CORR_BASE + """
+SELECT w_start_ms,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       floor(round(sum(round(r, 6)), 9) / count(*) * 1000000)
+         / 1000000 AS mean_corr,
+       min(round(r, 6)) AS min_corr,
+       max(round(r, 6)) AS max_corr
+FROM pairs
+WHERE r IS NOT NULL AND NOT isnan(r)
+GROUP BY w_start_ms
+"""

@@ -3973,3 +3973,49 @@ SELECT CAST(cohort_mi // 12 AS VARCHAR) || '-' ||
          AS ltv_per_customer
 FROM cum
 """
+
+
+def q_user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity score: per user, the Shannon entropy of
+    their event-type distribution (0 = single-behavior user, ln(k) =
+    uniform across k types) — the engagement-mix feature a churn or
+    segmentation model consumes. Counts are exact integers; each
+    share floor-quantizes at 9 BEFORE the log (both engines take
+    ln() of the identical double — the feature_woe_iv discipline);
+    the final entropy rounds at 6. Shape: one (user, type) count,
+    one per-user aggregate — two map-side-combinable shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (ev.groupBy("user_id", "event_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    tot = (g.groupBy("user_id")
+           .agg(F.sum("c").alias("n"),
+                F.count(F.lit(1)).cast("long").alias("n_types")))
+    p = F.floor(F.col("c") / F.col("n") * 1e9) / 1e9
+    term = F.round(-p * F.log(p), 9)
+    return (g.join(tot, "user_id")
+            .groupBy("user_id")
+            .agg(F.max("n").cast("long").alias("n_events"),
+                 F.max("n_types").alias("n_types"),
+                 F.round(F.sum(term), 6).alias("entropy")))
+
+
+QUERIES["user_event_entropy"] = q_user_event_entropy
+
+ORACLE["user_event_entropy"] = """
+WITH g AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT user_id, sum(c) AS n, CAST(count(*) AS BIGINT) AS n_types
+  FROM g GROUP BY 1
+)
+SELECT g.user_id,
+       CAST(max(t.n) AS BIGINT) AS n_events,
+       max(t.n_types) AS n_types,
+       round(sum(round(-(floor(g.c * 1e9 / t.n) / 1e9)
+                       * ln(floor(g.c * 1e9 / t.n) / 1e9), 9)), 6)
+         AS entropy
+FROM g JOIN tot t USING (user_id)
+GROUP BY g.user_id
+"""
