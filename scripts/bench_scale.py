@@ -68,7 +68,8 @@ QUERIES = ["dedup_minhash_lsh", "corpus_build", "ann_lsh",
            "returned_item_report", "classifier_auc", "feature_woe_iv",
            "ann_truncation_recall",
            # round-9 batch 3
-           "ship_lag_quantiles", "cohort_ltv", "fx_hourly_seasonality"]
+           "ship_lag_quantiles", "cohort_ltv", "fx_hourly_seasonality",
+           "fx_mean_correlation", "user_event_entropy"]
 
 
 def bench(spark, qs, name, sf_dir, n):
