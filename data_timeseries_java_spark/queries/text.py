@@ -2056,3 +2056,70 @@ SELECT CAST(n_pos AS BIGINT) AS n_pos,
              / (n_pos * n_neg) * 1000000) / 1000000 AS auc
 FROM tot
 """.replace("{clf}", ORACLE["quality_classifier"])
+
+
+BURST_MIN_DOCS = 20  # report tokens appearing in at least this many docs
+
+
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (Church & Gale's variance-to-mean dispersion,
+    public): per frequent token, the VMR of its per-document counts —
+    function words disperse evenly (VMR near 1, Poisson-like), topical
+    words 'burst' (VMR >> 1: absent from most docs, dense where they
+    appear). The stopword-list-free signal for separating content from
+    glue vocabulary. All moments come from exact integer sums over
+    per-doc counts (zero-docs included via the corpus doc count, no
+    per-doc rows fabricated); the VMR floor-quantizes at 6.
+
+    Shape: one token explode -> (token, doc) count, one per-token
+    aggregate, one broadcast scalar (corpus doc count) — linear, the
+    vocab_zipf family."""
+    from data_timeseries_java_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs_df = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_total"))
+    per_doc = (docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    g = (per_doc.groupBy("tok")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+              F.sum("c").alias("s"),
+              F.sum(F.col("c") * F.col("c")).alias("ss")))
+    j = g.crossJoin(F.broadcast(n_docs_df))
+    n = F.col("n_docs_total").cast("double")
+    mean = F.col("s") / n
+    # population variance over ALL docs incl. zero-count ones:
+    # E[c^2] - E[c]^2 with exact integer s/ss
+    var = F.col("ss") / n - mean * mean
+    vmr = F.floor(var / mean * 1_000_000) / 1_000_000
+    return (j.where(F.col("n_docs") >= BURST_MIN_DOCS)
+            .select("tok", "n_docs",
+                    F.col("s").cast("long").alias("total_count"),
+                    vmr.alias("vmr")))
+
+
+QUERIES["text_burstiness"] = q_text_burstiness
+
+ORACLE["text_burstiness"] = f"""
+WITH {_TOKS},
+tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+per_doc AS (
+  SELECT tok, doc_id, count(*) AS c FROM tok GROUP BY 1, 2
+),
+g AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n_docs,
+         sum(c) AS s, sum(c * c) AS ss
+  FROM per_doc GROUP BY tok
+),
+nd AS (SELECT count(*) AS n_docs_total FROM documents)
+SELECT g.tok, g.n_docs, CAST(g.s AS BIGINT) AS total_count,
+       floor((g.ss / nd.n_docs_total
+              - (g.s * 1.0 / nd.n_docs_total)
+                * (g.s * 1.0 / nd.n_docs_total))
+             / (g.s * 1.0 / nd.n_docs_total) * 1000000) / 1000000
+         AS vmr
+FROM g, nd
+WHERE g.n_docs >= {BURST_MIN_DOCS}
+"""
