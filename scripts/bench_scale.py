@@ -69,7 +69,8 @@ QUERIES = ["dedup_minhash_lsh", "corpus_build", "ann_lsh",
            "ann_truncation_recall",
            # round-9 batch 3
            "ship_lag_quantiles", "cohort_ltv", "fx_hourly_seasonality",
-           "fx_mean_correlation", "user_event_entropy"]
+           "fx_mean_correlation", "user_event_entropy",
+           "text_burstiness"]
 
 
 def bench(spark, qs, name, sf_dir, n):
