@@ -4792,7 +4792,11 @@ def q_fx_mean_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared pair-correlation pipeline unchanged and aggregates its
     6-dp values (already on the cross-engine lattice): one extra
     window-sized aggregate, NaN pairs excluded as undefined."""
-    base = q_fx_pair_correlation(spark, sf_dir).where(~F.col("is_nan"))
+    # Both predicates, matching the oracle's "r IS NOT NULL AND NOT
+    # isnan(r)": F.isnan is false for NULL, so ~is_nan alone would keep
+    # a NULL correlation in the n_pairs divisor on this side only.
+    base = (q_fx_pair_correlation(spark, sf_dir)
+            .where(F.col("value").isNotNull() & ~F.col("is_nan")))
     # FLOOR-quantized mean (not round): sum/n can land exactly on a
     # .5e-6 boundary whose half-up decision differs between engines'
     # decimal paths — floor of the identical double never does

@@ -3622,8 +3622,14 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     append-only event log cannot express; stated, not assumed)."""
     ev = load_table(spark, sf_dir, "events")
     t_ms = F.unix_millis(F.col("ts"))
+    # Exact integer halving: ((min+max)/2).cast("long") would TRUNCATE
+    # the .5 while DuckDB's CAST(... AS BIGINT) rounds to nearest —
+    # the two engines could put cut_ms 1 ms apart and flip a boundary
+    # event's old-snapshot membership. floor((min+max)/2) == (min+max)//2
+    # on both sides, bit-exact for any realistic epoch range.
     ext = ev.agg(
-        ((F.min(t_ms) + F.max(t_ms)) / 2).cast("long").alias("cut_ms"))
+        F.floor((F.min(t_ms) + F.max(t_ms)) / 2)
+        .cast("long").alias("cut_ms"))
     e = (ev.select("user_id", t_ms.alias("t_ms"), "event_id",
                    "event_type", "value")
          .crossJoin(F.broadcast(ext)))
@@ -3652,8 +3658,7 @@ QUERIES["snapshot_diff"] = q_snapshot_diff
 
 ORACLE["snapshot_diff"] = """
 WITH ext AS (
-  SELECT CAST((min(epoch_ms(ts)) + max(epoch_ms(ts))) / 2 AS BIGINT)
-           AS cut_ms
+  SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS cut_ms
   FROM events
 ),
 new_s AS (
@@ -3785,9 +3790,13 @@ def q_feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = g.agg(F.sum("n_pos").alias("t_pos"),
                 F.sum(F.col("n") - F.col("n_pos")).alias("t_neg"))
     j = g.crossJoin(F.broadcast(tot))
-    f9 = lambda c: F.floor(c * 1e9) / 1e9  # noqa: E731
-    ps = f9(F.col("n_pos") / F.col("t_pos"))
-    ns = f9((F.col("n") - F.col("n_pos")) / F.col("t_neg"))
+    # Operation order must match the oracle EXACTLY: floor(x*1e9/y)/1e9
+    # — one float rounding, same as DuckDB's floor(n*1e9/t). The earlier
+    # floor((x/y)*1e9) did two roundings, so a share within 1 ulp of the
+    # 1e-9 lattice could floor differently between the engines.
+    f9 = lambda num, den: F.floor(num * 1e9 / den) / 1e9  # noqa: E731
+    ps = f9(F.col("n_pos"), F.col("t_pos"))
+    ns = f9(F.col("n") - F.col("n_pos"), F.col("t_neg"))
     woe = F.when((F.col("n_pos") > 0)
                  & (F.col("n") - F.col("n_pos") > 0),
                  F.log(ps / ns))
@@ -3990,7 +3999,9 @@ def q_user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = (g.groupBy("user_id")
            .agg(F.sum("c").alias("n"),
                 F.count(F.lit(1)).cast("long").alias("n_types")))
-    p = F.floor(F.col("c") / F.col("n") * 1e9) / 1e9
+    # Same single-rounding discipline as feature_woe_iv: c*1e9/n, one
+    # float divide, matching the oracle's floor(g.c * 1e9 / t.n) exactly.
+    p = F.floor(F.col("c") * 1e9 / F.col("n")) / 1e9
     term = F.round(-p * F.log(p), 9)
     return (g.join(tot, "user_id")
             .groupBy("user_id")

@@ -78,11 +78,22 @@ def kafka_tick_stream(spark: SparkSession, bootstrap_servers: str,
     (key, value, timestamp) shape is covered by the replayed-capture
     tests; the connector config line itself is the documented
     untested boundary (module docstring)."""
+    # Resolve through Spark's context classloader, NOT py4j's system
+    # classloader: jars added via spark.jars / spark.jars.packages live
+    # in Spark's MutableURLClassLoader, which java.lang.Class.forName
+    # (py4j-side) cannot see — probing there would raise even when
+    # .format("kafka") works. Only a genuine ClassNotFoundException
+    # counts as "connector missing"; any other Py4J error re-raises.
     jvm = spark.sparkContext._jvm
     try:
-        jvm.java.lang.Class.forName(
-            "org.apache.spark.sql.kafka010.KafkaSourceProvider")
-    except Exception as e:  # Py4J wraps ClassNotFoundException
+        (jvm.java.lang.Thread.currentThread().getContextClassLoader()
+         .loadClass("org.apache.spark.sql.kafka010.KafkaSourceProvider"))
+    except Exception as e:
+        java_exc = getattr(e, "java_exception", None)
+        is_cnf = java_exc is not None and "ClassNotFoundException" in (
+            java_exc.getClass().getName())
+        if not is_cnf:
+            raise
         raise RuntimeError(
             "kafka_tick_stream needs the spark-sql-kafka-0-10 connector "
             "on the driver classpath (spark.jars.packages="

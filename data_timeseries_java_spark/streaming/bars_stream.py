@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from data_timeseries_java_spark.streaming.foldutil import whole_batch
+
 BARS_OUT_SCHEMA = ("key string, bar long, n_ticks long, open double, "
                    "high double, low double, close double, "
                    "t_open_ms long, t_close_ms long")
@@ -48,8 +50,10 @@ def streaming_tick_bars(ticks: DataFrame, bar_size: int = 50,
             total, pn = 0, 0
             po = ph = pl = 0.0
             pto = 0
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("event_time")
+        # Whole-batch concat before the fold (foldutil docs): a key's
+        # rows can straddle Arrow chunks out of time order.
+        pdf = whole_batch(pdf_iter, "event_time")
+        if pdf is not None:
             px = pdf[price_col].astype("float64").to_numpy()
             ts = (pdf["event_time"].astype("int64") // 1_000_000
                   ).to_numpy()
@@ -125,8 +129,9 @@ def streaming_imbalance_bars(ticks: DataFrame, threshold: int = 7,
             prev = float("nan")  # state schema needs a double; NaN = none
         import math
 
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("event_time")
+        # Whole-batch concat before the fold (foldutil docs).
+        pdf = whole_batch(pdf_iter, "event_time")
+        if pdf is not None:
             px = pdf[price_col].astype("float64").to_numpy()
             ts = (pdf["event_time"].astype("int64") // 1_000_000
                   ).to_numpy()

@@ -90,9 +90,15 @@ def streaming_ema(ticks: DataFrame, alpha: float = 0.2,
             self._state = handle.getValueState("ema", _STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timerValues):
+            from data_timeseries_java_spark.streaming.foldutil import (
+                whole_batch,
+            )
             (k,) = key
             prev = self._state.get()[0] if self._state.exists() else None
-            for pdf in rows:
+            # Whole-batch concat before the fold: a key's rows can
+            # straddle Arrow chunks out of time order (foldutil docs).
+            pdf = whole_batch(rows, "event_time")
+            if pdf is not None:
                 out, prev = _ema_batch(pdf, prev, alpha, price_col, k)
                 yield out
             if prev is not None:
@@ -118,9 +124,15 @@ def streaming_ema_applyinpandas(ticks: DataFrame, alpha: float = 0.2,
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def process(key, pdf_iter, state: GroupState):
+        from data_timeseries_java_spark.streaming.foldutil import (
+            whole_batch,
+        )
         (k,) = key
         prev = state.get[0] if state.exists else None
-        for pdf in pdf_iter:
+        # Whole-batch concat before the fold (foldutil docs): chunk-wise
+        # sorting would fold rows out of order across chunk boundaries.
+        pdf = whole_batch(pdf_iter, "event_time")
+        if pdf is not None:
             out, prev = _ema_batch(pdf, prev, alpha, price_col, k)
             yield out
         if prev is not None:
@@ -154,10 +166,14 @@ def _recursive_series_stream(ticks: DataFrame, price_col: str,
                   f"price double, {out_extra}")
 
     def process(key, pdf_iter, state: GroupState):
+        from data_timeseries_java_spark.streaming.foldutil import (
+            whole_batch,
+        )
         (k,) = key
         st = tuple(state.get) if state.exists else None
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("event_time")
+        # Whole-batch concat before the fold (foldutil docs).
+        pdf = whole_batch(pdf_iter, "event_time")
+        if pdf is not None:
             prices = pdf[price_col].astype("float64").to_numpy()
             rows = []
             for z in prices:

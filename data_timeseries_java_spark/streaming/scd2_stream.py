@@ -37,14 +37,21 @@ def streaming_scd2(events: DataFrame,
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    from data_timeseries_java_spark.streaming.foldutil import whole_batch
+
     def process(key, pdf_iter, state: GroupState):
         (uid,) = key
         if state.exists:
             attr, vfrom, ver = state.get
         else:
             attr, vfrom, ver = None, 0, 0
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # Whole-batch concat before the sort+fold (foldutil docs): a
+        # key's rows can span multiple Arrow chunks, and sorting each
+        # chunk independently would fold rows out of (ts, event_id)
+        # order across chunk boundaries. Memory = one key's rows per
+        # trigger — bounded at change-log grain.
+        pdf = whole_batch(pdf_iter, ["ts", "event_id"])
+        if pdf is not None:
             ts_ms = (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
             types = pdf["event_type"].to_numpy()
             out = []
