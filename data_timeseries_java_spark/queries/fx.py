@@ -4784,6 +4784,155 @@ FROM complete
 """
 
 
+# ---- allowed-lateness EMIT contract gate -----------------------------------
+
+_ALLOWED_LATE_SINKS: dict[tuple, str] = {}
+
+
+def q_allowed_lateness_stream_replay(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """THE ALLOWED-LATENESS EMIT CONTRACT — the other half of the
+    late-data claim (`late_data_stream_replay` pins the DROP half):
+    with a watermark delay D > 0, a row that arrives AFTER its
+    window's end has passed in event time but WITHIN D must UPDATE
+    its candle, and the final streaming result must equal the batch
+    result on the FULL input — late rows merged, nothing dropped,
+    nothing double-counted.
+
+    Construction: D is chosen as t1 - midpoint, so after the three
+    on-time buckets the watermark stands at the stream's temporal
+    midpoint — every first-half window is sealed, every second-half
+    window is still open. The designated late set (md5-carved, ~1/16
+    of rows strictly above the first RES-aligned boundary past the
+    midpoint and strictly below the last window) is withheld from its
+    time bucket and delivered as the second-to-last micro-batch: by
+    then the stream's max event time (t1) is far past those windows'
+    ends, so under the drop gate's delay-0 policy they would all be
+    discarded — here every one lands inside D and must merge into its
+    open candle. A far-future sentinel then seals everything. The
+    oracle is plain batch OHLC over ALL of `events`: the hash match
+    proves the merges happened and sealed first-half candles were
+    untouched.
+
+    State-cost note (SCALE.md §late-data): this is the D > 0 path
+    whose memory the allowed-lateness table measures — open windows
+    per key = ceil(D/resolution)+1, linear in D, never in stream
+    length. This gate pins its CORRECTNESS; the table pins its cost.
+
+    The reference has no late-data semantics (default trigger,
+    FXTimeSeriesPipelineDemo.java:276); both halves of this engine's
+    explicit watermark policy are therefore pinned by construction."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_timeseries_java_spark.streaming.candles_stream import (
+        streaming_ohlc_candles,
+    )
+    from data_timeseries_java_spark.streaming.replay import (
+        SENTINEL_KEY,
+        read_replay_sink,
+        run_to_parquet_sink,
+        write_replay_buckets,
+        write_sentinel_file,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    sink = _ALLOWED_LATE_SINKS.get(cache_key)
+    if sink is None or not os.path.isdir(sink):
+        ticks, _ = _ticks_and_keys(spark, sf_dir)
+        t0_ms, t1_ms = ticks.select(
+            F.min(_ms(F.col("event_time"))),
+            F.max(_ms(F.col("event_time")))).first()
+        span = t1_ms - t0_ms + 1
+        mid = t0_ms + span // 2
+        delay_ms = t1_ms - mid  # watermark after full on-time stream = mid
+        # late candidates: windows starting >= 2 windows past the
+        # midpoint (strictly above the final watermark, so still open
+        # when the late batch arrives) and strictly before the last
+        # window (so their ends have PASSED the stream's max event
+        # time — they are genuinely late under delay 0)
+        w_safe = (mid // RES_MS + 2) * RES_MS
+        last_w = (t1_ms // RES_MS) * RES_MS
+        if w_safe + RES_MS >= last_w:
+            raise ValueError(
+                "allowed_lateness_stream_replay needs several windows "
+                "between the temporal midpoint and the last window "
+                f"(span={span}ms, res={RES_MS}ms)")
+        t_ms = _ms(F.col("event_time"))
+        digest = F.md5(F.concat_ws(":", F.col("key"),
+                                   t_ms.cast("string")))
+        late = ((t_ms >= F.lit(w_safe)) & (t_ms < F.lit(last_w))
+                & (F.substring(digest, 1, 1) == "0"))
+        n_late = ticks.where(late).count()
+        if n_late == 0:
+            raise ValueError(
+                "allowed_lateness_stream_replay carved an empty late "
+                "set — the gate would be vacuous at this sf")
+        work = tempfile.mkdtemp(prefix="allowed_late_replay_")
+        n_files = 3
+        base = _time.time() - 1000
+        write_replay_buckets(ticks.where(~late), "event_time",
+                             f"{work}/in", n_files, t0_ms, span, base,
+                             ["key", "event_time"])
+        # the within-D late set arrives AFTER the full on-time stream
+        write_sentinel_file(ticks.where(late).coalesce(1),
+                            f"{work}/in", n_files, base)
+        sent = spark.createDataFrame(
+            [(SENTINEL_KEY,)], "key string").select(
+            "key",
+            F.timestamp_millis(
+                F.lit(t1_ms + delay_ms + 30 * 86_400_000))
+            .alias("event_time"),
+            F.lit(1.0).alias("bid"), F.lit(1.0).alias("ask"),
+            F.lit(True).alias("is_live"))
+        write_sentinel_file(sent, f"{work}/in", n_files + 1, base)
+
+        src = (spark.readStream.schema(ticks.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
+        candles = streaming_ohlc_candles(
+            src, RES, watermark=f"{delay_ms} milliseconds")
+        flat = candles.select(
+            "key", "window_start",
+            F.col("min_ask.ask").alias("min_price"),
+            F.col("max_ask.ask").alias("max_price"),
+            F.col("close.ask").alias("close_price"),
+            F.col("close.time").alias("close_time"))
+        sink = run_to_parquet_sink(flat, f"{work}/out", f"{work}/ckpt")
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+        _ALLOWED_LATE_SINKS[cache_key] = sink
+    out = (read_replay_sink(spark, sink)
+           .where(F.col("key") != SENTINEL_KEY))
+    return out.select(
+        "key", _ms(F.col("window_start")).alias("w_start_ms"),
+        "min_price", "max_price", "close_price",
+        _ms(F.col("close_time")).alias("close_time_ms"))
+
+
+QUERIES["allowed_lateness_stream_replay"] = q_allowed_lateness_stream_replay
+
+# plain batch OHLC over the FULL events table — if the stream had
+# dropped (or double-merged) even one within-D late row, the hash
+# match against this fails
+ORACLE["allowed_lateness_stream_replay"] = f"""
+WITH raw AS (
+  SELECT event_type AS key, value AS price, epoch_ms(ts) AS time_ms
+  FROM events
+),
+tk AS (
+  SELECT *, (time_ms // {RES_MS}) * {RES_MS} AS w_start_ms FROM raw
+)
+SELECT key, w_start_ms,
+       min(price) AS min_price,
+       max(price) AS max_price,
+       arg_max(price, time_ms) AS close_price,
+       max(time_ms) AS close_time_ms
+FROM tk GROUP BY key, w_start_ms
+"""
+
+
 def q_fx_mean_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Systemic-risk gauge: per sliding window, the cross-sectional
     MEAN pairwise correlation (plus min/max and pair count) — the
