@@ -1809,6 +1809,105 @@ QUERIES["ema_stream_replay"] = q_ema_stream_replay
 ORACLE["ema_stream_replay"] = ORACLE["fx_ema_returns"]
 
 
+# ---- out-of-order fold: the reorder stage, driver-gated through replay ----
+
+_EMA_OOO_REPLAY_SINKS: dict[tuple, str] = {}
+
+
+def q_ema_ooo_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE FOLD-FAMILY CROSS-BATCH ORDER CONTRACT, pinned: the plain
+    fold streams (`ema_stream_replay` et al.) require batches in
+    per-key time order — a harness-supplied guarantee. This gate runs
+    the SAME EMA recursion behind the watermark-buffered reorder stage
+    (`streaming/reorder.py`) against a replay that deliberately BREAKS
+    that guarantee: an md5-carved ~1/8 of every time bucket's rows is
+    displaced one micro-batch LATE, so each file interleaves old rows
+    after newer ones have already streamed — within the watermark
+    delay D (one bucket width + margin). The reorder stage must buffer
+    them and fold every row in exact event-time order; the oracle is
+    the IDENTICAL RECURSIVE-CTE as the in-order gate, so the hash
+    match proves order-insensitivity up to D with zero drops and zero
+    double-folds. A far-future sentinel advances the global watermark
+    to flush every key's buffer (keys with no sentinel rows flush via
+    the stage's event-time timeout).
+
+    Together with the (documented) beyond-D drop policy this gives the
+    folds the same two-edged watermark contract the candle path has
+    (`late_data_stream_replay` / `allowed_lateness_stream_replay`)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_timeseries_java_spark.streaming.reorder import reordered_ema
+    from data_timeseries_java_spark.streaming.replay import (
+        SENTINEL_KEY,
+        read_replay_sink,
+        run_to_parquet_sink,
+        write_replay_files,
+        write_sentinel_file,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    sink = _EMA_OOO_REPLAY_SINKS.get(cache_key)
+    if sink is None or not os.path.isdir(sink):
+        rets = _returns_df(spark, sf_dir).select(
+            "key", F.col("time").alias("event_time"), "value")
+        t0_ms, t1_ms = rets.select(
+            F.min(_ms(F.col("event_time"))),
+            F.max(_ms(F.col("event_time")))).first()
+        span = t1_ms - t0_ms + 1
+        # D must exceed one bucket width so every displaced row is
+        # still above the watermark when its (one-late) file arrives
+        delay_ms = span // 3 + 2 * 3_600_000
+        t = _ms(F.col("event_time"))
+        bucket = F.least(F.lit(2),
+                         F.floor((t - F.lit(t0_ms)) * 3 / F.lit(span)))
+        digest = F.md5(F.concat_ws(":", F.col("key"), t.cast("string")))
+        displaced = F.substring(digest, 1, 1).isin("0", "1")
+        routed = rets.withColumn(
+            "_f", (bucket + F.when(displaced, 1).otherwise(0))
+            .cast("int"))
+        n_disp = routed.where(displaced).count()
+        if n_disp == 0:
+            raise ValueError(
+                "ema_ooo_stream_replay carved an empty displaced set — "
+                "the out-of-order gate would be vacuous at this sf")
+        work = tempfile.mkdtemp(prefix="ema_ooo_replay_")
+        base = _time.time() - 1000
+        write_replay_files(routed, "_f", f"{work}/in", 4, base,
+                           ["key", "event_time"])
+        sent = spark.createDataFrame(
+            [(SENTINEL_KEY,)], "key string").select(
+            "key",
+            F.timestamp_millis(
+                F.lit(t1_ms + delay_ms + 30 * 86_400_000))
+            .alias("event_time"),
+            F.lit(0.0).alias("value"))
+        write_sentinel_file(sent, f"{work}/in", 4, base)
+        src = (spark.readStream.schema(rets.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
+        out = reordered_ema(src, alpha=0.2, price_col="value",
+                            watermark=f"{delay_ms} milliseconds")
+        sink = run_to_parquet_sink(out, f"{work}/out", f"{work}/ckpt")
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+        _EMA_OOO_REPLAY_SINKS[cache_key] = sink
+    e = (read_replay_sink(spark, sink)
+         .where(F.col("key") != SENTINEL_KEY))
+    return e.select(
+        "key",
+        _ms(F.col("event_time")).alias("time_ms"),
+        F.round("price", 6).alias("ret"),
+        F.round("ema", 6).alias("ema"),
+    )
+
+
+QUERIES["ema_ooo_stream_replay"] = q_ema_ooo_stream_replay
+
+ORACLE["ema_ooo_stream_replay"] = ORACLE["fx_ema_returns"]
+
+
 # ---- Holt linear-trend smoothing ----------------------------------------
 
 

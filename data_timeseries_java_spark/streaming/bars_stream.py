@@ -13,7 +13,10 @@ partial; a live stream by definition hasn't finished it yet).
 
 Order contract (same as ema_stream): rows fold in event-time order
 within a batch, batches arrive in per-key time order (replay
-harness's time-range bucketing).
+harness's time-range bucketing). For a source that interleaves
+across micro-batches, compose the watermark-buffered reorder stage
+(`streaming/reorder.py`, pinned by `ema_ooo_stream_replay`) ahead of
+the fold.
 """
 
 from __future__ import annotations

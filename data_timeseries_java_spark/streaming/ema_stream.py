@@ -4,8 +4,12 @@ API — ValueState instead of the applyInPandasWithState tuple blob).
 Demonstrates the modern stateful-processor surface on a genuinely
 recursive operator: per key, a ValueState row holds the running EMA;
 each micro-batch folds its rows in event-time order and emits the
-updated series. Order caveat (inherent to EMA, not the API): rows are
-folded in event-time order within a batch, and batches are assumed
+updated series. For sources that interleave a key's rows out of order
+ACROSS micro-batches, `streaming/reorder.reordered_ema` runs the same
+recursion behind a watermark-buffered reorder stage (pinned by the
+`ema_ooo_stream_replay` driver gate).
+Order caveat for the plain folds here (inherent to EMA, not the API):
+rows are folded in event-time order within a batch, and batches are assumed
 ordered per key — the same contract as the candle carry-forward
 operator; guard upstream with a watermark.
 

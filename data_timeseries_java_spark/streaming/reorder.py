@@ -1,0 +1,166 @@
+"""Watermark-buffered ordered fold: the production front-stage that
+removes the fold-family's cross-batch order assumption.
+
+The recursive per-key folds (`ema_stream`, `bars_stream`,
+`scd2_stream`) sort WITHIN a micro-batch but require batches to arrive
+in per-key time order — true for the replay harness's time-range
+bucketing and for an upstream that partitions by key and preserves
+producer order, but NOT for a production source that interleaves (a
+multi-partition bus where one partition lags). The windowed candle
+path handles out-of-order natively via watermarked aggregation; the
+folds need this stage.
+
+Mechanism — the same contract as a watermarked window, applied to a
+fold: per key, state carries a BUFFER of rows not yet sealed by the
+global event-time watermark. Each invocation appends the batch's rows,
+folds (in event-time order, through the operator's own recursion)
+exactly the prefix with ``ts <= watermark`` — rows the watermark
+guarantees can no longer be displaced by in-flight data — and keeps
+the rest buffered. An event-time timeout flushes keys that receive no
+rows while the watermark advances (e.g. the far-future sentinel batch
+of the replay harness, or a key that simply goes quiet).
+
+Contract edges, identical to the candle path's pinned halves:
+- a row arriving out of order WITHIN the watermark delay D folds in
+  correct event-time order (the EMIT half — pinned by
+  ``ema_ooo_stream_replay``);
+- a straggler beyond D (ts <= the watermark already folded past) is
+  DROPPED, never folded out of order (the DROP half — same policy the
+  delay-0 candle gate pins).
+
+State cost: buffer size = rows per key arriving within D of the
+watermark front — the fold analogue of the candle path's
+keys x ceil(D/resolution) open windows (SCALE.md §late-data), linear
+in D and the key's arrival rate, never in stream length. The inner
+fold state itself stays O(1) per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def reordered_fold(rows: DataFrame, ts_col: str, payload_cols: list[str],
+                   payload_sql_types: list[str], key_col: str,
+                   inner_state_schema: str, out_schema: str, fold,
+                   watermark: str) -> DataFrame:
+    """Generic watermark-buffered fold.
+
+    ``fold(key, ts_ms, payload_arrays, inner_state) ->
+    (out_pandas_frame, new_inner_state)`` receives the sealed rows in
+    event-time order (``ts_ms`` int64 numpy array, ``payload_arrays``
+    dict of numpy arrays keyed by ``payload_cols``) plus the operator's
+    own O(1) state tuple (None on the key's first fold), and returns
+    the emitted frame (matching ``out_schema``) and the advanced state.
+    ``fold`` is never called with zero rows.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from data_timeseries_java_spark.streaming.foldutil import whole_batch
+
+    n_inner = len(inner_state_schema.split(","))
+    buf_fields = ", ".join(
+        [f"buf_ts array<long>"] +
+        [f"buf_{c} array<{t}>"
+         for c, t in zip(payload_cols, payload_sql_types)])
+    state_schema = f"{buf_fields}, flushed long, {inner_state_schema}"
+
+    def process(key, pdf_iter, state: GroupState):
+        (k,) = key
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            tup = state.get
+            buf_ts = list(tup[0] or [])
+            bufs = {c: list(tup[1 + i] or [])
+                    for i, c in enumerate(payload_cols)}
+            flushed = tup[1 + len(payload_cols)]
+            inner = tuple(tup[2 + len(payload_cols):])
+            if all(v is None for v in inner):
+                inner = None
+        else:
+            buf_ts, bufs = [], {c: [] for c in payload_cols}
+            flushed, inner = -1, None
+
+        pdf = whole_batch(pdf_iter, ts_col)
+        if pdf is not None:
+            ts_ms = (pdf[ts_col].astype("int64") // 1_000_000).to_numpy()
+            # stragglers beyond D: already folded past — DROP, never
+            # fold out of order (the candle path's same drop contract)
+            fresh = ts_ms > flushed
+            buf_ts.extend(ts_ms[fresh].tolist())
+            for c in payload_cols:
+                bufs[c].extend(pdf[c].to_numpy()[fresh].tolist())
+
+        out = None
+        if buf_ts:
+            ts_arr = np.asarray(buf_ts, dtype="int64")
+            order = np.argsort(ts_arr, kind="stable")
+            sealed = ts_arr[order] <= wm
+            if sealed.any():
+                ready_idx = order[sealed]
+                keep_idx = order[~sealed]
+                ready_ts = ts_arr[ready_idx]
+                ready_payload = {}
+                for c in payload_cols:
+                    arr = np.asarray(bufs[c])
+                    ready_payload[c] = arr[ready_idx]
+                    bufs[c] = arr[keep_idx].tolist()
+                buf_ts = ts_arr[keep_idx].tolist()
+                out, inner = fold(k, ready_ts, ready_payload, inner)
+                flushed = wm
+
+        inner_vals = tuple(inner) if inner is not None \
+            else (None,) * n_inner
+        state.update((buf_ts,
+                      *[bufs[c] for c in payload_cols],
+                      flushed, *inner_vals))
+        if buf_ts:
+            # wake this key when the watermark next advances, even if
+            # no new rows arrive for it (must be strictly > current wm)
+            state.setTimeoutTimestamp(max(wm + 1, min(buf_ts)))
+        if out is not None and len(out):
+            yield out
+
+    return (rows
+            .withWatermark(ts_col, watermark)
+            .groupBy(key_col)
+            .applyInPandasWithState(
+                process, out_schema, state_schema, "append",
+                GroupStateTimeout.EventTimeTimeout))
+
+
+def reordered_ema(ticks: DataFrame, alpha: float = 0.2,
+                  price_col: str = "value",
+                  watermark: str = "1 hour") -> DataFrame:
+    """The streaming EMA behind the reorder stage: identical recursion
+    to ``streaming_ema_applyinpandas`` (pandas ewm(adjust=False)
+    continuing the exact IEEE-double fold), but correct under
+    out-of-order arrival ACROSS micro-batches up to the watermark
+    delay. Input columns: (key, event_time, <price_col>)."""
+    import pandas as pd
+
+    def fold(k, ts_ms, payload, inner):
+        prev = inner[0] if inner is not None else None
+        prices = pd.Series(payload[price_col], dtype="float64")
+        if prev is None:
+            series, skip = prices, 0
+        else:
+            series = pd.concat([pd.Series([prev]), prices],
+                               ignore_index=True)
+            skip = 1
+        ema = series.ewm(alpha=alpha, adjust=False).mean().iloc[skip:]
+        out = pd.DataFrame({
+            "key": k,
+            "event_time": pd.to_datetime(ts_ms, unit="ms"),
+            "price": prices.to_numpy(),
+            "ema": ema.to_numpy(),
+        })
+        return out, (float(ema.iloc[-1]),)
+
+    return reordered_fold(
+        ticks, "event_time", [price_col], ["double"], "key",
+        "ema double",
+        "key string, event_time timestamp, price double, ema double",
+        fold, watermark)

@@ -15,8 +15,11 @@ filters the batch oracle (WHERE NOT is_current).
 Order contract (same as ema_stream / bars_stream): rows fold in
 (ts, event_id) order within a batch, batches arrive in per-key time
 order (the replay harness's time-range bucketing guarantees it, and
-equal-ts rows can never straddle buckets); production gets it from a
-watermark + ordered upstream.
+equal-ts rows can never straddle buckets). A production source that
+interleaves across micro-batches composes the watermark-buffered
+reorder stage in front of the fold instead — `streaming/reorder.py`,
+whose cross-batch out-of-order contract is pinned by the
+`ema_ooo_stream_replay` driver gate.
 """
 
 from __future__ import annotations
