@@ -321,6 +321,7 @@ def imbalance_bars(ticks: DataFrame, threshold: int = 7) -> DataFrame:
     frame. Parallelism unit is the shuffle partition; the recursion
     itself stays serial per instrument, which is inherent.
     """
+    import numpy as np
     import pandas as pd
 
     cols = ["key", "bar", "n_ticks", "n_buy", "n_sell", "imbalance",
@@ -341,40 +342,120 @@ def imbalance_bars(ticks: DataFrame, threshold: int = 7) -> DataFrame:
             return (key, bar, n, buy, sell, imb,
                     open_px, seen_px, t_open, seen_ts)
 
+        def run_segment(px, ts, out):
+            # Fully vectorized block-scan of one key's slice of one
+            # Arrow batch. The recursion (imbalance resets at each bar
+            # close) LOOKS sequential, but every tick moves the running
+            # imbalance by -1/0/+1, so the running total in global
+            # sign-cumsum space is imb_carry + C_i with bar bases
+            # confined to the lattice {-imb_carry + k*threshold}: a bar
+            # closes exactly at each index where C touches a lattice
+            # point WHOSE VALUE DIFFERS from the previous touch
+            # (touching the current base again is imbalance 0, not a
+            # close). Closes, per-bar counters, opens and closes are
+            # therefore all fancy-indexed numpy — zero per-tick AND
+            # zero per-bar Python.
+            nonlocal bar, n, buy, sell, imb, open_px, t_open, \
+                prev, last, seen_px, seen_ts
+            m = len(px)
+            d = np.empty(m)
+            d[0] = px[0] - prev  # NaN when no previous price
+            if m > 1:
+                d[1:] = px[1:] - px[:-1]
+            raw = np.where(d > 0, 1, np.where(d < 0, -1, 0))
+            # carry-through-flat: forward-fill the last nonzero sign,
+            # seeded by the carried direction (0 through a key's
+            # leading flat run)
+            nzidx = np.where(raw != 0, np.arange(m), -1)
+            np.maximum.accumulate(nzidx, out=nzidx)
+            s = np.where(nzidx >= 0, raw[np.clip(nzidx, 0, None)],
+                         last).astype(np.int64)
+            C = np.cumsum(s)
+            lat = np.flatnonzero((C + imb) % threshold == 0)
+            if len(lat):
+                v = C[lat]
+                # previous touch's value starts at the in-flight bar's
+                # base (imbalance-0 point), -imb_carry in C-space
+                keep = np.flatnonzero(
+                    np.diff(v, prepend=np.int64(-imb)) != 0)
+                closes = lat[keep]
+            else:
+                closes = lat  # empty
+            Cb = np.cumsum(s == 1)
+            Cs = np.cumsum(s == -1)
+            nb = len(closes)
+            if nb:
+                starts = np.empty(nb, dtype=np.int64)
+                starts[0] = 0
+                starts[1:] = closes[:-1] + 1
+
+                def before(A):  # A[start-1], 0 when start == 0
+                    return np.where(starts > 0,
+                                    A[np.maximum(starts - 1, 0)], 0)
+
+                n_ticks = closes - starts + 1
+                buys = Cb[closes] - before(Cb)
+                sells = Cs[closes] - before(Cs)
+                imbs = C[closes] - before(C)  # ±threshold (first: -carry)
+                opens = px[starts].astype("float64").copy()
+                topens = ts[starts].copy()
+                # first close may complete the carried in-flight bar
+                n_ticks[0] += n
+                buys[0] += buy
+                sells[0] += sell
+                imbs[0] += imb
+                if n > 0:
+                    opens[0] = open_px
+                    topens[0] = t_open
+                out.append(pd.DataFrame({
+                    "key": key,
+                    "bar": bar + np.arange(nb, dtype=np.int64),
+                    "n_ticks": n_ticks, "n_buy": buys, "n_sell": sells,
+                    "imbalance": imbs, "open": opens,
+                    "close": px[closes].astype("float64"),
+                    "t_open_ms": topens, "t_close_ms": ts[closes]}))
+                bar += nb
+                tail = int(closes[-1]) + 1
+                n = m - tail
+                if n > 0:
+                    jc = closes[-1]
+                    buy = int(Cb[m - 1] - Cb[jc])
+                    sell = int(Cs[m - 1] - Cs[jc])
+                    imb = int(C[m - 1] - C[jc])
+                    open_px, t_open = float(px[tail]), int(ts[tail])
+                else:
+                    buy = sell = imb = 0
+            else:  # no close in this slice: all of it stays in-flight
+                if n == 0:
+                    open_px, t_open = float(px[0]), int(ts[0])
+                n += m
+                buy += int(Cb[m - 1])
+                sell += int(Cs[m - 1])
+                imb += int(C[m - 1])
+            prev, last = float(px[-1]), int(s[-1])
+            seen_px, seen_ts = float(px[-1]), int(ts[-1])
+
         for pdf in batches:
             ks = pdf["key"].to_numpy()
-            px = pdf["ask"].to_numpy()
+            px = pdf["ask"].astype("float64").to_numpy()
             ts = (pdf["event_time"].astype("int64")
                   // 1_000_000).to_numpy()
             out = []
-            for i in range(len(ks)):
-                p, t = float(px[i]), int(ts[i])
-                if ks[i] != key:
+            # contiguous key segments (input is sorted by (key, time))
+            bounds = np.flatnonzero(ks[1:] != ks[:-1]) + 1 \
+                if len(ks) > 1 else np.array([], dtype=np.int64)
+            for lo, hi in zip(np.r_[0, bounds], np.r_[bounds, len(ks)]):
+                if ks[lo] != key:
                     if key is not None and n > 0:
-                        out.append(partial())
-                    key = ks[i]
+                        out.append(pd.DataFrame([partial()],
+                                                columns=cols))
+                    key = ks[lo]
                     bar = n = buy = sell = imb = 0
                     prev, last = float("nan"), 0
-                if prev == prev:  # not NaN
-                    if p > prev:
-                        last = 1
-                    elif p < prev:
-                        last = -1
-                prev = p
-                if n == 0:
-                    open_px, t_open = p, t
-                n += 1
-                imb += last  # 0 through a key's leading flat run
-                buy += last == 1
-                sell += last == -1
-                seen_px, seen_ts = p, t
-                if abs(imb) >= threshold:
-                    out.append((key, bar, n, buy, sell, imb,
-                                open_px, p, t_open, t))
-                    bar += 1
-                    n = buy = sell = imb = 0
+                run_segment(px[lo:hi], ts[lo:hi], out)
             if out:
-                yield pd.DataFrame(out, columns=cols)
+                yield pd.concat(out, ignore_index=True) \
+                    if len(out) > 1 else out[0]
         if key is not None and n > 0:
             yield pd.DataFrame([partial()], columns=cols)
 
