@@ -75,8 +75,15 @@ def main() -> None:
       FROM (SELECT *, string_split(text, ' ') AS words
             FROM read_parquet('{SRC}/documents.parquet')) d
       CROSS JOIN reps r
-    ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
+    ) TO '{DST}/documents.parquet'
+      (FORMAT PARQUET, ROW_GROUP_SIZE 4096)
     """)
+    # ROW_GROUP_SIZE 4096: DuckDB's default row-group size (122,880
+    # rows) puts the whole 10x documents replica (50k rows) in ONE row
+    # group = ONE Spark task regardless of maxPartitionBytes — the 10x
+    # decade then measures a single-task file, not the engine
+    # (SCALE.md diagnosed this via the openCostInBytes falsification
+    # test). 4096-row groups give the 10x file ~13 splittable units.
 
     # embeddings: rotate components by i and nudge by i*0.01
     con.execute(f"""
