@@ -831,3 +831,105 @@ GROUP BY c.c_custkey, c.c_name, n.n_name
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
 """
+
+
+# ---- q21: waiting suppliers (the full multi-EXISTS chain) -------------------
+
+Q21_LATE_DAYS = 60
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full TPC-H q21 — suppliers whose late line was the ONLY late
+    line in a finished multi-supplier order, ranked by how many such
+    lines they have (top-100). Adaptations to the driver's schema,
+    stated: lineitem has no commit/receipt dates, so "late" is
+    l_shipdate more than Q21_LATE_DAYS past the order date (needs the
+    orders join q21 has anyway); and the single-nation filter of stock
+    q21 is vacuous at small SF here (waiting suppliers land in
+    different nations per SF in this generator), so the broadcast
+    nation dim becomes an output attribute instead of a predicate —
+    same plan shape, non-vacuous at every SF.
+
+    SPARK-FIRST SHAPE (reference q21 shape: two correlated EXISTS →
+    two lineitem self-joins, `q_waiting_suppliers` keeps that form):
+    the exists/not-exists pair decorrelates into ONE pass of per-order
+    aggregates — per (order, supplier) count late lines (map-side
+    combined, so the shuffle carries one row per order-supplier pair,
+    not per line), then per order count suppliers and late suppliers
+    with a window at that already-reduced grain (one more exchange of
+    the TINY combined frame — deliberately NOT a pre-repartition by
+    order key, which would shuffle raw lines without combining).
+    A supplier "waits" in an order iff it is late there,
+    the order has >= 2 distinct suppliers (EXISTS), and exactly one
+    distinct late supplier — itself (NOT EXISTS). lineitem is scanned
+    ONCE (the self-join form scans it three times), dims broadcast,
+    and the oracle below runs the INDEPENDENT classic correlated
+    EXISTS formulation, so the hash match also proves the
+    decorrelation. Top-100 by (numwait DESC, s_name) — a total order,
+    TakeOrdered, never a full sort."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    fin = (orders.where(F.col("o_orderstatus") == "F")
+           .select("o_orderkey", "o_orderdate"))
+    late = (F.col("l_shipdate")
+            > F.col("o_orderdate")
+            + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")).cast("long")
+    per_supp = (li.select("l_orderkey", "l_suppkey", "l_shipdate")
+                .join(fin, li.l_orderkey == fin.o_orderkey)
+                .groupBy("l_orderkey", "l_suppkey")
+                .agg(F.sum(late).alias("n_late")))
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_supp.select(
+        "l_suppkey", "n_late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum((F.col("n_late") > 0).cast("long")).over(w)
+        .alias("n_late_supp"))
+    waits = (flagged.where((F.col("n_late") > 0)
+                           & (F.col("n_supp") >= 2)
+                           & (F.col("n_late_supp") == 1))
+             .groupBy("l_suppkey")
+             .agg(F.sum("n_late").cast("long").alias("numwait")))
+    return (waits
+            .join(F.broadcast(supplier.select(
+                "s_suppkey", "s_name", "s_nationkey")),
+                waits.l_suppkey == F.col("s_suppkey"))
+            .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_name", F.col("n_name").alias("nation"), "numwait")
+            .orderBy(F.desc("numwait"), F.asc("s_name"))
+            .limit(100))
+
+
+QUERIES["tpch_q21"] = q_tpch_q21
+
+# classic correlated EXISTS / NOT EXISTS formulation — independent of
+# the Spark side's single-pass decorrelation, so the hash match proves
+# the rewrite, not just the arithmetic
+ORACLE["tpch_q21"] = f"""
+WITH fin AS (
+  SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+)
+SELECT s.s_name, n.n_name AS nation, CAST(count(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN fin f ON l1.l_orderkey = f.o_orderkey
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE l1.l_shipdate > f.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN fin f3 ON l3.l_orderkey = f3.o_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate
+                        > f3.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY)
+GROUP BY s.s_name, n.n_name
+ORDER BY numwait DESC, s.s_name ASC
+LIMIT 100
+"""

@@ -593,3 +593,17 @@ def test_value_sorted_layout_prunes_row_groups(spark, sf_dir, tmp_path):
     a = spark.read.parquet(str(tmp_path / "sorted")).where(pred).count()
     b = spark.read.parquet(str(tmp_path / "plain")).where(pred).count()
     assert a == b
+
+
+def test_tpch_q21_single_pass_plan(spark, sf_dir):
+    """Full q21 (round 10): the decorrelated single-pass form must scan
+    lineitem exactly ONCE (the correlated EXISTS/NOT-EXISTS form scans
+    it three times), never go cartesian/nested-loop, and broadcast the
+    supplier+nation dims."""
+    q = all_queries()["tpch_q21"](spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 1, (
+        "tpch_q21 must scan lineitem exactly once")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert broadcast_join_count(q) >= 2, "supplier+nation must broadcast"
