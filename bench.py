@@ -102,6 +102,9 @@ HEADLINE = [
     # cross-sectional momentum long-short capstone
     "doc_chunks",
     "fx_momentum_ls",
+    # round 10: full q21 as a single-pass decorrelation (one lineitem
+    # scan; the hardest classic join shape)
+    "tpch_q21",
 ]
 
 

@@ -339,6 +339,14 @@ def main() -> None:
             fromlist=["streaming_scd2"]).streaming_scd2(
             ev_src().select("user_id", "ts", "event_id",
                             "event_type"))),
+        # round 10: the watermark-buffered reorder stage ahead of the
+        # EMA fold — state = per-key within-D buffer + the O(1) inner
+        # fold state; the lane prices what order-insensitivity costs
+        # vs the plain ema_state fold above
+        ("reordered_ema_state", lambda: __import__(
+            "data_timeseries_java_spark.streaming.reorder",
+            fromlist=["reordered_ema"]).reordered_ema(
+            tick_src(), price_col="ask", watermark="10 minutes")),
     ]
 
     # isolation hook, mirroring bench.py: SPARK_GRAFT_STREAM_OPS="a,b"
