@@ -933,3 +933,64 @@ GROUP BY s.s_name, n.n_name
 ORDER BY numwait DESC, s.s_name ASC
 LIMIT 100
 """
+
+
+# ---- q4: order-priority checking --------------------------------------------
+
+Q4_QUARTER_START = "1996-01-01"
+Q4_QUARTER_END = "1996-04-01"
+Q4_LATE_DAYS = 30
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4 shape: per order priority, how many of a quarter's
+    orders contain at least one LATE line — the correlated EXISTS whose
+    subquery references BOTH tables' columns (l_shipdate vs the outer
+    o_orderdate; stock q4 compares commit vs receipt dates, which this
+    schema lacks — adaptation stated).
+
+    SPARK-FIRST SHAPE: EXISTS(line later than o_orderdate + D) is
+    equivalent to max(l_shipdate) per order > o_orderdate + D, so the
+    correlated EXISTS decorrelates into ONE map-side-combined scalar
+    aggregate — the shuffle carries one (orderkey, max_ship) row per
+    order instead of every line (the semi-join form sort-merges the
+    FULL fact). A ship-date prefilter is pushed to the parquet scan:
+    any qualifying line ships after quarter_start + D, because the
+    outer order's date is >= quarter_start — so row groups outside the
+    window never leave storage. The oracle runs the INDEPENDENT
+    classic correlated EXISTS, so the hash match proves the rewrite."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    o = orders.where(
+        (F.col("o_orderdate") >= Q4_QUARTER_START)
+        & (F.col("o_orderdate") < Q4_QUARTER_END))
+    ship_floor = (F.lit(Q4_QUARTER_START).cast("timestamp")
+                  + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS"))
+    mx = (li.where(F.col("l_shipdate") > ship_floor)
+          .groupBy("l_orderkey")
+          .agg(F.max("l_shipdate").alias("max_ship")))
+    late = (F.col("max_ship")
+            > F.col("o_orderdate")
+            + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS"))
+    return (o.join(mx, o.o_orderkey == mx.l_orderkey)
+            .where(late)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+QUERIES["order_priority_check"] = q_order_priority_check
+
+ORACLE["order_priority_check"] = f"""
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '{Q4_QUARTER_START}'
+  AND o.o_orderdate < DATE '{Q4_QUARTER_END}'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate
+                    > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""

@@ -607,3 +607,13 @@ def test_tpch_q21_single_pass_plan(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert broadcast_join_count(q) >= 2, "supplier+nation must broadcast"
+    # q4: the EXISTS decorrelates to a map-side-combined per-order max
+    # (one lineitem scan, ship-date filter pushed to parquet), never a
+    # nested-loop
+    q4 = all_queries()["order_priority_check"](spark, sf_dir)
+    plan4 = q4._jdf.queryExecution().executedPlan().toString()
+    assert plan4.count("lineitem.parquet") == 1
+    assert "BroadcastNestedLoop" not in plan4
+    assert "CartesianProduct" not in plan4
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" \
+        in plan4, "ship-date prefilter must reach the parquet scan"
