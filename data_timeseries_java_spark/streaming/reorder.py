@@ -164,3 +164,101 @@ def reordered_ema(ticks: DataFrame, alpha: float = 0.2,
         "ema double",
         "key string, event_time timestamp, price double, ema double",
         fold, watermark)
+
+
+def reordered_tick_bars(ticks: DataFrame, bar_size: int = 50,
+                        price_col: str = "ask",
+                        watermark: str = "1 hour") -> DataFrame:
+    """Count-based tick bars behind the reorder stage — identical bar
+    semantics to ``bars_stream.streaming_tick_bars`` (emit completed
+    bars, carry the in-flight partial), correct when a key's ticks
+    interleave out of order across micro-batches within the watermark
+    delay. Input columns: (key, event_time, <price_col>)."""
+    import numpy as np
+    import pandas as pd
+
+    def fold(k, ts_ms, payload, inner):
+        if inner is not None:
+            total, pn, po, ph, pl, pto = inner
+        else:
+            total, pn = 0, 0
+            po = ph = pl = 0.0
+            pto = 0
+        px = np.asarray(payload[price_col], dtype="float64")
+        pos = total + np.arange(len(px))
+        bars = pos // bar_size
+        out_rows = []
+        for b in np.unique(bars):
+            m = bars == b
+            bpx, bts = px[m], ts_ms[m]
+            if pn and b == total // bar_size and total % bar_size:
+                o, hi = po, max(ph, float(bpx.max()))
+                lo, to = min(pl, float(bpx.min())), pto
+                n = pn + int(m.sum())
+            else:
+                o, hi = float(bpx[0]), float(bpx.max())
+                lo, to = float(bpx.min()), int(bts[0])
+                n = int(m.sum())
+            if n == bar_size:
+                out_rows.append((k, int(b), n, o, hi, lo,
+                                 float(bpx[-1]), to, int(bts[-1])))
+            else:
+                pn, po, ph, pl, pto = n, o, hi, lo, to
+        total += len(px)
+        if total % bar_size == 0:
+            pn = 0
+        out = pd.DataFrame(
+            out_rows, columns=["key", "bar", "n_ticks", "open", "high",
+                               "low", "close", "t_open_ms",
+                               "t_close_ms"])
+        return out, (total, pn, po, ph, pl, pto)
+
+    return reordered_fold(
+        ticks, "event_time", [price_col], ["double"], "key",
+        ("total long, n long, open double, high double, low double, "
+         "t_open_ms long"),
+        ("key string, bar long, n_ticks long, open double, high double, "
+         "low double, close double, t_open_ms long, t_close_ms long"),
+        fold, watermark)
+
+
+def reordered_scd2(events: DataFrame,
+                   watermark: str = "1 hour") -> DataFrame:
+    """Streaming SCD2 behind the reorder stage — identical version
+    semantics to ``scd2_stream.streaming_scd2`` (emit closed versions,
+    keep the open one in state), correct when a user's change-log rows
+    interleave out of order across micro-batches within the watermark
+    delay. Ties on ts break on event_id, the same contract as the
+    batch history build. Input columns: (user_id, ts, event_id,
+    event_type)."""
+    import numpy as np
+    import pandas as pd
+
+    def fold(uid, ts_ms, payload, inner):
+        attr, vfrom, ver = inner if inner is not None else (None, 0, 0)
+        # event_id tie-break WITHIN equal timestamps (ts_ms arrives
+        # pre-sorted by the stage; argsort here is stable, so sorting
+        # by event_id only within runs of equal ts preserves ts order)
+        eid = np.asarray(payload["event_id"], dtype="int64")
+        order = np.lexsort((eid, ts_ms))
+        types = np.asarray(payload["event_type"], dtype=object)[order]
+        ts_sorted = ts_ms[order]
+        out = []
+        for i in range(len(types)):
+            a, t = str(types[i]), int(ts_sorted[i])
+            if attr is None:
+                attr, vfrom, ver = a, t, 1
+            elif a != attr:
+                out.append((int(uid), ver, attr, vfrom, t - 1, False))
+                attr, vfrom, ver = a, t, ver + 1
+        return (pd.DataFrame(
+            out, columns=["user_id", "version", "attr", "valid_from_ms",
+                          "valid_to_ms", "is_current"]),
+            (attr, vfrom, ver))
+
+    return reordered_fold(
+        events, "ts", ["event_id", "event_type"], ["long", "string"],
+        "user_id", "attr string, valid_from long, version long",
+        ("user_id long, version long, attr string, valid_from_ms long, "
+         "valid_to_ms long, is_current boolean"),
+        fold, watermark)
