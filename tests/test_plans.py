@@ -191,7 +191,9 @@ _ITERATIVE_QUERIES = {"dedup_clusters", "dedup_keep_list",
                       "vwap_stream_replay", "tick_bars_stream_replay",
                       "psi_stream_replay", "imbalance_bars_stream_replay",
                       "late_data_stream_replay", "scd2_stream_replay",
-                      "late_data_state_stream_replay"}
+                      "late_data_state_stream_replay",
+                      "allowed_lateness_stream_replay",
+                      "ema_ooo_stream_replay", "stream_join_replay"}
 
 
 
