@@ -62,8 +62,16 @@ from data_timeseries_java_spark.streaming.topk_stream import (
 from data_timeseries_java_spark.streaming.vol_stream import (
     streaming_realized_volatility,
 )
+from data_timeseries_java_spark.streaming.reorder import (
+    reordered_ema,
+    reordered_fold,
+    reordered_scd2,
+    reordered_tick_bars,
+)
 
 __all__ = ["streaming_ohlc_candles", "streaming_complete_candles",
+           "reordered_fold", "reordered_ema", "reordered_tick_bars",
+           "reordered_scd2",
            "sessionize", "streaming_sessions", "streaming_neardup",
            "streaming_corpus_build", "streaming_anomalies",
            "streaming_dedup_exact", "streaming_dedup_content",
