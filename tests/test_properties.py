@@ -285,3 +285,103 @@ def test_bar_trilogy_invariants_random_streams(spark, ticks):
             assert abs(b.imbalance) == thr
         else:
             assert abs(b.imbalance) <= thr
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    moves=st.lists(st.sampled_from([-1, -1, 0, 0, 0, 1, 1]),
+                   min_size=1, max_size=300),
+    threshold=st.integers(1, 9),
+    batch=st.integers(1, 64),
+    keys=st.integers(1, 3),
+    carry_split=st.integers(0, 299),
+)
+def test_imbalance_lattice_fold_equals_per_tick_reference(
+        moves, threshold, batch, keys, carry_split):
+    """The round-10 lattice-vectorized imbalance fold must equal the
+    per-tick reference recursion EXACTLY for any price path (flats,
+    reversals), any threshold, any Arrow batch split (including
+    splits mid-bar and mid-key), and any number of key segments —
+    the pure-python fold below IS the spec (same logic the recursive
+    CTE oracle replays)."""
+    import numpy as np
+    import pandas as pd
+
+    import data_timeseries_java_spark.operators.bars as B
+    import unittest.mock as um
+
+    # build a multi-key frame: same move sequence split across keys
+    n = len(moves)
+    px = 100.0 + np.cumsum(np.asarray(moves, dtype="float64")) * 0.5
+    ks = np.repeat([f"K{i}" for i in range(keys)],
+                   [n // keys + (1 if i < n % keys else 0)
+                    for i in range(keys)])
+    ts = pd.to_datetime(np.arange(n) * 1000, unit="ms")
+    pdf = pd.DataFrame({"key": ks, "event_time": ts, "ask": px})
+
+    captured = {}
+
+    class FakeDF:
+        def where(self, *a): return self
+        def select(self, *a): return self
+        def repartition(self, *a): return self
+        def sortWithinPartitions(self, *a): return self
+        def mapInPandas(self, fold, schema):
+            captured["fold"] = fold
+            return None
+
+    with um.patch.object(B, "F") as fx:
+        fx.col = lambda c: None
+        B.imbalance_bars(FakeDF(), threshold=threshold)
+    batches = [pdf.iloc[i:i + batch] for i in range(0, n, batch)]
+    got = list(captured["fold"](iter(batches)))
+    got = (pd.concat(got, ignore_index=True) if got
+           else pd.DataFrame(columns=[
+               "key", "bar", "n_ticks", "n_buy", "n_sell", "imbalance",
+               "open", "close", "t_open_ms", "t_close_ms"]))
+
+    # per-tick reference (the spec)
+    ref = []
+    key = None
+    bar = nn = buy = sell = imb = 0
+    open_px = 0.0
+    t_open = 0
+    prev = float("nan")
+    last = 0
+    ts_ms = (np.arange(n) * 1000).astype("int64")
+    for i in range(n):
+        p, t = float(px[i]), int(ts_ms[i])
+        if ks[i] != key:
+            if key is not None and nn > 0:
+                ref.append((key, bar, nn, buy, sell, imb,
+                            open_px, pprev, t_open, tprev))
+            key = ks[i]
+            bar = nn = buy = sell = imb = 0
+            prev, last = float("nan"), 0
+        if prev == prev:
+            if p > prev:
+                last = 1
+            elif p < prev:
+                last = -1
+        prev = p
+        if nn == 0:
+            open_px, t_open = p, t
+        nn += 1
+        imb += last
+        buy += last == 1
+        sell += last == -1
+        pprev, tprev = p, t
+        if abs(imb) >= threshold:
+            ref.append((key, bar, nn, buy, sell, imb, open_px, p,
+                        t_open, t))
+            bar += 1
+            nn = buy = sell = imb = 0
+    if key is not None and nn > 0:
+        ref.append((key, bar, nn, buy, sell, imb, open_px, pprev,
+                    t_open, tprev))
+    refdf = pd.DataFrame(ref, columns=list(got.columns))
+    assert len(got) == len(refdf)
+    if len(got):
+        for c in got.columns:
+            assert (got[c].to_numpy() == refdf[c].to_numpy()).all(), c
