@@ -76,8 +76,15 @@ def quality_columns(text_col: str = "text") -> dict[str, Column]:
     t = tokens(F.col(text_col))
     n_tok = F.size(t).cast("double")
     n_chars = F.length(text_col).cast("double")
-    n_punct = n_chars - F.length(
-        F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9 ]", ""))
+    # punct count via translate (char-map), NOT regexp_replace: the
+    # regex rebuild of every document was the single hottest expression
+    # in the fused corpus scan (26s of a 26s quality projection at the
+    # 100x decade; 10x faster as translate). Equivalent by definition:
+    # both count code points outside [A-Za-z0-9 ], and the DuckDB
+    # oracle keeps the regexp formulation as the independent derivation.
+    _alnum = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+              "abcdefghijklmnopqrstuvwxyz0123456789 ")
+    n_punct = F.length(F.translate(F.col(text_col), _alnum, ""))
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x))).cast("double")
     mean_tok_len = (n_chars - (n_tok - 1)) / F.greatest(n_tok, F.lit(1.0))
