@@ -339,23 +339,27 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
         lambda s: s.isNotNull())
     tagged = F.concat(F.transform(t, lambda x: F.concat(F.lit("t:"), x)),
                       F.transform(big, lambda x: F.concat(F.lit("b:"), x)))
+    # ONLY (id, gram) rides the explode. Projecting size(t)/size(big)
+    # ALONGSIDE the generator put those expressions above GenerateExec,
+    # where Catalyst re-evaluates the entire token/bigram array
+    # construction once PER GENERATED GRAM — O(len^2) per document,
+    # measured as 241s of a 252s lane at the 100x decade (3.2s without
+    # the ride-along columns). The totals are recovered for free from
+    # the tagged counts themselves: sum of t:-gram counts IS the token
+    # total, sum of b:-gram counts IS the bigram total.
     grams = df.select(
         F.col(id_col),
-        F.size(t).alias("n_tok"),
-        F.size(big).alias("n_big"),
         F.explode(tagged).alias("gram"))
     counts = grams.groupBy(id_col, "gram").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.first("n_tok").alias("n_tok"),
-        F.first("n_big").alias("n_big"))
+        F.count(F.lit(1)).alias("cnt"))
     is_tok = F.col("gram").startswith("t:")
     per_doc = counts.groupBy(id_col).agg(
         F.max(F.when(is_tok, F.col("cnt"))).alias("top_tok"),
         F.max(F.when(~is_tok, F.col("cnt"))).alias("top_big"),
         F.count(F.when(is_tok, F.lit(1))).alias("n_tok_distinct"),
         F.count(F.when(~is_tok, F.lit(1))).alias("n_big_distinct"),
-        F.first("n_tok").alias("n_tok"),
-        F.first("n_big").alias("n_big"))
+        F.sum(F.when(is_tok, F.col("cnt")).otherwise(0)).alias("n_tok"),
+        F.sum(F.when(~is_tok, F.col("cnt")).otherwise(0)).alias("n_big"))
     top_token_frac = _floor6(F.coalesce(F.col("top_tok"), F.lit(0))
                              / F.greatest(F.col("n_tok"), F.lit(1)))
     top_bigram_frac = _floor6(F.coalesce(F.col("top_big"), F.lit(0))

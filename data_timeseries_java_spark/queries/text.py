@@ -926,22 +926,28 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     share of a document's DISTINCT word trigrams whose FIRST corpus
     occurrence is this document (first occurrence = min doc_id over
     the gram) — the curation signal for repeated boilerplate and
-    memorized spans accumulating over a crawl. One explode + one gram
-    groupBy + one join back; grams never leave their hash partition
-    twice."""
+    memorized spans accumulating over a crawl.
+
+    Gram construction is posexplode + two window leads at token grain
+    (one doc-keyed shuffle), NOT a transform-lambda over a slice of
+    the token array: Catalyst inlines the `split` into every
+    element_at of the lambda (no CSE inside higher-order functions),
+    which re-tokenized the document once per gram — measured 114s at
+    the 100x decade vs 9.3s for this shape (same trap the
+    repetition_signals fix closed on the ride-along-column side)."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), r"\s+")
-    grams = (docs.select(
-        "doc_id",
-        F.explode(F.transform(
-            F.slice(toks, 1, F.greatest(F.size(toks) - NOVELTY_K + 1,
-                                        F.lit(0))),
-            lambda _, i: F.concat_ws(
-                " ", F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3)))).alias("gram"))
-        .where(F.col("gram") != "")
-        .distinct())
+    pos = docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t3 = F.lead("tok", NOVELTY_K - 1).over(w)
+    gram = F.concat_ws(
+        " ", F.col("tok"), F.lead("tok", 1).over(w), t3)
+    grams = (pos.select("doc_id", t3.alias("t3"), gram.alias("gram"))
+             .where(F.col("t3").isNotNull() & (F.col("gram") != ""))
+             .select("doc_id", "gram")
+             .distinct())
     first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (grams.join(first, "gram")
                .groupBy("doc_id")
