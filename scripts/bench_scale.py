@@ -70,7 +70,12 @@ QUERIES = ["dedup_minhash_lsh", "corpus_build", "ann_lsh",
            # round-9 batch 3
            "ship_lag_quantiles", "cohort_ltv", "fx_hourly_seasonality",
            "fx_mean_correlation", "user_event_entropy",
-           "text_burstiness"]
+           "text_burstiness",
+           # round 10: single-pass q21/q4 decorrelations; the two
+           # HOF-trap fixes (repetition/novelty) so their decades stay
+           # measured post-fix
+           "tpch_q21", "order_priority_check", "text_repetition",
+           "text_novelty"]
 
 
 def bench(spark, qs, name, sf_dir, n):
