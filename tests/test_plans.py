@@ -619,3 +619,25 @@ def test_tpch_q21_single_pass_plan(spark, sf_dir):
     assert "CartesianProduct" not in plan4
     assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" \
         in plan4, "ship-date prefilter must reach the parquet scan"
+
+
+def test_hof_traps_stay_fixed(spark, sf_dir):
+    """Round-10 quadratic-HOF regression pins (SCALE.md §hof-audit):
+    Catalyst does no CSE inside higher-order-function lambdas, so
+    (1) an array-size expression riding a generator projection and
+    (2) element_at(<split expr>, i) inside a transform lambda both
+    re-build the source array once per generated row — O(len^2) per
+    document. The fixes removed those expression shapes entirely; if
+    either substring reappears in the physical plan, the trap is
+    back."""
+    qs = all_queries()
+    rep = qs["text_repetition"](spark, sf_dir)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "size(split(" not in plan, (
+        "text_repetition: array-size expression re-entered the "
+        "generator projection (re-builds token arrays per gram)")
+    nov = qs["text_novelty"](spark, sf_dir)
+    plan = nov._jdf.queryExecution().executedPlan().toString()
+    assert "element_at(split(" not in plan, (
+        "text_novelty: per-gram element_at over the split output is "
+        "back (re-tokenizes the document per gram)")
