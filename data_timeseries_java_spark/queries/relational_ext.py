@@ -4131,3 +4131,100 @@ SELECT g.user_id,
 FROM g JOIN tot t USING (user_id)
 GROUP BY g.user_id
 """
+
+
+# ---- walk-forward forecast backtest ----------------------------------------
+
+
+def q_walk_forward_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (walk-forward) evaluation of the linear revenue
+    forecaster: for every month, fit OLS revenue-vs-month-index on all
+    PRIOR months only, predict the current month, and report prediction
+    vs actual with the absolute percentage error — the honest way to
+    score a forecaster (the one-shot `value_trend_ols` fit sees its own
+    test data; this never does).
+
+    Exactness: monthly revenue is summed as integer CENTS, and the
+    expanding-window OLS moments (n, Sx, Sy, Sxy, Sx2) are integer
+    window sums over those cents — so slope/intercept are doubles
+    computed from IDENTICAL integers on both engines, and the 6-dp
+    floor quantization can never straddle a summation-order boundary.
+
+    Scale: the expanding window runs over the AGGREGATED month frame
+    (cardinality = months, dozens), not over orders — the single
+    unpartitioned window is a deliberate one-task pass over a tiny
+    frame, downstream of one map-side-combinable month aggregate."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev_cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    monthly = (orders.groupBy(F.trunc("o_orderdate", "month")
+                              .alias("month"))
+               .agg(F.sum(rev_cents).alias("y")))
+    w_ord = Window.orderBy("month")
+    m = monthly.select(
+        F.date_format("month", "yyyy-MM").alias("ym"),
+        F.row_number().over(w_ord).cast("long").alias("x"),
+        "y")
+    wexp = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    n = F.count(F.lit(1)).over(wexp)
+    sx = F.sum("x").over(wexp)
+    sy = F.sum("y").over(wexp)
+    sxy = F.sum(F.col("x") * F.col("y")).over(wexp)
+    sx2 = F.sum(F.col("x") * F.col("x")).over(wexp)
+    f = m.select("ym", "x", "y", n.alias("n"), sx.alias("sx"),
+                 sy.alias("sy"), sxy.alias("sxy"), sx2.alias("sx2"))
+    den = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    b = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+         .cast("double") / den)
+    a = (F.col("sy") - b * F.col("sx")) / F.col("n")
+    pred = a + b * F.col("x")
+    fq6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (f.where((F.col("n") >= 3) & (den != 0))
+            .select(
+                "ym",
+                (F.col("y") / 100).alias("actual"),
+                fq6(pred / 100).alias("predicted"),
+                fq6(F.abs(pred - F.col("y")) / F.col("y")).alias("ape")))
+
+
+QUERIES["walk_forward_forecast"] = q_walk_forward_forecast
+
+ORACLE["walk_forward_forecast"] = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+),
+m AS (
+  SELECT strftime(month, '%Y-%m') AS ym,
+         CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS x, y
+  FROM monthly
+),
+f AS (
+  SELECT ym, x, y,
+         count(*) OVER w AS n,
+         sum(x) OVER w AS sx,
+         sum(y) OVER w AS sy,
+         sum(x * y) OVER w AS sxy,
+         sum(x * x) OVER w AS sx2
+  FROM m
+  WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING)
+),
+p AS (
+  SELECT ym, y, x, n, sx, sy,
+         n * sx2 - sx * sx AS den,
+         CAST(n * sxy - sx * sy AS DOUBLE) / (n * sx2 - sx * sx) AS b
+  FROM f WHERE n >= 3 AND n * sx2 - sx * sx <> 0
+),
+q AS (
+  SELECT ym, y,
+         (sy - b * sx) / n + b * x AS pred
+  FROM p
+)
+SELECT ym, y / 100.0 AS actual,
+       floor(pred / 100.0 * 1000000) / 1000000 AS predicted,
+       floor(abs(pred - y) / y * 1000000) / 1000000 AS ape
+FROM q
+"""
