@@ -321,6 +321,20 @@ def imbalance_bars(ticks: DataFrame, threshold: int = 7) -> DataFrame:
     frame. Parallelism unit is the shuffle partition; the recursion
     itself stays serial per instrument, which is inherent.
     """
+    fold = make_imbalance_fold(threshold)
+
+    return (ticks.where(F.col("is_live"))
+            .select("key", "event_time", "ask")
+            .repartition("key")
+            .sortWithinPartitions("key", "event_time")
+            .mapInPandas(fold, IMBALANCE_OUT_SCHEMA))
+
+
+def make_imbalance_fold(threshold: int):
+    """The imbalance-bar lattice fold as a standalone mapInPandas
+    function — factored out of :func:`imbalance_bars` so tests can
+    drive it with hand-built Arrow chunk sequences (incl. empty
+    chunks, which Arrow may legally yield mid-iterator)."""
     import numpy as np
     import pandas as pd
 
@@ -436,6 +450,9 @@ def imbalance_bars(ticks: DataFrame, threshold: int = 7) -> DataFrame:
             seen_px, seen_ts = float(px[-1]), int(ts[-1])
 
         for pdf in batches:
+            if not len(pdf):
+                continue  # Arrow may yield empty frames; segment math
+                # below assumes >=1 row (ks[lo] on an empty slice raises)
             ks = pdf["key"].to_numpy()
             px = pdf["ask"].astype("float64").to_numpy()
             ts = (pdf["event_time"].astype("int64")
@@ -459,8 +476,4 @@ def imbalance_bars(ticks: DataFrame, threshold: int = 7) -> DataFrame:
         if key is not None and n > 0:
             yield pd.DataFrame([partial()], columns=cols)
 
-    return (ticks.where(F.col("is_live"))
-            .select("key", "event_time", "ask")
-            .repartition("key")
-            .sortWithinPartitions("key", "event_time")
-            .mapInPandas(fold, IMBALANCE_OUT_SCHEMA))
+    return fold

@@ -43,8 +43,9 @@ _MODULES = [fx, relational, relational_ext, tpch_hard, dedup, text,
 # across rounds. Newly added queries are absent here and therefore
 # auto-prioritized.
 _DRIVER_GATED = frozenset({
-    "above_segment_avg", "ann_ivf", "ann_ivf_trained", "ann_lsh",
-    "ann_recall_eval", "ann_truncation_recall", "anomaly_stream_replay",
+    "above_segment_avg", "allowed_lateness_stream_replay", "ann_ivf",
+    "ann_ivf_trained", "ann_lsh", "ann_recall_eval",
+    "ann_truncation_recall", "anomaly_stream_replay",
     "approx_distinct_users", "approx_topk_cms",
     "approx_value_quantiles", "asof_bucketed_stream_replay",
     "asof_purchase_click", "asof_stream_replay", "attribution_linear",
@@ -65,24 +66,24 @@ _DRIVER_GATED = frozenset({
     "distinct_users_by_type", "doc_chunks", "dominant_part_suppliers",
     "dq_expectations", "drawdown_stream_replay", "dsir_importance",
     "dsir_quantile_select", "dsir_resample", "dsir_stream_replay",
-    "ema_stream_replay", "embedding_covariance",
-    "embedding_norm_outliers", "embedding_pca_top",
-    "embedding_quantize", "embedding_srp_sketch", "embedding_stats",
-    "event_ab_test", "event_anomalies", "event_cuped",
-    "event_decay_score", "event_gap_stats", "event_hour_profile",
-    "event_mad_outliers", "event_transitions", "event_winsorize",
-    "events_json_props", "events_k_anonymity", "feature_woe_iv",
-    "forecast_revenue", "funnel_conversion", "funnel_stream_replay",
-    "funnel_time_to_convert", "fx_align_series", "fx_amihud", "fx_atr",
-    "fx_autocorr", "fx_backtest_donchian", "fx_bollinger",
-    "fx_candle_patterns", "fx_candles_bidask", "fx_candles_complete",
-    "fx_candles_interpolated", "fx_candles_ohlc", "fx_candles_rollup",
-    "fx_candles_stream_replay", "fx_cointegration", "fx_corr_headline",
-    "fx_corr_stream_replay", "fx_corr_threshold", "fx_corr_underlying",
-    "fx_corr_user_buckets", "fx_corr_wide", "fx_cross_rate",
-    "fx_cross_zscore", "fx_cusum", "fx_dollar_bars", "fx_donchian",
-    "fx_drawdown", "fx_ema_returns", "fx_ewma_cov", "fx_gapfill_rows",
-    "fx_garch_vol", "fx_half_life", "fx_holt_trend",
+    "ema_ooo_stream_replay", "ema_stream_replay",
+    "embedding_covariance", "embedding_norm_outliers",
+    "embedding_pca_top", "embedding_quantize", "embedding_srp_sketch",
+    "embedding_stats", "event_ab_test", "event_anomalies",
+    "event_cuped", "event_decay_score", "event_gap_stats",
+    "event_hour_profile", "event_mad_outliers", "event_transitions",
+    "event_winsorize", "events_json_props", "events_k_anonymity",
+    "feature_woe_iv", "forecast_revenue", "funnel_conversion",
+    "funnel_stream_replay", "funnel_time_to_convert", "fx_align_series",
+    "fx_amihud", "fx_atr", "fx_autocorr", "fx_backtest_donchian",
+    "fx_bollinger", "fx_candle_patterns", "fx_candles_bidask",
+    "fx_candles_complete", "fx_candles_interpolated", "fx_candles_ohlc",
+    "fx_candles_rollup", "fx_candles_stream_replay", "fx_cointegration",
+    "fx_corr_headline", "fx_corr_stream_replay", "fx_corr_threshold",
+    "fx_corr_underlying", "fx_corr_user_buckets", "fx_corr_wide",
+    "fx_cross_rate", "fx_cross_zscore", "fx_cusum", "fx_dollar_bars",
+    "fx_donchian", "fx_drawdown", "fx_ema_returns", "fx_ewma_cov",
+    "fx_gapfill_rows", "fx_garch_vol", "fx_half_life", "fx_holt_trend",
     "fx_hourly_seasonality", "fx_hurst", "fx_imbalance_bars",
     "fx_index_beta", "fx_kalman_level", "fx_kyle_lambda", "fx_lead_lag",
     "fx_log_returns", "fx_macd", "fx_mean_correlation",
@@ -111,38 +112,38 @@ _DRIVER_GATED = frozenset({
     "monthly_revenue_complete", "moving_avg_range", "moving_median",
     "nation_customer_list", "nation_market_share", "nation_outer_join",
     "nation_profit", "neardup_cosine", "neardup_cosine_auto",
-    "neardup_stream_replay", "neardup_threshold_sweep", "order_ranks",
-    "order_ship_latency", "orders_flag_filter",
-    "orders_with_expensive_items", "packing_efficiency",
-    "part_abc_classification", "part_scalar_functions",
-    "part_supplier_hhi", "pii_scan", "price_quantiles",
-    "pricing_summary", "priority_pivot", "priority_rollup",
-    "profile_lineitem", "promo_revenue", "psi_stream_replay",
-    "quality_classifier", "range_join_event_candle",
-    "recovery_stream_replay", "region_nation_share",
-    "returned_item_report", "revenue_by_nation", "revenue_gini",
-    "revenue_pareto", "rich_idle_customers", "rolling_distinct_users",
-    "salted_event_stats", "scd2_history", "scd2_stream_replay",
-    "scd2_user_status", "seasonal_profile", "semantic_dedup",
-    "semantic_dedup_ann", "semantic_dedup_exact",
+    "neardup_stream_replay", "neardup_threshold_sweep",
+    "order_priority_check", "order_ranks", "order_ship_latency",
+    "orders_flag_filter", "orders_with_expensive_items",
+    "packing_efficiency", "part_abc_classification",
+    "part_scalar_functions", "part_supplier_hhi", "pii_scan",
+    "price_quantiles", "pricing_summary", "priority_pivot",
+    "priority_rollup", "profile_lineitem", "promo_revenue",
+    "psi_stream_replay", "quality_classifier",
+    "range_join_event_candle", "recovery_stream_replay",
+    "region_nation_share", "returned_item_report", "revenue_by_nation",
+    "revenue_gini", "revenue_pareto", "rich_idle_customers",
+    "rolling_distinct_users", "salted_event_stats", "scd2_history",
+    "scd2_stream_replay", "scd2_user_status", "seasonal_profile",
+    "semantic_dedup", "semantic_dedup_ann", "semantic_dedup_exact",
     "semantic_dedup_fixedk", "sequence_packing", "sequence_packing_bpe",
     "sessions_stream_replay", "ship_lag_quantiles", "shipping_priority",
     "small_quantity_revenue", "snapshot_diff", "source_keyness",
     "source_lang_kl", "source_ngram_overlap", "source_token_stats",
-    "status_cube", "stratified_sample", "supplier_share",
-    "text_bigram_lm", "text_bpe_tokens", "text_bpe_tokens_dict",
-    "text_burstiness", "text_collocations", "text_entropy",
-    "text_fingerprint", "text_langid", "text_novelty", "text_quality",
-    "text_readability", "text_repetition", "text_tokens",
-    "text_winnowing", "tfidf_neardup", "tfidf_top_terms",
+    "status_cube", "stratified_sample", "stream_join_replay",
+    "supplier_share", "text_bigram_lm", "text_bpe_tokens",
+    "text_bpe_tokens_dict", "text_burstiness", "text_collocations",
+    "text_entropy", "text_fingerprint", "text_langid", "text_novelty",
+    "text_quality", "text_readability", "text_repetition",
+    "text_tokens", "text_winnowing", "tfidf_neardup", "tfidf_top_terms",
     "tick_bars_stream_replay", "tokenizer_fertility", "top_customers",
-    "top_revenue_supplier", "topk_stream_replay",
+    "top_revenue_supplier", "topk_stream_replay", "tpch_q21",
     "user_behavior_entropy", "user_event_entropy", "user_sessions",
     "user_survival_km", "value_ks_test", "value_psi", "value_trend_ols",
     "value_trend_theilsen", "vocab_zipf", "vocabulary_topk",
     "vol_stream_replay", "volume_shipping", "vwap_stream_replay",
-    "waiting_suppliers", "weekly_new_returning",
-    "weighted_median_price", "window_sampler",
+    "waiting_suppliers", "walk_forward_forecast",
+    "weekly_new_returning", "weighted_median_price", "window_sampler",
 })
 
 

@@ -4146,9 +4146,14 @@ def q_walk_forward_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: monthly revenue is summed as integer CENTS, and the
     expanding-window OLS moments (n, Sx, Sy, Sxy, Sx2) are integer
-    window sums over those cents — so slope/intercept are doubles
-    computed from IDENTICAL integers on both engines, and the 6-dp
-    floor quantization can never straddle a summation-order boundary.
+    window sums over those cents — IDENTICAL integers on both engines.
+    The slope numerator n·Sxy − Sx·Sy is formed in DOUBLES (each moment
+    cast first, mirrored in the oracle): in int64 it would overflow
+    around sf≥100 (Sxy ~1e17 cents·month ⇒ n·Sxy > 2^63), where Spark's
+    non-ANSI wrap would be silently wrong. Casting first keeps both
+    engines on the same IEEE operations in the same order (conversions
+    are exact below 2^53 and round identically above), so the 6-dp
+    floor quantization still matches bit-for-bit.
 
     Scale: the expanding window runs over the AGGREGATED month frame
     (cardinality = months, dozens), not over orders — the single
@@ -4175,8 +4180,11 @@ def q_walk_forward_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = m.select("ym", "x", "y", n.alias("n"), sx.alias("sx"),
                  sy.alias("sy"), sxy.alias("sxy"), sx2.alias("sx2"))
     den = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
-    b = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-         .cast("double") / den)
+    # den stays int64 (x is a month index: Sx2 <= months^3, tiny); the
+    # numerator multiplies cent-scale moments and must be double-first
+    b = ((F.col("n").cast("double") * F.col("sxy").cast("double")
+          - F.col("sx").cast("double") * F.col("sy").cast("double"))
+         / den)
     a = (F.col("sy") - b * F.col("sx")) / F.col("n")
     pred = a + b * F.col("x")
     fq6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
@@ -4215,7 +4223,9 @@ f AS (
 p AS (
   SELECT ym, y, x, n, sx, sy,
          n * sx2 - sx * sx AS den,
-         CAST(n * sxy - sx * sy AS DOUBLE) / (n * sx2 - sx * sx) AS b
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (n * sx2 - sx * sx) AS b
   FROM f WHERE n >= 3 AND n * sx2 - sx * sx <> 0
 ),
 q AS (

@@ -194,3 +194,41 @@ def test_imbalance_bars_invariant_to_arrow_batch_size(spark, ticks):
         spark.conf.set(key, old)
     assert baseline == slivers
     assert len(baseline) > 0
+
+
+def test_imbalance_fold_tolerates_empty_arrow_chunks():
+    """Arrow may legally yield a ZERO-ROW frame anywhere in the
+    mapInPandas iterator; the lattice fold's segment scan assumes >=1
+    row (ks[lo] on an empty slice raised IndexError before the guard).
+    Drive the captured fold directly with empty chunks leading, mid-
+    stream, and trailing, and assert the result equals the no-empties
+    run (state must cross an empty chunk untouched)."""
+    import numpy as np
+    import pandas as pd
+
+    from data_timeseries_java_spark.operators.bars import (
+        make_imbalance_fold,
+    )
+
+    def mk(keys, px, ts):
+        return pd.DataFrame({
+            "key": keys,
+            "ask": np.asarray(px, dtype="float64"),
+            "event_time": pd.to_datetime(
+                np.asarray(ts, dtype="int64") * 1_000_000)})
+
+    empty = mk([], [], [])
+    a = mk(["A"] * 4, [1, 2, 3, 4], [1, 2, 3, 4])
+    b = mk(["A"] * 3 + ["B"] * 2, [5, 6, 7, 10, 11], [5, 6, 7, 1, 2])
+
+    def run(chunks):
+        out = list(make_imbalance_fold(3)(iter(chunks)))
+        return (pd.concat(out, ignore_index=True)
+                .sort_values(["key", "bar"]).reset_index(drop=True)
+                if out else pd.DataFrame())
+
+    base = run([a, b])
+    with_empties = run([empty, a, empty, empty, b, empty])
+    pd.testing.assert_frame_equal(base, with_empties)
+    assert len(base) > 0
+    assert run([empty]).empty and run([]).empty
