@@ -14,9 +14,11 @@ partial; a live stream by definition hasn't finished it yet).
 Order contract (same as ema_stream): rows fold in event-time order
 within a batch, batches arrive in per-key time order (replay
 harness's time-range bucketing). For a source that interleaves
-across micro-batches, compose the watermark-buffered reorder stage
-(`streaming/reorder.py`, pinned by `ema_ooo_stream_replay`) ahead of
-the fold.
+across micro-batches, the watermark-buffered adapters
+`reorder.reordered_tick_bars` and `reorder.reordered_imbalance_bars`
+run the IDENTICAL folds behind the reorder stage, which GUARANTEES
+event-time order up to the watermark delay (driver-gated by
+`imbalance_ooo_stream_replay`).
 """
 
 from __future__ import annotations
@@ -106,6 +108,39 @@ _IMB_STATE_SCHEMA = ("bar long, n long, imb long, buy long, sell long, "
                      "last_dir long")
 
 
+def imbalance_step(k, px, ts, st, threshold: int):
+    """Fold one key's event-time-ASC price/time arrays through the
+    imbalance-bar recursion — shared verbatim by
+    :func:`streaming_imbalance_bars` and the reorder adapter
+    ``reorder.reordered_imbalance_bars``. ``st`` = (bar, n, imb, buy,
+    sell, open, t_open_ms, prev_price, last_dir); returns
+    (completed-bar row tuples, new st)."""
+    import math
+
+    (bar, n, imb, buy, sell, op, to, prev, last) = st
+    out = []
+    for i in range(len(px)):
+        p, t = float(px[i]), int(ts[i])
+        if not math.isnan(prev):
+            if p > prev:
+                last = 1
+            elif p < prev:
+                last = -1
+        prev = p
+        if n == 0:
+            op, to = p, t
+        s = last  # 0 until the key's first price move
+        n += 1
+        imb += s
+        buy += s == 1
+        sell += s == -1
+        if abs(imb) >= threshold:
+            out.append((k, bar, n, buy, sell, imb, op, p, to, t))
+            bar += 1
+            n = imb = buy = sell = 0
+    return out, (bar, n, imb, buy, sell, op, to, prev, last)
+
+
 def streaming_imbalance_bars(ticks: DataFrame, threshold: int = 7,
                              price_col: str = "ask",
                              watermark: str = "0 seconds") -> DataFrame:
@@ -124,13 +159,10 @@ def streaming_imbalance_bars(ticks: DataFrame, threshold: int = 7,
     def process(key, pdf_iter, state: GroupState):
         (k,) = key
         if state.exists:
-            (bar, n, imb, buy, sell, op, to, prev, last) = state.get
+            st = tuple(state.get)
         else:
-            bar, n, imb, buy, sell = 0, 0, 0, 0, 0
-            op, to = 0.0, 0
-            last = 0
-            prev = float("nan")  # state schema needs a double; NaN = none
-        import math
+            # prev_price NaN = none yet (state schema needs a double)
+            st = (0, 0, 0, 0, 0, 0.0, 0, float("nan"), 0)
 
         # Whole-batch concat before the fold (foldutil docs).
         pdf = whole_batch(pdf_iter, "event_time")
@@ -138,31 +170,12 @@ def streaming_imbalance_bars(ticks: DataFrame, threshold: int = 7,
             px = pdf[price_col].astype("float64").to_numpy()
             ts = (pdf["event_time"].astype("int64") // 1_000_000
                   ).to_numpy()
-            out = []
-            for i in range(len(px)):
-                p, t = float(px[i]), int(ts[i])
-                if not math.isnan(prev):
-                    if p > prev:
-                        last = 1
-                    elif p < prev:
-                        last = -1
-                prev = p
-                if n == 0:
-                    op, to = p, t
-                s = last  # 0 until the key's first price move
-                n += 1
-                imb += s
-                buy += s == 1
-                sell += s == -1
-                if abs(imb) >= threshold:
-                    out.append((k, bar, n, buy, sell, imb, op, p, to, t))
-                    bar += 1
-                    n = imb = buy = sell = 0
+            out, st = imbalance_step(k, px, ts, st, threshold)
             yield pd.DataFrame(
                 out, columns=["key", "bar", "n_ticks", "n_buy",
                               "n_sell", "imbalance", "open", "close",
                               "t_open_ms", "t_close_ms"])
-        state.update((bar, n, imb, buy, sell, op, to, prev, last))
+        state.update(st)
 
     return (ticks
             .withWatermark("event_time", watermark)

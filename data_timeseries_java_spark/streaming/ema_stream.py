@@ -206,12 +206,11 @@ def _recursive_series_stream(ticks: DataFrame, price_col: str,
                 GroupStateTimeout.NoTimeout))
 
 
-def streaming_holt(ticks: DataFrame, alpha: float = 0.25,
-                   beta: float = 0.125, price_col: str = "price",
-                   watermark: str = "0 seconds") -> DataFrame:
-    """Streaming Holt linear-trend smoothing — the streaming face of
-    ``operators/ema.holt_linear`` (same recursion, same dyadic-constant
-    bit-exactness contract), state = (level, trend) per key."""
+def holt_spec(alpha: float = 0.25, beta: float = 0.125):
+    """The Holt recursion as a reusable (init, step, out_extra,
+    state_schema) spec — shared verbatim by the plain fold stream and
+    the watermark-buffered ``reorder.reordered_series`` adapter, so
+    both paths run the identical IEEE-double expression order."""
     one_m_alpha, one_m_beta = 1.0 - alpha, 1.0 - beta
 
     def init(z):
@@ -223,17 +222,23 @@ def streaming_holt(ticks: DataFrame, alpha: float = 0.25,
         tr = beta * (lv_new - lv) + one_m_beta * tr
         return (lv_new, tr), (lv_new, tr)
 
+    return init, step, "level double, trend double", "lv double, tr double"
+
+
+def streaming_holt(ticks: DataFrame, alpha: float = 0.25,
+                   beta: float = 0.125, price_col: str = "price",
+                   watermark: str = "0 seconds") -> DataFrame:
+    """Streaming Holt linear-trend smoothing — the streaming face of
+    ``operators/ema.holt_linear`` (same recursion, same dyadic-constant
+    bit-exactness contract), state = (level, trend) per key."""
+    init, step, out_extra, state_schema = holt_spec(alpha, beta)
     return _recursive_series_stream(
-        ticks, price_col, "level double, trend double",
-        "lv double, tr double", init, step, watermark)
+        ticks, price_col, out_extra, state_schema, init, step, watermark)
 
 
-def streaming_kalman(ticks: DataFrame, q: float = 0.001, r: float = 0.01,
-                     price_col: str = "price",
-                     watermark: str = "0 seconds") -> DataFrame:
-    """Streaming 1-D Kalman local-level filter — the streaming face of
-    ``operators/ema.kalman_local_level`` (same predict/gain/update
-    expression order), state = (level, variance) per key."""
+def kalman_spec(q: float = 0.001, r: float = 0.01):
+    """The 1-D Kalman local-level recursion as a reusable spec (see
+    :func:`holt_spec` for the sharing contract)."""
 
     def init(z):
         return (z, 1.0), (z, 0.0, 1.0)
@@ -246,17 +251,26 @@ def streaming_kalman(ticks: DataFrame, q: float = 0.001, r: float = 0.01,
         p = (1.0 - k) * p_pred
         return (lv, p), (lv, k, p)
 
+    return (init, step,
+            "kf_level double, kf_gain double, kf_var double",
+            "lv double, p double")
+
+
+def streaming_kalman(ticks: DataFrame, q: float = 0.001, r: float = 0.01,
+                     price_col: str = "price",
+                     watermark: str = "0 seconds") -> DataFrame:
+    """Streaming 1-D Kalman local-level filter — the streaming face of
+    ``operators/ema.kalman_local_level`` (same predict/gain/update
+    expression order), state = (level, variance) per key."""
+    init, step, out_extra, state_schema = kalman_spec(q, r)
     return _recursive_series_stream(
-        ticks, price_col, "kf_level double, kf_gain double, kf_var double",
-        "lv double, p double", init, step, watermark)
+        ticks, price_col, out_extra, state_schema, init, step, watermark)
 
 
-def streaming_garch(ticks: DataFrame, alpha: float = 0.125,
-                    beta: float = 0.75, omega: float = 0.000001,
-                    price_col: str = "price",
-                    watermark: str = "0 seconds") -> DataFrame:
-    """Streaming GARCH(1,1) filtering — the streaming face of
-    ``operators/ema.garch_vol``; state = (prev_return, variance)."""
+def garch_spec(alpha: float = 0.125, beta: float = 0.75,
+               omega: float = 0.000001):
+    """The GARCH(1,1) filtering recursion as a reusable spec (see
+    :func:`holt_spec` for the sharing contract)."""
     import math
 
     def init(z):
@@ -268,17 +282,24 @@ def streaming_garch(ticks: DataFrame, alpha: float = 0.125,
         v = omega + alpha * (prev_r * prev_r) + beta * v
         return (z, v), (v, math.sqrt(v))
 
+    return (init, step, "garch_var double, garch_vol double",
+            "pr double, v double")
+
+
+def streaming_garch(ticks: DataFrame, alpha: float = 0.125,
+                    beta: float = 0.75, omega: float = 0.000001,
+                    price_col: str = "price",
+                    watermark: str = "0 seconds") -> DataFrame:
+    """Streaming GARCH(1,1) filtering — the streaming face of
+    ``operators/ema.garch_vol``; state = (prev_return, variance)."""
+    init, step, out_extra, state_schema = garch_spec(alpha, beta, omega)
     return _recursive_series_stream(
-        ticks, price_col, "garch_var double, garch_vol double",
-        "pr double, v double", init, step, watermark)
+        ticks, price_col, out_extra, state_schema, init, step, watermark)
 
 
-def streaming_drawdown(ticks: DataFrame, price_col: str = "price",
-                       watermark: str = "0 seconds") -> DataFrame:
-    """Streaming running-peak drawdown — the per-row face of the batch
-    ``operators/resample.max_drawdown`` aggregate; state = (peak,).
-    Emits the running peak and the instantaneous peak-to-now drawdown;
-    a batch max over the sink reproduces the batch aggregate exactly."""
+def drawdown_spec():
+    """The running-peak drawdown recursion as a reusable spec (see
+    :func:`holt_spec` for the sharing contract)."""
 
     def init(z):
         dd = (z - z) / z if z > 0 else 0.0
@@ -290,9 +311,18 @@ def streaming_drawdown(ticks: DataFrame, price_col: str = "price",
         dd = (peak - z) / peak if peak > 0 else 0.0
         return (peak,), (peak, dd)
 
+    return init, step, "peak double, dd double", "pk double"
+
+
+def streaming_drawdown(ticks: DataFrame, price_col: str = "price",
+                       watermark: str = "0 seconds") -> DataFrame:
+    """Streaming running-peak drawdown — the per-row face of the batch
+    ``operators/resample.max_drawdown`` aggregate; state = (peak,).
+    Emits the running peak and the instantaneous peak-to-now drawdown;
+    a batch max over the sink reproduces the batch aggregate exactly."""
+    init, step, out_extra, state_schema = drawdown_spec()
     return _recursive_series_stream(
-        ticks, price_col, "peak double, dd double",
-        "pk double", init, step, watermark)
+        ticks, price_col, out_extra, state_schema, init, step, watermark)
 
 
 def streaming_macd(ticks: DataFrame, span_fast: int = 12,
@@ -305,6 +335,16 @@ def streaming_macd(ticks: DataFrame, span_fast: int = 12,
     and same y' = (1−α)·y + α·x expression order as the batch pandas
     path (bit-identical — the replay gate hash-matches the batch
     `fx_macd` RECURSIVE-CTE oracle)."""
+    init, step, out_extra, state_schema = macd_spec(
+        span_fast, span_slow, span_signal)
+    return _recursive_series_stream(
+        ticks, price_col, out_extra, state_schema, init, step, watermark)
+
+
+def macd_spec(span_fast: int = 12, span_slow: int = 26,
+              span_signal: int = 9):
+    """The MACD triple-EMA recursion as a reusable spec (see
+    :func:`holt_spec` for the sharing contract)."""
     af = 2.0 / (span_fast + 1.0)
     as_ = 2.0 / (span_slow + 1.0)
     ag = 2.0 / (span_signal + 1.0)
@@ -320,6 +360,5 @@ def streaming_macd(ticks: DataFrame, span_fast: int = 12,
         sig = (1.0 - ag) * sig + ag * macd_v
         return (f, s, sig), (macd_v, sig, macd_v - sig)
 
-    return _recursive_series_stream(
-        ticks, price_col, "macd double, signal double, histogram double",
-        "f double, s double, sig double", init, step, watermark)
+    return (init, step, "macd double, signal double, histogram double",
+            "f double, s double, sig double")

@@ -9,13 +9,16 @@ transitions (a click advances the cursor only strictly after the first
 view, a purchase only strictly after that click, exactly the batch
 query's chained conditional-min semantics).
 
-Ordering contract: within a micro-batch rows are sorted by event time
-before folding; ACROSS batches the fold is exact when batches arrive
-in event-time order (the replay harness's time-range bucketing — same
-contract as the recursive series streams in ``ema_stream.py``). A
-batch-boundary-straddling late event outside that contract would be
-folded late; the driver gate's construction excludes it by design and
-the docstring states the contract.
+Ordering contract: the micro-batch is concatenated whole (a key's rows
+may straddle Arrow chunks out of order — foldutil docs) and sorted by
+event time before folding; ACROSS batches the fold is exact when
+batches arrive in event-time order (the replay harness's time-range
+bucketing — same contract as the recursive series streams in
+``ema_stream.py``). For a source that interleaves a user's events out
+of order ACROSS micro-batches, use the watermark-buffered adapter
+``streaming/reorder.reordered_funnel`` — the identical stage machine
+behind the reorder stage, which GUARANTEES event-time order up to the
+watermark delay (driver-gated by ``funnel_ooo_stream_replay``).
 
 Each batch the function emits the user's CURRENT cursor; the resolve
 takes the latest batch's row per user (the sink is append-only, so
@@ -32,6 +35,29 @@ FUNNEL_OUT_SCHEMA = ("user_id long, t_view long, t_click long, "
 _STATE_SCHEMA = "v long, c long, p long"
 
 
+def funnel_step(v, c, p, t_ms, types,
+                stages: tuple[str, str, str] = ("view", "click",
+                                                "purchase")):
+    """Advance one user's funnel cursor over event-time-ASC rows — the
+    stage machine shared verbatim by :func:`streaming_funnel` and the
+    reorder adapter ``reorder.reordered_funnel`` (a click advances only
+    strictly after the first view, a purchase only strictly after that
+    click — the batch query's chained conditional-min semantics)."""
+    s_view, s_click, s_purchase = stages
+    for t, ty in zip(t_ms, types):
+        t = int(t)
+        if ty == s_view:
+            if v is None:
+                v = t
+        elif ty == s_click:
+            if v is not None and c is None and t > v:
+                c = t
+        elif ty == s_purchase:
+            if c is not None and p is None and t > c:
+                p = t
+    return v, c, p
+
+
 def streaming_funnel(events: DataFrame,
                      stages: tuple[str, str, str] = ("view", "click",
                                                      "purchase"),
@@ -44,26 +70,21 @@ def streaming_funnel(events: DataFrame,
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    s_view, s_click, s_purchase = stages
-
     def process(key, pdf_iter, state: GroupState):
+        from data_timeseries_java_spark.streaming.foldutil import (
+            whole_batch,
+        )
         (k,) = key
         v, c, p = (state.get if state.exists else (None, None, None))
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(time_col)
+        # Whole-batch concat before the fold (foldutil docs): the stage
+        # machine is order-sensitive, so chunk-wise folding would be
+        # wrong when a user's rows straddle chunks out of time order
+        pdf = whole_batch(pdf_iter, time_col)
+        if pdf is not None:
             t_ms = (pdf[time_col].astype("datetime64[ns]")
                     .astype("int64") // 1_000_000).tolist()
-            types = pdf[type_col].tolist()
-            for t, ty in zip(t_ms, types):
-                if ty == s_view:
-                    if v is None:
-                        v = t
-                elif ty == s_click:
-                    if v is not None and c is None and t > v:
-                        c = t
-                elif ty == s_purchase:
-                    if c is not None and p is None and t > c:
-                        p = t
+            v, c, p = funnel_step(v, c, p, t_ms,
+                                  pdf[type_col].tolist(), stages)
         state.update((v, c, p))
         yield pd.DataFrame({"user_id": [k], "t_view": [v],
                             "t_click": [c], "t_purchase": [p]})

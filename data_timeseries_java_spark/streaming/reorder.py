@@ -43,7 +43,8 @@ from pyspark.sql import DataFrame
 def reordered_fold(rows: DataFrame, ts_col: str, payload_cols: list[str],
                    payload_sql_types: list[str], key_col: str,
                    inner_state_schema: str, out_schema: str, fold,
-                   watermark: str) -> DataFrame:
+                   watermark: str,
+                   state_ttl: str | None = None) -> DataFrame:
     """Generic watermark-buffered fold.
 
     ``fold(key, ts_ms, payload_arrays, inner_state) ->
@@ -53,13 +54,26 @@ def reordered_fold(rows: DataFrame, ts_col: str, payload_cols: list[str],
     own O(1) state tuple (None on the key's first fold), and returns
     the emitted frame (matching ``out_schema``) and the advanced state.
     ``fold`` is never called with zero rows.
+
+    ``state_ttl`` (e.g. ``"30 minutes"``): a key whose buffer has been
+    EMPTY for that long of watermark time releases its inner fold
+    state entirely — the next arrival re-seeds through the fold's
+    ``inner=None`` path, exactly like a first-ever row. For folds
+    whose state is a pure smoothing seed (EMA/Holt/Kalman/...) this
+    bounds quiet-key state at zero; do NOT set it for folds whose
+    state is semantic history (SCD2's open version, an in-flight bar) —
+    releasing those changes the answer, not just the memory.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    from data_timeseries_java_spark.streaming.candles_stream import (
+        _resolution_ms,
+    )
     from data_timeseries_java_spark.streaming.foldutil import whole_batch
 
+    ttl_ms = _resolution_ms(state_ttl) if state_ttl is not None else None
     n_inner = len(inner_state_schema.split(","))
     buf_fields = ", ".join(
         [f"buf_ts array<long>"] +
@@ -111,15 +125,25 @@ def reordered_fold(rows: DataFrame, ts_col: str, payload_cols: list[str],
                 out, inner = fold(k, ready_ts, ready_payload, inner)
                 flushed = wm
 
-        inner_vals = tuple(inner) if inner is not None \
-            else (None,) * n_inner
-        state.update((buf_ts,
-                      *[bufs[c] for c in payload_cols],
-                      flushed, *inner_vals))
-        if buf_ts:
-            # wake this key when the watermark next advances, even if
-            # no new rows arrive for it (must be strictly > current wm)
-            state.setTimeoutTimestamp(max(wm + 1, min(buf_ts)))
+        if not buf_ts and ttl_ms is not None and wm - flushed >= ttl_ms:
+            # quiet-key TTL: buffer drained and nothing arrived for
+            # ttl of watermark time — release the whole state row; the
+            # key's next row re-seeds via the fold's inner=None path
+            state.remove()
+        else:
+            inner_vals = tuple(inner) if inner is not None \
+                else (None,) * n_inner
+            state.update((buf_ts,
+                          *[bufs[c] for c in payload_cols],
+                          flushed, *inner_vals))
+            if buf_ts:
+                # wake this key when the watermark next advances, even
+                # if no new rows arrive for it (strictly > current wm)
+                state.setTimeoutTimestamp(max(wm + 1, min(buf_ts)))
+            elif ttl_ms is not None:
+                # quiet key counting down to TTL: wake at the deadline
+                # even with no arrivals so the release actually happens
+                state.setTimeoutTimestamp(max(wm + 1, flushed + ttl_ms))
         if out is not None and len(out):
             yield out
 
@@ -133,7 +157,8 @@ def reordered_fold(rows: DataFrame, ts_col: str, payload_cols: list[str],
 
 def reordered_ema(ticks: DataFrame, alpha: float = 0.2,
                   price_col: str = "value",
-                  watermark: str = "1 hour") -> DataFrame:
+                  watermark: str = "1 hour",
+                  state_ttl: str | None = None) -> DataFrame:
     """The streaming EMA behind the reorder stage: identical recursion
     to ``streaming_ema_applyinpandas`` (pandas ewm(adjust=False)
     continuing the exact IEEE-double fold), but correct under
@@ -163,7 +188,7 @@ def reordered_ema(ticks: DataFrame, alpha: float = 0.2,
         ticks, "event_time", [price_col], ["double"], "key",
         "ema double",
         "key string, event_time timestamp, price double, ema double",
-        fold, watermark)
+        fold, watermark, state_ttl)
 
 
 def reordered_tick_bars(ticks: DataFrame, bar_size: int = 50,
@@ -261,4 +286,216 @@ def reordered_scd2(events: DataFrame,
         "user_id", "attr string, valid_from long, version long",
         ("user_id long, version long, attr string, valid_from_ms long, "
          "valid_to_ms long, is_current boolean"),
+        fold, watermark)
+
+
+def reordered_series(ticks: DataFrame, spec, price_col: str = "price",
+                     watermark: str = "1 hour",
+                     state_ttl: str | None = None) -> DataFrame:
+    """Any ``ema_stream``-family recursive series fold behind the
+    reorder stage: ``spec`` is the (init, step, out_extra,
+    state_schema) tuple returned by ``ema_stream.holt_spec`` /
+    ``kalman_spec`` / ``garch_spec`` / ``drawdown_spec`` /
+    ``macd_spec`` — the IDENTICAL recursion objects the plain fold
+    stream runs, so in-order inputs produce bit-identical outputs and
+    out-of-order inputs (within the watermark delay) fold in exact
+    event-time order."""
+    import pandas as pd
+
+    init_state, step, out_extra, inner_schema = spec
+    extra_names = [c.split()[0] for c in out_extra.split(", ")]
+
+    def fold(k, ts_ms, payload, inner):
+        st = inner
+        rows = []
+        for z in payload[price_col]:
+            if st is None:
+                st, extras = init_state(float(z))
+            else:
+                st, extras = step(st, float(z))
+            rows.append(extras)
+        out = pd.DataFrame({
+            "key": k,
+            "event_time": pd.to_datetime(ts_ms, unit="ms"),
+            "price": payload[price_col],
+        })
+        for i, name in enumerate(extra_names):
+            out[name] = [r[i] for r in rows]
+        return out, st
+
+    out_schema = (f"key string, event_time timestamp, price double, "
+                  f"{out_extra}")
+    return reordered_fold(
+        ticks, "event_time", [price_col], ["double"], "key",
+        inner_schema, out_schema, fold, watermark, state_ttl)
+
+
+def reordered_holt(ticks: DataFrame, alpha: float = 0.25,
+                   beta: float = 0.125, price_col: str = "price",
+                   watermark: str = "1 hour",
+                   state_ttl: str | None = None) -> DataFrame:
+    """Holt linear-trend smoothing behind the reorder stage (driver-
+    gated by ``holt_ooo_stream_replay`` against the batch RECURSIVE-CTE
+    oracle)."""
+    from data_timeseries_java_spark.streaming.ema_stream import holt_spec
+
+    return reordered_series(ticks, holt_spec(alpha, beta), price_col,
+                            watermark, state_ttl)
+
+
+def reordered_kalman(ticks: DataFrame, q: float = 0.001, r: float = 0.01,
+                     price_col: str = "price",
+                     watermark: str = "1 hour",
+                     state_ttl: str | None = None) -> DataFrame:
+    """1-D Kalman local-level filter behind the reorder stage."""
+    from data_timeseries_java_spark.streaming.ema_stream import kalman_spec
+
+    return reordered_series(ticks, kalman_spec(q, r), price_col,
+                            watermark, state_ttl)
+
+
+def reordered_garch(ticks: DataFrame, alpha: float = 0.125,
+                    beta: float = 0.75, omega: float = 0.000001,
+                    price_col: str = "price",
+                    watermark: str = "1 hour",
+                    state_ttl: str | None = None) -> DataFrame:
+    """GARCH(1,1) filtering behind the reorder stage."""
+    from data_timeseries_java_spark.streaming.ema_stream import garch_spec
+
+    return reordered_series(ticks, garch_spec(alpha, beta, omega),
+                            price_col, watermark, state_ttl)
+
+
+def reordered_drawdown(ticks: DataFrame, price_col: str = "price",
+                       watermark: str = "1 hour",
+                       state_ttl: str | None = None) -> DataFrame:
+    """Running-peak drawdown behind the reorder stage."""
+    from data_timeseries_java_spark.streaming.ema_stream import (
+        drawdown_spec,
+    )
+
+    return reordered_series(ticks, drawdown_spec(), price_col,
+                            watermark, state_ttl)
+
+
+def reordered_macd(ticks: DataFrame, span_fast: int = 12,
+                   span_slow: int = 26, span_signal: int = 9,
+                   price_col: str = "price",
+                   watermark: str = "1 hour",
+                   state_ttl: str | None = None) -> DataFrame:
+    """MACD(fast, slow, signal) behind the reorder stage."""
+    from data_timeseries_java_spark.streaming.ema_stream import macd_spec
+
+    return reordered_series(
+        ticks, macd_spec(span_fast, span_slow, span_signal), price_col,
+        watermark, state_ttl)
+
+
+def reordered_anchored_vwap(hourly: DataFrame,
+                            anchor_ms: int = 86_400_000,
+                            watermark: str = "1 hour") -> DataFrame:
+    """Streaming anchored VWAP behind the reorder stage — the IDENTICAL
+    ``vwap_stream.vwap_fold`` (same cumsum order, same half-up
+    rounding), correct when a key's hourly rows interleave out of
+    order across micro-batches within the watermark delay. No
+    ``state_ttl``: the (anchor, running sums) state is semantic within
+    the anchor day; it self-resets on day rollover anyway. Input
+    columns: (key, event_time, sum_price, volume). Driver-gated by
+    ``vwap_ooo_stream_replay``."""
+    import pandas as pd
+
+    from data_timeseries_java_spark.streaming.vwap_stream import vwap_fold
+
+    def fold(k, ts_ms, payload, inner):
+        st = tuple(inner) if inner is not None else (None, 0.0, 0)
+        cols, st = vwap_fold(ts_ms, payload["sum_price"],
+                             payload["volume"], st, anchor_ms)
+        out = pd.DataFrame({
+            "key": k,
+            "event_time": pd.to_datetime(ts_ms, unit="ms"),
+            **cols,
+        })
+        return out, st
+
+    return reordered_fold(
+        hourly, "event_time", ["sum_price", "volume"],
+        ["double", "long"], "key",
+        "anchor_ms long, run_sum double, run_vol long",
+        ("key string, event_time timestamp, anchor_ms long, "
+         "volume long, window_vwap double, anchored_vwap double"),
+        fold, watermark)
+
+
+def reordered_imbalance_bars(ticks: DataFrame, threshold: int = 7,
+                             price_col: str = "ask",
+                             watermark: str = "1 hour") -> DataFrame:
+    """Order-flow imbalance bars behind the reorder stage — the
+    IDENTICAL ``bars_stream.imbalance_step`` recursion, correct when a
+    key's ticks interleave out of order across micro-batches within
+    the watermark delay. No ``state_ttl``: the in-flight partial bar
+    is semantic — releasing it would re-open a bar mid-count. Driver-
+    gated by ``imbalance_ooo_stream_replay``."""
+    import pandas as pd
+
+    from data_timeseries_java_spark.streaming.bars_stream import (
+        imbalance_step,
+    )
+
+    def fold(k, ts_ms, payload, inner):
+        st = tuple(inner) if inner is not None \
+            else (0, 0, 0, 0, 0, 0.0, 0, float("nan"), 0)
+        out, st = imbalance_step(k, payload[price_col], ts_ms, st,
+                                 threshold)
+        return (pd.DataFrame(
+            out, columns=["key", "bar", "n_ticks", "n_buy", "n_sell",
+                          "imbalance", "open", "close", "t_open_ms",
+                          "t_close_ms"]), st)
+
+    return reordered_fold(
+        ticks, "event_time", [price_col], ["double"], "key",
+        ("bar long, n long, imb long, buy long, sell long, "
+         "open double, t_open_ms long, prev_price double, "
+         "last_dir long"),
+        ("key string, bar long, n_ticks long, n_buy long, n_sell long, "
+         "imbalance long, open double, close double, t_open_ms long, "
+         "t_close_ms long"),
+        fold, watermark)
+
+
+def reordered_funnel(events: DataFrame,
+                     stages: tuple[str, str, str] = ("view", "click",
+                                                     "purchase"),
+                     watermark: str = "1 hour") -> DataFrame:
+    """Ordered-funnel stage machine behind the reorder stage — the
+    IDENTICAL ``funnel_stream.funnel_step`` transitions, correct when a
+    user's events interleave out of order across micro-batches within
+    the watermark delay (the stage machine is order-sensitive: a click
+    only counts strictly after the first view, so displacement without
+    reordering would silently lose conversions). Emits the user's
+    cursor after each fold with the fold's watermark frontier
+    (``asof_ms``) so the resolve can take the latest snapshot per user.
+    No ``state_ttl``: the cursor is semantic history. Input columns:
+    (user_id, ts, event_type). Driver-gated by
+    ``funnel_ooo_stream_replay``."""
+    import pandas as pd
+
+    from data_timeseries_java_spark.streaming.funnel_stream import (
+        funnel_step,
+    )
+
+    def fold(uid, ts_ms, payload, inner):
+        v, c, p = tuple(inner) if inner is not None else (None, None,
+                                                          None)
+        v, c, p = funnel_step(v, c, p, ts_ms,
+                              list(payload["event_type"]), stages)
+        out = pd.DataFrame({"user_id": [int(uid)], "t_view": [v],
+                            "t_click": [c], "t_purchase": [p],
+                            "asof_ms": [int(ts_ms[-1])]})
+        return out, (v, c, p)
+
+    return reordered_fold(
+        events, "ts", ["event_type"], ["string"], "user_id",
+        "v long, c long, p long",
+        ("user_id long, t_view long, t_click long, t_purchase long, "
+         "asof_ms long"),
         fold, watermark)

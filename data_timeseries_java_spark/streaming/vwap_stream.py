@@ -10,9 +10,13 @@ rolls over — the state never exceeds two numbers per key regardless of
 stream length, the textbook "bounded keyed state" shape.
 
 Order contract (same as ema_stream): rows are folded in event-time
-order within a batch, and batches arrive in per-key time order (the
-replay harness's time-range bucketing guarantees it; production gets
-it from a watermark + windowed pre-aggregation upstream).
+order within a batch (whole-batch concat + sort — a key's rows may
+straddle Arrow chunks out of order, foldutil docs), and batches arrive
+in per-key time order. For a source that interleaves a key's rows out
+of order ACROSS micro-batches, use the watermark-buffered adapter
+``streaming/reorder.reordered_anchored_vwap`` — the identical fold
+behind the reorder stage, which GUARANTEES event-time order up to the
+watermark delay (driver-gated by ``vwap_ooo_stream_replay``).
 """
 
 from __future__ import annotations
@@ -39,6 +43,39 @@ def _round6_half_up(a):
     return np.copysign(np.floor(np.abs(a) * 1e6 + 0.5), a) / 1e6
 
 
+def vwap_fold(ts_ms, sum_price, volume, st, anchor_ms: int = _ANCHOR_MS):
+    """One anchored-VWAP fold step over event-time-ASC numpy arrays —
+    shared verbatim by :func:`streaming_anchored_vwap` and the reorder
+    adapter ``reorder.reordered_anchored_vwap`` so both paths run the
+    identical FP operations (cumsum order, half-up rounding, divide).
+
+    ``st`` = (anchor_ms | None, run_sum, run_vol); returns
+    (output column dict sans key/event_time, new st)."""
+    import pandas as pd
+
+    st_anchor, st_sum, st_vol = st
+    day = (ts_ms // anchor_ms) * anchor_ms
+    cs = (pd.DataFrame({"_day": day, "sum_price": sum_price,
+                        "volume": volume})
+          .groupby("_day")[["sum_price", "volume"]].cumsum())
+    run_sum = cs["sum_price"].to_numpy().copy()
+    run_vol = cs["volume"].to_numpy().copy()
+    if st_anchor is not None:
+        cont = day == st_anchor
+        run_sum[cont] += st_sum
+        run_vol[cont] += st_vol
+    last_day = int(day[-1])
+    tail = day == last_day
+    new_st = (last_day, float(run_sum[tail][-1]), int(run_vol[tail][-1]))
+    cols = {
+        "anchor_ms": day,
+        "volume": volume,
+        "window_vwap": _round6_half_up(sum_price) / volume,
+        "anchored_vwap": _round6_half_up(run_sum) / run_vol,
+    }
+    return cols, new_st
+
+
 def streaming_anchored_vwap(hourly: DataFrame,
                             anchor_ms: int = _ANCHOR_MS,
                             watermark: str = "0 seconds") -> DataFrame:
@@ -55,41 +92,27 @@ def streaming_anchored_vwap(hourly: DataFrame,
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def process(key, pdf_iter, state: GroupState):
+        from data_timeseries_java_spark.streaming.foldutil import (
+            whole_batch,
+        )
         (k,) = key
-        if state.exists:
-            st_anchor, st_sum, st_vol = state.get
-        else:
-            st_anchor, st_sum, st_vol = None, 0.0, 0
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("event_time")
-            ts_ms = (pdf["event_time"].astype("int64") // 1_000_000)
-            day = (ts_ms // anchor_ms) * anchor_ms
-            cs = pdf.assign(_day=day.to_numpy()).groupby("_day")[
-                ["sum_price", "volume"]].cumsum()
-            run_sum = cs["sum_price"].to_numpy().copy()
-            run_vol = cs["volume"].to_numpy().copy()
-            if st_anchor is not None:
-                cont = day.to_numpy() == st_anchor
-                run_sum[cont] += st_sum
-                run_vol[cont] += st_vol
-            last_day = int(day.iloc[-1])
-            st_anchor = last_day
-            tail = day.to_numpy() == last_day
-            st_sum = float(run_sum[tail][-1])
-            st_vol = int(run_vol[tail][-1])
-            vols = pdf["volume"].to_numpy()
-            out = pd.DataFrame({
+        st = state.get if state.exists else (None, 0.0, 0)
+        # Whole-batch concat before the fold (foldutil docs): the
+        # anchored cumsum is order-sensitive, so chunk-wise folding
+        # would be wrong when a key's rows straddle chunks out of order
+        pdf = whole_batch(pdf_iter, "event_time")
+        if pdf is not None:
+            ts_ms = (pdf["event_time"].astype("int64")
+                     // 1_000_000).to_numpy()
+            cols, st = vwap_fold(ts_ms, pdf["sum_price"].to_numpy(),
+                                 pdf["volume"].to_numpy(), st, anchor_ms)
+            yield pd.DataFrame({
                 "key": k,
                 "event_time": pdf["event_time"].to_numpy(),
-                "anchor_ms": day.to_numpy(),
-                "volume": vols,
-                "window_vwap": (_round6_half_up(
-                    pdf["sum_price"].to_numpy()) / vols),
-                "anchored_vwap": _round6_half_up(run_sum) / run_vol,
+                **cols,
             })
-            yield out
-        if st_anchor is not None:
-            state.update((st_anchor, st_sum, st_vol))
+        if st[0] is not None:
+            state.update(tuple(st))
 
     return (hourly
             .withWatermark("event_time", watermark)

@@ -104,3 +104,237 @@ def test_reordered_scd2_cross_batch_out_of_order(spark, tmp_path):
         (2, "B", ms(t(2)), ms(t(6)) - 1),
     ]
     assert got == want
+
+
+def _ms(dt):
+    return int(dt.timestamp() * 1000)
+
+
+def test_reordered_series_matches_inorder_recursion(spark, tmp_path):
+    """Every ema_stream-family spec behind the reorder stage: minute 2
+    of a 6-minute series arrives one batch late (within D = 3 min);
+    the emitted series must equal the spec's recursion folded in TRUE
+    event-time order (computed directly from the shared spec objects —
+    the exact doubles the plain in-order stream would produce)."""
+    import pytest  # noqa: F401
+
+    from data_timeseries_java_spark.streaming import reorder
+    from data_timeseries_java_spark.streaming.ema_stream import (
+        drawdown_spec,
+        garch_spec,
+        holt_spec,
+        kalman_spec,
+        macd_spec,
+    )
+
+    cases = {
+        "holt": (holt_spec(), reorder.reordered_holt),
+        "kalman": (kalman_spec(), reorder.reordered_kalman),
+        "garch": (garch_spec(), reorder.reordered_garch),
+        "drawdown": (drawdown_spec(), reorder.reordered_drawdown),
+        "macd": (macd_spec(), reorder.reordered_macd),
+    }
+    t = lambda m: datetime(2024, 8, 6, 0, m, tzinfo=timezone.utc)
+    prices = [5.0, 9.0, 7.0, 11.0, 8.0, 10.0]
+    rows = [("K", t(m), p) for m, p in enumerate(prices)]
+    schema = "key string, event_time timestamp, price double"
+    flush = ("ZZZ", datetime(2024, 8, 6, 3, 0, tzinfo=timezone.utc), 0.0)
+    batches = [
+        [rows[0], rows[1], rows[3]],
+        [rows[2], rows[4], rows[5]],   # minute 2 one batch late
+        [flush],
+    ]
+    d = str(tmp_path)
+    _write_batches(spark, d, schema, batches)
+
+    for name, (spec, make) in cases.items():
+        init, step, out_extra, _ = spec
+        extra_names = [c.split()[0] for c in out_extra.split(", ")]
+        st, want = None, []
+        for z in prices:
+            st, extras = (init(z) if st is None else step(st, z))
+            want.append(extras)
+
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{d}/f*"))
+        _run(make(src, watermark="3 minutes"), f"reord_{name}")
+        got = sorted(
+            ((r.key,) + tuple(r) for r in
+             spark.table(f"reord_{name}").collect()
+             if r.key == "K"),
+            key=lambda x: x[2])
+        assert len(got) == len(prices), name
+        for i, row in enumerate(got):
+            # row = (key, key, event_time, price, *extras)
+            assert row[3] == prices[i], name
+            for j, nm in enumerate(extra_names):
+                assert row[4 + j] == want[i][j], (name, nm, i)
+
+
+def test_reordered_anchored_vwap_cross_batch_out_of_order(spark, tmp_path):
+    """Hour 1 of day 1 arrives one batch late: the anchored cumsum must
+    still accumulate in event-time order (equal to vwap_fold run over
+    the in-order arrays), and day 2 must reset the anchor."""
+    import numpy as np
+
+    from data_timeseries_java_spark.streaming.reorder import (
+        reordered_anchored_vwap,
+    )
+    from data_timeseries_java_spark.streaming.vwap_stream import vwap_fold
+
+    h = lambda d, hh: datetime(2024, 8, d, hh, 0, tzinfo=timezone.utc)
+    rows = [  # (event_time, sum_price, volume)
+        (h(7, 0), 100.0, 10), (h(7, 1), 50.5, 5), (h(7, 2), 30.0, 3),
+        (h(8, 0), 70.0, 7), (h(8, 1), 20.0, 2),
+    ]
+    schema = ("key string, event_time timestamp, sum_price double, "
+              "volume long")
+    batches = [
+        [("K",) + rows[0], ("K",) + rows[2]],
+        [("K",) + rows[1], ("K",) + rows[3]],   # hour 1 one batch late
+        [("K",) + rows[4],
+         ("ZZZ", datetime(2024, 8, 20, 0, 0, tzinfo=timezone.utc),
+          1.0, 1)],
+    ]
+    d = str(tmp_path)
+    _write_batches(spark, d, schema, batches)
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(f"{d}/f*"))
+    _run(reordered_anchored_vwap(src, watermark="2 hours"), "reord_vwap")
+
+    ts_ms = np.array([_ms(r[0]) for r in rows], dtype="int64")
+    cols, _ = vwap_fold(ts_ms,
+                        np.array([r[1] for r in rows]),
+                        np.array([r[2] for r in rows], dtype="int64"),
+                        (None, 0.0, 0))
+    got = sorted(((r.anchor_ms, _ms(r.event_time), r.volume,
+                   r.window_vwap, r.anchored_vwap)
+                  for r in spark.table("reord_vwap").collect()
+                  if r.key == "K"))
+    want = sorted(zip(cols["anchor_ms"].tolist(), ts_ms.tolist(),
+                      cols["volume"].tolist(),
+                      cols["window_vwap"].tolist(),
+                      cols["anchored_vwap"].tolist()))
+    assert got == want
+    # two distinct anchors (day rollover reset)
+    assert len({a for a, *_ in got}) == 2
+
+
+def test_reordered_funnel_cross_batch_out_of_order(spark, tmp_path):
+    """The view arrives one batch AFTER the click: an unbuffered fold
+    sees click-before-view and silently loses the conversion; behind
+    the reorder stage the stage machine folds in true event-time order
+    and the user converts fully."""
+    from data_timeseries_java_spark.streaming.funnel_stream import (
+        funnel_step,
+    )
+    from data_timeseries_java_spark.streaming.reorder import (
+        reordered_funnel,
+    )
+
+    t = lambda m: datetime(2024, 8, 9, 0, m, tzinfo=timezone.utc)
+    schema = "user_id long, ts timestamp, event_type string"
+    batches = [
+        [(1, t(2), "click")],
+        [(1, t(0), "view"), (1, t(4), "purchase")],  # view one batch late
+        [(999, datetime(2024, 8, 9, 3, 0, tzinfo=timezone.utc), "view")],
+    ]
+    d = str(tmp_path)
+    _write_batches(spark, d, schema, batches)
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(f"{d}/f*"))
+    _run(reordered_funnel(src, watermark="3 minutes"), "reord_funnel")
+    snaps = [r for r in spark.table("reord_funnel").collect()
+             if r.user_id == 1]
+    latest = max(snaps, key=lambda r: r.asof_ms)
+    assert (latest.t_view, latest.t_click, latest.t_purchase) == (
+        _ms(t(0)), _ms(t(2)), _ms(t(4)))
+    # the arrival-order fold WOULD have lost it (regression witness)
+    v, c, p = funnel_step(None, None, None,
+                          [_ms(t(2)), _ms(t(0)), _ms(t(4))],
+                          ["click", "view", "purchase"])
+    assert c is None and p is None
+
+
+def test_reordered_imbalance_bars_cross_batch_out_of_order(spark,
+                                                           tmp_path):
+    """Ticks displaced across batches: completed bars must equal
+    imbalance_step folded in true event-time order (the recursion is
+    order-sensitive through the tick-rule direction carry)."""
+    from data_timeseries_java_spark.streaming.bars_stream import (
+        imbalance_step,
+    )
+    from data_timeseries_java_spark.streaming.reorder import (
+        reordered_imbalance_bars,
+    )
+
+    t = lambda m: datetime(2024, 8, 10, 0, m, tzinfo=timezone.utc)
+    prices = [10.0, 11.0, 12.0, 11.0, 12.0, 13.0, 14.0, 13.0, 14.0,
+              15.0]
+    rows = [("K", t(m), p) for m, p in enumerate(prices)]
+    schema = "key string, event_time timestamp, ask double"
+    batches = [
+        [rows[0], rows[1], rows[4], rows[5]],
+        [rows[2], rows[3], rows[7]],       # displaced within D
+        [rows[6], rows[8], rows[9]],
+        [("ZZZ", datetime(2024, 8, 10, 4, 0, tzinfo=timezone.utc), 0.0)],
+    ]
+    d = str(tmp_path)
+    _write_batches(spark, d, schema, batches)
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(f"{d}/f*"))
+    _run(reordered_imbalance_bars(src, threshold=3,
+                                  watermark="5 minutes"), "reord_imb")
+
+    want, _ = imbalance_step(
+        "K", prices, [_ms(t(m)) for m in range(len(prices))],
+        (0, 0, 0, 0, 0, 0.0, 0, float("nan"), 0), 3)
+    got = sorted((tuple(r) for r in spark.table("reord_imb").collect()
+                  if r.key == "K"), key=lambda x: x[1])
+    assert [tuple(w) for w in want] == got
+    assert len(got) > 0
+
+
+def test_reorder_state_ttl_reseeds_cleanly(spark, tmp_path):
+    """state_ttl: a key whose buffer drained and that stays quiet for
+    the TTL (in watermark time) releases ALL state; its next row
+    re-seeds the fold from scratch (EMA == the new price, not a
+    continuation of the stale seed). The driver key 'W' keeps the
+    watermark moving while 'K' is quiet."""
+    from data_timeseries_java_spark.streaming.reorder import reordered_ema
+
+    t0 = datetime(2024, 8, 11, 0, 0, tzinfo=timezone.utc)
+    mins = lambda m: datetime(2024, 8, 11, m // 60, m % 60,
+                              tzinfo=timezone.utc)
+    schema = "key string, event_time timestamp, value double"
+    batches = [
+        [("K", t0, 100.0), ("W", mins(1), 1.0)],
+        [("W", mins(10), 1.0)],    # wm -> 8 min: seals K@0 (ema 100)
+        [("W", mins(40), 1.0)],    # wm -> 38 min after this batch
+        # the watermark lags one batch, so K's TTL timeout (deadline =
+        # 8 min flush + 20 min TTL = 28 min) fires during THIS empty
+        # invocation, releasing K's state before any new K row arrives
+        [("W", mins(45), 1.0)],
+        [("K", mins(50), 50.0), ("W", mins(60), 1.0)],
+        [("W", mins(90), 1.0)],    # wm -> 88 min: seals K@50
+    ]
+    d = str(tmp_path)
+    _write_batches(spark, d, schema, batches)
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(f"{d}/f*"))
+    _run(reordered_ema(src, alpha=0.2, watermark="2 minutes",
+                       state_ttl="20 minutes"), "reord_ttl")
+    got = {(_ms(r.event_time)): r.ema
+           for r in spark.table("reord_ttl").collect() if r.key == "K"}
+    assert got == {_ms(t0): 100.0, _ms(mins(50)): 50.0}
+
+    # control: WITHOUT the TTL the seed survives the quiet gap and the
+    # second row continues the recursion instead of re-seeding
+    _run(reordered_ema(
+        (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(f"{d}/f*")),
+        alpha=0.2, watermark="2 minutes"), "reord_nottl")
+    got2 = {(_ms(r.event_time)): r.ema
+            for r in spark.table("reord_nottl").collect()
+            if r.key == "K"}
+    assert got2[_ms(mins(50))] == 0.2 * 50.0 + 0.8 * 100.0
