@@ -5070,3 +5070,302 @@ FROM pairs
 WHERE r IS NOT NULL AND NOT isnan(r)
 GROUP BY w_start_ms
 """
+
+
+# ---- round-11 out-of-order fold gates: the reorder stage across the ------
+# ---- remaining fold families, driver-gated through displaced replay ------
+
+_OOO_FOLD_REPLAY_SINKS: dict[tuple, str] = {}
+
+
+def _ooo_fold_replay(spark: SparkSession, sf_dir: str, which: str,
+                     feed: DataFrame, make_stream,
+                     sentinel_cols) -> DataFrame:
+    """Shared driver-gate construction for the non-EMA reorder
+    adapters (same displaced-replay shape as `ema_ooo_stream_replay`):
+    an md5-carved ~1/8 of every time bucket's rows is routed one
+    micro-batch LATE — deliberately breaking the cross-batch order
+    contract the plain fold streams document — and the adapter must
+    buffer and fold every row in exact event-time order behind the
+    watermark (delay = one bucket width + margin). ``make_stream(src,
+    watermark)`` builds the reordered operator; ``sentinel_cols(ts)``
+    returns the far-future flush row's non-key columns. Returns the
+    sink frame with the sentinel filtered."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_timeseries_java_spark.streaming.replay import (
+        SENTINEL_KEY,
+        read_replay_sink,
+        run_to_parquet_sink,
+        write_displaced_replay,
+        write_sentinel_file,
+    )
+
+    key_col = feed.columns[0]
+    ts_col = feed.columns[1]
+    cache_key = (spark.sparkContext.applicationId,
+                 os.path.abspath(sf_dir), which)
+    sink = _OOO_FOLD_REPLAY_SINKS.get(cache_key)
+    if sink is None or not os.path.isdir(sink):
+        t0_ms, t1_ms = feed.select(
+            F.min(_ms(F.col(ts_col))), F.max(_ms(F.col(ts_col)))).first()
+        span = t1_ms - t0_ms + 1
+        # D must exceed one bucket width so every displaced row is
+        # still above the watermark when its (one-late) file arrives
+        delay_ms = span // 3 + 2 * 3_600_000
+        work = tempfile.mkdtemp(prefix=f"{which}_ooo_replay_")
+        base = _time.time() - 1000
+        n_disp = write_displaced_replay(
+            feed, ts_col, f"{work}/in", 3, t0_ms, span, base,
+            [key_col, ts_col])
+        if n_disp == 0:
+            raise ValueError(
+                f"{which}_ooo_stream_replay carved an empty displaced "
+                f"set — the out-of-order gate would be vacuous here")
+        sent_key = (SENTINEL_KEY if key_col == "key"
+                    else -1)  # long-keyed folds use a negative id
+        sent = spark.createDataFrame(
+            [(sent_key,)],
+            f"{key_col} {'string' if key_col == 'key' else 'long'}"
+        ).select(
+            key_col,
+            F.timestamp_millis(
+                F.lit(t1_ms + delay_ms + 30 * 86_400_000)).alias(ts_col),
+            *sentinel_cols())
+        write_sentinel_file(sent, f"{work}/in", 4, base)
+        src = (spark.readStream.schema(feed.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
+        out = make_stream(src, f"{delay_ms} milliseconds")
+        sink = run_to_parquet_sink(out, f"{work}/out", f"{work}/ckpt")
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+        _OOO_FOLD_REPLAY_SINKS[cache_key] = sink
+    out = read_replay_sink(spark, sink)
+    if key_col == "key":
+        from data_timeseries_java_spark.streaming.replay import (
+            SENTINEL_KEY as _SK,
+        )
+        out = out.where(F.col("key") != _SK)
+    return out
+
+
+def q_holt_ooo_stream_replay(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing behind the reorder stage against a
+    replay that BREAKS the cross-batch order contract (md5-carved 1/8
+    of every bucket displaced one micro-batch late): the first NON-EMA
+    fold family adopted onto the stage, hash-matched against the SAME
+    RECURSIVE-CTE oracle as the in-order `holt_stream_replay` — the
+    match proves order-insensitivity up to D with zero drops and zero
+    double-folds. Building this query RUNS the stream."""
+    from data_timeseries_java_spark.operators.candles import (
+        candles_pipeline,
+    )
+    from data_timeseries_java_spark.streaming.reorder import (
+        reordered_holt,
+    )
+
+    ticks, keys = _ticks_and_keys(spark, sf_dir)
+    series = candles_pipeline(ticks, keys, RES).select(
+        "key", F.col("window_start").alias("event_time"),
+        F.col("close.ask").alias("price"))
+    h = _ooo_fold_replay(
+        spark, sf_dir, "holt", series,
+        lambda src, wm: reordered_holt(src, price_col="price",
+                                       watermark=wm),
+        lambda: [F.lit(0.0).alias("price")])
+    return h.select(
+        "key", _ms(F.col("event_time")).alias("w_start_ms"),
+        F.round("price", 6).alias("price"),
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round(F.col("level") + F.col("trend"), 6).alias("forecast"),
+    )
+
+
+QUERIES["holt_ooo_stream_replay"] = q_holt_ooo_stream_replay
+
+ORACLE["holt_ooo_stream_replay"] = ORACLE["fx_holt_trend"]
+
+
+def q_imbalance_ooo_stream_replay(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Order-flow imbalance bars behind the reorder stage under
+    displaced replay — the hardest fold to displace (the tick-rule
+    direction carries across every row, so ONE out-of-order tick
+    perturbs every subsequent bar) — hash-matched against the batch
+    `fx_imbalance_bars` oracle restricted to threshold-hit (closed)
+    bars, the same contract as the in-order gate. Building this query
+    RUNS the stream."""
+    from data_timeseries_java_spark.streaming.reorder import (
+        reordered_imbalance_bars,
+    )
+
+    ticks, _ = _ticks_and_keys(spark, sf_dir)
+    feed = ticks.select("key", "event_time", "ask")
+    b = _ooo_fold_replay(
+        spark, sf_dir, "imbalance", feed,
+        lambda src, wm: reordered_imbalance_bars(
+            src, threshold=IMB_THRESHOLD, watermark=wm),
+        lambda: [F.lit(0.0).alias("ask")])
+    return b.select(
+        "key", "bar", "n_ticks", "n_buy", "n_sell", "imbalance",
+        F.round("open", 6).alias("open"),
+        F.round("close", 6).alias("close"),
+        "t_open_ms", "t_close_ms",
+    )
+
+
+QUERIES["imbalance_ooo_stream_replay"] = q_imbalance_ooo_stream_replay
+
+ORACLE["imbalance_ooo_stream_replay"] = (
+    ORACLE["imbalance_bars_stream_replay"])
+
+
+def q_vwap_ooo_stream_replay(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Anchored daily VWAP behind the reorder stage under displaced
+    replay (the anchored cumsum folds in exact event-time order or the
+    running ratio is wrong for every subsequent hour of the day),
+    hash-matched against the SAME batch `fx_vwap` oracle as the
+    in-order gate. Building this query RUNS the stream."""
+    from data_timeseries_java_spark.streaming.reorder import (
+        reordered_anchored_vwap,
+    )
+
+    ticks, _ = _ticks_and_keys(spark, sf_dir)
+    hourly = (ticks.groupBy(
+        "key", F.window("event_time", RES).alias("w"))
+        .agg(F.sum("ask").alias("sum_price"),
+             F.count(F.lit(1)).cast("long").alias("volume"))
+        .select("key", F.col("w.start").alias("event_time"),
+                "sum_price", "volume"))
+    v = _ooo_fold_replay(
+        spark, sf_dir, "vwap", hourly,
+        lambda src, wm: reordered_anchored_vwap(src, watermark=wm),
+        lambda: [F.lit(1.0).alias("sum_price"),
+                 F.lit(1).cast("long").alias("volume")])
+    return v.select(
+        "key",
+        _ms(F.col("event_time")).alias("w_start_ms"),
+        "anchor_ms", "volume",
+        F.round("window_vwap", 6).alias("window_vwap"),
+        F.round("anchored_vwap", 6).alias("anchored_vwap"),
+    )
+
+
+QUERIES["vwap_ooo_stream_replay"] = q_vwap_ooo_stream_replay
+
+ORACLE["vwap_ooo_stream_replay"] = ORACLE["fx_vwap"]
+
+
+# ---- reorder-stage checkpoint recovery, driver-gated ---------------------
+
+_REORDER_RECOVERY_SINKS: dict[tuple, str] = {}
+
+
+def q_reorder_recovery_stream_replay(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """CHECKPOINT RECOVERY of the reorder stage — the buffer of
+    rows awaiting the watermark IS the stage's correctness mechanism,
+    so it must survive a kill/restart. The displaced EMA replay runs
+    as TWO streaming queries over one retained checkpoint: phase 1
+    sees only files f0/f1 and terminates with displaced bucket-0 rows
+    and all unsealed bucket-1 rows sitting IN the reorder buffer;
+    f2/f3 and the flush sentinel are written afterwards and phase 2
+    resumes from the checkpoint. The union of both phases' sink
+    batches must hash-match the SAME RECURSIVE-CTE oracle as the
+    uninterrupted `ema_ooo_stream_replay` — a lost or double-restored
+    buffer row, or a broken inner-seed restore, breaks the hash.
+    Building this query RUNS both streams (laziness-guard exempt)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_timeseries_java_spark.streaming.reorder import reordered_ema
+    from data_timeseries_java_spark.streaming.replay import (
+        SENTINEL_KEY,
+        displace_route,
+        read_replay_sink,
+        run_to_parquet_sink,
+        write_replay_files,
+        write_sentinel_file,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    sink = _REORDER_RECOVERY_SINKS.get(cache_key)
+    if sink is None or not os.path.isdir(sink):
+        rets = _returns_df(spark, sf_dir).select(
+            "key", F.col("time").alias("event_time"), "value")
+        t0_ms, t1_ms = rets.select(
+            F.min(_ms(F.col("event_time"))),
+            F.max(_ms(F.col("event_time")))).first()
+        span = t1_ms - t0_ms + 1
+        delay_ms = span // 3 + 2 * 3_600_000
+        routed, n_disp = displace_route(rets, "event_time", 3, t0_ms,
+                                        span, ["key", "event_time"])
+        if n_disp == 0:
+            raise ValueError(
+                "reorder_recovery_stream_replay carved an empty "
+                "displaced set — the gate would be vacuous here")
+        work = tempfile.mkdtemp(prefix="reorder_recovery_replay_")
+        base = _time.time() - 1000
+        # phase 1: only f0/f1 on disk (f1 holds bucket-0's displaced
+        # rows — they arrive, get buffered, and the kill hits with
+        # them unsealed in state)
+        write_replay_files(routed.where(F.col("_f") <= 1), "_f",
+                           f"{work}/in", 2, base, ["key", "event_time"])
+
+        def src():
+            return (spark.readStream.schema(rets.schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(f"{work}/in/f*"))
+
+        wm = f"{delay_ms} milliseconds"
+        run_to_parquet_sink(reordered_ema(src(), alpha=0.2,
+                                          price_col="value",
+                                          watermark=wm),
+                            f"{work}/out", f"{work}/ckpt")
+
+        # phase 2: the rest of the feed + the flush sentinel appear,
+        # and a NEW query resumes from the retained checkpoint
+        for i in (2, 3):
+            (routed.where(F.col("_f") == i).drop("_f")
+             .orderBy(F.md5(F.concat_ws(":", "key", "event_time")))
+             .coalesce(1).write.mode("overwrite")
+             .parquet(f"{work}/in/f{i}"))
+            import glob as _glob
+            for p in _glob.glob(f"{work}/in/f{i}/*"):
+                os.utime(p, (base + i * 10, base + i * 10))
+        sent = spark.createDataFrame(
+            [(SENTINEL_KEY,)], "key string").select(
+            "key",
+            F.timestamp_millis(
+                F.lit(t1_ms + delay_ms + 30 * 86_400_000))
+            .alias("event_time"),
+            F.lit(0.0).alias("value"))
+        write_sentinel_file(sent, f"{work}/in", 4, base)
+        sink = run_to_parquet_sink(
+            reordered_ema(src(), alpha=0.2, price_col="value",
+                          watermark=wm),
+            f"{work}/out", f"{work}/ckpt")
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+        _REORDER_RECOVERY_SINKS[cache_key] = sink
+    e = (read_replay_sink(spark, sink)
+         .where(F.col("key") != SENTINEL_KEY))
+    return e.select(
+        "key",
+        _ms(F.col("event_time")).alias("time_ms"),
+        F.round("price", 6).alias("ret"),
+        F.round("ema", 6).alias("ema"),
+    )
+
+
+QUERIES["reorder_recovery_stream_replay"] = q_reorder_recovery_stream_replay
+
+ORACLE["reorder_recovery_stream_replay"] = ORACLE["fx_ema_returns"]

@@ -4238,3 +4238,57 @@ SELECT ym, y / 100.0 AS actual,
        floor(abs(pred - y) / y * 1000000) / 1000000 AS ape
 FROM q
 """
+
+
+# ---- out-of-order funnel: the reorder stage, driver-gated ----------------
+
+
+def q_funnel_ooo_stream_replay(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The ordered funnel behind the reorder stage against a replay
+    that BREAKS the cross-batch order contract (md5-carved ~1/8 of
+    every time bucket's events displaced one micro-batch late). The
+    funnel stage machine is the sharpest order probe of the fold
+    family: a view arriving after its click has already streamed
+    would, unbuffered, silently LOSE the conversion (a click only
+    counts strictly after the first view) — no hash noise, a missing
+    user. The reorder stage buffers and folds every event in exact
+    event-time order; the resolve takes each user's LATEST cursor
+    snapshot (max asof_ms) and aggregates to the batch query's
+    (stage, n_users) shape, hash-matched against the SAME oracle as
+    the batch `funnel_conversion`. Building this query RUNS the
+    stream (laziness-guard exempt)."""
+    from pyspark.sql import Window
+
+    from data_timeseries_java_spark.queries.fx import _ooo_fold_replay
+    from data_timeseries_java_spark.streaming.reorder import (
+        reordered_funnel,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type")
+    snaps = _ooo_fold_replay(
+        spark, sf_dir, "funnel", ev,
+        lambda src, wm: reordered_funnel(src, watermark=wm),
+        lambda: [F.lit("view").alias("event_type")])
+    w = Window.partitionBy("user_id").orderBy(F.desc("asof_ms"))
+    latest = (snaps.where(F.col("user_id") >= 0)
+              .withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") == 1))
+    stages = [
+        ("1_view", F.col("t_view").isNotNull()),
+        ("2_click_after_view", F.col("t_click").isNotNull()),
+        ("3_purchase_after_click", F.col("t_purchase").isNotNull()),
+    ]
+    out = None
+    for name, cond in stages:
+        row = (latest.where(cond)
+               .agg(F.count(F.lit(1)).alias("n_users"))
+               .select(F.lit(name).alias("stage"), "n_users"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+QUERIES["funnel_ooo_stream_replay"] = q_funnel_ooo_stream_replay
+
+ORACLE["funnel_ooo_stream_replay"] = ORACLE["funnel_conversion"]

@@ -73,6 +73,48 @@ def write_replay_files(df: DataFrame, file_col: str, path: str,
         _set_mtime(f"{path}/f{i}", base_mtime + i * 10)
 
 
+def write_displaced_replay(df: DataFrame, ts_col: str, path: str,
+                           n_buckets: int, t0_ms: int, span_ms: int,
+                           base_mtime: float, shuffle_cols: list[str],
+                           hex_prefixes: tuple[str, ...] = ("0", "1"),
+                           ) -> int:
+    """The OUT-OF-ORDER gate construction (same shape as
+    ``ema_ooo_stream_replay``): carve ~len(hex_prefixes)/16 of every
+    time bucket's rows by the first hex digit of
+    md5(``shuffle_cols``) and route them one file LATE, so every
+    micro-batch interleaves displaced old rows after newer ones have
+    already streamed — deliberately breaking the fold streams'
+    cross-batch order contract within one bucket width of event time.
+    Writes ``n_buckets + 1`` files (``f0..f{n_buckets}``; callers put
+    their watermark-flush sentinel at index ``n_buckets + 1``) and
+    returns the displaced-row count so callers can refuse a vacuous
+    gate."""
+    routed, n_disp = displace_route(df, ts_col, n_buckets, t0_ms,
+                                    span_ms, shuffle_cols, hex_prefixes)
+    write_replay_files(routed, "_f", path, n_buckets + 1, base_mtime,
+                       shuffle_cols)
+    return n_disp
+
+
+def displace_route(df: DataFrame, ts_col: str, n_buckets: int,
+                   t0_ms: int, span_ms: int, shuffle_cols: list[str],
+                   hex_prefixes: tuple[str, ...] = ("0", "1")):
+    """The routing half of :func:`write_displaced_replay`: returns
+    (df + ``_f`` file-index column with the md5-carved subset routed
+    one bucket late, displaced-row count). Split out so the recovery
+    gate can write phase-1 and phase-2 files separately around a
+    kill/restart boundary."""
+    t = F.unix_millis(F.col(ts_col))
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((t - F.lit(t0_ms)) * n_buckets / F.lit(max(span_ms, 1))))
+    digest = F.md5(F.concat_ws(":", *shuffle_cols))
+    displaced = F.substring(digest, 1, 1).isin(*hex_prefixes)
+    routed = df.withColumn(
+        "_f", (bucket + F.when(displaced, 1).otherwise(0)).cast("int"))
+    return routed, routed.where(displaced).count()
+
+
 def write_sentinel_file(df: DataFrame, path: str, index: int,
                         base_mtime: float) -> None:
     """Write a sentinel frame as file ``f{index}`` with the LATEST
