@@ -451,15 +451,24 @@ def q_source_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus composition report: doc count, language
     spread, token-count distribution — the rollup a data-mixture owner
     reads before weighting sources. All JVM built-ins; one shuffle on
-    source."""
+    source.
+
+    Token count is the scalar spaces+1 form, not size(split(...)):
+    identical for single-space splitting (split keeps empties at
+    limit=-1, so size == separator count + 1, verified exact on the
+    corpus) but never materializes a token array per row — and it keeps
+    the global HOF-trap plan scan (tests/test_plans.py) allowlist-free."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.size(F.split("text", " "))
+    toks = (F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + F.lit(1)).alias("toks")
+    docs = docs.select("source", "lang", "n_chars", toks)
     return (docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.countDistinct("lang").cast("long").alias("n_langs"),
-        F.sum(toks).cast("long").alias("total_tokens"),
-        F.round(F.avg(toks), 6).alias("avg_tokens"),
-        F.max(toks).cast("long").alias("max_tokens"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.round(F.avg("toks"), 6).alias("avg_tokens"),
+        F.max("toks").cast("long").alias("max_tokens"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
     ))
 

@@ -153,6 +153,17 @@ _PANDAS_QUERIES = {"media_decode_features", "media_png_decode",
                    "fx_imbalance_bars"}
 
 
+# Physical-plan substrings that mark the quadratic-HOF trap class
+# found in round 10 (SCALE.md §hof-audit): Catalyst does no CSE inside
+# generator projections or higher-order-function lambdas, so an
+# expression that re-builds a split/tokenize array per GENERATED row is
+# O(len^2) per document. These shapes are banned registry-wide; a
+# linear per-row token count is written as the scalar spaces+1 form
+# instead (queries/text.py::q_source_token_stats), so no allowlist is
+# needed.
+_HOF_TRAP_SHAPES = ("size(split(", "element_at(split(")
+
+
 def test_no_query_falls_into_row_python(spark, sf_dir):
     """Global guard: no declared query may contain row-at-a-time Python
     evaluation (BatchEvalPython), and none may plan a CartesianProduct
@@ -160,14 +171,24 @@ def test_no_query_falls_into_row_python(spark, sf_dir):
     BroadcastNestedLoopJoin — a CartesianProduct means BOTH sides were
     big and unkeyed, the one join shape that cannot survive scale).
     Arrow-batched pandas operators are allowed only for the known
-    pandas-based queries."""
+    pandas-based queries. Also bans the quadratic-HOF expression shapes
+    (_HOF_TRAP_SHAPES) in every physical plan — the round-10 lesson as
+    an engine-wide invariant, superseding the two per-lane pins."""
     for name, fn in sorted(all_queries().items()):
-        plan = formatted_plan(fn(spark, sf_dir))
+        df = fn(spark, sf_dir)
+        plan = formatted_plan(df)
         assert "BatchEvalPython" not in plan, f"{name} uses a Python UDF"
         assert "CartesianProduct" not in plan, f"{name} went cartesian"
         if name not in _PANDAS_QUERIES:
             assert "InPandas" not in plan and "ArrowEvalPython" not in plan, \
                 f"{name} unexpectedly crosses into pandas"
+        exec_plan = df._jdf.queryExecution().executedPlan().toString()
+        for shape in _HOF_TRAP_SHAPES:
+            assert shape not in exec_plan, (
+                f"{name}: physical plan contains '{shape}' — the "
+                "quadratic-HOF trap (array rebuilt per generated row); "
+                "hoist the array to a projection before the generator "
+                "or use a scalar form")
 
 
 # Queries whose *algorithm* is iterative (convergence-checked label
