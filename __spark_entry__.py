@@ -24,10 +24,10 @@ def entry(spark: SparkSession) -> DataFrame:
     window all-pairs Pearson correlation."""
     from data_timeseries_java_spark.queries.fx import q_fx_pair_correlation
 
-    # engine contract (session.py:21): non-ANSI SQL semantics — under
-    # Spark 4's ANSI default, corr() RAISES on a zero-variance window
-    # instead of yielding the NaN the reference's correlation policy
-    # classifies (isNaN, SURVEY §2.6). Harmless if already off.
+    # Belt-and-suspenders since round 11, no longer load-bearing: every
+    # operator is posture-independent (corr dispatches through
+    # functions/stats.py::safe_corr; the test suite runs ANSI ON).
+    # Classic semantics remain the engine default (session.py).
     spark.conf.set("spark.sql.ansi.enabled", "false")
     return q_fx_pair_correlation(spark, "/root/testdata/sf0.001")
 

@@ -7,6 +7,7 @@ hashing  — engine-portable deterministic hashing (md5-hex derived
 vectors  — JVM-side vector math over array columns (dot, norm, cosine)
            via higher-order functions; no Python in the hot path.
 skew     — key-salting helpers for hot-key aggregations and joins.
+stats    — ANSI-posture-independent aggregates (safe_corr).
 """
 
 from data_timeseries_java_spark.functions.hashing import (
@@ -15,6 +16,7 @@ from data_timeseries_java_spark.functions.hashing import (
     md5_min_signature,
 )
 from data_timeseries_java_spark.functions.skew import salted_sum
+from data_timeseries_java_spark.functions.stats import safe_corr
 from data_timeseries_java_spark.functions.vectors import cosine, dot, norm
 
 __all__ = [
@@ -25,4 +27,5 @@ __all__ = [
     "norm",
     "cosine",
     "salted_sum",
+    "safe_corr",
 ]

@@ -36,6 +36,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_timeseries_java_spark.functions.stats import safe_corr
 from data_timeseries_java_spark.plans.materialize import materialize
 
 
@@ -93,7 +94,7 @@ def pairwise_correlations(returns: DataFrame,
         & (F.col("a.key") < F.col("b.key")),
     )
     aggs = [
-        F.corr(F.col("a.value"), F.col("b.value")).alias("r"),
+        safe_corr(F.col("a.value"), F.col("b.value")).alias("r"),
         F.count(F.lit(1)).cast("int").alias("n"),
     ]
     if cfg.include_underlying:
@@ -512,7 +513,7 @@ def lead_lag_correlation(returns: DataFrame, max_lag: int = 2,
                     & (F.col("key_a") < F.col("key_b")))
     out = joined.groupBy("key_a", "key_b", "lag").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.round(F.corr("ret_a", "ret_b"), 6).alias("ccf"))
+        F.round(safe_corr("ret_a", "ret_b"), 6).alias("ccf"))
     return out.where(F.col("n") >= min_points)
 
 

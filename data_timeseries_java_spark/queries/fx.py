@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_timeseries_java_spark.functions.stats import safe_corr
 from data_timeseries_java_spark.operators import (
     CorrelationConfig,
     complete_candles,
@@ -1332,7 +1333,7 @@ def q_fx_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("key", "s.lag", "s.x", "s.y").where(F.col("y").isNotNull())
     return (stacked.groupBy("key", "lag")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.corr("x", "y"), 6).alias("acf"))
+                 F.round(safe_corr("x", "y"), 6).alias("acf"))
             .select("key", F.col("lag").cast("int").alias("lag"),
                     F.col("n").cast("long").alias("n"), "acf"))
 
@@ -3413,7 +3414,7 @@ def q_fx_pair_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (F.col("time_ms") == F.col("tb"))
                    & (F.col("key1") < F.col("key2")))
             .groupBy("w_start_ms", "key1", "key2")
-            .agg(F.corr("rnk1", "rnk2").alias("rho"),
+            .agg(safe_corr("rnk1", "rnk2").alias("rho"),
                  F.count(F.lit(1)).alias("n_points"))
             .where(F.col("n_points") >= 2)
             .select("w_start_ms", "key1", "key2",

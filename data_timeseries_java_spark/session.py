@@ -13,11 +13,17 @@ import os
 from pyspark.sql import SparkSession
 
 _DEFAULTS = {
-    # Spark 4 enables ANSI mode by default, which turns zero-variance
-    # Pearson correlation into a DIVIDE_BY_ZERO error. The reference's
-    # semantics (ComputeCorrelationsDoFn.java:188-193) are NaN-propagating
-    # — commons-math3 returns NaN for flat series — so the engine runs
-    # with classic (non-ANSI) SQL semantics.
+    # Belt-and-suspenders, NOT load-bearing (round 11): every operator
+    # is posture-independent — corr goes through safe_corr
+    # (functions/stats.py) and divisions carry nullif/try guards — and
+    # the test suite runs with ANSI ON to keep it that way. Classic
+    # mode stays the session default because it matches the
+    # reference's NaN-propagating semantics exactly
+    # (ComputeCorrelationsDoFn.java:188-193: commons-math3 returns NaN
+    # for flat series rather than erroring) and because ANSI's
+    # fail-fast casts are the wrong default for a batch engine over
+    # dirty 100 TB inputs; a user embedding the operators in an ANSI
+    # session gets identical results, not a raise.
     "spark.sql.ansi.enabled": "false",
     # Adaptive query execution: runtime re-plan, partition coalescing,
     # skew-join splitting — essential at 100 TB where static planning

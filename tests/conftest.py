@@ -11,7 +11,18 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
 def spark():
     from data_timeseries_java_spark import get_spark
 
-    s = get_spark("engine-tests", shuffle_partitions=4)
+    # The suite runs with ANSI ON — the opposite of the engine's own
+    # session default (session.py disables it for the reference's
+    # NaN-propagating corr semantics). Every operator must be correct
+    # under EITHER posture (functions/stats.py::safe_corr et al.), so
+    # the whole suite — including the full DuckDB-oracle tier — is the
+    # standing proof of posture independence; production sessions keep
+    # ANSI off as belt-and-suspenders, not as a correctness
+    # requirement. SPARK_GRAFT_TEST_ANSI=false restores the old
+    # posture for A/B debugging.
+    ansi = os.environ.get("SPARK_GRAFT_TEST_ANSI", "true")
+    s = get_spark("engine-tests", shuffle_partitions=4,
+                  extra_conf={"spark.sql.ansi.enabled": ansi})
     yield s
     s.stop()
 

@@ -200,3 +200,32 @@ def test_bpe_dict_mechanism_survives_1024_merges(spark, sf_dir):
     direct_64 = sorted(bpe_token_counts(docs, merges=MERGES).collect())
     dict_64 = sorted(bpe_token_counts_dict(docs, merges=MERGES).collect())
     assert dict_64 == direct_64
+
+
+def test_safe_corr_posture_independent(spark):
+    """safe_corr (functions/stats.py) must return the SAME answers under
+    ANSI and classic postures: NULL (never a raise) on a zero-variance
+    group, and values within last-ulp of the built-in corr elsewhere.
+    The suite session runs ANSI ON, so the moment-form branch is the
+    one every oracle lane exercises; here both branches are pinned
+    explicitly by flipping the runtime conf around plan-build."""
+    from data_timeseries_java_spark.functions.stats import safe_corr
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 2.0), (1, 1.0, 3.0), (1, 1.0, 4.0),
+         (2, 1.0, 2.0), (2, 2.0, 4.0), (2, 3.0, 5.0)],
+        "g int, x double, y double")
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    out = {}
+    try:
+        for posture in ("true", "false"):
+            spark.conf.set("spark.sql.ansi.enabled", posture)
+            rows = (df.groupBy("g").agg(safe_corr("x", "y").alias("r"))
+                    .collect())
+            out[posture] = {row.g: row.r for row in rows}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    for posture, vals in out.items():
+        assert vals[1] is None, f"zero variance must be NULL ({posture})"
+        assert abs(vals[2] - 0.9819805060619659) < 1e-12, posture
+    assert abs(out["true"][2] - out["false"][2]) < 1e-14

@@ -214,7 +214,10 @@ _ITERATIVE_QUERIES = {"dedup_clusters", "dedup_keep_list",
                       "late_data_stream_replay", "scd2_stream_replay",
                       "late_data_state_stream_replay",
                       "allowed_lateness_stream_replay",
-                      "ema_ooo_stream_replay", "stream_join_replay"}
+                      "ema_ooo_stream_replay", "stream_join_replay",
+                      "holt_ooo_stream_replay", "imbalance_ooo_stream_replay",
+                      "vwap_ooo_stream_replay", "funnel_ooo_stream_replay",
+                      "reorder_recovery_stream_replay"}
 
 
 
