@@ -153,19 +153,32 @@ def interpolate_candles(candles: DataFrame,
     Shape: two window passes over ``partitionBy(key)`` — same shuffle
     the carry-forward already does (candle-sized data, 1 row per key per
     interval, no skew), nothing touches the tick scan.
+
+    The "next live close" is the ASC ``first(...) over (1, unbounded
+    following)`` by definition, but that frame shape is QUADRATIC in
+    Spark: a moving lower bound with an unbounded-following upper lands
+    on UnboundedFollowingWindowFunctionFrame, which re-aggregates the
+    remaining rows for every row — O(n²) per key partition (measured:
+    578s at the 100x decade, 194x the fx family median, vs 3.5s fixed;
+    SCALE.md §outlier-audit). The same value is computed here as the
+    DESC ``last(ignorenulls) over (unboundedPreceding, -1)`` — a
+    growing frame Spark evaluates incrementally, O(n); costs one extra
+    in-partition sort, no extra shuffle. The plan scan in
+    tests/test_plans.py bans the quadratic frame shape registry-wide.
     """
     price = price if price is not None else F.col("close.ask")
     ws_ms = F.unix_millis("window_start")
     wk = Window.partitionBy("key").orderBy("window_start")
     prev = wk.rowsBetween(Window.unboundedPreceding, -1)
-    nxt = wk.rowsBetween(1, Window.unboundedFollowing)
+    wk_desc = Window.partitionBy("key").orderBy(F.col("window_start").desc())
+    after = wk_desc.rowsBetween(Window.unboundedPreceding, -1)
 
     live_val = F.when(F.col("is_live"), price)
     live_ws = F.when(F.col("is_live"), ws_ms)
     pv = F.last(live_val, ignorenulls=True).over(prev)
     pw = F.last(live_ws, ignorenulls=True).over(prev)
-    nv = F.first(live_val, ignorenulls=True).over(nxt)
-    nw = F.first(live_ws, ignorenulls=True).over(nxt)
+    nv = F.last(live_val, ignorenulls=True).over(after)
+    nw = F.last(live_ws, ignorenulls=True).over(after)
 
     frac = (ws_ms - pw) / (nw - pw)
     interp = (F.when(F.col("is_live"), price)

@@ -326,13 +326,18 @@ def ivf_topk(df: DataFrame, query_ids: DataFrame, centroids: DataFrame,
 
 def kmeans_centroids(df: DataFrame, seed_stride: int = 50,
                      iterations: int = 3, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     seed_cap: int | None = None) -> DataFrame:
     """Lloyd's k-means over embedding components, unrolled as a fixed
     number of DataFrame iterations — the whole training is ONE lazy plan
     (no driver-side convergence checks, no collect; fixed iteration count
     keeps it deterministic and resumable).
 
-    Seeds: every ``seed_stride``-th vector (deterministic). Assignment:
+    Seeds: every ``seed_stride``-th vector (deterministic); with
+    ``seed_cap`` set, only ids BELOW the cap seed — k becomes a fixed
+    build-time constant instead of growing with the corpus (the
+    production IVF posture; without it each Lloyd iteration is
+    O(n²·d/stride), the round-11 audit finding). Assignment:
     nearest centroid by cosine, ranked on round(cos, 9) with ties to the
     lowest centroid id (cross-engine stable). Update: per-dimension mean
     of assigned vectors, rounded to 6 decimals so both engines quantize
@@ -353,7 +358,10 @@ def kmeans_centroids(df: DataFrame, seed_stride: int = 50,
             .select(id_col, "dim", F.col("x").cast("double").alias("x")))
     vnorm = comp.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("vnrm"))
-    cent = (comp.where(F.col(id_col) % seed_stride == 0)
+    seed_pred = F.col(id_col) % seed_stride == 0
+    if seed_cap is not None:
+        seed_pred = seed_pred & (F.col(id_col) < seed_cap)
+    cent = (comp.where(seed_pred)
             .select(F.col(id_col).alias("centroid_id"), "dim",
                     F.col("x").alias("w")))
     for _ in range(iterations):

@@ -209,17 +209,29 @@ ORACLE = {
 
 N_CENTROIDS_STRIDE = 50  # centroid seed set: vec_id % 50 == 0
 N_PROBE = 3
+# nlist is a BUILD-TIME constant in any production IVF (FAISS trains a
+# fixed list count regardless of corpus size). The round-11 outlier
+# audit caught the un-capped stride rule scaling k WITH the corpus —
+# O(n·k) = O(n²/stride) assignment work, 10,000 centroids at the 100x
+# replica decade (SCALE.md §outlier-audit). The cap pins the list
+# count: ids below STRIDE*LISTS seed, so every oracle SF and the sf0.1
+# bench (vec_id < 5000 throughout) produce byte-identical results,
+# while replica decades hold k = 100.
+N_IVF_LISTS = 100
+IVF_SEED_CAP = N_CENTROIDS_STRIDE * N_IVF_LISTS
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: vectors are partitioned into centroid
-    lists (deterministic seed centroids: every 50th vector — a k-means
-    refinement drops into the same machinery); each query probes its 3
-    nearest lists and exact-reranks only those candidates."""
+    lists (deterministic seed centroids: every 50th vector below the
+    fixed-nlist cap — a k-means refinement drops into the same
+    machinery); each query probes its 3 nearest lists and
+    exact-reranks only those candidates."""
     from data_timeseries_java_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.where(F.col("vec_id") % N_CENTROIDS_STRIDE == 0)
+    centroids = emb.where((F.col("vec_id") % N_CENTROIDS_STRIDE == 0)
+                          & (F.col("vec_id") < IVF_SEED_CAP))
     queries = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id")
     return ivf_topk(emb, queries, centroids, k=KNN_K, n_probe=N_PROBE)
 
@@ -230,7 +242,7 @@ ORACLE["ann_ivf"] = f"""
 WITH {_COMP},
 cent AS (
   SELECT vec_id AS centroid_id, dim, x FROM comp
-  WHERE vec_id % {N_CENTROIDS_STRIDE} = 0
+  WHERE vec_id % {N_CENTROIDS_STRIDE} = 0 AND vec_id < {IVF_SEED_CAP}
 ),
 cnorms AS (
   SELECT centroid_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
@@ -312,7 +324,8 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cent = centroid_vectors(kmeans_centroids(
-        emb, seed_stride=N_CENTROIDS_STRIDE, iterations=KMEANS_ITERS))
+        emb, seed_stride=N_CENTROIDS_STRIDE, iterations=KMEANS_ITERS,
+        seed_cap=IVF_SEED_CAP))
     queries = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id")
     return ivf_topk(emb, queries, cent, k=KNN_K, n_probe=N_PROBE)
 
@@ -320,14 +333,17 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ann_ivf_trained"] = q_ann_ivf_trained
 
 
-def _kmeans_cte(iterations: int) -> str:
+def _kmeans_cte(iterations: int, seed_cap: int | None = None) -> str:
     """Unrolled Lloyd's iterations as DuckDB CTEs, mirroring
     kmeans_centroids step for step (round(cos,9) ranked assignment,
-    6-decimal-rounded mean update)."""
+    6-decimal-rounded mean update). ``seed_cap`` mirrors the operator's
+    fixed-nlist seed cap (ann_ivf_trained); the SemDeDup companions
+    deliberately train un-capped (k ∝ n, documented)."""
+    cap = f" AND vec_id < {seed_cap}" if seed_cap is not None else ""
     sql = f"""
 cent0 AS (
   SELECT vec_id AS centroid_id, dim, CAST(x AS DOUBLE) AS w
-  FROM comp WHERE vec_id % {N_CENTROIDS_STRIDE} = 0
+  FROM comp WHERE vec_id % {N_CENTROIDS_STRIDE} = 0{cap}
 )"""
     for i in range(iterations):
         sql += f""",
@@ -361,7 +377,7 @@ cent{i + 1} AS (
 _N = KMEANS_ITERS
 ORACLE["ann_ivf_trained"] = f"""
 WITH {_COMP},
-{_kmeans_cte(_N)},
+{_kmeans_cte(_N, seed_cap=IVF_SEED_CAP)},
 cnorms AS (
   SELECT centroid_id, sqrt(sum(w * w)) AS nrm FROM cent{_N} GROUP BY centroid_id
 ),

@@ -51,6 +51,10 @@ DOCUMENTED = {
     # flagship semantic_dedup routes to the flat fixed-k path.
     "semantic_dedup_exact": "semdedup-at-scale",
     "semantic_dedup_fixedk": "semdedup-at-scale (pinned k: pair space n^2/k)",
+    # trains k-means with k ∝ n by design — the oracle-identical exact
+    # companion; production trains fixed-k on a bounded sample
+    # (SCALE.md §semdedup-training)
+    "semantic_dedup_ann": "semdedup-training (k ∝ n companion)",
 }
 
 

@@ -4,6 +4,8 @@ stay JVM-side."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -163,6 +165,18 @@ _PANDAS_QUERIES = {"media_decode_features", "media_png_decode",
 # needed.
 _HOF_TRAP_SHAPES = ("size(split(", "element_at(split(")
 
+# The quadratic WINDOW-FRAME trap (round-11 outlier audit): a frame
+# whose upper bound is UNBOUNDED FOLLOWING but whose lower bound is NOT
+# unbounded preceding lands on UnboundedFollowingWindowFunctionFrame,
+# which re-aggregates the remaining rows for EVERY row — O(n^2) per
+# window partition (fx_candles_interpolated measured 578s at the 100x
+# decade, 194x its family median; 3.5s after rewriting as a DESC-order
+# growing frame). A whole-partition frame (both bounds unbounded) is
+# computed once and stays allowed.
+_QUAD_FRAME = re.compile(
+    r"specifiedwindowframe\((?:Row|Range)Frame, ([^,]+?),"
+    r" unboundedfollowing\$\(\)\)")
+
 
 def test_no_query_falls_into_row_python(spark, sf_dir):
     """Global guard: no declared query may contain row-at-a-time Python
@@ -189,6 +203,12 @@ def test_no_query_falls_into_row_python(spark, sf_dir):
                 "quadratic-HOF trap (array rebuilt per generated row); "
                 "hoist the array to a projection before the generator "
                 "or use a scalar form")
+        for lower in _QUAD_FRAME.findall(exec_plan):
+            assert lower == "unboundedpreceding$()", (
+                f"{name}: window frame ({lower}, unboundedfollowing) is "
+                "O(n^2) per partition (per-row re-aggregation); flip "
+                "the ordering to DESC and use a growing "
+                "(unboundedPreceding, -1) frame instead")
 
 
 # Queries whose *algorithm* is iterative (convergence-checked label
