@@ -1471,13 +1471,16 @@ def q_order_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-to-ship latency profile per order priority: days from
     order date to each line's ship date, the share taking over 60
     days, and the spread (min/max) — the fulfilment-health rollup
-    next to the revenue queries. Broadcast join of the orders dim
-    columns onto the lineitem scan, one aggregation, date arithmetic
-    only."""
+    next to the revenue queries. Orders GROWS with the dataset (a
+    fact, not a dim), so the join is left to the planner — AQE
+    broadcasts while it fits and shuffles when it doesn't. A forced
+    broadcast hint here was a round-11 audit finding: 15M rows pushed
+    through the driver at the 100x decade, guaranteed OOM at 1000x.
+    One aggregation, date arithmetic only."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    j = li.join(F.broadcast(orders.select("o_orderkey", "o_orderdate",
-                                          "o_orderpriority")),
+    j = li.join(orders.select("o_orderkey", "o_orderdate",
+                              "o_orderpriority"),
                 li.l_orderkey == F.col("o_orderkey"))
     days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
     return (j.groupBy(F.col("o_orderpriority").alias("priority"))
