@@ -38,7 +38,16 @@ def _ansi_on() -> bool:
     s = SparkSession.getActiveSession()
     if s is None:
         return True  # no session to ask: emit the form safe under both
-    return s.conf.get("spark.sql.ansi.enabled", "false").lower() == "true"
+    # No explicit fallback: conf.get(key) returns the EFFECTIVE value,
+    # including Spark 4's built-in default of true when the user never
+    # set the conf. conf.get(key, "false") would mask that default and
+    # emit bare F.corr into a vanilla ANSI-ON Spark 4 session — the
+    # exact external-session raise this module exists to prevent.
+    try:
+        val = s.conf.get("spark.sql.ansi.enabled")
+    except Exception:
+        return True  # unknown posture: emit the form safe under both
+    return val is None or val.lower() == "true"
 
 
 def safe_corr(x: ColumnOrName, y: ColumnOrName) -> Column:

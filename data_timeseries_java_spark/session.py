@@ -17,10 +17,12 @@ _DEFAULTS = {
     # is posture-independent — corr goes through safe_corr
     # (functions/stats.py) and divisions carry nullif/try guards — and
     # the test suite runs with ANSI ON to keep it that way. Classic
-    # mode stays the session default because it matches the
-    # reference's NaN-propagating semantics exactly
+    # mode stays the session default because on a zero-variance group
+    # classic corr returns NULL (vs ANSI's raise), which the engine's
+    # correlation policy classifies together with the reference's NaN
     # (ComputeCorrelationsDoFn.java:188-193: commons-math3 returns NaN
-    # for flat series rather than erroring) and because ANSI's
+    # for flat series rather than erroring — downstream uniformly
+    # checks `r IS NULL OR isnan(r)`), and because ANSI's
     # fail-fast casts are the wrong default for a batch engine over
     # dirty 100 TB inputs; a user embedding the operators in an ANSI
     # session gets identical results, not a raise.

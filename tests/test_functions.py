@@ -229,3 +229,64 @@ def test_safe_corr_posture_independent(spark):
         assert vals[1] is None, f"zero variance must be NULL ({posture})"
         assert abs(vals[2] - 0.9819805060619659) < 1e-12, posture
     assert abs(out["true"][2] - out["false"][2]) < 1e-14
+
+
+def test_ansi_probe_reads_effective_default(spark):
+    """`_ansi_on` must see the session's EFFECTIVE posture — including
+    Spark 4's built-in default of true when the user never set the
+    conf. Passing an explicit 'false' fallback to conf.get masks that
+    default: conf.get(key, 'false') returns 'false' on an unset key
+    while conf.get(key) returns the real default — so the buggy form
+    would emit bare F.corr into a vanilla ANSI-ON Spark 4 session and
+    zero-variance groups would raise DIVIDE_BY_ZERO (round-12 ADVICE,
+    high)."""
+    from data_timeseries_java_spark.functions.stats import _ansi_on, safe_corr
+
+    key = "spark.sql.ansi.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.unset(key)
+        effective = spark.conf.get(key)  # Spark's built-in default
+        # Pin the bug shape: the fallback form masks the default.
+        assert spark.conf.get(key, "false") == "false"
+        assert effective == "true", "Spark 4 defaults ANSI on"
+        assert _ansi_on() is True
+        # And the consequence: safe_corr in a never-configured session
+        # must yield NULL on zero variance, never a raise.
+        df = spark.createDataFrame(
+            [(1.0, 2.0), (1.0, 3.0), (1.0, 4.0)], "x double, y double")
+        assert df.agg(safe_corr("x", "y")).collect()[0][0] is None
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_safe_corr_posture_flip_stale_form(spark):
+    """safe_corr reads posture at plan-BUILD time (documented in its
+    docstring): a session that flips ANSI after building gets the
+    stale form. Pin that the stale form is still SAFE — NULL on zero
+    variance, never a raise — in BOTH flip directions, and that the
+    two postures do emit different forms at build."""
+    from data_timeseries_java_spark.functions.stats import safe_corr
+
+    key = "spark.sql.ansi.enabled"
+    prev = spark.conf.get(key)
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (1.0, 3.0), (1.0, 4.0)], "x double, y double")
+    try:
+        spark.conf.set(key, "false")
+        classic_col = safe_corr("x", "y")
+        classic_built = df.agg(classic_col.alias("r"))
+        assert "try_divide" not in str(classic_col)
+
+        spark.conf.set(key, "true")
+        ansi_col = safe_corr("x", "y")
+        ansi_built = df.agg(ansi_col.alias("r"))
+        assert "try_divide" in str(ansi_col)
+
+        # classic-built plan executed under ANSI: stale form, no raise
+        assert classic_built.collect()[0].r is None
+        spark.conf.set(key, "false")
+        # ANSI-built plan executed under classic: stale form, no raise
+        assert ansi_built.collect()[0].r is None
+    finally:
+        spark.conf.set(key, prev)

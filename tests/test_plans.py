@@ -172,10 +172,15 @@ _HOF_TRAP_SHAPES = ("size(split(", "element_at(split(")
 # window partition (fx_candles_interpolated measured 578s at the 100x
 # decade, 194x its family median; 3.5s after rewriting as a DESC-order
 # growing frame). A whole-partition frame (both bounds unbounded) is
-# computed once and stays allowed.
-_QUAD_FRAME = re.compile(
-    r"specifiedwindowframe\((?:Row|Range)Frame, ([^,]+?),"
-    r" unboundedfollowing\$\(\)\)")
+# computed once and stays allowed. Anchoring on the known-safe
+# alternative (count whole-partition frames vs total
+# unboundedfollowing occurrences) rather than capturing the lower
+# bound with a [^,]+? group, so a computed bound expression containing
+# a comma cannot silently escape the guard (round-12 ADVICE).
+_UNBOUNDED_FOLLOWING = "unboundedfollowing$()"
+_WHOLE_PARTITION_FRAME = re.compile(
+    r"specifiedwindowframe\((?:Row|Range)Frame,"
+    r"\s*unboundedpreceding\$\(\),\s*unboundedfollowing\$\(\)\)")
 
 
 def test_no_query_falls_into_row_python(spark, sf_dir):
@@ -203,12 +208,14 @@ def test_no_query_falls_into_row_python(spark, sf_dir):
                 "quadratic-HOF trap (array rebuilt per generated row); "
                 "hoist the array to a projection before the generator "
                 "or use a scalar form")
-        for lower in _QUAD_FRAME.findall(exec_plan):
-            assert lower == "unboundedpreceding$()", (
-                f"{name}: window frame ({lower}, unboundedfollowing) is "
-                "O(n^2) per partition (per-row re-aggregation); flip "
-                "the ordering to DESC and use a growing "
-                "(unboundedPreceding, -1) frame instead")
+        n_following = exec_plan.count(_UNBOUNDED_FOLLOWING)
+        n_whole = len(_WHOLE_PARTITION_FRAME.findall(exec_plan))
+        assert n_following == n_whole, (
+            f"{name}: {n_following - n_whole} window frame(s) end at "
+            "UNBOUNDED FOLLOWING without starting at unbounded "
+            "preceding — O(n^2) per partition (per-row "
+            "re-aggregation); flip the ordering to DESC and use a "
+            "growing (unboundedPreceding, -1) frame instead")
 
 
 # Queries whose *algorithm* is iterative (convergence-checked label

@@ -207,3 +207,40 @@ def test_semantic_dedup_ann_unassigned_are_kept(spark, sf_dir):
         .collect()
     assert all(r.is_kept and r.dup_of is None and r.max_dup_cos is None
                for r in rows)
+
+
+def test_semantic_dedup_derived_k_beyond_floor(spark, sf_dir, tmp_path_factory):
+    """The unsuffixed flagship derives k from corpus size (k = max(
+    FIXEDK_K, n // TARGET_CLUSTER_SIZE)) and its oracle derives k the
+    same way in SQL — so the two must agree PAST the k = FIXEDK_K
+    floor, not just at the oracle SFs where the grid bottoms out.
+    Replicate the embeddings 12x with offset ids (n = 6000 -> k = 12,
+    S = 300) and hash-compare Spark vs DuckDB on the enlarged corpus
+    (round-12 VERDICT #1)."""
+    import duckdb
+
+    from data_timeseries_java_spark.queries import all_oracles
+    from data_timeseries_java_spark.queries.similarity import (
+        FIXEDK_K, TARGET_CLUSTER_SIZE, q_semantic_dedup)
+    from scripts.oracle_check import compare
+
+    out = tmp_path_factory.mktemp("semdedup_bigk")
+    src = f"{sf_dir}/embeddings.parquet"
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          SELECT e.vec_id + t.r * 1000 AS vec_id, e.embedding, e.label
+          FROM read_parquet('{src}') e, range(12) t(r)
+        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    n = con.execute(
+        f"SELECT count(*) FROM '{out}/embeddings.parquet'").fetchone()[0]
+    assert n // TARGET_CLUSTER_SIZE > FIXEDK_K, "fixture must clear the floor"
+
+    sdf = q_semantic_dedup(spark, str(out)).toPandas()
+    oracle_con = duckdb.connect()
+    oracle_con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{out}/embeddings.parquet'")
+    ddf = oracle_con.execute(all_oracles()["semantic_dedup"]).fetchdf()
+    problems = compare("semantic_dedup_bigk", sdf, ddf)
+    assert not problems, problems
