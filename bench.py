@@ -68,8 +68,9 @@ HEADLINE = [
     "semantic_dedup_exact",
     # the SRP-banded linear-assignment variant next to the exact path
     "semantic_dedup_ann",
-    # the flagship: since round 9 the unsuffixed name IS the fully
-    # linear fixed-k sampled-training + SRP-assignment path
+    # the flagship: since round 12 the unsuffixed name derives k from
+    # corpus size (k ~ n/TARGET_CLUSTER_SIZE, S ∝ k sample training,
+    # SRP-banded assignment) — verify space linear in n at every scale
     "semantic_dedup",
     # production-vocab dictionary tokenizer (1024 ranks, segmented)
     "text_bpe_tokens_dict",
@@ -106,6 +107,58 @@ HEADLINE = [
     # scan; the hardest classic join shape)
     "tpch_q21",
 ]
+
+
+def _env_snapshot() -> dict:
+    """Environment telemetry (round-12 VERDICT #2): the r10->r11
+    common-lane sum drifted ~1.09x UNIFORMLY — including lanes git
+    shows untouched — which points at machine load, but the artifact
+    recorded nothing that could prove it. Snapshot loadavg, cgroup CPU
+    throttling, and a /proc/stat jiffy vector before and after the
+    run so a future uniform drift is attributable from the artifact
+    alone."""
+    snap: dict = {"ts": round(time.time(), 3),
+                  "loadavg": [round(x, 2) for x in os.getloadavg()]}
+    try:
+        with open("/sys/fs/cgroup/cpu.stat") as f:
+            for line in f:
+                k, _, v = line.partition(" ")
+                if k in ("usage_usec", "nr_periods", "nr_throttled",
+                         "throttled_usec"):
+                    snap[k] = int(v)
+    except OSError:
+        pass
+    try:
+        with open("/proc/stat") as f:
+            first = f.readline().split()
+        if first and first[0] == "cpu":
+            snap["proc_stat_cpu"] = [int(x) for x in first[1:]]
+    except OSError:
+        pass
+    return snap
+
+
+def _env_summary(before: dict, after: dict) -> dict:
+    """Compact derived telemetry for the FINAL summary line: 1-min
+    loadavg at both ends, cgroup throttle deltas, and the system-wide
+    busy fraction over the bench window (non-idle jiffy share — >~
+    n_bench_cores/online_cores means something ELSE competed for the
+    machine)."""
+    out = {"load1_before": before.get("loadavg", [None])[0],
+           "load1_after": after.get("loadavg", [None])[0],
+           "wall_sec": round(after["ts"] - before["ts"], 1)}
+    for k in ("nr_throttled", "throttled_usec"):
+        if k in before and k in after:
+            out[f"{k}_delta"] = after[k] - before[k]
+    b, a = before.get("proc_stat_cpu"), after.get("proc_stat_cpu")
+    if b and a and len(a) == len(b):
+        delta = [x - y for x, y in zip(a, b)]
+        total = sum(delta)
+        # fields 4/5 are idle/iowait in /proc/stat's cpu line
+        idle = sum(delta[3:5]) if len(delta) >= 5 else 0
+        if total > 0:
+            out["cpu_busy_frac"] = round(1.0 - idle / total, 3)
+    return out
 
 
 def main() -> None:
@@ -152,6 +205,7 @@ def main() -> None:
     # PLANS.md §bench-outliers)
     extra_trials = {"ann_lsh": 4, "fx_pair_spearman": 4,
                     "media_resize": 4}
+    env_before = _env_snapshot()
     medians: dict[str, float] = {}
     detail: dict[str, dict] = {}
     for name in headline:
@@ -159,6 +213,7 @@ def main() -> None:
                   "tracked": TrackingPolicy()}[policy_name]
         trials: list[float] = []
         lane_trials = n_trials + extra_trials.get(name, 0)
+        lane_t0 = round(time.time(), 3)
         with materialization(policy):
             for i in range(lane_trials + 1):  # trial 0: discarded warm-up
                 df = qs[name](spark, sf_dir)
@@ -173,7 +228,11 @@ def main() -> None:
             "median": medians[name],
             "min": min(trials),
             "trials": trials,
+            # trial-level wall anchor: lets a reader correlate a slow
+            # lane with an external load event by absolute time
+            "t_start": lane_t0,
         }
+    env_after = _env_snapshot()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -182,6 +241,8 @@ def main() -> None:
     print(json.dumps({
         "metric": "headline query wall-clock (detail)",
         "queries_detail": detail,
+        "env_before": env_before,
+        "env_after": env_after,
         "sf": sf_val,
     }))
     print(json.dumps({
@@ -189,6 +250,7 @@ def main() -> None:
         "value": round(sum(medians.values()), 3),
         "unit": "sec",
         "queries": medians,
+        "env": _env_summary(env_before, env_after),
         "sf": sf_val,
     }))
 

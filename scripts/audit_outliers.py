@@ -57,11 +57,9 @@ DOCUMENTED = {
     "semantic_dedup_exact": "semdedup-at-scale",
     "semantic_dedup_fixedk": "semdedup-at-scale (pinned k: pair space n^2/k)",
     # the flagship routes to the SAME fixed-k path: training flat, SRP
-    # assignment O(n·planes), but the within-cluster verify pair space
-    # is n²/k with k pinned for oracle determinism — bench_scale
-    # excludes it for the same documented reason (production scales k
-    # with the corpus, keeping cluster sizes bounded)
-    "semantic_dedup": "semdedup-at-scale (same pinned-k verify space)",
+    # NOTE (round 12): the unsuffixed flagship semantic_dedup is NOT
+    # here anymore — it derives k ~ n/TARGET_CLUSTER_SIZE (verify
+    # space ≈ n·TCS, linear) and is timed like every other lane.
     # trains k-means with k ∝ n by design — the oracle-identical exact
     # companion; production trains fixed-k on a bounded sample
     # (SCALE.md §semdedup-training)

@@ -34,9 +34,11 @@ QUERIES = ["dedup_minhash_lsh", "corpus_build", "ann_lsh",
            # size — and the verdict pair space, n²/k — grows with the
            # replica decade; the linearity claim it makes is about
            # TRAINING, which bench_semdedup_train.py isolates and
-           # measures flat. A production deployment scales k with the
-           # corpus (srp_assign handles k~n) and keeps training on an
-           # S ∝ k sample.
+           # measures flat.
+           # round 12: the unsuffixed flagship now IS the production
+           # posture — k derived ~ n/TARGET_CLUSTER_SIZE, S ∝ k sample
+           # training, SRP assignment — so it joins the decade table.
+           "semantic_dedup",
            "text_bpe_tokens_dict", "dsir_importance",
            "dedup_substring_spans", "brand_triangles_deg",
            # round-8 session-2 additions: event-driven bars (per-key
