@@ -44,7 +44,9 @@ def reordered_fold(rows: DataFrame, ts_col: str, payload_cols: list[str],
                    payload_sql_types: list[str], key_col: str,
                    inner_state_schema: str, out_schema: str, fold,
                    watermark: str,
-                   state_ttl: str | None = None) -> DataFrame:
+                   state_ttl: str | None = None,
+                   max_buffer_rows: int | None = None,
+                   on_overflow: str = "spill") -> DataFrame:
     """Generic watermark-buffered fold.
 
     ``fold(key, ts_ms, payload_arrays, inner_state) ->
@@ -63,7 +65,30 @@ def reordered_fold(rows: DataFrame, ts_col: str, payload_cols: list[str],
     bounds quiet-key state at zero; do NOT set it for folds whose
     state is semantic history (SCD2's open version, an in-flight bar) —
     releasing those changes the answer, not just the memory.
+
+    ``max_buffer_rows`` (round-12 VERDICT #5): the buffer holds, per
+    key, the rows within the watermark delay D of the front — rate x D
+    rows, which for a HOT key at 100x tick rates is one unbounded
+    state value. When set, the guard bounds it explicitly; the policy
+    on breach is ``on_overflow``:
+
+    - ``"spill"`` (default): the OLDEST overflow rows are sealed
+      through the fold EARLY (before the watermark would have), in
+      event-time order, and the drop front advances to the newest
+      spilled timestamp — so a straggler older than the spilled front
+      is dropped by the standing drop contract. Semantics: a key that
+      breaches the cap gets a SHRUNKEN effective reorder tolerance
+      (the newest ``max_buffer_rows`` rows' span instead of D); keys
+      under the cap are byte-identical to the unguarded fold. The
+      pipeline stays alive and memory stays bounded — the right
+      posture for a 100 TB keeper pipeline.
+    - ``"error"``: raise with the key and buffer size — the loud
+      option when early folding would be wrong (audit pipelines where
+      a hot key means upstream misconfiguration, not load).
     """
+    if on_overflow not in ("spill", "error"):
+        raise ValueError(f"on_overflow must be 'spill' or 'error', "
+                         f"got {on_overflow!r}")
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -125,6 +150,33 @@ def reordered_fold(rows: DataFrame, ts_col: str, payload_cols: list[str],
                 out, inner = fold(k, ready_ts, ready_payload, inner)
                 flushed = wm
 
+        if max_buffer_rows is not None and len(buf_ts) > max_buffer_rows:
+            if on_overflow == "error":
+                raise RuntimeError(
+                    f"reorder buffer overflow: key {k!r} holds "
+                    f"{len(buf_ts)} rows within the watermark delay "
+                    f"(max_buffer_rows={max_buffer_rows}); lower the "
+                    f"watermark, raise the cap, or use "
+                    f"on_overflow='spill'")
+            # spill-to-emit: seal the OLDEST overflow early, in event-
+            # time order; advance the drop front so stragglers older
+            # than the spilled front fall to the standing drop rule
+            ts_arr = np.asarray(buf_ts, dtype="int64")
+            order = np.argsort(ts_arr, kind="stable")
+            spill_idx = order[:len(buf_ts) - max_buffer_rows]
+            keep_idx = order[len(buf_ts) - max_buffer_rows:]
+            spill_ts = ts_arr[spill_idx]
+            spill_payload = {}
+            for c in payload_cols:
+                arr = np.asarray(bufs[c])
+                spill_payload[c] = arr[spill_idx]
+                bufs[c] = arr[keep_idx].tolist()
+            buf_ts = ts_arr[keep_idx].tolist()
+            spilled, inner = fold(k, spill_ts, spill_payload, inner)
+            flushed = max(flushed, int(spill_ts.max()))
+            out = spilled if out is None else pd.concat(
+                [out, spilled], ignore_index=True)
+
         if not buf_ts and ttl_ms is not None and wm - flushed >= ttl_ms:
             # quiet-key TTL: buffer drained and nothing arrived for
             # ttl of watermark time — release the whole state row; the
@@ -158,7 +210,9 @@ def reordered_fold(rows: DataFrame, ts_col: str, payload_cols: list[str],
 def reordered_ema(ticks: DataFrame, alpha: float = 0.2,
                   price_col: str = "value",
                   watermark: str = "1 hour",
-                  state_ttl: str | None = None) -> DataFrame:
+                  state_ttl: str | None = None,
+                  max_buffer_rows: int | None = None,
+                  on_overflow: str = "spill") -> DataFrame:
     """The streaming EMA behind the reorder stage: identical recursion
     to ``streaming_ema_applyinpandas`` (pandas ewm(adjust=False)
     continuing the exact IEEE-double fold), but correct under
@@ -188,7 +242,8 @@ def reordered_ema(ticks: DataFrame, alpha: float = 0.2,
         ticks, "event_time", [price_col], ["double"], "key",
         "ema double",
         "key string, event_time timestamp, price double, ema double",
-        fold, watermark, state_ttl)
+        fold, watermark, state_ttl,
+        max_buffer_rows=max_buffer_rows, on_overflow=on_overflow)
 
 
 def reordered_tick_bars(ticks: DataFrame, bar_size: int = 50,

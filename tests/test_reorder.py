@@ -338,3 +338,112 @@ def test_reorder_state_ttl_reseeds_cleanly(spark, tmp_path):
             for r in spark.table("reord_nottl").collect()
             if r.key == "K"}
     assert got2[_ms(mins(50))] == 0.2 * 50.0 + 0.8 * 100.0
+
+
+def test_reorder_buffer_cap_spill_inorder_identical(spark, tmp_path):
+    """max_buffer_rows guard, spill policy (round-12 VERDICT #5): a hot
+    key whose single batch exceeds the cap gets the oldest overflow
+    sealed EARLY through the fold in event-time order — for in-order
+    arrival the emitted EMA series must be byte-identical to the
+    unguarded in-order recursion (early sealing changes WHEN rows
+    fold, never the fold order)."""
+    import pandas as pd
+
+    from data_timeseries_java_spark.streaming.reorder import reordered_ema
+
+    t = lambda m: datetime(2024, 8, 4, 0, m, tzinfo=timezone.utc)
+    prices = [100.0 + i for i in range(20)]
+    schema = "key string, event_time timestamp, ask double"
+    batches = [
+        # one hot batch: 20 rows for one key, far above the cap of 5
+        [("H", t(m), prices[m]) for m in range(20)],
+        # far-future flusher seals the surviving buffer
+        [("H", datetime(2024, 8, 4, 6, 0, tzinfo=timezone.utc), 0.0)],
+    ]
+    d = str(tmp_path)
+    _write_batches(spark, d, schema, batches)
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(f"{d}/f*"))
+    _run(reordered_ema(src, alpha=0.2, price_col="ask",
+                       watermark="3 minutes", max_buffer_rows=5),
+         "reord_cap_spill")
+    got = {(_ms(r.event_time.replace(tzinfo=timezone.utc))): r.ema
+           for r in spark.table("reord_cap_spill").collect()}
+    expected = pd.Series(prices).ewm(alpha=0.2, adjust=False).mean()
+    assert set(got) == {_ms(t(m)) for m in range(20)}
+    for m in range(20):
+        assert got[_ms(t(m))] == expected.iloc[m], f"minute {m}"
+
+
+def test_reorder_buffer_cap_spill_shrinks_tolerance(spark, tmp_path):
+    """The documented semantic cost of a spill: the drop front advances
+    to the newest spilled timestamp, so a late row OLDER than the
+    spilled front is dropped (the standing drop contract), while a
+    late row inside the surviving buffer still folds in event-time
+    order."""
+    import pandas as pd
+
+    from data_timeseries_java_spark.streaming.reorder import reordered_ema
+
+    t = lambda m: datetime(2024, 8, 4, 0, m, tzinfo=timezone.utc)
+    px = {m: 100.0 + m for m in range(12)}
+    schema = "key string, event_time timestamp, ask double"
+    batches = [
+        # 10 rows, cap 4 -> minutes 0-5 spill, drop front = minute 5;
+        # minutes 6-9 survive in the buffer. Skip minute 8 so a late
+        # in-tolerance row exists.
+        [("H", t(m), px[m]) for m in (0, 1, 2, 3, 4, 5, 6, 7, 9)]
+        + [("H", t(10), px[10])],
+        # minute 3 is OLDER than the spilled front -> dropped;
+        # minute 8 is within the surviving buffer -> folds in order
+        [("H", t(3), px[3]), ("H", t(8), px[8])],
+        [("H", datetime(2024, 8, 4, 6, 0, tzinfo=timezone.utc), 0.0)],
+    ]
+    d = str(tmp_path)
+    _write_batches(spark, d, schema, batches)
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(f"{d}/f*"))
+    _run(reordered_ema(src, alpha=0.2, price_col="ask",
+                       watermark="3 minutes", max_buffer_rows=4),
+         "reord_cap_drop")
+    rows = spark.table("reord_cap_drop").collect()
+    got = {(_ms(r.event_time.replace(tzinfo=timezone.utc))): r.ema
+           for r in rows}
+    # minute 3's replay is dropped: exactly one output row per minute,
+    # none for the duplicate, and the fold sequence is the in-order
+    # recursion over the rows that were ACCEPTED (0-10 incl. late 8)
+    folded = [px[m] for m in range(11)]
+    expected = pd.Series(folded).ewm(alpha=0.2, adjust=False).mean()
+    assert set(got) == {_ms(t(m)) for m in range(11)}
+    assert len(rows) == 11
+    for i, m in enumerate(range(11)):
+        assert got[_ms(t(m))] == expected.iloc[i], f"minute {m}"
+
+
+def test_reorder_buffer_cap_error_policy(spark, tmp_path):
+    """on_overflow='error' must fail the query loudly with the key and
+    buffer size — the audit posture where a hot key means upstream
+    misconfiguration."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from data_timeseries_java_spark.streaming.reorder import reordered_ema
+
+    t = lambda m: datetime(2024, 8, 4, 0, m, tzinfo=timezone.utc)
+    schema = "key string, event_time timestamp, ask double"
+    batches = [[("H", t(m), 100.0 + m) for m in range(20)]]
+    d = str(tmp_path)
+    _write_batches(spark, d, schema, batches)
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(f"{d}/f*"))
+    out = reordered_ema(src, alpha=0.2, price_col="ask",
+                        watermark="3 minutes", max_buffer_rows=5,
+                        on_overflow="error")
+    q = (out.writeStream.format("memory").queryName("reord_cap_err")
+         .outputMode("append").trigger(availableNow=True).start())
+    with pytest.raises(StreamingQueryException,
+                       match="reorder buffer overflow"):
+        q.awaitTermination(180)
+
+    with pytest.raises(ValueError, match="on_overflow"):
+        reordered_ema(src, max_buffer_rows=5, on_overflow="bogus")
