@@ -74,16 +74,17 @@ _DRIVER_GATED = frozenset({
     "event_hour_profile", "event_mad_outliers", "event_transitions",
     "event_winsorize", "events_json_props", "events_k_anonymity",
     "feature_woe_iv", "forecast_revenue", "funnel_conversion",
-    "funnel_stream_replay", "funnel_time_to_convert", "fx_align_series",
-    "fx_amihud", "fx_atr", "fx_autocorr", "fx_backtest_donchian",
-    "fx_bollinger", "fx_candle_patterns", "fx_candles_bidask",
-    "fx_candles_complete", "fx_candles_interpolated", "fx_candles_ohlc",
-    "fx_candles_rollup", "fx_candles_stream_replay", "fx_cointegration",
-    "fx_corr_headline", "fx_corr_stream_replay", "fx_corr_threshold",
-    "fx_corr_underlying", "fx_corr_user_buckets", "fx_corr_wide",
-    "fx_cross_rate", "fx_cross_zscore", "fx_cusum", "fx_dollar_bars",
-    "fx_donchian", "fx_drawdown", "fx_ema_returns", "fx_ewma_cov",
-    "fx_gapfill_rows", "fx_garch_vol", "fx_half_life", "fx_holt_trend",
+    "funnel_ooo_stream_replay", "funnel_stream_replay",
+    "funnel_time_to_convert", "fx_align_series", "fx_amihud", "fx_atr",
+    "fx_autocorr", "fx_backtest_donchian", "fx_bollinger",
+    "fx_candle_patterns", "fx_candles_bidask", "fx_candles_complete",
+    "fx_candles_interpolated", "fx_candles_ohlc", "fx_candles_rollup",
+    "fx_candles_stream_replay", "fx_cointegration", "fx_corr_headline",
+    "fx_corr_stream_replay", "fx_corr_threshold", "fx_corr_underlying",
+    "fx_corr_user_buckets", "fx_corr_wide", "fx_cross_rate",
+    "fx_cross_zscore", "fx_cusum", "fx_dollar_bars", "fx_donchian",
+    "fx_drawdown", "fx_ema_returns", "fx_ewma_cov", "fx_gapfill_rows",
+    "fx_garch_vol", "fx_half_life", "fx_holt_trend",
     "fx_hourly_seasonality", "fx_hurst", "fx_imbalance_bars",
     "fx_index_beta", "fx_kalman_level", "fx_kyle_lambda", "fx_lead_lag",
     "fx_log_returns", "fx_macd", "fx_mean_correlation",
@@ -96,8 +97,9 @@ _DRIVER_GATED = frozenset({
     "fx_volume_curve", "fx_volume_profile", "fx_vpin", "fx_vwap",
     "fx_workpacket_stats", "garch_stream_replay", "gopher_rules",
     "gridq_stream_replay", "hard_negatives", "hll_pair_intersection",
-    "hll_stream_replay", "hll_user_rollup", "holt_stream_replay",
-    "imbalance_bars_stream_replay", "jaccard_prefix_join",
+    "hll_stream_replay", "hll_user_rollup", "holt_ooo_stream_replay",
+    "holt_stream_replay", "imbalance_bars_stream_replay",
+    "imbalance_ooo_stream_replay", "jaccard_prefix_join",
     "kalman_stream_replay", "knn_bruteforce",
     "label_centroid_distances", "langid_confusion",
     "large_volume_customers", "late_data_state_stream_replay",
@@ -121,11 +123,12 @@ _DRIVER_GATED = frozenset({
     "priority_rollup", "profile_lineitem", "promo_revenue",
     "psi_stream_replay", "quality_classifier",
     "range_join_event_candle", "recovery_stream_replay",
-    "region_nation_share", "returned_item_report", "revenue_by_nation",
-    "revenue_gini", "revenue_pareto", "rich_idle_customers",
-    "rolling_distinct_users", "salted_event_stats", "scd2_history",
-    "scd2_stream_replay", "scd2_user_status", "seasonal_profile",
-    "semantic_dedup", "semantic_dedup_ann", "semantic_dedup_exact",
+    "region_nation_share", "reorder_recovery_stream_replay",
+    "returned_item_report", "revenue_by_nation", "revenue_gini",
+    "revenue_pareto", "rich_idle_customers", "rolling_distinct_users",
+    "salted_event_stats", "scd2_history", "scd2_stream_replay",
+    "scd2_user_status", "seasonal_profile", "semantic_dedup",
+    "semantic_dedup_ann", "semantic_dedup_exact",
     "semantic_dedup_fixedk", "sequence_packing", "sequence_packing_bpe",
     "sessions_stream_replay", "ship_lag_quantiles", "shipping_priority",
     "small_quantity_revenue", "snapshot_diff", "source_keyness",
@@ -141,8 +144,8 @@ _DRIVER_GATED = frozenset({
     "user_behavior_entropy", "user_event_entropy", "user_sessions",
     "user_survival_km", "value_ks_test", "value_psi", "value_trend_ols",
     "value_trend_theilsen", "vocab_zipf", "vocabulary_topk",
-    "vol_stream_replay", "volume_shipping", "vwap_stream_replay",
-    "waiting_suppliers", "walk_forward_forecast",
+    "vol_stream_replay", "volume_shipping", "vwap_ooo_stream_replay",
+    "vwap_stream_replay", "waiting_suppliers", "walk_forward_forecast",
     "weekly_new_returning", "weighted_median_price", "window_sampler",
 })
 
