@@ -842,3 +842,250 @@ def pca_top_component(df: DataFrame, iterations: int = 12, dim: int = 64,
             .select(F.col("dim").cast("long").alias("dim"),
                     F.round("loading", 6).alias("loading"))
             .crossJoin(F.broadcast(lam_row)))
+
+
+# ---- kernelized SemDeDup for the big-k decades (round 12) -----------------
+
+def _round_half_away(a, decimals: int):
+    """SQL ROUND semantics (half away from zero) on numpy arrays — the
+    kernels must land on the same rounded lattice the declarative SQL
+    forms do (np.round is half-to-even, a different tie rule)."""
+    import numpy as np
+
+    f = 10.0 ** decimals
+    return np.sign(a) * np.floor(np.abs(a) * f + 0.5) / f
+
+
+def _lloyd_numpy(ids, X, k: int, iterations: int):
+    """Numpy mirror of the unrolled fixed-k Lloyd's plan
+    (:func:`kmeans_centroids_fixedk` / the oracle's fcent CTE chain),
+    step for step: seeds = the first ``k`` sample rows (the sample is
+    already in (scramble, id) order), assignment ranks
+    round(cos, 9) DESC with centroid_id ASC tie-break, the mean update
+    rounds at 6, and a centroid that loses every member disappears.
+    BLAS accumulation order differs from the SQL sum at the ulp level;
+    both land on the same rounded lattice (house convention — the
+    fx_corr BLAS kernel's argument). Returns (cent_ids, W) with
+    centroid rows in ascending centroid_id order."""
+    import numpy as np
+
+    seed_ids = ids[:k]
+    order = np.argsort(seed_ids, kind="stable")
+    cent_ids = seed_ids[order]
+    W = X[:k][order].copy()
+    vnrm = np.sqrt((X * X).sum(axis=1))
+    n_sample = len(X)
+    for _ in range(iterations):
+        cnrm = np.sqrt((W * W).sum(axis=1))
+        assign = np.empty(n_sample, dtype=np.int64)
+        # row-chunked cos matrix: S x k doubles would be ~3 GB at the
+        # 1000x decade's (S=100k, k=4000); chunks keep it ~128 MB
+        chunk = max(1, (1 << 24) // max(len(W), 1))
+        for s in range(0, n_sample, chunk):
+            e = min(n_sample, s + chunk)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos9 = _round_half_away(
+                    (X[s:e] @ W.T) / (vnrm[s:e, None] * cnrm[None, :]),
+                    9)
+            best = cos9.max(axis=1)
+            # first max = lowest centroid_id (rows are id-ascending)
+            assign[s:e] = (cos9 == best[:, None]).argmax(axis=1)
+        # grouped mean update, vectorized over k (sort + reduceat —
+        # a per-centroid Python loop is O(k * S) mask scans); empty
+        # centroids drop, ascending id order is preserved
+        order_a = np.argsort(assign, kind="stable")
+        sorted_assign = assign[order_a]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(sorted_assign)) + 1))
+        groups = sorted_assign[starts]
+        sums = np.add.reduceat(X[order_a], starts, axis=0)
+        counts = np.diff(np.concatenate((starts, [n_sample])))
+        W = _round_half_away(sums / counts[:, None], 6)
+        cent_ids = cent_ids[groups]
+    return cent_ids, W
+
+
+def _srp_band_keys(X, signs_arr, band_bits: int):
+    """Integer-exact SRP band keys for float64 rows ``X`` — the numpy
+    mirror of :func:`_srp_bands`' quantize + project + CASE-sum chain
+    (absmax/127 scale, floor-half-up quantize, exact int64 plane dots,
+    sign-bit band keys). Returns (ok_mask, keys[m, n_bands]); rows with
+    absmax <= 0 are not bandable (ok=False)."""
+    import numpy as np
+
+    absmax = np.abs(X).max(axis=1)
+    ok = absmax > 0
+    scale = np.where(ok, absmax, 1.0) / 127.0
+    Q = np.floor(X / scale[:, None] + 0.5).astype(np.int64)
+    P = Q @ signs_arr.T  # (m, planes), exact integer dots
+    n_bands = signs_arr.shape[0] // band_bits
+    keys = np.zeros((len(X), n_bands), dtype=np.int64)
+    for b in range(n_bands):
+        for t in range(band_bits):
+            keys[:, b] += (P[:, b * band_bits + t] >= 0).astype(
+                np.int64) << t
+    return ok, keys
+
+
+def semantic_dedup_autok(df: DataFrame, k: int, signs: list,
+                         sample_size: int, iterations: int = 3,
+                         threshold: float = 0.3, band_bits: int = 4,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Kernelized SemDeDup for the big-k decades — produces results
+    IDENTICAL to ``semantic_dedup_ann(centroid_vectors(
+    kmeans_centroids_fixedk(df, k, sample_size)), ...)`` (pinned by
+    tests/test_similarity.py::test_semantic_dedup_kernel_matches_
+    declarative and the forced-kernel oracle test), so the flagship
+    query may dispatch between the two freely under one oracle — the
+    pairwise_correlations_auto precedent.
+
+    Why it exists (round-12 measured): at the 100x decade (n=200k,
+    k=400) the declarative path spends ~59 s in Lloyd's (the dots join
+    materializes S*k*d rows per iteration) and ~98 s in srp_assign
+    (the candidate join shuffles n*k/2^band_bits rows carrying full
+    vectors). Both are BLAS-shaped:
+
+    - TRAINING runs entirely in numpy on the driver over the BOUNDED
+      sample (S = sample_size rows collected once — 25*k vectors, the
+      SemDeDup paper's own single-node-faiss posture; ~50 MB at the
+      1000x decade's k=4000). O(S*k*d) FLOPs per iteration in BLAS.
+    - ASSIGNMENT is one mapInPandas pass over the corpus with the
+      k x d centroid matrix and its band-key dictionary broadcast:
+      band keys are integer-exact per the SRP contract, candidates
+      come from the same band-equality rule, the exact rerank is an
+      einsum over candidates only, ranked (round(cos,9) DESC,
+      centroid_id ASC). No shuffle, no vector ever leaves its scan
+      partition.
+    - The WITHIN-CLUSTER verdict groups by centroid_id (the one
+      shuffle: n rows) and computes each cluster's pair cosines as a
+      row-chunked Gram matrix (chunked so a skewed cluster peaks at
+      ~128 MB, never m^2 doubles), emitting the same keep-lowest-id
+      verdicts on the same round-9 lattice.
+
+    Unassigned vectors (no band collision / degenerate quantization)
+    land in cluster -1, kept — same contract as semantic_dedup_ann."""
+    import numpy as np
+    import pandas as pd
+
+    from data_timeseries_java_spark.plans.materialize import materialize
+
+    spark = df.sparkSession
+    sample = (df.select(F.col(id_col), F.col(vec_col),
+                        scramble(F.col(id_col)).alias("_scr"))
+              .orderBy("_scr", id_col).limit(sample_size).collect())
+    ids = np.asarray([r[0] for r in sample], dtype=np.int64)
+    X = np.asarray([r[1] for r in sample], dtype=np.float64)
+    cent_ids, W = _lloyd_numpy(ids, X, k, iterations)
+
+    signs_arr = np.asarray(signs, dtype=np.int64)
+    c_ok, c_keys = _srp_band_keys(W, signs_arr, band_bits)
+    # non-bandable centroids (degenerate quantization) get unmatchable
+    # keys so the collision mask never selects them
+    c_keys = np.where(c_ok[:, None], c_keys, -1)
+    cnrm = np.sqrt((W * W).sum(axis=1))
+    bc = spark.sparkContext.broadcast((cent_ids, W, cnrm, c_keys))
+
+    def assign_fn(batches):
+        # Dense chunked BLAS with a band-collision mask: compute the
+        # row-chunk x k cosine matrix in one dgemm, mask entries whose
+        # (vector, centroid) share no band key to -inf, take the first
+        # argmax (rows are centroid-id-ascending = the declarative
+        # ORDER BY round(cos,9) DESC, centroid_id ASC). Semantics are
+        # IDENTICAL to the banded candidate join; the cost model is
+        # honest about the mask's density — on clustered corpora most
+        # centroids share a bucket, so gather-based candidate
+        # evaluation degrades to dense anyway but with per-candidate
+        # copies (measured 5x slower at the 100x decade).
+        cids, cw, cn, ckeys = bc.value
+        k_n = len(cids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vids = pdf[id_col].to_numpy()
+            V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            ok, keys = _srp_band_keys(V, signs_arr, band_bits)
+            vnrm = np.sqrt((V * V).sum(axis=1))
+            rows = np.flatnonzero(ok)
+            out_ids, out_cids = [], []
+            rchunk = max(64, (1 << 22) // max(k_n, 1))
+            for s in range(0, len(rows), rchunk):
+                r = rows[s:s + rchunk]
+                mask = np.zeros((len(r), k_n), dtype=bool)
+                for b in range(keys.shape[1]):
+                    mask |= keys[r, b][:, None] == ckeys[None, :, b]
+                has = mask.any(axis=1)
+                if not has.any():
+                    continue
+                r2 = r[has]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos9 = _round_half_away(
+                        (V[r2] @ cw.T)
+                        / (vnrm[r2][:, None] * cn[None, :]), 9)
+                masked = np.where(mask[has], cos9, -np.inf)
+                best = masked.max(axis=1)
+                a = (masked == best[:, None]).argmax(axis=1)
+                out_ids.append(vids[r2])
+                out_cids.append(cids[a])
+            if out_ids:
+                yield pd.DataFrame({
+                    id_col: np.concatenate(out_ids),
+                    "centroid_id": np.concatenate(out_cids),
+                })
+
+    assign = materialize(df.mapInPandas(
+        assign_fn, f"{id_col} long, centroid_id long"))
+
+    out_schema = (f"{id_col} long, centroid_id long, is_kept boolean, "
+                  f"dup_of long, max_dup_cos double")
+
+    def verdict_fn(pdf):
+        vids = pdf[id_col].to_numpy()
+        order = np.argsort(vids, kind="stable")
+        vids = vids[order]
+        V = np.asarray(list(pdf[vec_col]), dtype=np.float64)[order]
+        nrm = np.sqrt((V * V).sum(axis=1))
+        m = len(vids)
+        dup_idx = np.full(m, -1, dtype=np.int64)
+        mx = np.full(m, -np.inf)
+        chunk = max(1, (1 << 24) // max(m, 1))
+        col = np.arange(m)
+        for s in range(0, m, chunk):
+            e = min(m, s + chunk)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos9 = _round_half_away(
+                    (V[s:e] @ V.T) / (nrm[s:e, None] * nrm[None, :]), 9)
+            qual = (cos9 >= threshold) & \
+                   ((np.arange(s, e)[:, None]) < col[None, :])
+            anyq = qual.any(axis=0)
+            if anyq.any():
+                cand = s + qual.argmax(axis=0)
+                take = anyq & ((dup_idx == -1) | (cand < dup_idx))
+                dup_idx = np.where(take, cand, dup_idx)
+                mx = np.maximum(
+                    mx, np.where(qual, cos9, -np.inf).max(axis=0))
+        kept = dup_idx == -1
+        return pd.DataFrame({
+            id_col: vids,
+            "centroid_id": pdf["centroid_id"].iloc[0],
+            "is_kept": kept,
+            "dup_of": pd.array(
+                [None if kk else int(vids[di])
+                 for kk, di in zip(kept, dup_idx)], dtype="Int64"),
+            "max_dup_cos": pd.array(
+                [None if kk else float(v)
+                 for kk, v in zip(kept, _round_half_away(mx, 6))],
+                dtype="Float64"),
+        })
+
+    base = df.join(assign, id_col).select(
+        F.col(id_col), F.col(vec_col), F.col("centroid_id"))
+    verdicts = base.groupBy("centroid_id").applyInPandas(
+        verdict_fn, out_schema)
+    unassigned = (df.join(assign.select(id_col), id_col, "left_anti")
+                  .select(F.col(id_col),
+                          F.lit(-1).cast("long").alias("centroid_id"),
+                          F.lit(True).alias("is_kept"),
+                          F.lit(None).cast("long").alias("dup_of"),
+                          F.lit(None).cast("double").alias("max_dup_cos")))
+    return verdicts.unionByName(unassigned)

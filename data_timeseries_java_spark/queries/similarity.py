@@ -1116,14 +1116,20 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainer and assignment at every size; only the (k, S) integers
     move with n, in lockstep on both engines. Exact corpus-trained
     variant: ``semantic_dedup_exact``; k~n-trained SRP hybrid:
-    ``semantic_dedup_ann``."""
-    from data_timeseries_java_spark.operators.similarity import (
-        centroid_vectors,
-        kmeans_centroids_fixedk,
-        semantic_dedup_ann,
-    )
+    ``semantic_dedup_ann``.
 
-    from data_timeseries_java_spark.plans.materialize import materialize
+    Execution goes through the KERNELIZED path
+    (operators.similarity.semantic_dedup_autok): numpy Lloyd's over
+    the bounded sample, broadcast-centroid banded assignment in one
+    mapInPandas scan, per-cluster chunked-Gram verdicts — measured
+    59 s + 98 s of the declarative path's training/assignment joins
+    collapsed to BLAS at the 100x decade. Its output is IDENTICAL to
+    the declarative fixed-k + SRP composition (pinned at two sizes by
+    tests/test_similarity.py), so the one DuckDB oracle covers it —
+    the pairwise_correlations_auto precedent."""
+    from data_timeseries_java_spark.operators.similarity import (
+        semantic_dedup_autok,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     # One count at plan-build picks the grid point; parquet count is
@@ -1132,11 +1138,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survive scale.
     n = emb.count()
     k = max(FIXEDK_K, n // TARGET_CLUSTER_SIZE)
-    cent = materialize(centroid_vectors(kmeans_centroids_fixedk(
-        emb, k=k, sample_size=SAMPLE_PER_K * k, iterations=KMEANS_ITERS)))
-    return semantic_dedup_ann(emb, cent, _srp_signs(),
-                              threshold=SEMDEDUP_T,
-                              band_bits=SRP_BAND_BITS)
+    return semantic_dedup_autok(emb, k=k, signs=_srp_signs(),
+                                sample_size=SAMPLE_PER_K * k,
+                                iterations=KMEANS_ITERS,
+                                threshold=SEMDEDUP_T,
+                                band_bits=SRP_BAND_BITS)
 
 
 QUERIES["semantic_dedup"] = q_semantic_dedup

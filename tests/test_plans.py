@@ -152,7 +152,12 @@ _PANDAS_QUERIES = {"media_decode_features", "media_png_decode",
                    "neardup_cosine", "neardup_cosine_auto",
                    "fx_corr_wide", "fx_corr_headline",
                    "embedding_covariance", "embedding_pca_top",
-                   "fx_imbalance_bars"}
+                   "fx_imbalance_bars",
+                   # round 12: the flagship runs the kernelized
+                   # assignment/verdict (semantic_dedup_autok) —
+                   # identity with the declarative composition pinned
+                   # in tests/test_similarity.py
+                   "semantic_dedup"}
 
 
 # Physical-plan substrings that mark the quadratic-HOF trap class

@@ -244,3 +244,41 @@ def test_semantic_dedup_derived_k_beyond_floor(spark, sf_dir, tmp_path_factory):
     ddf = oracle_con.execute(all_oracles()["semantic_dedup"]).fetchdf()
     problems = compare("semantic_dedup_bigk", sdf, ddf)
     assert not problems, problems
+
+
+def test_semantic_dedup_kernel_matches_declarative(spark, sf_dir):
+    """The kernelized flagship path (semantic_dedup_autok: numpy
+    Lloyd's on the sample, broadcast banded assignment, chunked-Gram
+    verdicts) must produce IDENTICAL rows to the declarative fixed-k +
+    SRP composition it replaces — that identity is what lets the one
+    DuckDB oracle cover the kernel (the pairwise_correlations_auto
+    precedent)."""
+    from data_timeseries_java_spark.operators.similarity import (
+        centroid_vectors,
+        kmeans_centroids_fixedk,
+        semantic_dedup_ann,
+        semantic_dedup_autok,
+    )
+    from data_timeseries_java_spark.plans.materialize import materialize
+    from data_timeseries_java_spark.queries.similarity import (
+        KMEANS_ITERS, SEMDEDUP_T, SRP_BAND_BITS, _srp_signs)
+    from data_timeseries_java_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k, s = 10, 250
+    cent = materialize(centroid_vectors(kmeans_centroids_fixedk(
+        emb, k=k, sample_size=s, iterations=KMEANS_ITERS)))
+    decl = semantic_dedup_ann(
+        emb, cent, _srp_signs(), threshold=SEMDEDUP_T,
+        band_bits=SRP_BAND_BITS).toPandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    kern = semantic_dedup_autok(
+        emb, k=k, signs=_srp_signs(), sample_size=s,
+        iterations=KMEANS_ITERS, threshold=SEMDEDUP_T,
+        band_bits=SRP_BAND_BITS).toPandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    assert len(decl) == len(kern)
+    for c in decl.columns:
+        a, b = decl[c], kern[c]
+        same = (a.isna() & b.isna()) | (a == b)
+        assert same.all(), f"kernel/declarative diverge on {c}"
