@@ -55,6 +55,11 @@ from data_timeseries_java_spark.streaming.candles_stream import (
     streaming_complete_candles_global,
 )
 
+# Above this many touched windows, per-trigger membership filters use a
+# broadcast left-semi join instead of a literal IN — the list itself
+# stays a tiny driver-side long array either way.
+_IN_LITERAL_MAX = 10_000
+
 
 def _flat_candles_to_returns(candles: DataFrame) -> DataFrame:
     """Flat streaming candle schema → (key, time, value) log returns."""
@@ -73,7 +78,7 @@ def streaming_correlations(spark: SparkSession, ticks: DataFrame,
                            config: CorrelationConfig | None = None,
                            watermark: str = "0 seconds",
                            universe: list[str] | None = None,
-                           max_windows_per_trigger: int = 10_000):
+                           max_windows_per_trigger: int = 250_000):
     """Start the full streaming pipeline; returns the StreamingQuery.
 
     Results land log-structured in ``{work_dir}/correlations`` keyed by
@@ -95,8 +100,17 @@ def streaming_correlations(spark: SparkSession, ticks: DataFrame,
     ``max_windows_per_trigger`` bounds the per-trigger driver-side
     touched-window list: it is structurally bounded by
     (batch time span / slide) + window/slide, but a mis-set slide
-    (seconds where minutes were meant) would silently turn the literal
-    predicate into a multi-megabyte IN-list — fail loudly instead.
+    (seconds where minutes were meant, a 60-180x inflation) would
+    silently blow the list up — fail loudly instead. The default
+    allows legitimate decade-replay triggers (the round-12 streaming
+    outlier audit tripped the old 10k limit at the 10x volume decade,
+    where each availableNow trigger legitimately spans ~37 days =
+    ~10.8k five-minute slides) while still catching the mis-set-slide
+    arithmetic at any realistic replay size. Membership filtering
+    switches from a literal IN to a broadcast semi-join above
+    ``_IN_LITERAL_MAX`` windows so the PLAN stays small either way —
+    only the driver-side list (8 bytes/window) and the marker rows
+    scale with the count.
     """
     cfg = config or CorrelationConfig()
     returns_path = f"{work_dir}/returns"
@@ -151,6 +165,23 @@ def streaming_correlations(spark: SparkSession, ticks: DataFrame,
         # their windows, so neighbor windows appear with partial input
         # — the post-agg w_start_ms filter drops those.
         lo, hi = wins[0], wins[-1]
+        # Membership mechanism scales with the list: a literal IN
+        # (InSet) below _IN_LITERAL_MAX, a broadcast LEFT SEMI join
+        # above it — an 800 KB-of-longs literal in the plan is where
+        # plan serialization starts costing more than the tiny
+        # broadcast (round-12 streaming audit, 10x decade).
+        wins_df = None
+        if len(wins) > _IN_LITERAL_MAX:
+            wins_df = spark.createDataFrame(
+                [(int(w),) for w in wins], "w_member_ms bigint")
+
+        def touched(df_with_ms: DataFrame) -> DataFrame:
+            if wins_df is None:
+                return df_with_ms.where(F.col("w_start_ms").isin(wins))
+            return df_with_ms.join(
+                F.broadcast(wins_df),
+                F.col("w_start_ms") == F.col("w_member_ms"), "left_semi")
+
         all_rets = (spark.read
                     .option("basePath", returns_path)
                     .parquet(returns_path)
@@ -158,19 +189,19 @@ def streaming_correlations(spark: SparkSession, ticks: DataFrame,
                     .where((F.col("time") >= F.timestamp_millis(F.lit(lo)))
                            & (F.col("time") < F.timestamp_millis(F.lit(hi))
                               + F.expr(f"INTERVAL {cfg.window}"))))
-        in_affected = (all_rets
-                       .select("key", "time", "value",
-                               F.window("time", cfg.window,
-                                        cfg.slide).alias("w"))
-                       .where(F.unix_millis("w.start").isin(wins))
+        in_affected = (touched(all_rets
+                               .select("key", "time", "value",
+                                       F.window("time", cfg.window,
+                                                cfg.slide).alias("w"))
+                               .withColumn("w_start_ms",
+                                           F.unix_millis("w.start")))
                        .dropDuplicates(["key", "time"])
                        .select("key", "time", "value"))
         # cache_input=False: a fresh cache entry per micro-batch (the
         # returns store grows each batch → new plan) would accumulate
         corr = pairwise_correlations(in_affected, cfg, cache_input=False)
-        affected = (corr.withColumn("w_start_ms",
-                                    F.unix_millis("window_start"))
-                    .where(F.col("w_start_ms").isin(wins)))
+        affected = touched(corr.withColumn("w_start_ms",
+                                           F.unix_millis("window_start")))
         # Log-structured store: ONE directory per batch (vs one per
         # touched slide — ~1,100 dirs/trigger measured at sf0.1, 15-19s
         # of pure filesystem churn). Latest TOUCHING batch wins per

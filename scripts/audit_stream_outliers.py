@@ -73,7 +73,20 @@ GROWTH_X = 3.0
 
 # Lanes whose flagged behavior is already root-caused and documented
 # (SCALE.md section named per lane) — reported, never UNEXPLAINED.
-DOCUMENTED: dict[str, str] = {}
+DOCUMENTED: dict[str, str] = {
+    # The full candles->returns->pairwise-correlation recompute: its
+    # per-trigger cost is ∝ touched sliding windows BY DESIGN (it
+    # recomputes exactly the touched windows, never full history), and
+    # an availableNow REPLAY trigger spans 1/8 of the decade's entire
+    # history (~10.8k five-minute slides at 10x) where a production
+    # trigger spans the trigger interval. 7.7 s/batch flat
+    # (late/early 0.84) at 10x; the audit's first run also caught a
+    # REAL bug here — the 10k touched-window guard tripping on
+    # legitimate decade growth — fixed in streaming/pipeline.py
+    # (guard raised, IN-literal -> broadcast semi-join above 10k).
+    "fx_pipeline_fb": "streaming-outlier-audit (cost ∝ touched windows; "
+                      "replay trigger = 1/8 of history)",
+}
 
 
 def run_bench(audit_dir: str, ops: list[str] | None) -> dict:
