@@ -58,19 +58,30 @@ def main() -> None:
     ) TO '{DST}/events.parquet' (FORMAT PARQUET)
     """)
 
-    # documents: replica i > 0 suffixes every word with chr(96+i) so
-    # cross-replica shingle sets are disjoint (dup rate stays constant)
+    # documents: replica i > 0 suffixes every word with a CASE-STABLE
+    # marker ('x' + the replica number) so cross-replica shingle sets
+    # are disjoint (dup rate stays constant). Round-12 fix: the old
+    # chr(96+i) suffix CASE-FOLDS into collisions past ~96 replicas
+    # (273 fold groups in 1..999 — À..Þ lowercase to à..þ, which are
+    # themselves other replicas' suffixes; Greek/Cyrillic case pairs
+    # too), and the engine's tokenizer lowercases — so at REPS=1000
+    # replica groups silently merged in shingle space (measured:
+    # max_df 25 -> 75, candidate pairs x16.5 instead of x10, and the
+    # jaccard_prefix_join verify stage exhausted the box's disk).
+    # Digits don't case-fold in any script.
     con.execute(f"""
     COPY (
       SELECT d.doc_id + r.i * {ID_OFF} AS doc_id,
              CASE WHEN r.i = 0 THEN d.text
                   ELSE array_to_string(
-                    list_transform(words, w -> w || chr(CAST(96 + r.i AS INTEGER))), ' ')
+                    list_transform(words,
+                      w -> w || 'x' || CAST(r.i AS VARCHAR)), ' ')
              END AS text,
              d.lang, d.source,
              CAST(length(CASE WHEN r.i = 0 THEN d.text
                   ELSE array_to_string(
-                    list_transform(words, w -> w || chr(CAST(96 + r.i AS INTEGER))), ' ')
+                    list_transform(words,
+                      w -> w || 'x' || CAST(r.i AS VARCHAR)), ' ')
              END) AS BIGINT) AS n_chars
       FROM (SELECT *, string_split(text, ' ') AS words
             FROM read_parquet('{SRC}/documents.parquet')) d
