@@ -662,7 +662,16 @@ def jaccard_prefix_join(df: DataFrame, threshold: float = 0.5, k: int = 3,
     n_inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
     n_union = (F.size("sh_a") + F.size("sh_b")).cast("long") - n_inter
     jac = n_inter / n_union
-    return (cand.join(sa, "id_a").join(sb, "id_b")
+    # SHUFFLE-HASH hints on both set joins (plan-only, semantics-free):
+    # with sort-merge, the second join SORTS the (candidate x sh_a
+    # array) stream — candidates x set-size BYTES through a multi-pass
+    # external sort, which exhausted a 64 GB-free single box at the
+    # 1000x decade (round 12; candidate volume itself verified exactly
+    # linear). A shuffled hash join builds on the doc-keyed SET side
+    # (sets/partitions — small) and only EXCHANGES the wide stream
+    # once, never sorts it.
+    return (cand.join(sa.hint("shuffle_hash"), "id_a")
+            .join(sb.hint("shuffle_hash"), "id_b")
             .select("id_a", "id_b", n_inter.alias("n_inter"),
                     n_union.alias("n_union"), jac.alias("jaccard"))
             .where(F.round(F.col("jaccard"), 9) >= threshold)
