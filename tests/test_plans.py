@@ -249,7 +249,18 @@ _ITERATIVE_QUERIES = {"dedup_clusters", "dedup_keep_list",
                       "ema_ooo_stream_replay", "stream_join_replay",
                       "holt_ooo_stream_replay", "imbalance_ooo_stream_replay",
                       "vwap_ooo_stream_replay", "funnel_ooo_stream_replay",
-                      "reorder_recovery_stream_replay"}
+                      "reorder_recovery_stream_replay",
+                      # round 12: the derived-k SemDeDup flagship runs
+                      # two DELIBERATE build-time actions — one
+                      # metadata-cheap parquet count to pick the k grid
+                      # point, and one bounded TakeOrdered collect of
+                      # the S = 25k training sample (the SemDeDup
+                      # paper's own single-node training posture) for
+                      # the driver-side numpy Lloyd's. Both are bounded
+                      # by design (the count reads row-group stats; the
+                      # sample is ∝ k, never ∝ n), unlike the stray
+                      # full-scan actions this guard exists to catch.
+                      "semantic_dedup"}
 
 
 
