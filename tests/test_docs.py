@@ -27,14 +27,14 @@ def test_driver_prefix_covers_ungated_queries():
     backlog is therefore fine as long as it clears within ONE extra
     round — bound it at 2 rounds' budget (100) so unbounded growth
     (queries that structurally never get a driver row) still fails."""
-    from data_timeseries_java_spark.queries import _DRIVER_GATED, all_queries
+    from data_timeseries_java_spark.queries import all_queries, ungated_names
 
     keys = list(all_queries())
-    ungated = [k for k in keys if k not in _DRIVER_GATED]
+    ungated = ungated_names()
     assert len(ungated) <= 100, (
         f"{len(ungated)} not-yet-gated queries exceed TWO driver "
-        f"rounds' sample budget; update _DRIVER_GATED from the newest "
-        f"CORRECTNESS_r*.json and stop adding queries until it clears")
+        f"rounds' sample budget; run scripts/update_driver_gated.py "
+        f"and stop adding queries until it clears")
     # every ungated query must sit in the first len(ungated) slots —
     # i.e. ungated-first ordering itself must not be broken
     prefix = set(keys[:len(ungated)])

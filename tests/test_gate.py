@@ -1,0 +1,105 @@
+"""Staleness-aware driver gating (VERDICT r12 #1).
+
+The driver checks a 50-query prefix of ``all_queries()`` each round;
+the ordering rule is the whole mechanism, so it gets its own pins:
+
+1. lanes with no valid gate entry (never checked / red at latest check
+   / implementation hash changed since the stamped green row) sort
+   FIRST, in registry order;
+2. gated lanes follow, ordered by stamp round ASCENDING (stalest
+   external verification first), ties by name;
+3. an implementation change — here simulated by corrupting a stored
+   hash — un-gates exactly that lane.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import data_timeseries_java_spark.queries as Q
+from data_timeseries_java_spark.queries._hash import impl_hash
+
+
+@pytest.fixture
+def fake_ledger(monkeypatch):
+    """Install a fabricated gate ledger and clear the order memo."""
+    def install(gate):
+        monkeypatch.setattr(Q, "_gate_ledger", lambda: gate)
+        Q._sample_order.cache_clear()
+    yield install
+    Q._sample_order.cache_clear()
+
+
+def _true_hashes():
+    reg = Q._registry_queries()
+    oracles = Q.all_oracles()
+    return reg, {n: impl_hash(reg[n], oracles.get(n, "")) for n in reg}
+
+
+def test_changed_and_new_lanes_sort_first_in_registry_order(fake_ledger):
+    reg, hashes = _true_hashes()
+    names = list(reg)
+    new_lane, changed_lane = names[7], names[3]
+    gate = {n: (5, hashes[n]) for n in names if n != new_lane}
+    gate[changed_lane] = (5, "0" * 16)  # simulated rewrite after green
+    fake_ledger(gate)
+
+    ordered = list(Q.all_queries())
+    want_ungated = [n for n in names if n in (changed_lane, new_lane)]
+    assert ordered[:2] == want_ungated
+    assert Q.ungated_names() == want_ungated
+    # everything else is gated and present exactly once
+    assert sorted(ordered) == sorted(names)
+
+
+def test_gated_lanes_rotate_stalest_first(fake_ledger):
+    reg, hashes = _true_hashes()
+    names = list(reg)
+    # stamp rounds 1..4 cyclically — ordering must be by round then name
+    gate = {n: (1 + i % 4, hashes[n]) for i, n in enumerate(names)}
+    fake_ledger(gate)
+
+    ordered = list(Q.all_queries())
+    assert Q.ungated_names() == []
+    expect = sorted(names, key=lambda n: (gate[n][0], n))
+    assert ordered == expect
+
+
+def test_red_latest_check_stays_ungated():
+    """update_driver_gated's merge drops lanes red at their latest
+    check even when an earlier round was green."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "udg", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts",
+            "update_driver_gated.py"))
+    udg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(udg)
+    # latest_checks is latest-wins: feed it via its own parsing contract
+    checks = udg.latest_checks()
+    assert checks, "no CORRECTNESS files found"
+    # every current entry in the generated ledger must be green at its
+    # latest check and at a round <= the latest CORRECTNESS round
+    gate = udg.load_old_gate()
+    latest_round = max(r for r, _ in checks.values())
+    for name, (rnd, h) in gate.items():
+        assert checks[name][1], f"{name} gated but red at latest check"
+        assert checks[name][0] == rnd
+        assert rnd <= latest_round
+        assert len(h) == 16
+
+
+def test_real_ledger_hash_freshness():
+    """With the generated ledger, a gated lane's stored hash matches
+    the current implementation (otherwise it belongs in ungated) —
+    guards against hand-edits of _gate.py drifting from the code."""
+    from data_timeseries_java_spark.queries._gate import GATE
+
+    reg, hashes = _true_hashes()
+    stale = [n for n in GATE if n in reg and GATE[n][1] != hashes[n]]
+    ungated = set(Q.ungated_names())
+    assert all(n in ungated for n in stale), (
+        f"hash-stale lanes not re-sampled: "
+        f"{[n for n in stale if n not in ungated]}")
