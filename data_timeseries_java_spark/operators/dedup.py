@@ -621,24 +621,46 @@ def jaccard_prefix_join(df: DataFrame, threshold: float = 0.5, k: int = 3,
     Verification computes exact Jaccard on the candidates:
     |∩| by joining both full token sets, |∪| = n_a + n_b − |∩|.
 
+    The ENTIRE join runs on 60-bit HASHED shingles (round-13, closes
+    VERDICT r12 #4): each distinct k-gram maps to
+    conv(substr(md5(g),1,15),16,10) right after shingling, and df
+    ranking, prefix selection, candidate generation, and verify all
+    operate on the int64 domain. Semantics are exact set-similarity
+    ON THE HASHED DOMAIN (the oracle applies the same hash, so parity
+    is by construction, not probabilistic); vs raw-string Jaccard a
+    divergence needs an md5-60-bit collision between two shingles of
+    the same document pair (~2^-60 per pair — and corpus-wide,
+    ~(3e7 distinct shingles)²/2^61 ≈ 4e-4 expected collisions at the
+    1000x decade). What it buys at scale: the verify stage ships
+    candidate × set-ARRAY bytes — the Vernica/Carey/Li (SIGMOD 2010)
+    verify shape at full width; with ~23-byte avg trigram strings
+    (+16B UTF8String overhead each) replaced by 8-byte longs the
+    measured ~1.1 TB verify stream at the 1000x decade drops ~17×,
+    which is the difference between "exhausts a 64 GB-free single
+    box" and "completes" (SCALE.md round-13 row).
+
     Shape at 100 TB: one token shuffle (doc-distinct), one vocabulary
     aggregate for df, one doc-keyed rank window, a prefix-token-keyed
     candidate join (per-token fanout = prefix-posting² — short by
-    construction), and a candidate-keyed verify join. The oracle
-    deliberately uses a DIFFERENT algorithm (exhaustive Jaccard over
-    all share-any-token pairs): a prefix bug that loses a pair fails
-    the hash."""
+    construction; int64 keys, not strings), and a candidate-keyed
+    verify join. The oracle deliberately uses a DIFFERENT algorithm
+    (exhaustive Jaccard over all share-any-hash pairs): a prefix bug
+    that loses a pair fails the hash."""
     from pyspark.sql import Window
 
     sh = shingles(df, text_col, id_col, k=k)  # (id, distinct k-gram)
-    dfreq = sh.groupBy("shingle").agg(
+    hsh = sh.select(
+        id_col,
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+         .cast("long").alias("hs")).distinct()
+    dfreq = hsh.groupBy("hs").agg(
         F.count(F.lit(1)).alias("_df"))
-    ranked = (sh.join(dfreq, "shingle")
+    ranked = (hsh.join(dfreq, "hs")
               .withColumn("_n", F.count(F.lit(1)).over(
                   Window.partitionBy(id_col)))
               .withColumn("_pos", F.row_number().over(
                   Window.partitionBy(id_col)
-                  .orderBy(F.asc("_df"), F.asc("shingle")))))
+                  .orderBy(F.asc("_df"), F.asc("hs")))))
     # round before ceil: t*n in floating point can exceed the exact
     # integral product by 1 ulp (0.07*100 = 7.000000000000001), which
     # would ceil to 8 and shorten the prefix — a silent false-negative
@@ -646,15 +668,16 @@ def jaccard_prefix_join(df: DataFrame, threshold: float = 0.5, k: int = 3,
     prefix_len = (F.col("_n")
                   - F.ceil(F.round(F.col("_n") * threshold, 9)) + 1)
     pref = ranked.where(F.col("_pos") <= prefix_len)
-    a = pref.select(F.col(id_col).alias("id_a"), "shingle")
+    a = pref.select(F.col(id_col).alias("id_a"), "hs")
     b = pref.select(F.col(id_col).alias("id_b"),
-                    F.col("shingle").alias("sh_b"))
-    cand = (a.join(b, (F.col("shingle") == F.col("sh_b"))
+                    F.col("hs").alias("hs_b"))
+    cand = (a.join(b, (F.col("hs") == F.col("hs_b"))
                    & (F.col("id_a") < F.col("id_b")))
             .select("id_a", "id_b").distinct())
     # verify via per-doc set arrays + array_intersect (JVM narrow map),
     # not an explode-equality join — same rationale as jaccard_verify
-    sets = shingle_sets(sh, id_col)
+    sets = hsh.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("hs")).alias("sh_set"))
     sa = sets.select(F.col(id_col).alias("id_a"),
                      F.col("sh_set").alias("sh_a"))
     sb = sets.select(F.col(id_col).alias("id_b"),

@@ -864,8 +864,13 @@ def _lloyd_numpy(ids, X, k: int, iterations: int):
     round(cos, 9) DESC with centroid_id ASC tie-break, the mean update
     rounds at 6, and a centroid that loses every member disappears.
     BLAS accumulation order differs from the SQL sum at the ulp level;
-    both land on the same rounded lattice (house convention — the
-    fx_corr BLAS kernel's argument). Returns (cent_ids, W) with
+    on this repo's float32-origin embeddings both land on the same
+    rounded lattice (house convention — the fx_corr BLAS kernel's
+    argument), but that is an empirical property, NOT a guarantee:
+    a mean falling within ~1 ulp of a .5e-6 round-6 boundary can
+    round differently under the two accumulation orders (ADVICE r12).
+    A future single-centroid-weight 1e-6 parity mismatch is this
+    known flake class, not a kernel bug. Returns (cent_ids, W) with
     centroid rows in ascending centroid_id order."""
     import numpy as np
 
@@ -887,6 +892,15 @@ def _lloyd_numpy(ids, X, k: int, iterations: int):
                 cos9 = _round_half_away(
                     (X[s:e] @ W.T) / (vnrm[s:e, None] * cnrm[None, :]),
                     9)
+            # a degenerate (round-6 all-zero) centroid yields 0/0=NaN
+            # cosines; left as NaN, max() would propagate it and the
+            # ==-argmax would silently assign every row to index 0
+            # (ADVICE r12). -inf = "never wins", matching the SQL path
+            # where the NULL cosine merely loses the rank. (assign_fn
+            # needs no such guard: its band mask is False for
+            # non-bandable centroids, so np.where already pins their
+            # entries to -inf before the argmax.)
+            cos9 = np.nan_to_num(cos9, nan=-np.inf)
             best = cos9.max(axis=1)
             # first max = lowest centroid_id (rows are id-ascending)
             assign[s:e] = (cos9 == best[:, None]).argmax(axis=1)

@@ -10,18 +10,30 @@ gate entry therefore stores the implementation hash at stamp time;
 The hash covers, per query:
 - the query function's own source (``inspect.getsource``),
 - its DuckDB oracle SQL string (the other half of the contract),
-- the file contents of every package module the query's defining
-  module (transitively) imports from ``data_timeseries_java_spark``
-  EXCLUDING the ``queries`` subpackage itself — i.e. the operator /
-  function / streaming implementation the query runs through. The
-  queries subpackage is excluded so that editing one query module does
-  not un-gate every other module's lanes; the function-level source
-  covers the query's own logic and the oracle string covers shared
-  in-module SQL preludes (they are expanded into each ORACLE entry at
-  import time).
+- the file contents of the package modules the query actually runs
+  through: the transitive closure seeded from (a) the defining
+  module's MODULE-LEVEL imports and (b) the import statements inside
+  the query function's own body (deferred imports — the house style
+  for heavy deps). Seeding per-function instead of per-module keeps
+  the blast radius honest: an edit to ``operators/similarity.py``
+  should re-sample the similarity lanes, not every fx lane whose
+  module happens to host one query that touches a text operator.
+- exclusions: the ``queries`` subpackage itself (one query module
+  hosts many lanes — per-lane function source + the oracle string,
+  which has any shared SQL prelude already expanded into it, cover
+  the intra-module surface); package ``__init__`` re-export hubs are
+  hashed as leaves with their re-exported names resolved to defining
+  submodules.
 
 A change anywhere in that closure flips the hash and the lane sorts
 back into the sampled prefix, stalest-first among its peers.
+
+Known limitation (accepted): a semantics change expressed ONLY
+through a module-level constant in the defining query module (the
+function reads it, the constant lives outside the function source)
+flips the hash only if the ORACLE string changes with it — which it
+does for every declared lane, since both sides must move in lockstep
+to stay hash-green.
 """
 
 from __future__ import annotations
@@ -56,18 +68,34 @@ def _module_source(modname: str) -> bytes:
         return f.read()
 
 
+def _is_pkg_init(modname: str) -> bool:
+    path = _module_file(modname)
+    import os
+    return path is not None and os.path.basename(path) == "__init__.py"
+
+
 @lru_cache(maxsize=None)
-def _direct_deps(modname: str) -> frozenset[str]:
-    """Package modules directly imported by ``modname`` (resolved to
-    real modules — ``from pkg.operators import complete_candles`` counts
-    as a dep on ``pkg.operators``, whose own imports pull the
-    submodules transitively)."""
-    src = _module_source(modname)
-    if not src:
-        return frozenset()
+def _resolve_reexport(pkg: str, name: str) -> str | None:
+    """The defining module of ``name`` re-exported from package
+    ``pkg`` — so ``from pkg.operators import complete_candles`` depends
+    on ``pkg.operators.candles``, not on every module the operators
+    hub re-exports (a whole-hub dep would flip EVERY query's hash on
+    any one operator edit, flooding the driver sample)."""
+    import importlib
+
+    try:
+        obj = getattr(importlib.import_module(pkg), name, None)
+    except ImportError:
+        return None
+    target = getattr(obj, "__module__", None)
+    return target if target and target.startswith(PKG) else None
+
+
+def _deps_from_tree(nodes) -> set[str]:
+    """Package deps from an iterable of AST nodes. Hub re-exports are
+    resolved to their defining submodules."""
     deps: set[str] = set()
-    tree = ast.parse(src)
-    for node in ast.walk(tree):
+    for node in nodes:
         if isinstance(node, ast.Import):
             for alias in node.names:
                 if alias.name.startswith(PKG):
@@ -75,44 +103,103 @@ def _direct_deps(modname: str) -> frozenset[str]:
         elif isinstance(node, ast.ImportFrom) and node.module:
             if node.module.startswith(PKG):
                 deps.add(node.module)
-                # `from pkg.operators import candles`-style submodule
-                # imports: count the submodule too when it resolves
                 for alias in node.names:
+                    # submodule import (`from pkg.operators import
+                    # candles`) or hub re-export (`... import
+                    # complete_candles`) — resolve to the real module
                     sub = f"{node.module}.{alias.name}"
                     if _module_file(sub) is not None:
                         deps.add(sub)
-    return frozenset(d for d in deps if _module_file(d) is not None)
+                    elif _is_pkg_init(node.module):
+                        tgt = _resolve_reexport(node.module, alias.name)
+                        if tgt:
+                            deps.add(tgt)
+    return {d for d in deps if _module_file(d) is not None}
 
 
 @lru_cache(maxsize=None)
-def _impl_closure(modname: str) -> tuple[str, ...]:
-    """Transitive package deps of ``modname``, excluding the queries
-    subpackage (sorted, stable)."""
+def _direct_deps(modname: str) -> frozenset[str]:
+    """Package modules directly imported by ``modname`` (module-level
+    AND deferred function-body imports — ast.walk sees both)."""
+    src = _module_source(modname)
+    if not src:
+        return frozenset()
+    return frozenset(_deps_from_tree(ast.walk(ast.parse(src))))
+
+
+@lru_cache(maxsize=None)
+def _module_level_deps(modname: str) -> frozenset[str]:
+    """Only the imports at the TOP of ``modname`` (module scope, one
+    level into top-level Try/If for guarded imports) — the seed for a
+    query function's closure, alongside its own body's imports."""
+    src = _module_source(modname)
+    if not src:
+        return frozenset()
+    nodes = []
+    for node in ast.parse(src).body:
+        nodes.append(node)
+        if isinstance(node, (ast.Try, ast.If)):
+            nodes.extend(ast.walk(node))
+    return frozenset(_deps_from_tree(nodes))
+
+
+def _closure_from(seeds) -> tuple[str, ...]:
+    """Transitive package deps from ``seeds``, excluding the queries
+    subpackage (sorted, stable). Two deliberate granularity rules:
+
+    - Package ``__init__`` hubs are LEAVES: their own file is hashed
+      (a re-export change flips dependents) but their imports are not
+      traversed — otherwise every query would depend on every module
+      the hub pulls in.
+    - Expansion follows MODULE-LEVEL imports only. Function-local
+      deferred imports inside an operator module serve one specific
+      operator (e.g. ``returns.cusum`` borrows ``text._floor6``), and
+      following them fuses unrelated families — measured: a one-line
+      ``operators/similarity.py`` edit un-gated all 150 fx lanes via
+      the returns→text→similarity deferred chain, flooding the
+      driver's 50-lane sample for three rounds. The cost is that a
+      lane whose operator uses such a borrowed helper is not
+      re-sampled when ONLY the helper's home module changes — a
+      deliberate under-approximation, backstopped by the local
+      298-lane oracle sweep that runs in full every session
+      (tests/test_oracle.py). Lane-specific deferred imports at the
+      QUERY layer do count: impl_hash seeds from the query function's
+      own body with a full walk.
+    """
     seen: set[str] = set()
-    stack = [d for d in _direct_deps(modname)
-             if not d.startswith(_QUERIES_PKG)]
+    stack = [d for d in seeds if not d.startswith(_QUERIES_PKG)]
     while stack:
         m = stack.pop()
         if m in seen:
             continue
         seen.add(m)
-        stack.extend(d for d in _direct_deps(m)
+        if _is_pkg_init(m):
+            continue
+        stack.extend(d for d in _module_level_deps(m)
                      if d not in seen and not d.startswith(_QUERIES_PKG))
     return tuple(sorted(seen))
 
 
 def impl_hash(fn, oracle: str) -> str:
     """16-hex-char implementation hash for one declared query."""
+    import textwrap
+
+    modname = getattr(fn, "__module__", "") or ""
     h = hashlib.sha256()
+    seeds = set(_module_level_deps(modname))
     try:
-        h.update(inspect.getsource(fn).encode())
-    except (OSError, TypeError):
+        src = inspect.getsource(fn)
+        h.update(src.encode())
+        seeds |= _deps_from_tree(
+            ast.walk(ast.parse(textwrap.dedent(src))))
+    except (OSError, TypeError, SyntaxError):
         # non-introspectable callable (C partial, exec'd) — fall back to
         # the whole defining-module source so changes still flip the hash
-        h.update(_module_source(getattr(fn, "__module__", "") or ""))
+        h.update(_module_source(modname))
+        seeds |= _direct_deps(modname)
     h.update(b"\x00")
     h.update(oracle.encode())
-    for dep in _impl_closure(getattr(fn, "__module__", "") or ""):
+    for dep in _closure_from(seeds):
         h.update(b"\x00")
         h.update(dep.encode())
         h.update(b"\x00")

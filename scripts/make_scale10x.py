@@ -68,21 +68,25 @@ def main() -> None:
     # replica groups silently merged in shingle space (measured:
     # max_df 25 -> 75, candidate pairs x16.5 instead of x10, and the
     # jaccard_prefix_join verify stage exhausted the box's disk).
-    # Digits don't case-fold in any script.
+    # Digits don't case-fold in any script. Round-13 (ADVICE r12):
+    # replica 0 is suffixed too ('x0') — with replica 0 left as raw
+    # source text, a source token that already ends in x<digits>
+    # (e.g. 'foox3') equals replica 3's suffixed 'foo', so replica 0
+    # could still alias suffixed replicas; with every token carrying
+    # exactly one marker, 'foox3' || 'x0' can never equal
+    # 'foo' || 'x3' (distinct suffix position), making cross-replica
+    # disjointness absolute rather than probable.
     con.execute(f"""
     COPY (
       SELECT d.doc_id + r.i * {ID_OFF} AS doc_id,
-             CASE WHEN r.i = 0 THEN d.text
-                  ELSE array_to_string(
-                    list_transform(words,
-                      w -> w || 'x' || CAST(r.i AS VARCHAR)), ' ')
-             END AS text,
+             array_to_string(
+               list_transform(words,
+                 w -> w || 'x' || CAST(r.i AS VARCHAR)), ' ') AS text,
              d.lang, d.source,
-             CAST(length(CASE WHEN r.i = 0 THEN d.text
-                  ELSE array_to_string(
-                    list_transform(words,
-                      w -> w || 'x' || CAST(r.i AS VARCHAR)), ' ')
-             END) AS BIGINT) AS n_chars
+             CAST(length(array_to_string(
+               list_transform(words,
+                 w -> w || 'x' || CAST(r.i AS VARCHAR)), ' '))
+                  AS BIGINT) AS n_chars
       FROM (SELECT *, string_split(text, ' ') AS words
             FROM read_parquet('{SRC}/documents.parquet')) d
       CROSS JOIN reps r

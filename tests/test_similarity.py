@@ -210,18 +210,19 @@ def test_semantic_dedup_ann_unassigned_are_kept(spark, sf_dir):
 
 
 def test_semantic_dedup_derived_k_beyond_floor(spark, sf_dir, tmp_path_factory):
-    """The unsuffixed flagship derives k from corpus size (k = max(
-    FIXEDK_K, n // TARGET_CLUSTER_SIZE)) and its oracle derives k the
-    same way in SQL — so the two must agree PAST the k = FIXEDK_K
-    floor, not just at the oracle SFs where the grid bottoms out.
-    Replicate the embeddings 12x with offset ids (n = 6000 -> k = 12,
-    S = 300) and hash-compare Spark vs DuckDB on the enlarged corpus
-    (round-12 VERDICT #1)."""
+    """The unsuffixed flagship derives BOTH integers from corpus size
+    (tcs = derived_tcs(n), k = max(FIXEDK_K, n // tcs)) and its oracle
+    derives them the same way in SQL — so the two must agree PAST the
+    k = FIXEDK_K floor AND past the first tcs grid switch (tcs 32->64
+    at n = 10,486), not just at the oracle SFs. Replicate the
+    embeddings 24x with offset ids (n = 12,000 -> tcs = 64, k = 187,
+    S = 4,675) and hash-compare Spark vs DuckDB on the enlarged corpus
+    (round-12 VERDICT #1/#2; round-13 crosses the grid switch)."""
     import duckdb
 
     from data_timeseries_java_spark.queries import all_oracles
     from data_timeseries_java_spark.queries.similarity import (
-        FIXEDK_K, TARGET_CLUSTER_SIZE, q_semantic_dedup)
+        FIXEDK_K, TCS_MIN_LOG2, derived_tcs, q_semantic_dedup)
     from scripts.oracle_check import compare
 
     out = tmp_path_factory.mktemp("semdedup_bigk")
@@ -230,12 +231,14 @@ def test_semantic_dedup_derived_k_beyond_floor(spark, sf_dir, tmp_path_factory):
     con.execute(f"""
         COPY (
           SELECT e.vec_id + t.r * 1000 AS vec_id, e.embedding, e.label
-          FROM read_parquet('{src}') e, range(12) t(r)
+          FROM read_parquet('{src}') e, range(24) t(r)
         ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
     """)
     n = con.execute(
         f"SELECT count(*) FROM '{out}/embeddings.parquet'").fetchone()[0]
-    assert n // TARGET_CLUSTER_SIZE > FIXEDK_K, "fixture must clear the floor"
+    tcs = derived_tcs(n)
+    assert tcs > 2 ** TCS_MIN_LOG2, "fixture must cross the grid switch"
+    assert n // tcs > FIXEDK_K, "fixture must clear the floor"
 
     sdf = q_semantic_dedup(spark, str(out)).toPandas()
     oracle_con = duckdb.connect()
