@@ -161,6 +161,42 @@ def _env_summary(before: dict, after: dict) -> dict:
     return out
 
 
+def _trend_flags(medians: dict[str, float]) -> dict:
+    """Bench-artifact creep rule (round-13, VERDICT r12 #3): flag any
+    lane whose median rose >= 1.10x in BOTH of the last two
+    round-over-round steps (prev-prev -> prev driver artifact, and
+    prev -> this run). One noisy step inside the contention band is
+    normal; two consecutive compounding steps on the same lane is the
+    shape the corr-family creep had (r10->r11->r12 +19%) and must
+    surface in the artifact itself, not wait for a judge's diff.
+    Returns {lane: [prevprev, prev, current]}."""
+    import glob
+    import re
+
+    runs: list[tuple[int, dict]] = []
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            parsed = json.load(open(path)).get("parsed") or {}
+        except (OSError, json.JSONDecodeError):
+            continue
+        if parsed.get("queries"):
+            runs.append((int(m.group(1)), parsed["queries"]))
+    runs.sort()
+    if len(runs) < 2:
+        return {}
+    (_, prevprev), (_, prev) = runs[-2], runs[-1]
+    flags = {}
+    for name, cur in medians.items():
+        a, b = prevprev.get(name), prev.get(name)
+        if a and b and b >= 1.10 * a and cur >= 1.10 * b:
+            flags[name] = [a, b, cur]
+    return flags
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from data_timeseries_java_spark import get_spark
@@ -236,6 +272,7 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    trend = _trend_flags(medians)
     # full detail first (humans / SCALE.md), compact summary LAST so a
     # bounded tail capture always holds one complete JSON line
     print(json.dumps({
@@ -245,14 +282,17 @@ def main() -> None:
         "env_after": env_after,
         "sf": sf_val,
     }))
-    print(json.dumps({
+    summary = {
         "metric": "headline query wall-clock",
         "value": round(sum(medians.values()), 3),
         "unit": "sec",
         "queries": medians,
         "env": _env_summary(env_before, env_after),
         "sf": sf_val,
-    }))
+    }
+    if trend:
+        summary["trend_flags"] = trend
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
