@@ -936,7 +936,7 @@ FIXEDK_SAMPLE = 250  # bounded training sample — constant as n grows
 #     TCS ≈ (25n)^{1/3} (SCALE.md cost model: Lloyd's on the S = 25·k
 #     sample costs ~25·k²·d = 25·n²·d/TCS², the within-cluster verify
 #     costs ~n·TCS·d; equating them gives TCS³ = 25n), snapped DOWN to
-#     a power-of-two grid with floor 2^5.
+#     a power-of-two grid with floor 2^4.
 #   k = max(FIXEDK_K, n // tcs)       — so mean cluster size is ~tcs
 #     and the verdict space Σ cluster² ≈ n·(25n)^{1/3} — sub-quadratic,
 #     and the training sample S = 25·k ≈ (25n)^{2/3} — SUBLINEAR (the
@@ -946,13 +946,17 @@ FIXEDK_SAMPLE = 250  # bounded training sample — constant as n grows
 # The grid snap uses pure INTEGER comparisons (25·n >= 8^j ⟺
 # (25n)^{1/3} >= 2^j), so the Spark-side Python and the DuckDB CASE
 # can never disagree at a boundary n the way float pow/log could. The
-# floor 2^5 = 32 keeps clusters non-degenerate at tiny corpora; the
-# 2^20 cap is past any real deployment (25n < 8^21 ⟺ n < 3.7e17).
-# First grid switch (32 -> 64) at 25n >= 8^6 ⟺ n >= 10,486 — low
-# enough that the replicated-corpus parity test crosses it for real
-# (test_semantic_dedup_derived_k_beyond_floor), unlike a 500-base grid
-# whose first switch sits at n = 40M.
-TCS_MIN_LOG2 = 5
+# floor 2^4 = 16 keeps clusters non-degenerate at tiny corpora (the
+# rule's own optimum at the smallest SF, (25·500)^{1/3} = 23, already
+# sits at that grid point); the 2^20 cap is past any real deployment
+# (25n < 8^21 ⟺ n < 3.7e17). First grid switch (16 -> 32) at
+# n >= ceil(8^5/25) = 1,311 — low enough that the replicated-corpus
+# parity test crosses it with a k the DuckDB oracle's unrolled Lloyd's
+# CTEs chew in seconds (n=1500 -> k=46; this round's first cut used
+# floor 2^5 / switch at 10,486 / k=187 and the oracle spilled 31 GB
+# over 20 minutes), unlike a 500-base grid whose first switch sits at
+# n = 40M.
+TCS_MIN_LOG2 = 4
 TCS_MAX_LOG2 = 20
 SAMPLE_PER_K = 25
 

@@ -213,10 +213,10 @@ def test_semantic_dedup_derived_k_beyond_floor(spark, sf_dir, tmp_path_factory):
     """The unsuffixed flagship derives BOTH integers from corpus size
     (tcs = derived_tcs(n), k = max(FIXEDK_K, n // tcs)) and its oracle
     derives them the same way in SQL — so the two must agree PAST the
-    k = FIXEDK_K floor AND past the first tcs grid switch (tcs 32->64
-    at n = 10,486), not just at the oracle SFs. Replicate the
-    embeddings 24x with offset ids (n = 12,000 -> tcs = 64, k = 187,
-    S = 4,675) and hash-compare Spark vs DuckDB on the enlarged corpus
+    k = FIXEDK_K floor AND past the first tcs grid switch (tcs 16->32
+    at n = 1,311), not just at the oracle SFs. Replicate the
+    embeddings 3x with offset ids (n = 1,500 -> tcs = 32, k = 46,
+    S = 1,150) and hash-compare Spark vs DuckDB on the enlarged corpus
     (round-12 VERDICT #1/#2; round-13 crosses the grid switch)."""
     import duckdb
 
@@ -231,7 +231,7 @@ def test_semantic_dedup_derived_k_beyond_floor(spark, sf_dir, tmp_path_factory):
     con.execute(f"""
         COPY (
           SELECT e.vec_id + t.r * 1000 AS vec_id, e.embedding, e.label
-          FROM read_parquet('{src}') e, range(24) t(r)
+          FROM read_parquet('{src}') e, range(3) t(r)
         ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
     """)
     n = con.execute(
