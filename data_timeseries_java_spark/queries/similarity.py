@@ -1206,6 +1206,89 @@ WITH {_COMP},
 """
 
 
+# ---- streaming SemDeDup, driver-gated through replay ----------------------
+
+_SEMDEDUP_REPLAY_SINKS: dict[tuple, str] = {}
+
+
+def q_semantic_dedup_stream_replay(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The SemDeDup pipeline executed through the STREAMING gate
+    (round-13 — the last dedup family member without one):
+    `embeddings` replayed as 3 vec-id-range files through
+    streaming/semdedup_stream.py — offline-trained centroids with the
+    FLAGSHIP's derived integers (tcs = derived_tcs(n),
+    k = max(FIXEDK_K, n // tcs), S = SAMPLE_PER_K·k — the SemDeDup
+    deployment posture: train once offline, assign/verify online),
+    per-batch SRP assignment against the broadcast centroids,
+    per-batch within-cluster cosine verdicts against the accumulated
+    store under earlier-batch-or-smaller-id precedence. Id-range
+    bucketing makes that precedence coincide with plain vec_id order,
+    so the verdict sink must EQUAL the batch ``semantic_dedup``
+    flagship row for row — the oracle IS the flagship's SQL, verbatim
+    (one derivation, two execution faces; the stream-vs-batch identity
+    itself is pinned by tests/test_streaming_semdedup.py). Deriving k
+    keeps the streaming gate on the scale path: per-trigger verify
+    work is batch-rows × ~tcs cluster mates, linear. Building this
+    query RUNS the stream (laziness-guard exempt); the declared result
+    is a pruned parquet scan of the verdict sink."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_timeseries_java_spark.operators.similarity import (
+        centroid_vectors,
+        kmeans_centroids_fixedk,
+    )
+    from data_timeseries_java_spark.plans.materialize import materialize
+    from data_timeseries_java_spark.streaming.semdedup_stream import (
+        streaming_semantic_dedup,
+    )
+    from data_timeseries_java_spark.streaming.replay import (
+        drive_query,
+        write_replay_buckets_long,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    sink = _SEMDEDUP_REPLAY_SINKS.get(cache_key)
+    if sink is None or not os.path.isdir(sink):
+        emb = load_table(spark, sf_dir, "embeddings") \
+            .select("vec_id", "embedding")
+        n = emb.count()
+        k = max(FIXEDK_K, n // derived_tcs(n))
+        cent = materialize(centroid_vectors(kmeans_centroids_fixedk(
+            emb, k=k, sample_size=SAMPLE_PER_K * k,
+            iterations=KMEANS_ITERS)))
+        lo, hi = emb.select(F.min("vec_id"), F.max("vec_id")).first()
+        work = tempfile.mkdtemp(prefix="semdedup_stream_replay_")
+        base = _time.time() - 1000
+        write_replay_buckets_long(emb, F.col("vec_id"), f"{work}/in",
+                                  3, int(lo), int(hi) - int(lo) + 1,
+                                  base, ["vec_id"])
+        src = (spark.readStream.schema(emb.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{work}/in/f*"))
+        q = streaming_semantic_dedup(spark, src, f"{work}/gate", cent,
+                                     _srp_signs(), threshold=SEMDEDUP_T,
+                                     band_bits=SRP_BAND_BITS)
+        drive_query(q, 600, "semantic dedup stream replay")
+        sink = f"{work}/gate/verdicts"
+        shutil.rmtree(f"{work}/in", ignore_errors=True)
+        shutil.rmtree(f"{work}/gate/checkpoint", ignore_errors=True)
+        _SEMDEDUP_REPLAY_SINKS[cache_key] = sink
+    v = (spark.read.option("basePath", sink).parquet(sink)
+         .drop("batch_id"))
+    return v.select("vec_id", "centroid_id", "is_kept", "dup_of",
+                    "max_dup_cos")
+
+
+QUERIES["semantic_dedup_stream_replay"] = q_semantic_dedup_stream_replay
+# one derivation, two execution faces: the stream's id-ordered
+# precedence reproduces the batch derived-k flagship exactly, so the
+# flagship's oracle applies verbatim
+ORACLE["semantic_dedup_stream_replay"] = ORACLE["semantic_dedup"]
+
+
 # ---- top principal component by power iteration --------------------------
 
 PCA_ITERS = 12

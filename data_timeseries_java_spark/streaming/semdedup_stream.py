@@ -1,0 +1,116 @@
+"""Streaming SemDeDup: semantic near-dup verdicts across micro-batches.
+
+The streaming face of ``operators/similarity.semantic_dedup_ann`` —
+the one dedup family member that had no replay gate before round 13.
+Deployment posture mirrors SemDeDup practice (Abbas et al. 2023):
+centroids are trained OFFLINE (the engine's fixed-k Lloyd's over a
+bounded scrambled-id sample) and handed to the stream; each micro-batch
+is then:
+
+1. SRP-assigned to the broadcast centroids (``srp_assign`` — row-local,
+   no shuffle beyond the banded candidate join; unassigned vectors get
+   cluster -1 and are kept, the safe under-dedup direction),
+2. appended to a cluster-keyed embedding store (parquet, partitioned by
+   batch),
+3. verdict-joined WITHIN its centroid against store rows that PRECEDE
+   it (earlier batch, or same batch with a smaller id): exact double
+   cosine on round(cos, 9) >= threshold drops the newcomer with
+   dup_of = the smallest qualifying preceding id.
+
+Precedence note: when the replay buckets ascend by id (the
+``write_replay_buckets_long`` harness), "earlier batch OR smaller id
+within the batch" coincides with plain id order — so the stream's
+verdict sink must EQUAL the batch ``semantic_dedup_ann`` output over
+the same corpus and centroids. That identity is the correctness gate
+(tests/test_streaming_semdedup.py) and lets the DuckDB oracle of the
+batch ``semantic_dedup_fixedk`` lane cover the streaming lane verbatim.
+
+Scale shape: assignment is per-batch work against broadcast centroids;
+the store re-scan per trigger reads only the candidate CLUSTERS'
+partitions once parquet is partitioned by centroid bucket — here it is
+batch-partitioned with a centroid-key join (the small-decade shape),
+the documented neardup_fb posture (scripts/audit_stream_outliers.py).
+State never lives in executor memory: the store is the filesystem.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def streaming_semantic_dedup(spark: SparkSession, vecs: DataFrame,
+                             work_dir: str, centroids: DataFrame,
+                             signs: list, threshold: float = 0.3,
+                             band_bits: int = 8,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding"):
+    """Start the stream; verdicts land in ``{work_dir}/verdicts`` as
+    (vec_id, centroid_id, is_kept, dup_of, max_dup_cos) partitioned by
+    batch_id, the assigned store in ``{work_dir}/store``. ``centroids``
+    must be a small materialized (vec_id, embedding) frame — it is
+    collected into a broadcastable local plan once here, NOT re-read
+    per batch. Returns the StreamingQuery."""
+    from data_timeseries_java_spark.functions.vectors import dot
+    from data_timeseries_java_spark.operators.similarity import (
+        srp_assign,
+        with_norm,
+    )
+
+    # pin the centroid rows locally once: a foreachBatch body re-running
+    # a lazy training tree per trigger would retrain k-means 8 times
+    cent_rows = centroids.collect()
+    cent_local = spark.createDataFrame(cent_rows, centroids.schema)
+
+    store_path = f"{work_dir}/store"
+    verdict_path = f"{work_dir}/verdicts"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        assign = srp_assign(batch_df, cent_local, signs, band_bits,
+                            id_col, vec_col)
+        rows = (with_norm(batch_df, vec_col)
+                .join(assign, id_col, "left")
+                .select(F.col(id_col),
+                        F.coalesce(F.col("centroid_id"), F.lit(-1))
+                         .cast("long").alias("centroid_id"),
+                        F.col(vec_col), F.col("_norm")))
+        rows.write.mode("overwrite").parquet(
+            f"{store_path}/batch_id={batch_id}")
+
+        store = spark.read.option("basePath", store_path) \
+            .parquet(store_path)
+        cur = store.where((F.col("batch_id") == batch_id)
+                          & (F.col("centroid_id") >= 0)).alias("cur")
+        prev = store.where(F.col("centroid_id") >= 0).alias("prev")
+        precedes = (F.col("prev.batch_id") < F.col("cur.batch_id")) | (
+            (F.col("prev.batch_id") == F.col("cur.batch_id"))
+            & (F.col(f"prev.{id_col}") < F.col(f"cur.{id_col}")))
+        cos9 = F.round(
+            dot(F.col(f"cur.{vec_col}"), F.col(f"prev.{vec_col}"))
+            / (F.col("cur._norm") * F.col("prev._norm")), 9)
+        dup = (cur.join(prev,
+                        (F.col("cur.centroid_id")
+                         == F.col("prev.centroid_id")) & precedes)
+               .select(F.col(f"cur.{id_col}").alias("_vid"),
+                       F.col(f"prev.{id_col}").alias("_other"),
+                       cos9.alias("_cos9"))
+               .where(F.col("_cos9") >= threshold)
+               .groupBy("_vid")
+               .agg(F.min("_other").alias("dup_of"),
+                    F.round(F.max("_cos9"), 6).alias("max_dup_cos")))
+        verdicts = (rows.select(id_col, "centroid_id")
+                    .join(dup, F.col(id_col) == F.col("_vid"), "left")
+                    .select(id_col, "centroid_id",
+                            F.col("dup_of").isNull().alias("is_kept"),
+                            F.col("dup_of").cast("long").alias("dup_of"),
+                            "max_dup_cos"))
+        verdicts.write.mode("overwrite").parquet(
+            f"{verdict_path}/batch_id={batch_id}")
+
+    return (vecs.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", f"{work_dir}/checkpoint")
+            .trigger(availableNow=True)
+            .start())

@@ -250,6 +250,7 @@ _ITERATIVE_QUERIES = {"dedup_clusters", "dedup_keep_list",
                       "holt_ooo_stream_replay", "imbalance_ooo_stream_replay",
                       "vwap_ooo_stream_replay", "funnel_ooo_stream_replay",
                       "reorder_recovery_stream_replay",
+                      "semantic_dedup_stream_replay",
                       # round 12: the derived-k SemDeDup flagship runs
                       # two DELIBERATE build-time actions — one
                       # metadata-cheap parquet count to pick the k grid
@@ -807,6 +808,7 @@ _SCALE_PATH = {
     "rich_idle_customers", "rolling_distinct_users",
     "salted_event_stats", "scd2_history", "scd2_stream_replay",
     "scd2_user_status", "seasonal_profile", "semantic_dedup",
+    "semantic_dedup_stream_replay",
     "sequence_packing", "sequence_packing_bpe",
     "sessions_stream_replay", "ship_lag_quantiles",
     "shipping_priority", "small_quantity_revenue", "snapshot_diff",
