@@ -933,45 +933,58 @@ FIXEDK_SAMPLE = 250  # bounded training sample — constant as n grows
 # The UNSUFFIXED flagship's size-derived grid (round-12, target
 # cluster size DERIVED round-13 — closes VERDICT r12 #2):
 #   tcs = derived_tcs(n)              — the verify/train balance point
-#     TCS ≈ (25n)^{1/3} (SCALE.md cost model: Lloyd's on the S = 25·k
-#     sample costs ~25·k²·d = 25·n²·d/TCS², the within-cluster verify
-#     costs ~n·TCS·d; equating them gives TCS³ = 25n), snapped DOWN to
-#     a power-of-two grid with floor 2^4.
-#   k = max(FIXEDK_K, n // tcs)       — so mean cluster size is ~tcs
-#     and the verdict space Σ cluster² ≈ n·(25n)^{1/3} — sub-quadratic,
-#     and the training sample S = 25·k ≈ (25n)^{2/3} — SUBLINEAR (the
-#     r12 constant TCS=500 left S growing as n/20).
+#     with the two sides priced at their ACTUAL throughputs. Lloyd's
+#     on the S = 25·k sample costs ~25·k²·d = 25·n²·d/tcs² FLOPs on
+#     the DRIVER (the SemDeDup paper's single-node training posture);
+#     the within-cluster verify costs ~n·tcs·d FLOPs spread across the
+#     CLUSTER. Equating wall-clocks — train/1 = verify/C with
+#     C = TRAIN_PARALLELISM_RATIO executor slots per driver — gives
+#     tcs³ = 25·C·n. The first, naive cut of this round used C = 1
+#     (tcs = (25n)^{1/3}): measured 47 s at the 100x decade vs round
+#     12's 9.9 s, all of it driver-side Lloyd's on an over-sized
+#     k = 1562 — the model was balancing a 32-way-parallel stage
+#     against a 1-way stage at par. With C = 32, tcs(200k) snaps to
+#     512 and k returns to ~390 — the k ≈ 400 that round 12 MEASURED
+#     as optimal, now derived instead of pinned.
+#   k = max(FIXEDK_K, n // tcs)       — mean cluster size ~tcs, so the
+#     verdict space Σ cluster² ≈ n·(25Cn)^{1/3} — sub-quadratic — and
+#     the training sample S = 25·k ≈ 25·n^{2/3}/(25C)^{1/3} — SUBLINEAR
+#     (the r12 constant TCS=500 left S growing as n/20).
 #   S = SAMPLE_PER_K * k — training sample ∝ k (the SemDeDup paper's
 #     own posture).
-# The grid snap uses pure INTEGER comparisons (25·n >= 8^j ⟺
-# (25n)^{1/3} >= 2^j), so the Spark-side Python and the DuckDB CASE
-# can never disagree at a boundary n the way float pow/log could. The
-# floor 2^4 = 16 keeps clusters non-degenerate at tiny corpora (the
-# rule's own optimum at the smallest SF, (25·500)^{1/3} = 23, already
-# sits at that grid point); the 2^20 cap is past any real deployment
-# (25n < 8^21 ⟺ n < 3.7e17). First grid switch (16 -> 32) at
-# n >= ceil(8^5/25) = 1,311 — low enough that the replicated-corpus
-# parity test crosses it with a k the DuckDB oracle's unrolled Lloyd's
-# CTEs chew in seconds (n=1500 -> k=46; this round's first cut used
-# floor 2^5 / switch at 10,486 / k=187 and the oracle spilled 31 GB
-# over 20 minutes), unlike a 500-base grid whose first switch sits at
-# n = 40M.
+# The grid snap uses pure INTEGER comparisons (n >= ceil(8^j / 800) ⟺
+# (800n)^{1/3} >= 2^j), so the Spark-side Python and the DuckDB CASE
+# can never disagree at a boundary n the way float pow/log could.
+# TRAIN_PARALLELISM_RATIO is a pinned engine constant — the oracle
+# must derive the same integer, so it cannot read the live
+# sc.defaultParallelism; 32 is this box's slot count, and a larger
+# cluster raises it (documented knob, SCALE.md round-13). Floor 2^4
+# keeps clusters non-degenerate at tiny corpora; the 2^20 cap is past
+# any real deployment (800n < 8^21 ⟺ n < 1.2e16). First grid switch
+# (64 -> 128) above the smallest SF at n >= ceil(8^7/800) = 2,622 —
+# low enough that the replicated-corpus parity test crosses it with a
+# k the DuckDB oracle's unrolled Lloyd's CTEs chew in seconds
+# (n=3000 -> tcs=128, k=23), unlike a 500-base grid whose first
+# switch sits at n = 40M.
 TCS_MIN_LOG2 = 4
 TCS_MAX_LOG2 = 20
 SAMPLE_PER_K = 25
+TRAIN_PARALLELISM_RATIO = 32
 
 
 def _tcs_threshold(j: int) -> int:
-    # n >= ceil(8^j / 25)  ⟺  25n >= 8^j — comparing n against a
-    # precomputed integer keeps the SQL side free of an INT64 overflow
-    # on 25*n (8^20 itself fits comfortably in int64)
-    return (8 ** j + 24) // 25
+    # n >= ceil(8^j / (25·C))  ⟺  25·C·n >= 8^j — comparing n against
+    # a precomputed integer keeps the SQL side free of an INT64
+    # overflow on 800*n (8^20 itself fits comfortably in int64)
+    c = SAMPLE_PER_K * TRAIN_PARALLELISM_RATIO
+    return (8 ** j + c - 1) // c
 
 
 def derived_tcs(n: int) -> int:
-    """Target cluster size for the derived-k flagship: (25n)^{1/3}
-    snapped down to {2^j : TCS_MIN_LOG2 <= j <= TCS_MAX_LOG2} via
-    integer comparisons — mirrored exactly in SQL by _tcs_case_sql."""
+    """Target cluster size for the derived-k flagship:
+    (25·C·n)^{1/3} with C = TRAIN_PARALLELISM_RATIO, snapped down to
+    {2^j : TCS_MIN_LOG2 <= j <= TCS_MAX_LOG2} via integer
+    comparisons — mirrored exactly in SQL by _tcs_case_sql."""
     j = TCS_MIN_LOG2
     while j < TCS_MAX_LOG2 and n >= _tcs_threshold(j + 1):
         j += 1
@@ -980,7 +993,7 @@ def derived_tcs(n: int) -> int:
 
 def _tcs_case_sql(n_expr: str) -> str:
     """The same grid snap as derived_tcs, as a DuckDB CASE over the
-    same integer-literal thresholds (no float pow/log, no 25*n
+    same integer-literal thresholds (no float pow/log, no 800*n
     multiply that could overflow int64)."""
     branches = "".join(
         f"\n    WHEN ({n_expr}) >= {_tcs_threshold(j)} THEN {2 ** j}"

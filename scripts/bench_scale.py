@@ -77,7 +77,10 @@ QUERIES = ["dedup_minhash_lsh", "corpus_build", "ann_lsh",
            # HOF-trap fixes (repetition/novelty) so their decades stay
            # measured post-fix
            "tpch_q21", "order_priority_check", "text_repetition",
-           "text_novelty"]
+           "text_novelty",
+           # round 13: the hashed-shingle prefix-filter join — decades
+           # re-measured after the verify stream moved to int64 keys
+           "jaccard_prefix_join"]
 
 
 def bench(spark, qs, name, sf_dir, n):

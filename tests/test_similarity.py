@@ -213,11 +213,12 @@ def test_semantic_dedup_derived_k_beyond_floor(spark, sf_dir, tmp_path_factory):
     """The unsuffixed flagship derives BOTH integers from corpus size
     (tcs = derived_tcs(n), k = max(FIXEDK_K, n // tcs)) and its oracle
     derives them the same way in SQL — so the two must agree PAST the
-    k = FIXEDK_K floor AND past the first tcs grid switch (tcs 16->32
-    at n = 1,311), not just at the oracle SFs. Replicate the
-    embeddings 3x with offset ids (n = 1,500 -> tcs = 32, k = 46,
-    S = 1,150) and hash-compare Spark vs DuckDB on the enlarged corpus
-    (round-12 VERDICT #1/#2; round-13 crosses the grid switch)."""
+    k = FIXEDK_K floor AND past the first tcs grid switch above the
+    smallest SF (tcs 64->128 at n = 2,622), not just at the oracle
+    SFs. Replicate the embeddings 6x with offset ids (n = 3,000 ->
+    tcs = 128, k = 23, S = 575) and hash-compare Spark vs DuckDB on
+    the enlarged corpus (round-12 VERDICT #1/#2; round-13 crosses the
+    grid switch)."""
     import duckdb
 
     from data_timeseries_java_spark.queries import all_oracles
@@ -231,7 +232,7 @@ def test_semantic_dedup_derived_k_beyond_floor(spark, sf_dir, tmp_path_factory):
     con.execute(f"""
         COPY (
           SELECT e.vec_id + t.r * 1000 AS vec_id, e.embedding, e.label
-          FROM read_parquet('{src}') e, range(3) t(r)
+          FROM read_parquet('{src}') e, range(6) t(r)
         ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
     """)
     n = con.execute(
@@ -285,3 +286,26 @@ def test_semantic_dedup_kernel_matches_declarative(spark, sf_dir):
         a, b = decl[c], kern[c]
         same = (a.isna() & b.isna()) | (a == b)
         assert same.all(), f"kernel/declarative diverge on {c}"
+
+
+def test_derived_tcs_sql_python_lockstep():
+    """The tcs grid snap must be the SAME integer function in Python
+    (plan-build) and DuckDB (oracle CTE) — exercised across every grid
+    boundary up to the cap, including the exact switch points and the
+    int64-safety corner (no 800*n multiply on the SQL side)."""
+    import duckdb
+
+    from data_timeseries_java_spark.queries.similarity import (
+        _tcs_case_sql, _tcs_threshold, derived_tcs, TCS_MIN_LOG2,
+        TCS_MAX_LOG2)
+
+    con = duckdb.connect()
+    ns = [1, 40, 41, 500, 2000, 2621, 2622, 3000, 10**10, 9 * 10**17]
+    for j in range(TCS_MIN_LOG2 + 1, TCS_MAX_LOG2 + 1):
+        t = _tcs_threshold(j)
+        ns.extend([t - 1, t])
+    for n in ns:
+        got = con.execute(f"SELECT {_tcs_case_sql(str(n))}").fetchone()[0]
+        assert got == derived_tcs(n), (n, got, derived_tcs(n))
+    # the documented switch the parity fixture crosses
+    assert derived_tcs(2621) == 64 and derived_tcs(2622) == 128
