@@ -635,9 +635,13 @@ def jaccard_prefix_join(df: DataFrame, threshold: float = 0.5, k: int = 3,
     candidate × set-ARRAY bytes — the Vernica/Carey/Li (SIGMOD 2010)
     verify shape at full width; with ~23-byte avg trigram strings
     (+16B UTF8String overhead each) replaced by 8-byte longs the
-    measured ~1.1 TB verify stream at the 1000x decade drops ~17×,
-    which is the difference between "exhausts a 64 GB-free single
-    box" and "completes" (SCALE.md round-13 row).
+    verify stream shrinks ~4.9× (measured at the 1000x decade:
+    409,306,897 candidates × 52.1-element sets ≈ 341 GB hashed vs
+    ~1.7 TB string-domain). Still past a single box's free disk —
+    scripts/bench_jaccard_1000x.py bounds the peak with a
+    driver-sequential batched verify for the decade row; a cluster
+    spreads the same bytes across executor-local disks
+    (SCALE.md round-13 row).
 
     Shape at 100 TB: one token shuffle (doc-distinct), one vocabulary
     aggregate for df, one doc-keyed rank window, a prefix-token-keyed
@@ -668,11 +672,19 @@ def jaccard_prefix_join(df: DataFrame, threshold: float = 0.5, k: int = 3,
     prefix_len = (F.col("_n")
                   - F.ceil(F.round(F.col("_n") * threshold, 9)) + 1)
     pref = ranked.where(F.col("_pos") <= prefix_len)
-    a = pref.select(F.col(id_col).alias("id_a"), "hs")
+    a = pref.select(F.col(id_col).alias("id_a"), "hs",
+                    F.col("_n").alias("_na"))
     b = pref.select(F.col(id_col).alias("id_b"),
-                    F.col("hs").alias("hs_b"))
+                    F.col("hs").alias("hs_b"),
+                    F.col("_n").alias("_nb"))
+    # size filter (AllPairs canon): Jaccard >= t forces
+    # t·max(|A|,|B|) <= min(|A|,|B|) — prune BEFORE the wide verify
+    # join ships set arrays (measured 24% of candidates at the 100x
+    # decade, exactness preserved: a violating pair cannot reach t)
     cand = (a.join(b, (F.col("hs") == F.col("hs_b"))
                    & (F.col("id_a") < F.col("id_b")))
+            .where(F.least("_na", "_nb")
+                   >= F.round(F.greatest("_na", "_nb") * threshold, 9))
             .select("id_a", "id_b").distinct())
     # verify via per-doc set arrays + array_intersect (JVM narrow map),
     # not an explode-equality join — same rationale as jaccard_verify
@@ -690,9 +702,9 @@ def jaccard_prefix_join(df: DataFrame, threshold: float = 0.5, k: int = 3,
     # array) stream — candidates x set-size BYTES through a multi-pass
     # external sort, which exhausted a 64 GB-free single box at the
     # 1000x decade (round 12; candidate volume itself verified exactly
-    # linear). A shuffled hash join builds on the doc-keyed SET side
-    # (sets/partitions — small) and only EXCHANGES the wide stream
-    # once, never sorts it.
+    # linear, 409M pairs at 1000x). A shuffled hash join builds on the
+    # doc-keyed SET side (sets/partitions — small) and only EXCHANGES
+    # the wide stream once, never sorts it.
     return (cand.join(sa.hint("shuffle_hash"), "id_a")
             .join(sb.hint("shuffle_hash"), "id_b")
             .select("id_a", "id_b", n_inter.alias("n_inter"),

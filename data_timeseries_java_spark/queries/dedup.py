@@ -768,8 +768,9 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtering (AllPairs/PPJoin — exact, no LSH false negatives) — see
     operators.dedup.jaccard_prefix_join. Both engines hash each
     shingle to the same 60-bit md5 prefix before set-building
-    (round-13: cuts the verify stream ~17×; exact on the hashed
-    domain by construction). The oracle re-derives the answer with a
+    (round-13: cuts the verify stream ~4.9× measured; exact on the
+    hashed domain by construction), and candidates pass the AllPairs
+    size filter before the wide verify join. The oracle re-derives the answer with a
     DIFFERENT algorithm (exhaustive Jaccard over all share-any-hash
     pairs), so a prefix bug that loses a pair fails the hash."""
     from data_timeseries_java_spark.operators.dedup import (
