@@ -68,9 +68,10 @@ HEADLINE = [
     "semantic_dedup_exact",
     # the SRP-banded linear-assignment variant next to the exact path
     "semantic_dedup_ann",
-    # the flagship: since round 12 the unsuffixed name derives k from
-    # corpus size (k ~ n/TARGET_CLUSTER_SIZE, S ∝ k sample training,
-    # SRP-banded assignment) — verify space linear in n at every scale
+    # the flagship: the unsuffixed name derives BOTH integers from
+    # corpus size (tcs = (25·C·n)^{1/3} snapped to the power-of-two
+    # grid, k = n/tcs, S ∝ k sample training, SRP-banded assignment) —
+    # verify space n·tcs at every scale (round 13)
     "semantic_dedup",
     # production-vocab dictionary tokenizer (1024 ranks, segmented)
     "text_bpe_tokens_dict",

@@ -58,7 +58,7 @@ DOCUMENTED = {
     "semantic_dedup_fixedk": "semdedup-at-scale (pinned k: pair space n^2/k)",
     # the flagship routes to the SAME fixed-k path: training flat, SRP
     # NOTE (round 12): the unsuffixed flagship semantic_dedup is NOT
-    # here anymore — it derives k ~ n/TARGET_CLUSTER_SIZE (verify
+    # here anymore — it derives k ~ n/derived_tcs(n) (verify
     # space ≈ n·TCS, linear) and is timed like every other lane.
     # trains k-means with k ∝ n by design — the oracle-identical exact
     # companion; production trains fixed-k on a bounded sample

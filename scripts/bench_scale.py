@@ -36,7 +36,8 @@ QUERIES = ["dedup_minhash_lsh", "corpus_build", "ann_lsh",
            # TRAINING, which bench_semdedup_train.py isolates and
            # measures flat.
            # round 12: the unsuffixed flagship now IS the production
-           # posture — k derived ~ n/TARGET_CLUSTER_SIZE, S ∝ k sample
+           # posture — k derived ~ n/derived_tcs(n) (round 13: tcs from
+           # the throughput-weighted balance rule), S ∝ k sample
            # training, SRP assignment — so it joins the decade table.
            "semantic_dedup",
            "text_bpe_tokens_dict", "dsir_importance",
