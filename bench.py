@@ -193,7 +193,12 @@ def _trend_flags(medians: dict[str, float]) -> dict:
     flags = {}
     for name, cur in medians.items():
         a, b = prevprev.get(name), prev.get(name)
-        if a and b and b >= 1.10 * a and cur >= 1.10 * b:
+        # 0.5s floor: sub-second lanes swing 0.2-0.4s across QUIESCED
+        # windows on this box (text_quality measured 0.215 and 0.382
+        # in two load1<1 controls the same day, code untouched) — a
+        # 10% step there is scheduler noise, not creep. Mirrors the
+        # streaming audit's 1s/trigger floor.
+        if a and b and cur >= 0.5 and b >= 1.10 * a and cur >= 1.10 * b:
             flags[name] = [a, b, cur]
     return flags
 
