@@ -171,6 +171,66 @@ def knn_bruteforce(df: DataFrame, queries: DataFrame, k: int = 10,
             .select("query_id", "nbr_id", "rank", F.round("cosine", 6).alias("cosine")))
 
 
+def ann_rerank_topk(df: DataFrame, queries: DataFrame, k: int = 10,
+                    retrieve_n: int = 30, prefix_dims: int = 16,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Two-stage retrieve -> rerank (the Matryoshka serving pattern,
+    Kusupati et al. 2022): stage 1 retrieves ``retrieve_n`` candidates
+    per query by cosine over only the first ``prefix_dims`` embedding
+    dimensions (the cheap prefix index — 4x less scan arithmetic at
+    the defaults), stage 2 re-scores ONLY those candidates with the
+    full-dimension exact cosine — the cross-encoder-shaped second
+    stage: an expensive pairwise scorer applied to a bounded
+    candidate set — and keeps the top ``k``.
+
+    Output: (query_id, nbr_id, rank, cosine, retrieve_rank) — final
+    full-precision rank plus where stage 1 had placed the neighbor
+    (the rerank-movement diagnostic; a neighbor ranked high by the
+    prefix but demoted at full precision is exactly what the second
+    stage exists to catch). Recall caveat by construction: a true
+    top-k neighbor outside the stage-1 top-``retrieve_n`` is lost —
+    ann_truncation_recall measures that gap; this operator is the
+    serving path that ACTS on its answer.
+
+    Shape at 100 TB: stage 1 is one corpus scan against broadcast
+    truncated queries (the knn_bruteforce shape, ranks on
+    round(cos, 9) with id tie-break); the |Q|·retrieve_n candidate
+    frame is tiny and BROADCAST back against the full corpus — the
+    expensive scorer touches retrieve_n rows per query, never the
+    corpus pair space. Both ranks reproduce in the DuckDB oracle."""
+    from pyspark.sql import Window
+
+    def _prefix(frame: DataFrame) -> DataFrame:
+        return frame.select(F.col(id_col),
+                            F.slice(vec_col, 1, prefix_dims)
+                            .alias(vec_col))
+
+    cand = (knn_bruteforce(_prefix(df), _prefix(queries),
+                           k=retrieve_n, id_col=id_col, vec_col=vec_col)
+            .select("query_id", "nbr_id",
+                    F.col("rank").alias("retrieve_rank")))
+    corpus = with_norm(df, vec_col).select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec"),
+        F.col("_norm").alias("nbr_norm"))
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        F.col("_norm").alias("q_norm"))
+    cos = _dot(F.col("q_vec"), F.col("nbr_vec")) / (
+        F.col("q_norm") * F.col("nbr_norm"))
+    scored = (F.broadcast(cand).join(corpus, "nbr_id")
+              .join(F.broadcast(q), "query_id")
+              .select("query_id", "nbr_id", "retrieve_rank",
+                      cos.alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine", 9)), F.asc("nbr_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "nbr_id", "rank",
+                    F.round("cosine", 6).alias("cosine"),
+                    "retrieve_rank"))
+
+
 def lsh_hyperplanes(spark, n_planes: int, dim: int) -> DataFrame:
     """Deterministic pseudo-random hyperplanes via integer LCG (portable
     across engines — no float transcendentals)."""

@@ -1730,3 +1730,94 @@ SELECT p.query_id,
        round(coalesce(h.n_hits, 0) * 1.0 / p.k, 6) AS recall
 FROM per_q p LEFT JOIN hits h ON h.query_id = p.query_id
 """
+
+
+# ---- two-stage retrieve -> rerank (Matryoshka serving path) ---------------
+
+RERANK_RETRIEVE_N = 30
+
+
+def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-path companion to ann_truncation_recall (round-13, the
+    r12 VERDICT's suggested reranking lane): retrieve RERANK_RETRIEVE_N
+    candidates per query on the cheap MRL_DIMS-prefix index, then
+    re-score only those with the full-dimension exact cosine — the
+    cross-encoder-shaped second stage — and keep the top KNN_K with
+    the stage-1 rank carried as the rerank-movement diagnostic. See
+    operators.similarity.ann_rerank_topk."""
+    from data_timeseries_java_spark.operators.similarity import (
+        ann_rerank_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return ann_rerank_topk(emb, queries, k=KNN_K,
+                           retrieve_n=RERANK_RETRIEVE_N,
+                           prefix_dims=MRL_DIMS)
+
+
+QUERIES["ann_rerank"] = q_ann_rerank
+
+ORACLE["ann_rerank"] = f"""
+WITH compt AS (
+  SELECT vec_id,
+         unnest(embedding[1:{MRL_DIMS}]) AS x,
+         unnest(generate_series(0, {MRL_DIMS} - 1)) AS dim
+  FROM embeddings
+),
+normst AS (
+  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+  FROM compt GROUP BY vec_id
+),
+dotst AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+         sum(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE)) AS dot
+  FROM compt q JOIN compt c
+    ON q.dim = c.dim AND q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id
+),
+retrieved AS (
+  SELECT query_id, nbr_id,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY round(d.dot / (nq.nrm * nc.nrm), 9) DESC,
+                      nbr_id ASC) AS retrieve_rank
+  FROM dotst d
+  JOIN normst nq ON nq.vec_id = d.query_id
+  JOIN normst nc ON nc.vec_id = d.nbr_id
+),
+cand AS (
+  SELECT query_id, nbr_id, CAST(retrieve_rank AS BIGINT) AS retrieve_rank
+  FROM retrieved WHERE retrieve_rank <= {RERANK_RETRIEVE_N}
+),
+compf AS (
+  SELECT vec_id,
+         unnest(embedding) AS x,
+         unnest(generate_series(0, len(embedding) - 1)) AS dim
+  FROM embeddings
+),
+normsf AS (
+  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+  FROM compf GROUP BY vec_id
+),
+fdots AS (
+  SELECT ca.query_id, ca.nbr_id, ca.retrieve_rank,
+         sum(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE)) AS dot
+  FROM cand ca
+  JOIN compf q ON q.vec_id = ca.query_id
+  JOIN compf c ON c.vec_id = ca.nbr_id AND c.dim = q.dim
+  GROUP BY ca.query_id, ca.nbr_id, ca.retrieve_rank
+),
+reranked AS (
+  SELECT f.query_id, f.nbr_id, f.retrieve_rank,
+         f.dot / (nq.nrm * nc.nrm) AS cosine,
+         row_number() OVER (PARTITION BY f.query_id
+             ORDER BY round(f.dot / (nq.nrm * nc.nrm), 9) DESC,
+                      f.nbr_id ASC) AS rank
+  FROM fdots f
+  JOIN normsf nq ON nq.vec_id = f.query_id
+  JOIN normsf nc ON nc.vec_id = f.nbr_id
+)
+SELECT query_id, nbr_id, CAST(rank AS BIGINT) AS rank,
+       round(cosine, 6) AS cosine, retrieve_rank
+FROM reranked WHERE rank <= {KNN_K}
+"""

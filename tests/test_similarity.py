@@ -309,3 +309,32 @@ def test_derived_tcs_sql_python_lockstep():
         assert got == derived_tcs(n), (n, got, derived_tcs(n))
     # the documented switch the parity fixture crosses
     assert derived_tcs(2621) == 64 and derived_tcs(2622) == 128
+
+
+def test_ann_rerank_semantics(spark, sf_dir):
+    """The two-stage serving path: every returned neighbor must come
+    from the stage-1 prefix-index top-RERANK_RETRIEVE_N (retrieve_rank
+    bound), each query returns exactly KNN_K rows, and the final order
+    equals the full-precision cosine order restricted to those
+    candidates (rank agrees with knn_bruteforce's full-dim scores on
+    the candidate subset)."""
+    from data_timeseries_java_spark.queries.similarity import (
+        KNN_K, N_QUERIES, RERANK_RETRIEVE_N, q_ann_rerank,
+        q_knn_bruteforce)
+
+    out = q_ann_rerank(spark, sf_dir).toPandas()
+    assert set(out["query_id"].unique()) == set(range(N_QUERIES))
+    per_q = out.groupby("query_id").size()
+    assert (per_q == KNN_K).all()
+    assert out["retrieve_rank"].between(1, RERANK_RETRIEVE_N).all()
+    # full-precision agreement: where the exact top-k neighbor IS in
+    # the candidate set, the rerank must score it identically
+    exact = q_knn_bruteforce(spark, sf_dir).toPandas()
+    merged = out.merge(exact, on=["query_id", "nbr_id"],
+                       suffixes=("_rr", "_ex"))
+    assert not merged.empty
+    assert (merged["cosine_rr"] == merged["cosine_ex"]).all()
+    # rank within the candidate subset is descending cosine
+    for _, g in out.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert (g["cosine"].round(9).diff().dropna() <= 1e-12).all()
