@@ -80,8 +80,10 @@ QUERIES = ["dedup_minhash_lsh", "corpus_build", "ann_lsh",
            "tpch_q21", "order_priority_check", "text_repetition",
            "text_novelty",
            # round 13: the hashed-shingle prefix-filter join — decades
-           # re-measured after the verify stream moved to int64 keys
-           "jaccard_prefix_join"]
+           # re-measured after the verify stream moved to int64 keys —
+           # and the two-stage retrieve->rerank serving path (broadcast
+           # queries; stage-2 cost bounded by |Q| * retrieve_n)
+           "jaccard_prefix_join", "ann_rerank"]
 
 
 def bench(spark, qs, name, sf_dir, n):
