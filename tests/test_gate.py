@@ -103,3 +103,47 @@ def test_real_ledger_hash_freshness():
     assert all(n in ungated for n in stale), (
         f"hash-stale lanes not re-sampled: "
         f"{[n for n in stale if n not in ungated]}")
+
+
+def test_update_script_round_flow(tmp_path, monkeypatch):
+    """Simulated next-round flow for scripts/update_driver_gated.py:
+    a fresh green row from the NEWEST round stamps (round, current
+    hash); an older green row with no ledger entry stays un-gated
+    (the laundering guard); a red latest row evicts; untouched
+    entries are preserved byte-for-byte."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "udg2", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts",
+            "update_driver_gated.py"))
+    udg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(udg)
+
+    names = list(Q._registry_queries())
+    keep, stamp, launder, evict = names[:4]
+    g = {"rows_match": True, "schema_match": True, "err": None,
+         "hash_match": True}
+    r = {**g, "hash_match": False}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(
+        {keep: g, launder: g, evict: g, stamp: g}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(
+        {stamp: g, evict: r}))
+    gate_path = tmp_path / "_gate.py"
+    gate_path.write_text(
+        "GATE = {\n"
+        f'    "{keep}": (1, "feedfeedfeedfeed"),\n'
+        f'    "{evict}": (1, "beefbeefbeefbeef"),\n'
+        "}\n")
+    monkeypatch.setattr(udg, "ROOT", str(tmp_path))
+    monkeypatch.setattr(udg, "GATE_PATH", str(gate_path))
+    udg.main()
+    ns: dict = {}
+    exec(gate_path.read_text(), ns)
+    gate = ns["GATE"]
+    assert gate[keep] == (1, "feedfeedfeedfeed")   # preserved verbatim
+    assert gate[stamp][0] == 2 and len(gate[stamp][1]) == 16  # stamped
+    assert launder not in gate                     # old green, no entry
+    assert evict not in gate                       # red at latest check
