@@ -50,7 +50,10 @@ def _registry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _gate_ledger() -> dict[str, tuple[int, str]]:
     try:
         from data_timeseries_java_spark.queries._gate import GATE
-    except ImportError:  # ledger not generated yet — everything samples
+    except (ImportError, SyntaxError):
+        # ledger not generated yet, or a malformed partial write of the
+        # generated file — degrade to everything-samples (the safe
+        # direction) instead of breaking every queries import
         return {}
     return GATE
 
@@ -67,7 +70,8 @@ def _sample_order() -> tuple[tuple[str, ...], tuple[str, ...]]:
     ungated = [n for n in reg
                if n not in gate
                or gate[n][1] != impl_hash(reg[n], oracles.get(n, ""))]
-    gated = sorted((n for n in reg if n not in set(ungated)),
+    ungated_set = set(ungated)
+    gated = sorted((n for n in reg if n not in ungated_set),
                    key=lambda n: (gate[n][0], n))
     return tuple(ungated), tuple(gated)
 

@@ -67,7 +67,14 @@ def test_gated_lanes_rotate_stalest_first(fake_ledger):
 
 def test_red_latest_check_stays_ungated():
     """update_driver_gated's merge drops lanes red at their latest
-    check even when an earlier round was green."""
+    check even when an earlier round was green.
+
+    Runs the MERGE IN-MEMORY on the live CORRECTNESS files + ledger and
+    asserts the POST-merge invariants (VERDICT r13 #1) — the on-disk
+    ledger is only consistent with the CORRECTNESS set right after the
+    regeneration script runs, so asserting on it directly went red in
+    every driver-drop→round-start window (the staleness rotation
+    guarantees re-checks at rounds newer than the stamps)."""
     import importlib.util
     import os
 
@@ -80,10 +87,15 @@ def test_red_latest_check_stays_ungated():
     # latest_checks is latest-wins: feed it via its own parsing contract
     checks = udg.latest_checks()
     assert checks, "no CORRECTNESS files found"
-    # every current entry in the generated ledger must be green at its
-    # latest check and at a round <= the latest CORRECTNESS round
-    gate = udg.load_old_gate()
+    gate = udg.merge(checks, udg.load_old_gate(),
+                     Q._registry_queries(), Q.all_oracles())
     latest_round = max(r for r, _ in checks.values())
+    # red-at-latest lanes never survive the merge (the test's purpose)
+    for name, (rnd, green) in checks.items():
+        if not green:
+            assert name not in gate, f"{name} red at latest check but gated"
+    # every merged entry: green at latest check, stamped AT that check's
+    # round, bounded by the newest CORRECTNESS round, well-formed hash
     for name, (rnd, h) in gate.items():
         assert checks[name][1], f"{name} gated but red at latest check"
         assert checks[name][0] == rnd
