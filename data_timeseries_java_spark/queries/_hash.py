@@ -28,12 +28,22 @@ The hash covers, per query:
 A change anywhere in that closure flips the hash and the lane sorts
 back into the sampled prefix, stalest-first among its peers.
 
-Known limitation (accepted): a semantics change expressed ONLY
-through a module-level constant in the defining query module (the
-function reads it, the constant lives outside the function source)
-flips the hash only if the ORACLE string changes with it — which it
-does for every declared lane, since both sides must move in lockstep
-to stay hash-green.
+Same-module helpers (ADVICE r13): names referenced in the query
+function's AST that resolve to top-level functions / classes /
+constants DEFINED IN THE SAME queries module are folded into the
+hash, transitively within that module (a helper's body is walked for
+further same-module references). This closes the gap where a
+Python-only helper outside the query function's source (e.g. a
+derived-parameter snap loop) changed plan-build behavior without
+changing the generated SQL — the lane stayed gated while the engines
+diverged. Blast radius stays per-lane: only lanes whose call graph
+actually reaches the edited helper flip.
+
+Known limitation (accepted, now narrower): a semantics change
+expressed through state the AST walk cannot see (e.g. monkeypatching,
+dynamic getattr) still flips the hash only if the ORACLE string
+changes with it — which it does for every declared lane, since both
+sides must move in lockstep to stay hash-green.
 """
 
 from __future__ import annotations
@@ -180,6 +190,61 @@ def _closure_from(seeds) -> tuple[str, ...]:
     return tuple(sorted(seen))
 
 
+@lru_cache(maxsize=None)
+def _module_defs(modname: str) -> dict[str, str]:
+    """Top-level name -> source segment for the module's own function /
+    class / constant definitions (imports excluded — cross-module deps
+    are the closure's job)."""
+    src = _module_source(modname)
+    if not src:
+        return {}
+    text = src.decode("utf-8", errors="replace")
+    defs: dict[str, str] = {}
+    for node in ast.parse(text).body:
+        seg = ast.get_source_segment(text, node)
+        if seg is None:
+            continue
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                             ast.ClassDef)):
+            defs[node.name] = seg
+        elif isinstance(node, ast.Assign):
+            for tgt in node.targets:
+                if isinstance(tgt, ast.Name):
+                    defs[tgt.name] = seg
+        elif (isinstance(node, ast.AnnAssign)
+              and isinstance(node.target, ast.Name)):
+            defs[node.target.name] = seg
+    return defs
+
+
+def _same_module_helpers(modname: str, fn_src: str) -> list[tuple[str, str]]:
+    """(name, source) of same-module top-level definitions reachable
+    from ``fn_src``'s referenced names, transitively within the module,
+    sorted by name (ADVICE r13: helper-body edits must flip the hash)."""
+    defs = _module_defs(modname)
+    if not defs:
+        return []
+    import textwrap
+
+    def _names(src: str) -> set[str]:
+        try:
+            tree = ast.parse(textwrap.dedent(src))
+        except SyntaxError:
+            return set()
+        return {n.id for n in ast.walk(tree) if isinstance(n, ast.Name)}
+
+    seen: set[str] = set()
+    stack = [n for n in _names(fn_src) if n in defs]
+    while stack:
+        name = stack.pop()
+        if name in seen:
+            continue
+        seen.add(name)
+        stack.extend(n for n in _names(defs[name])
+                     if n in defs and n not in seen)
+    return [(n, defs[n]) for n in sorted(seen)]
+
+
 def impl_hash(fn, oracle: str) -> str:
     """16-hex-char implementation hash for one declared query."""
     import textwrap
@@ -192,6 +257,11 @@ def impl_hash(fn, oracle: str) -> str:
         h.update(src.encode())
         seeds |= _deps_from_tree(
             ast.walk(ast.parse(textwrap.dedent(src))))
+        for name, helper_src in _same_module_helpers(modname, src):
+            h.update(b"\x00helper:")
+            h.update(name.encode())
+            h.update(b"\x00")
+            h.update(helper_src.encode())
     except (OSError, TypeError, SyntaxError):
         # non-introspectable callable (C partial, exec'd) — fall back to
         # the whole defining-module source so changes still flip the hash
