@@ -210,10 +210,10 @@ def _module_defs(modname: str) -> dict[str, str]:
         elif isinstance(node, ast.Assign):
             for tgt in node.targets:
                 if isinstance(tgt, ast.Name):
-                    defs[tgt.name] = seg
+                    defs[tgt.id] = seg
         elif (isinstance(node, ast.AnnAssign)
               and isinstance(node.target, ast.Name)):
-            defs[node.target.name] = seg
+            defs[node.target.id] = seg
     return defs
 
 
