@@ -159,3 +159,56 @@ def test_update_script_round_flow(tmp_path, monkeypatch):
     assert gate[stamp][0] == 2 and len(gate[stamp][1]) == 16  # stamped
     assert launder not in gate                     # old green, no entry
     assert evict not in gate                       # red at latest check
+
+
+def test_same_module_helper_edit_flips_hash(tmp_path, monkeypatch):
+    """ADVICE r13 (medium): a Python-only helper in the defining query
+    module, outside the query function's own source, must be part of
+    impl_hash — editing the helper body (without touching the oracle)
+    flips the lane's hash so it un-gates."""
+    import importlib
+    import sys
+
+    from data_timeseries_java_spark.queries import _hash as H
+
+    mod = tmp_path / "fake_query_mod.py"
+    body = (
+        "_SNAP = [1, 2, {snap}]\n"
+        "def _helper(n):\n"
+        "    return max(s for s in _SNAP if s <= n)\n"
+        "def the_query(spark, sf_dir):\n"
+        "    return _helper(7)\n")
+    monkeypatch.syspath_prepend(str(tmp_path))
+
+    def load_and_hash(snap):
+        mod.write_text(body.format(snap=snap))
+        for fn in (H._module_source, H._module_file, H._module_defs,
+                   H._direct_deps, H._module_level_deps):
+            fn.cache_clear()
+        sys.modules.pop("fake_query_mod", None)
+        m = importlib.import_module("fake_query_mod")
+        return H.impl_hash(m.the_query, "SELECT 1 AS x")
+
+    h_a, h_b = load_and_hash(3), load_and_hash(4)
+    for fn in (H._module_source, H._module_file, H._module_defs,
+               H._direct_deps, H._module_level_deps):
+        fn.cache_clear()
+    sys.modules.pop("fake_query_mod", None)
+    # the query function's own source and the oracle are identical in
+    # both variants — only the transitively-reached constant changed
+    assert h_a != h_b
+
+
+def test_helper_resolution_reaches_derived_tcs_machinery():
+    """The flagship's derived-TCS helpers (snap loop, SRP signs, the
+    oracle-pinned parallelism constant) are folded into its hash."""
+    import inspect
+
+    import data_timeseries_java_spark.queries.similarity as S
+    from data_timeseries_java_spark.queries._hash import (
+        _same_module_helpers)
+
+    src = inspect.getsource(S.QUERIES["semantic_dedup"])
+    names = {n for n, _ in _same_module_helpers(S.__name__, src)}
+    assert {"_srp_signs", "TRAIN_PARALLELISM_RATIO",
+            "SEMDEDUP_T"} <= names
