@@ -916,6 +916,241 @@ def _round_half_away(a, decimals: int):
     return np.sign(a) * np.floor(np.abs(a) * f + 0.5) / f
 
 
+# Per-process scratch buffers for the block kernels, reused across
+# pandas groups / Arrow batches (Spark reuses Python workers). Why this
+# exists (round-14, profiled at the 1000x decade): on this box,
+# FIRST-TOUCH page faults under 32-way worker concurrency cost ~25
+# ns/byte — a warm-buffer rerun of the identical numpy passes measured
+# ~30x faster than the fresh-allocation run (0.3 s vs 10.7 s per
+# process for the same FLOPs). The semdedup verdict stage was spending
+# ~5x its actual compute in faults alone (1953 clusters x ~270 MB of
+# fresh Gram blocks). Keys are per-role; buffers grow geometrically
+# and are never shrunk; Python workers are single-threaded, so no
+# locking. Returns an UNINITIALIZED view — callers fully overwrite.
+_WORKER_BUFS: dict = {}
+
+
+def _scratch(key: str, shape, dtype=None):
+    import numpy as np
+
+    dtype = np.dtype(dtype or np.float64)
+    n = 1
+    for s in shape:
+        n *= int(s)
+    nbytes = max(n * dtype.itemsize, 1)
+    buf = _WORKER_BUFS.get(key)
+    if buf is None or buf.nbytes < nbytes:
+        cap = 1 << (nbytes - 1).bit_length()
+        buf = np.empty(cap, dtype=np.uint8)
+        _WORKER_BUFS[key] = buf
+    return buf[:n * dtype.itemsize].view(dtype).reshape(shape)
+
+
+def _dense_round9_winner(V, vnrm, W, cnrm, mask=None):
+    """Exact (round(cos,9) DESC, index ASC) winner per row of ``V``
+    over ALL centroid rows ``W`` — the dense kernel, with LAZY
+    rounding (round-14): the full cos block is never pushed through
+    ``_round_half_away``. Winner identity proof: any index i with
+    round9(cos_i) == round9-max satisfies cos_i >= max(cos) - 1e-9
+    (monotone rounding, half-lattice width 5e-10 each side), so the
+    1e-9 candidate band contains every potential winner; rows with a
+    single candidate take the plain argmax, the rare multi-candidate
+    rows round ONLY their candidates and re-rank. Saves the ~6
+    elementwise passes of rounding the whole m x k block — the
+    measured bulk of driver-side Lloyd's at the 1000x decade.
+
+    ``mask`` (bool m x k) pins excluded entries to -inf first (the
+    SRP band-collision rule). NaN cosines (degenerate centroid or
+    zero vector) become -inf — never win; if EVERYTHING is -inf the
+    winner is index 0, preserving the historical dense semantics
+    (callers that must not assign such rows filter them upstream).
+    All block-sized intermediates live in worker scratch buffers
+    (:func:`_scratch`) — same ops in the same order, preallocated
+    outputs. Returns int64 winner indexes, one per row."""
+    import numpy as np
+
+    m, k = len(V), len(W)
+    cos = _scratch("w_cos", (m, k))
+    tmp = _scratch("w_tmp", (m, k))
+    np.matmul(V, W.T, out=cos)
+    np.multiply(vnrm[:, None], cnrm[None, :], out=tmp)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        np.divide(cos, tmp, out=cos)
+    np.nan_to_num(cos, copy=False, nan=-np.inf)
+    if mask is not None:
+        inv = _scratch("w_inv", (m, k), np.bool_)
+        np.logical_not(mask, out=inv)
+        np.copyto(cos, -np.inf, where=inv)
+    best = cos.max(axis=1)
+    win = cos.argmax(axis=1).astype(np.int64)
+    cand = _scratch("w_cand", (m, k), np.bool_)
+    np.greater_equal(cos, (best - 1e-9)[:, None], out=cand)
+    for i in np.flatnonzero(cand.sum(axis=1) > 1):
+        idxs = np.flatnonzero(cand[i])
+        r9 = _round_half_away(cos[i, idxs], 9)
+        win[i] = idxs[r9 == r9.max()][0]
+    return win
+
+
+# Two-level coarse quantization kicks in above this centroid count —
+# below it the dense block is already small and the coarse bookkeeping
+# would dominate (measured at the 1x/10x decades, SCALE.md round-14).
+COARSE_MIN_K = 192
+
+
+def _centroid_cells(W, cnrm, n_cells: int, refine: int = 2):
+    """Deterministic coarse cells over the centroid rows for the EXACT
+    two-level argmax (VERDICT r13 #2). Seeds = the first ``n_cells``
+    non-degenerate rows (input order — no RNG), nearest-seed
+    assignment on NORMALIZED rows, ``refine`` mean-update sweeps.
+
+    Returns ``(order, starts, mhat, radius)``: ``order`` is a stable
+    (cell, row-index) permutation over the non-degenerate centroid
+    indexes (ascending index WITHIN each cell — the tie-break relies
+    on it), ``starts`` the cell boundaries in that order, ``mhat`` the
+    unit coarse centers, and ``radius[j] = max ||w_hat - mhat_j|| +
+    1e-7`` over the cell's members. The bound used downstream is
+    Cauchy-Schwarz on unit vectors:
+
+        cos(v, w) = v_hat . w_hat
+                  = v_hat . mhat_j + v_hat . (w_hat - mhat_j)
+                 <= v_hat . mhat_j + radius_j
+
+    so a cell whose upper bound sits below the current best minus the
+    round-9 half-lattice can be skipped without evaluating any of its
+    members; the 1e-7 margin dwarfs every float64 rounding effect in
+    computing the bound itself. Degenerate (zero-norm) centroids are
+    excluded outright: their exact cosine is NaN -> -inf and can never
+    win (the all--inf row falls back to the dense kernel).
+    Returns None when nothing is left to cluster."""
+    import numpy as np
+
+    ok = np.flatnonzero(cnrm > 0)
+    if len(ok) == 0:
+        return None
+    What = W[ok] / cnrm[ok][:, None]
+    n_cells = max(1, min(n_cells, len(ok)))
+    seeds = What[:n_cells].copy()
+    cell_of = None
+    for it in range(refine + 1):
+        cell_of = (What @ seeds.T).argmax(axis=1)
+        if it < refine:
+            for j in range(n_cells):
+                members = What[cell_of == j]
+                if len(members):
+                    mj = members.mean(axis=0)
+                    nj = np.sqrt((mj * mj).sum())
+                    if nj > 0:
+                        seeds[j] = mj / nj
+    perm = np.argsort(cell_of, kind="stable")
+    order = ok[perm]
+    sorted_cells = cell_of[perm]
+    starts = np.concatenate(
+        ([0], np.flatnonzero(np.diff(sorted_cells)) + 1))
+    ends = np.concatenate((starts[1:], [len(order)]))
+    mhat = np.empty((len(starts), W.shape[1]))
+    radius = np.empty(len(starts))
+    for jj, (s, e) in enumerate(zip(starts, ends)):
+        members = What[perm[s:e]]
+        mj = members.mean(axis=0)
+        nj = np.sqrt((mj * mj).sum())
+        mhat[jj] = mj / nj if nj > 0 else 0.0
+        d = members - mhat[jj][None, :]
+        radius[jj] = np.sqrt((d * d).sum(axis=1)).max() + 1e-7
+    return order, starts, mhat, radius
+
+
+def _coarse_round9_winner(V, vnrm, W, cnrm, cells, mask=None):
+    """Exact (round(cos,9) DESC, index ASC) winner per row via the
+    TWO-LEVEL coarse quantizer (VERDICT r13 #2): per row, compute the
+    ~sqrt(k) coarse upper bounds, evaluate the best-bound cell
+    exactly, then evaluate ONLY the cells whose bound still clears
+    best9 - 5e-10 (potential ties included — a centroid rounding
+    equal with a lower id has cos >= best9 - 5e-10, hence bound above
+    the threshold). FLOPs drop from n*k*d to ~n*(sqrt(k)+k/sqrt(k))*d
+    while the winner is IDENTICAL to the dense kernel by the bound
+    argument (same lazy-rounding tie handling per evaluated block).
+
+    Returns winner indexes with -1 for undecided rows — no
+    mask-eligible cell, or every evaluated cosine -inf — which the
+    caller resolves with the dense kernel (rare by construction)."""
+    import numpy as np
+
+    order, starts, mhat, radius = cells
+    m = len(V)
+    ends = np.concatenate((starts[1:], [len(order)]))
+    n_cells = len(starts)
+    ok_v = vnrm > 0
+    Vhat = np.where(ok_v[:, None],
+                    V / np.where(ok_v, vnrm, 1.0)[:, None], 0.0)
+    ub = Vhat @ mhat.T + radius[None, :]
+    if mask is not None:
+        cell_any = np.add.reduceat(mask[:, order], starts, axis=1) > 0
+        ub = np.where(cell_any, ub, -np.inf)
+    ub[~ok_v, :] = -np.inf
+    winner = np.full(m, -1, dtype=np.int64)
+    best9 = np.full(m, -np.inf)
+    top1 = ub.argmax(axis=1)
+    elig = ub[np.arange(m), top1] > -np.inf
+
+    def eval_cells(rows_by_cell):
+        for j, rows in rows_by_cell:
+            cols = order[starts[j]:ends[j]]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = (V[rows] @ W[cols].T) / (
+                    vnrm[rows][:, None] * cnrm[cols][None, :])
+            cos = np.nan_to_num(cos, nan=-np.inf)
+            if mask is not None:
+                cos = np.where(mask[np.ix_(rows, cols)], cos, -np.inf)
+            blk_best = cos.max(axis=1)
+            has = blk_best > -np.inf
+            if not has.any():
+                continue
+            local = cos.argmax(axis=1)
+            cand = cos >= blk_best[:, None] - 1e-9
+            r9 = _round_half_away(blk_best, 9)
+            for i in np.flatnonzero(has & (cand.sum(axis=1) > 1)):
+                idxs = np.flatnonzero(cand[i])
+                ri = _round_half_away(cos[i, idxs], 9)
+                r9[i] = ri.max()
+                local[i] = idxs[ri == r9[i]][0]
+            gwin = cols[local]
+            rr = rows[has]
+            upd = (r9[has] > best9[rr]) | (
+                (r9[has] == best9[rr]) & (gwin[has] < winner[rr]))
+            tgt = rr[upd]
+            best9[tgt] = r9[has][upd]
+            winner[tgt] = gwin[has][upd]
+
+    eval_cells(
+        (j, rows) for j in range(n_cells)
+        if len(rows := np.flatnonzero(elig & (top1 == j))))
+    surv = ub >= best9[:, None] - 5e-10
+    surv[np.arange(m), top1] = False
+    surv[~elig, :] = False
+    eval_cells(
+        (j, rows) for j in range(n_cells)
+        if len(rows := np.flatnonzero(surv[:, j])))
+    return winner
+
+
+def _round9_winner(V, vnrm, W, cnrm, mask=None, cells=None):
+    """Dispatch: two-level when a cell structure is supplied, dense
+    otherwise; undecided coarse rows (-1) re-run through the dense
+    kernel so the composed result is exactly the dense result."""
+    import numpy as np
+
+    if cells is None:
+        return _dense_round9_winner(V, vnrm, W, cnrm, mask)
+    win = _coarse_round9_winner(V, vnrm, W, cnrm, cells, mask)
+    und = np.flatnonzero(win < 0)
+    if len(und):
+        win[und] = _dense_round9_winner(
+            V[und], vnrm[und], W, cnrm,
+            mask[und] if mask is not None else None)
+    return win
+
+
 def _lloyd_numpy(ids, X, k: int, iterations: int):
     """Numpy mirror of the unrolled fixed-k Lloyd's plan
     (:func:`kmeans_centroids_fixedk` / the oracle's fcent CTE chain),
@@ -923,12 +1158,19 @@ def _lloyd_numpy(ids, X, k: int, iterations: int):
     already in (scramble, id) order), assignment ranks
     round(cos, 9) DESC with centroid_id ASC tie-break, the mean update
     rounds at 6, and a centroid that loses every member disappears.
+    Round-14: the assignment step runs through the exact two-level
+    argmax above COARSE_MIN_K centroids (cells rebuilt per iteration —
+    centroids move), dense with lazy rounding below it; both are
+    winner-identical to the historical full-round path by the bound /
+    candidate-band arguments on their docstrings.
     BLAS accumulation order differs from the SQL sum at the ulp level;
     on this repo's float32-origin embeddings both land on the same
     rounded lattice (house convention — the fx_corr BLAS kernel's
     argument), but that is an empirical property, NOT a guarantee:
     a mean falling within ~1 ulp of a .5e-6 round-6 boundary can
-    round differently under the two accumulation orders (ADVICE r12).
+    round differently under the two accumulation orders (ADVICE r12);
+    the coarse path's per-cell GEMM blocks add the same ulp-class
+    (shape-dependent BLAS blocking), no new failure mode.
     A future single-centroid-weight 1e-6 parity mismatch is this
     known flake class, not a kernel bug. Returns (cent_ids, W) with
     centroid rows in ascending centroid_id order."""
@@ -942,28 +1184,16 @@ def _lloyd_numpy(ids, X, k: int, iterations: int):
     n_sample = len(X)
     for _ in range(iterations):
         cnrm = np.sqrt((W * W).sum(axis=1))
+        cells = (_centroid_cells(W, cnrm, int(round(len(W) ** 0.5)))
+                 if len(W) >= COARSE_MIN_K else None)
         assign = np.empty(n_sample, dtype=np.int64)
-        # row-chunked cos matrix: S x k doubles would be ~3 GB at the
-        # 1000x decade's (S=100k, k=4000); chunks keep it ~128 MB
+        # row-chunked: the dense path's cos block is chunk x k doubles
+        # (~128 MB cap); the coarse path touches ~sqrt(k) of it
         chunk = max(1, (1 << 24) // max(len(W), 1))
         for s in range(0, n_sample, chunk):
             e = min(n_sample, s + chunk)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                cos9 = _round_half_away(
-                    (X[s:e] @ W.T) / (vnrm[s:e, None] * cnrm[None, :]),
-                    9)
-            # a degenerate (round-6 all-zero) centroid yields 0/0=NaN
-            # cosines; left as NaN, max() would propagate it and the
-            # ==-argmax would silently assign every row to index 0
-            # (ADVICE r12). -inf = "never wins", matching the SQL path
-            # where the NULL cosine merely loses the rank. (assign_fn
-            # needs no such guard: its band mask is False for
-            # non-bandable centroids, so np.where already pins their
-            # entries to -inf before the argmax.)
-            cos9 = np.nan_to_num(cos9, nan=-np.inf)
-            best = cos9.max(axis=1)
-            # first max = lowest centroid_id (rows are id-ascending)
-            assign[s:e] = (cos9 == best[:, None]).argmax(axis=1)
+            assign[s:e] = _round9_winner(
+                X[s:e], vnrm[s:e], W, cnrm, cells=cells)
         # grouped mean update, vectorized over k (sort + reduceat —
         # a per-centroid Python loop is O(k * S) mask scans); empty
         # centroids drop, ascending id order is preserved
@@ -1001,77 +1231,73 @@ def _srp_band_keys(X, signs_arr, band_bits: int):
     return ok, keys
 
 
-def semantic_dedup_autok(df: DataFrame, k: int, signs: list,
-                         sample_size: int, iterations: int = 3,
-                         threshold: float = 0.3, band_bits: int = 4,
-                         id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
-    """Kernelized SemDeDup for the big-k decades — produces results
-    IDENTICAL to ``semantic_dedup_ann(centroid_vectors(
-    kmeans_centroids_fixedk(df, k, sample_size)), ...)`` (pinned by
-    tests/test_similarity.py::test_semantic_dedup_kernel_matches_
-    declarative and the forced-kernel oracle test), so the flagship
-    query may dispatch between the two freely under one oracle — the
-    pairwise_correlations_auto precedent.
+def semdedup_train(df: DataFrame, k: int, sample_size: int,
+                   iterations: int = 3, id_col: str = "vec_id",
+                   vec_col: str = "embedding"):
+    """SemDeDup training stage: collect the bounded scrambled-id
+    sample (S = sample_size rows — 25*k, the SemDeDup paper's own
+    single-node posture) and run driver-side numpy Lloyd's. Returns
+    (cent_ids, W) in ascending centroid_id order."""
+    import numpy as np
 
-    Why it exists (round-12 measured): at the 100x decade (n=200k,
-    k=400) the declarative path spends ~59 s in Lloyd's (the dots join
-    materializes S*k*d rows per iteration) and ~98 s in srp_assign
-    (the candidate join shuffles n*k/2^band_bits rows carrying full
-    vectors). Both are BLAS-shaped:
+    sample = (df.select(F.col(id_col), F.col(vec_col),
+                        scramble(F.col(id_col)).alias("_scr"))
+              .orderBy("_scr", id_col).limit(sample_size).collect())
+    ids = np.asarray([r[0] for r in sample], dtype=np.int64)
+    X = np.asarray([r[1] for r in sample], dtype=np.float64)
+    return _lloyd_numpy(ids, X, k, iterations)
 
-    - TRAINING runs entirely in numpy on the driver over the BOUNDED
-      sample (S = sample_size rows collected once — 25*k vectors, the
-      SemDeDup paper's own single-node-faiss posture; ~50 MB at the
-      1000x decade's k=4000). O(S*k*d) FLOPs per iteration in BLAS.
-    - ASSIGNMENT is one mapInPandas pass over the corpus with the
-      k x d centroid matrix and its band-key dictionary broadcast:
-      band keys are integer-exact per the SRP contract, candidates
-      come from the same band-equality rule, the exact rerank is an
-      einsum over candidates only, ranked (round(cos,9) DESC,
-      centroid_id ASC). No shuffle, no vector ever leaves its scan
-      partition.
-    - The WITHIN-CLUSTER verdict groups by centroid_id (the one
-      shuffle: n rows) and computes each cluster's pair cosines as a
-      row-chunked Gram matrix (chunked so a skewed cluster peaks at
-      ~128 MB, never m^2 doubles), emitting the same keep-lowest-id
-      verdicts on the same round-9 lattice.
 
-    Unassigned vectors (no band collision / degenerate quantization)
-    land in cluster -1, kept — same contract as semantic_dedup_ann."""
+def semdedup_assign(df: DataFrame, cent_ids, W, signs: list,
+                    band_bits: int = 4, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    coarse_cells: int | None = None) -> DataFrame:
+    """SemDeDup assignment stage: one mapInPandas pass over the corpus
+    with the k x d centroid matrix, its SRP band-key dictionary, and
+    (above COARSE_MIN_K) the two-level coarse-cell structure broadcast.
+    Band keys are integer-exact per the SRP contract, candidates come
+    from the same band-equality rule, and the winner is the exact
+    (round(cos,9) DESC, centroid_id ASC) argmax over band-colliding
+    centroids — via the coarse bound + lazy-round kernels, which are
+    winner-identical to the historical dense full-round path. No
+    shuffle; no vector ever leaves its scan partition.
+
+    ``coarse_cells``: None or 0 = dense (the measured default for
+    this corpus — see the dispatch comment below), >0 = the two-level
+    coarse kernel with that many cells (tests force both paths and
+    assert identity).
+    Returns the materialized (id_col, centroid_id) frame; rows with no
+    band collision are absent (the caller's unassigned contract)."""
     import numpy as np
     import pandas as pd
 
     from data_timeseries_java_spark.plans.materialize import materialize
 
     spark = df.sparkSession
-    sample = (df.select(F.col(id_col), F.col(vec_col),
-                        scramble(F.col(id_col)).alias("_scr"))
-              .orderBy("_scr", id_col).limit(sample_size).collect())
-    ids = np.asarray([r[0] for r in sample], dtype=np.int64)
-    X = np.asarray([r[1] for r in sample], dtype=np.float64)
-    cent_ids, W = _lloyd_numpy(ids, X, k, iterations)
-
     signs_arr = np.asarray(signs, dtype=np.int64)
     c_ok, c_keys = _srp_band_keys(W, signs_arr, band_bits)
     # non-bandable centroids (degenerate quantization) get unmatchable
     # keys so the collision mask never selects them
     c_keys = np.where(c_ok[:, None], c_keys, -1)
     cnrm = np.sqrt((W * W).sum(axis=1))
-    bc = spark.sparkContext.broadcast((cent_ids, W, cnrm, c_keys))
+    # Auto = DENSE. Measured round-14 (.scale1000x, k=1953): the
+    # two-level assign scan took ~30 s vs 14 s dense — this corpus's
+    # 64-d embeddings are near-orthogonal (best cos ~0.33, coarse cell
+    # radii ~1.0), so the Cauchy-Schwarz bounds prune nothing and the
+    # per-cell bookkeeping is pure overhead; the BAND mask further
+    # caps best9, weakening pruning vs the unmasked Lloyd's case
+    # (where coarse measured 2x faster and stays on). A deployment
+    # with genuinely clustered embeddings opts in via coarse_cells.
+    if coarse_cells is None:
+        n_cells = 0
+    else:
+        n_cells = coarse_cells
+    cells = (_centroid_cells(W, cnrm, n_cells) if n_cells > 0 else None)
+    bc = spark.sparkContext.broadcast(
+        (cent_ids, W, cnrm, c_keys, cells))
 
     def assign_fn(batches):
-        # Dense chunked BLAS with a band-collision mask: compute the
-        # row-chunk x k cosine matrix in one dgemm, mask entries whose
-        # (vector, centroid) share no band key to -inf, take the first
-        # argmax (rows are centroid-id-ascending = the declarative
-        # ORDER BY round(cos,9) DESC, centroid_id ASC). Semantics are
-        # IDENTICAL to the banded candidate join; the cost model is
-        # honest about the mask's density — on clustered corpora most
-        # centroids share a bucket, so gather-based candidate
-        # evaluation degrades to dense anyway but with per-candidate
-        # copies (measured 5x slower at the 100x decade).
-        cids, cw, cn, ckeys = bc.value
+        cids, cw, cn, ckeys, ccells = bc.value
         k_n = len(cids)
         for pdf in batches:
             if not len(pdf):
@@ -1083,35 +1309,90 @@ def semantic_dedup_autok(df: DataFrame, k: int, signs: list,
             rows = np.flatnonzero(ok)
             out_ids, out_cids = [], []
             rchunk = max(64, (1 << 22) // max(k_n, 1))
+            eq = _scratch("a_eq", (min(rchunk, len(rows)), k_n),
+                          np.bool_)
             for s in range(0, len(rows), rchunk):
                 r = rows[s:s + rchunk]
-                mask = np.zeros((len(r), k_n), dtype=bool)
+                mask = _scratch("a_mask", (len(r), k_n), np.bool_)
+                mask.fill(False)
                 for b in range(keys.shape[1]):
-                    mask |= keys[r, b][:, None] == ckeys[None, :, b]
+                    np.equal(keys[r, b][:, None], ckeys[None, :, b],
+                             out=eq[:len(r)])
+                    mask |= eq[:len(r)]
                 has = mask.any(axis=1)
                 if not has.any():
                     continue
                 r2 = r[has]
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    cos9 = _round_half_away(
-                        (V[r2] @ cw.T)
-                        / (vnrm[r2][:, None] * cn[None, :]), 9)
-                masked = np.where(mask[has], cos9, -np.inf)
-                best = masked.max(axis=1)
-                a = (masked == best[:, None]).argmax(axis=1)
+                win = _round9_winner(V[r2], vnrm[r2], cw, cn,
+                                     mask=mask[has], cells=ccells)
                 out_ids.append(vids[r2])
-                out_cids.append(cids[a])
+                out_cids.append(cids[win])
             if out_ids:
                 yield pd.DataFrame({
                     id_col: np.concatenate(out_ids),
                     "centroid_id": np.concatenate(out_cids),
                 })
 
-    assign = materialize(df.mapInPandas(
+    return materialize(df.mapInPandas(
         assign_fn, f"{id_col} long, centroid_id long"))
+
+
+def _lattice_boundary9(threshold: float) -> float | None:
+    """The smallest integer q with float(q / 1e9) >= threshold, as a
+    float — the round-9 lattice boundary. For any cosine x >= 0,
+
+        round9(x) >= threshold  <=>  x*1e9 + 0.5 >= q
+
+    using the SAME float multiply/add ``_round_half_away`` performs
+    (floor(y) >= q <=> y >= q for integer q, exactly, in float64), so
+    the per-entry threshold test needs NO rounding pass over the Gram
+    block. Valid only for threshold > 0 (negative cosines then fail
+    both sides trivially: y < 0.5 <= q); returns None otherwise and
+    the caller falls back to the full-rounding path."""
+    import math
+
+    if not threshold > 0:
+        return None
+    f = 1e9
+    q = math.ceil(threshold * f)
+    while q / f < threshold:
+        q += 1
+    while q >= 1 and (q - 1) / f >= threshold:
+        q -= 1
+    return float(q)
+
+
+def semdedup_verdicts(df: DataFrame, assign: DataFrame,
+                      threshold: float = 0.3, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup within-cluster verdict stage: group by centroid_id
+    (the one shuffle: n rows) and compute each cluster's pair cosines
+    as a row-chunked Gram matrix (a skewed cluster peaks at ~128 MB,
+    never m^2 doubles), emitting keep-lowest-id verdicts on the
+    round-9 lattice. Vectors with no assignment row land in cluster
+    -1, kept.
+
+    Round-14 kernel economics (profiled at the 1000x decade, where
+    this stage was 56 s of the 82 s flagship wall): the cost was never
+    the GEMM (8.5e11 FLOPs ~ a few seconds across 32 workers) but the
+    ~12 elementwise passes over Sum(m^2) = 6.6e9 Gram entries — six of
+    them inside ``_round_half_away`` on the full block, plus fresh
+    385 MB allocations page-faulting every chunk. Fixes, all
+    result-identical:
+    - the threshold test runs against the integer lattice boundary
+      (:func:`_lattice_boundary9`) — exact, zero rounding passes;
+    - ``max_dup_cos`` accumulates the RAW max over qualifying entries
+      and rounds once per row at the end (rounding is monotone, so
+      max and round9 commute over the same qualifying set);
+    - the two per-chunk work blocks are preallocated once per cluster
+      and every op writes in place (``out=``/``copyto``) — the warm
+      buffer measured ~15x faster than fresh-allocation passes."""
+    import numpy as np
+    import pandas as pd
 
     out_schema = (f"{id_col} long, centroid_id long, is_kept boolean, "
                   f"dup_of long, max_dup_cos double")
+    tq = _lattice_boundary9(threshold)
 
     def verdict_fn(pdf):
         vids = pdf[id_col].to_numpy()
@@ -1124,21 +1405,37 @@ def semantic_dedup_autok(df: DataFrame, k: int, signs: list,
         mx = np.full(m, -np.inf)
         chunk = max(1, (1 << 24) // max(m, 1))
         col = np.arange(m)
+        rows = min(chunk, m)
+        G = _scratch("v_g", (rows, m))
+        B = _scratch("v_b", (rows, m))
+        Q = _scratch("v_q", (rows, m), np.bool_)
+        T = _scratch("v_t", (rows, m), np.bool_)
         for s in range(0, m, chunk):
             e = min(m, s + chunk)
+            g, b, qual = G[:e - s], B[:e - s], Q[:e - s]
+            np.matmul(V[s:e], V.T, out=g)
+            np.multiply(nrm[s:e, None], nrm[None, :], out=b)
             with np.errstate(invalid="ignore", divide="ignore"):
-                cos9 = _round_half_away(
-                    (V[s:e] @ V.T) / (nrm[s:e, None] * nrm[None, :]), 9)
-            qual = (cos9 >= threshold) & \
-                   ((np.arange(s, e)[:, None]) < col[None, :])
+                np.divide(g, b, out=g)  # exact cos, same op order
+            if tq is not None:
+                np.multiply(g, 1e9, out=b)
+                b += 0.5
+                np.greater_equal(b, tq, out=qual)
+            else:
+                np.greater_equal(_round_half_away(g, 9), threshold,
+                                 out=qual)
+            np.less(col[s:e, None], col[None, :], out=T[:e - s])
+            qual &= T[:e - s]
             anyq = qual.any(axis=0)
             if anyq.any():
                 cand = s + qual.argmax(axis=0)
                 take = anyq & ((dup_idx == -1) | (cand < dup_idx))
                 dup_idx = np.where(take, cand, dup_idx)
-                mx = np.maximum(
-                    mx, np.where(qual, cos9, -np.inf).max(axis=0))
+                b.fill(-np.inf)
+                np.copyto(b, g, where=qual)
+                mx = np.maximum(mx, b.max(axis=0))
         kept = dup_idx == -1
+        mx = _round_half_away(mx, 9)
         return pd.DataFrame({
             id_col: vids,
             "centroid_id": pdf["centroid_id"].iloc[0],
@@ -1154,8 +1451,18 @@ def semantic_dedup_autok(df: DataFrame, k: int, signs: list,
 
     base = df.join(assign, id_col).select(
         F.col(id_col), F.col(vec_col), F.col("centroid_id"))
-    verdicts = base.groupBy("centroid_id").applyInPandas(
-        verdict_fn, out_schema)
+    # Pin the verdict stage's partition count explicitly: AQE's
+    # byte-based coalescing sized this CPU-bound stage by its shuffle
+    # bytes (measured: 2M rows / ~560 MB -> 9 partitions on 32 cores,
+    # a 3.5x haircut on the Gram kernels). repartition by the SAME key
+    # satisfies applyInPandas's clustered-distribution requirement, so
+    # the plan still carries exactly one exchange — just with the
+    # width chosen for compute, 2 partitions per core for skew
+    # balance, not for bytes.
+    n_part = 2 * df.sparkSession.sparkContext.defaultParallelism
+    verdicts = (base.repartition(n_part, "centroid_id")
+                .groupBy("centroid_id").applyInPandas(
+                    verdict_fn, out_schema))
     unassigned = (df.join(assign.select(id_col), id_col, "left_anti")
                   .select(F.col(id_col),
                           F.lit(-1).cast("long").alias("centroid_id"),
@@ -1163,3 +1470,40 @@ def semantic_dedup_autok(df: DataFrame, k: int, signs: list,
                           F.lit(None).cast("long").alias("dup_of"),
                           F.lit(None).cast("double").alias("max_dup_cos")))
     return verdicts.unionByName(unassigned)
+
+
+def semantic_dedup_autok(df: DataFrame, k: int, signs: list,
+                         sample_size: int, iterations: int = 3,
+                         threshold: float = 0.3, band_bits: int = 4,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         coarse_cells: int | None = None) -> DataFrame:
+    """Kernelized SemDeDup for the big-k decades — produces results
+    IDENTICAL to ``semantic_dedup_ann(centroid_vectors(
+    kmeans_centroids_fixedk(df, k, sample_size)), ...)`` (pinned by
+    tests/test_similarity.py::test_semantic_dedup_kernel_matches_
+    declarative and the forced-kernel oracle test), so the flagship
+    query may dispatch between the two freely under one oracle — the
+    pairwise_correlations_auto precedent.
+
+    Round-14: composed from the three exported stages —
+    :func:`semdedup_train` (driver numpy Lloyd's over the bounded
+    S = 25*k sample), :func:`semdedup_assign` (one mapInPandas corpus
+    scan, broadcast centroids), :func:`semdedup_verdicts` (the one
+    shuffle, per-cluster chunked Gram). Above COARSE_MIN_K centroids
+    both Lloyd's and the assignment scan route their argmax through
+    the EXACT two-level coarse quantizer (VERDICT r13 #2): ~sqrt(k)
+    coarse cells with Cauchy-Schwarz upper bounds, best-bound cell
+    evaluated first, remaining cells pruned unless their bound clears
+    the round-9 tie band — winner-identical to the dense kernel, so
+    the assignment term drops from n*k*d (n^{5/3} under the derived
+    k ~ n^{2/3} rule) to ~n*sqrt(k)*d (n^{4/3}) with no license
+    change: the one DuckDB oracle still covers the whole composition.
+
+    Unassigned vectors (no band collision / degenerate quantization)
+    land in cluster -1, kept — same contract as semantic_dedup_ann."""
+    cent_ids, W = semdedup_train(df, k, sample_size, iterations,
+                                 id_col, vec_col)
+    assign = semdedup_assign(df, cent_ids, W, signs, band_bits,
+                             id_col, vec_col, coarse_cells)
+    return semdedup_verdicts(df, assign, threshold, id_col, vec_col)

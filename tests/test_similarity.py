@@ -338,3 +338,41 @@ def test_ann_rerank_semantics(spark, sf_dir):
     for _, g in out.groupby("query_id"):
         g = g.sort_values("rank")
         assert (g["cosine"].round(9).diff().dropna() <= 1e-12).all()
+
+
+def test_semantic_dedup_kernel_coarse_matches_dense(spark, sf_dir):
+    """The two-level coarse assignment kernel (round-14, VERDICT r13
+    #2) must produce rows IDENTICAL to the dense kernel — the coarse
+    path prunes cells only when their Cauchy-Schwarz upper bound
+    clears the round-9 tie band, so it inherits the declarative
+    oracle's coverage through the same identity chain. Forces a k
+    above COARSE_MIN_K so the coarse structure is genuinely exercised
+    (sqrt(k) cells, multi-member), and forces coarse_cells on/off
+    explicitly."""
+    from data_timeseries_java_spark.operators.similarity import (
+        COARSE_MIN_K,
+        semantic_dedup_autok,
+    )
+    from data_timeseries_java_spark.queries.similarity import (
+        KMEANS_ITERS, SEMDEDUP_T, SRP_BAND_BITS, _srp_signs)
+    from data_timeseries_java_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = COARSE_MIN_K + 8
+    s = 4 * k  # smaller-than-default sample keeps the fixture quick
+    kwargs = dict(k=k, signs=_srp_signs(), sample_size=s,
+                  iterations=KMEANS_ITERS, threshold=SEMDEDUP_T,
+                  band_bits=SRP_BAND_BITS)
+    dense = semantic_dedup_autok(
+        emb, coarse_cells=0, **kwargs).toPandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    coarse = semantic_dedup_autok(
+        emb, coarse_cells=int(round(k ** 0.5)),
+        **kwargs).toPandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    assert len(dense) == len(coarse) > 0
+    assert (dense["centroid_id"] != -1).any()
+    for c in dense.columns:
+        a, b = dense[c], coarse[c]
+        same = (a.isna() & b.isna()) | (a == b)
+        assert same.all(), f"coarse/dense diverge on {c}"
