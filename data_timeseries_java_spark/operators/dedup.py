@@ -601,9 +601,91 @@ def bloom_decontaminate(corpus: DataFrame, eval_docs: DataFrame,
             .where(F.col("n_flagged_ngrams") >= min_overlap))
 
 
+def _jaccard_prefix_stages(df: DataFrame, threshold: float, k: int,
+                           text_col: str, id_col: str):
+    """Shared candidate-generation for the prefix-filter join — ONE
+    definition consumed by both :func:`jaccard_prefix_join` (declared
+    operator, single-plan and bucketed verify) and
+    ``scripts/bench_jaccard_1000x.py`` (the decade runner), so the
+    published decade row always measures exactly the operator's
+    derivation (ADVICE r13). Returns ``(cand, sets, verify)``:
+    candidate (id_a, id_b) pairs after the prefix and size filters,
+    the per-doc sorted hashed-shingle set arrays, and a
+    ``verify(cand_frame, sets_frame)`` plan builder producing the
+    final (id_a, id_b, n_inter, n_union, jaccard) frame."""
+    from pyspark.sql import Window
+
+    sh = shingles(df, text_col, id_col, k=k)  # (id, distinct k-gram)
+    hsh = sh.select(
+        id_col,
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+         .cast("long").alias("hs")).distinct()
+    dfreq = hsh.groupBy("hs").agg(
+        F.count(F.lit(1)).alias("_df"))
+    ranked = (hsh.join(dfreq, "hs")
+              .withColumn("_n", F.count(F.lit(1)).over(
+                  Window.partitionBy(id_col)))
+              .withColumn("_pos", F.row_number().over(
+                  Window.partitionBy(id_col)
+                  .orderBy(F.asc("_df"), F.asc("hs")))))
+    # round before ceil: t*n in floating point can exceed the exact
+    # integral product by 1 ulp (0.07*100 = 7.000000000000001), which
+    # would ceil to 8 and shorten the prefix — a silent false-negative
+    # hole in the "no recall loss" guarantee
+    prefix_len = (F.col("_n")
+                  - F.ceil(F.round(F.col("_n") * threshold, 9)) + 1)
+    pref = ranked.where(F.col("_pos") <= prefix_len)
+    a = pref.select(F.col(id_col).alias("id_a"), "hs",
+                    F.col("_n").alias("_na"))
+    b = pref.select(F.col(id_col).alias("id_b"),
+                    F.col("hs").alias("hs_b"),
+                    F.col("_n").alias("_nb"))
+    # size filter (AllPairs canon): Jaccard >= t forces
+    # t*max(|A|,|B|) <= min(|A|,|B|) — prune BEFORE the wide verify
+    # join ships set arrays (measured 24% of candidates at the 100x
+    # decade, exactness preserved: a violating pair cannot reach t)
+    cand = (a.join(b, (F.col("hs") == F.col("hs_b"))
+                   & (F.col("id_a") < F.col("id_b")))
+            .where(F.least("_na", "_nb")
+                   >= F.round(F.greatest("_na", "_nb") * threshold, 9))
+            .select("id_a", "id_b").distinct())
+    sets = hsh.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("hs")).alias("sh_set"))
+
+    def verify(cand_frame: DataFrame, sets_frame: DataFrame) -> DataFrame:
+        # verify via per-doc set arrays + array_intersect (JVM narrow
+        # map), not an explode-equality join — same rationale as
+        # jaccard_verify. SHUFFLE-HASH hints on both set joins
+        # (plan-only, semantics-free): with sort-merge, the second
+        # join SORTS the (candidate x sh_a array) stream — candidates
+        # x set-size BYTES through a multi-pass external sort, which
+        # exhausted a 64 GB-free single box at the 1000x decade
+        # (round 12). A shuffled hash join builds on the doc-keyed
+        # SET side (small) and only EXCHANGES the wide stream once,
+        # never sorts it.
+        sa = sets_frame.select(F.col(id_col).alias("id_a"),
+                               F.col("sh_set").alias("sh_a"))
+        sb = sets_frame.select(F.col(id_col).alias("id_b"),
+                               F.col("sh_set").alias("sh_b"))
+        n_inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        n_union = (F.size("sh_a") + F.size("sh_b")).cast("long") - n_inter
+        jac = n_inter / n_union
+        return (cand_frame.join(sa.hint("shuffle_hash"), "id_a")
+                .join(sb.hint("shuffle_hash"), "id_b")
+                .select("id_a", "id_b", n_inter.alias("n_inter"),
+                        n_union.alias("n_union"), jac.alias("jaccard"))
+                .where(F.round(F.col("jaccard"), 9) >= threshold)
+                .select("id_a", "id_b", "n_inter", "n_union",
+                        F.round("jaccard", 6).alias("jaccard")))
+
+    return cand, sets, verify
+
+
 def jaccard_prefix_join(df: DataFrame, threshold: float = 0.5, k: int = 3,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        verify_buckets: int = 1,
+                        work_dir: str | None = None) -> DataFrame:
     """Set-similarity self-join with PREFIX FILTERING (AllPairs/PPJoin
     family, Bayardo et al. 2007 "Scaling Up All Pairs Similarity
     Search", public): find all document pairs whose token-set Jaccard
@@ -637,11 +719,23 @@ def jaccard_prefix_join(df: DataFrame, threshold: float = 0.5, k: int = 3,
     (+16B UTF8String overhead each) replaced by 8-byte longs the
     verify stream shrinks ~4.9× (measured at the 1000x decade:
     409,306,897 candidates × 52.1-element sets ≈ 341 GB hashed vs
-    ~1.7 TB string-domain). Still past a single box's free disk —
-    scripts/bench_jaccard_1000x.py bounds the peak with a
-    driver-sequential batched verify for the decade row; a cluster
-    spreads the same bytes across executor-local disks
-    (SCALE.md round-13 row).
+    ~1.7 TB string-domain).
+
+    ``verify_buckets`` (round-14, VERDICT r13 #3 — the batched decade
+    runner promoted into the declared surface): 1 keeps the single
+    lazy plan — the honest CLUSTER posture, where the one verify
+    shuffle spreads across executor-local disks. >1 bounds the PEAK
+    shuffle footprint to ~1/N of the total for single-box runs: the
+    candidate and set frames are materialized once (``work_dir`` or a
+    fresh temp dir), then the verify join runs as N SEQUENTIAL
+    actions over disjoint xxhash64(id_b) buckets, each appending its
+    result partition; the returned frame reads their union. Same
+    bytes, same result rows (buckets partition the candidate set);
+    sequential ACTIONS are load-bearing — a plan-level union would
+    not bound the peak, because Spark's DAG scheduler submits
+    independent stages concurrently. The bucketed path is EAGER (it
+    runs the verify at call time) — a deliberate departure from the
+    engine's lazy norm, confined to this opt-in parameter.
 
     Shape at 100 TB: one token shuffle (doc-distinct), one vocabulary
     aggregate for df, one doc-keyed rank window, a prefix-token-keyed
@@ -650,68 +744,25 @@ def jaccard_prefix_join(df: DataFrame, threshold: float = 0.5, k: int = 3,
     verify join. The oracle deliberately uses a DIFFERENT algorithm
     (exhaustive Jaccard over all share-any-hash pairs): a prefix bug
     that loses a pair fails the hash."""
-    from pyspark.sql import Window
+    cand, sets, verify = _jaccard_prefix_stages(
+        df, threshold, k, text_col, id_col)
+    if verify_buckets <= 1:
+        return verify(cand, sets)
 
-    sh = shingles(df, text_col, id_col, k=k)  # (id, distinct k-gram)
-    hsh = sh.select(
-        id_col,
-        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
-         .cast("long").alias("hs")).distinct()
-    dfreq = hsh.groupBy("hs").agg(
-        F.count(F.lit(1)).alias("_df"))
-    ranked = (hsh.join(dfreq, "hs")
-              .withColumn("_n", F.count(F.lit(1)).over(
-                  Window.partitionBy(id_col)))
-              .withColumn("_pos", F.row_number().over(
-                  Window.partitionBy(id_col)
-                  .orderBy(F.asc("_df"), F.asc("hs")))))
-    # round before ceil: t*n in floating point can exceed the exact
-    # integral product by 1 ulp (0.07*100 = 7.000000000000001), which
-    # would ceil to 8 and shorten the prefix — a silent false-negative
-    # hole in the "no recall loss" guarantee
-    prefix_len = (F.col("_n")
-                  - F.ceil(F.round(F.col("_n") * threshold, 9)) + 1)
-    pref = ranked.where(F.col("_pos") <= prefix_len)
-    a = pref.select(F.col(id_col).alias("id_a"), "hs",
-                    F.col("_n").alias("_na"))
-    b = pref.select(F.col(id_col).alias("id_b"),
-                    F.col("hs").alias("hs_b"),
-                    F.col("_n").alias("_nb"))
-    # size filter (AllPairs canon): Jaccard >= t forces
-    # t·max(|A|,|B|) <= min(|A|,|B|) — prune BEFORE the wide verify
-    # join ships set arrays (measured 24% of candidates at the 100x
-    # decade, exactness preserved: a violating pair cannot reach t)
-    cand = (a.join(b, (F.col("hs") == F.col("hs_b"))
-                   & (F.col("id_a") < F.col("id_b")))
-            .where(F.least("_na", "_nb")
-                   >= F.round(F.greatest("_na", "_nb") * threshold, 9))
-            .select("id_a", "id_b").distinct())
-    # verify via per-doc set arrays + array_intersect (JVM narrow map),
-    # not an explode-equality join — same rationale as jaccard_verify
-    sets = hsh.groupBy(id_col).agg(
-        F.array_sort(F.collect_set("hs")).alias("sh_set"))
-    sa = sets.select(F.col(id_col).alias("id_a"),
-                     F.col("sh_set").alias("sh_a"))
-    sb = sets.select(F.col(id_col).alias("id_b"),
-                     F.col("sh_set").alias("sh_b"))
-    n_inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
-    n_union = (F.size("sh_a") + F.size("sh_b")).cast("long") - n_inter
-    jac = n_inter / n_union
-    # SHUFFLE-HASH hints on both set joins (plan-only, semantics-free):
-    # with sort-merge, the second join SORTS the (candidate x sh_a
-    # array) stream — candidates x set-size BYTES through a multi-pass
-    # external sort, which exhausted a 64 GB-free single box at the
-    # 1000x decade (round 12; candidate volume itself verified exactly
-    # linear, 409M pairs at 1000x). A shuffled hash join builds on the
-    # doc-keyed SET side (sets/partitions — small) and only EXCHANGES
-    # the wide stream once, never sorts it.
-    return (cand.join(sa.hint("shuffle_hash"), "id_a")
-            .join(sb.hint("shuffle_hash"), "id_b")
-            .select("id_a", "id_b", n_inter.alias("n_inter"),
-                    n_union.alias("n_union"), jac.alias("jaccard"))
-            .where(F.round(F.col("jaccard"), 9) >= threshold)
-            .select("id_a", "id_b", "n_inter", "n_union",
-                    F.round("jaccard", 6).alias("jaccard")))
+    import tempfile
+
+    spark = df.sparkSession
+    work = work_dir or tempfile.mkdtemp(prefix="jaccard_buckets_")
+    cand.write.mode("overwrite").parquet(f"{work}/cand")
+    sets.write.mode("overwrite").parquet(f"{work}/sets")
+    cand_pq = spark.read.parquet(f"{work}/cand")
+    sets_pq = spark.read.parquet(f"{work}/sets")
+    for i in range(verify_buckets):
+        part = cand_pq.where(
+            F.pmod(F.xxhash64("id_b"), verify_buckets) == i)
+        (verify(part, sets_pq)
+         .write.mode("append").parquet(f"{work}/out"))
+    return spark.read.parquet(f"{work}/out")
 
 
 def duplicated_substring_spans(df: DataFrame, k: int = 8,

@@ -308,3 +308,27 @@ def test_prefix_join_no_false_negatives(spark, sf_dir):
     for k_, v in expected.items():
         assert abs(got[k_] - v) < 1e-6
     assert expected, "fixture should contain trigram near-dup pairs"
+
+
+def test_prefix_join_bucketed_verify_matches_single_plan(spark, sf_dir,
+                                                         tmp_path):
+    """verify_buckets > 1 (round-14, VERDICT r13 #3) partitions the
+    candidate set into disjoint xxhash64(id_b) buckets and verifies
+    them as sequential actions — the RESULT must equal the single-plan
+    verify row for row (same pairs, same exact Jaccard values)."""
+    from data_timeseries_java_spark.operators.dedup import (
+        jaccard_prefix_join)
+    from data_timeseries_java_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    one = (jaccard_prefix_join(docs, threshold=0.5, k=3)
+           .toPandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    many = (jaccard_prefix_join(docs, threshold=0.5, k=3,
+                                verify_buckets=5,
+                                work_dir=str(tmp_path / "jb"))
+            .toPandas().sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
+    assert len(one) == len(many) > 0
+    for c in one.columns:
+        assert (one[c] == many[c]).all(), f"bucketed verify diverges on {c}"
