@@ -376,3 +376,53 @@ def test_semantic_dedup_kernel_coarse_matches_dense(spark, sf_dir):
         a, b = dense[c], coarse[c]
         same = (a.isna() & b.isna()) | (a == b)
         assert same.all(), f"coarse/dense diverge on {c}"
+
+
+def test_oracle_constant_echo_tcs_k_s():
+    """Constant-echo for the oracle-pinned engine constants (VERDICT
+    r13 #6): TRAIN_PARALLELISM_RATIO / SAMPLE_PER_K / FIXEDK_K / the
+    tcs grid bounds exist in Python AND inside generated SQL text, so
+    a future edit to one side must not silently pass. Three locks:
+
+    1. the threshold integers are re-derived here from the raw
+       constants (tcs^3 = SAMPLE_PER_K * C * n, integerized) and must
+       equal _tcs_threshold's output at every grid point;
+    2. DuckDB evaluating the oracle's OWN fn/fk scalar fragment must
+       produce the same (tcs, k, S) triple as the Python plan-build
+       rule at every grid boundary +-1 (floor-div, greatest, CASE
+       text all exercised);
+    3. the registered flagship oracle STRING must embed the
+       freshly-regenerated CASE verbatim — a hand-hardcoded copy that
+       drifts from the constants fails here even if it parses."""
+    import duckdb
+
+    from data_timeseries_java_spark.queries.similarity import (
+        FIXEDK_K, ORACLE, SAMPLE_PER_K, TCS_MAX_LOG2, TCS_MIN_LOG2,
+        TRAIN_PARALLELISM_RATIO, _tcs_case_sql, _tcs_threshold,
+        derived_tcs)
+
+    c = SAMPLE_PER_K * TRAIN_PARALLELISM_RATIO
+    ns = {1, 2, 100, 2500, 10 ** 6, 10 ** 9}
+    for j in range(TCS_MIN_LOG2, TCS_MAX_LOG2 + 1):
+        assert _tcs_threshold(j) == (8 ** j + c - 1) // c  # lock 1
+        ns.update({_tcs_threshold(j) - 1, _tcs_threshold(j),
+                   _tcs_threshold(j) + 1})
+
+    con = duckdb.connect()
+    case = _tcs_case_sql("n")
+    for n in sorted(x for x in ns if x >= 1):
+        tcs_sql, k_sql = con.execute(f"""
+            WITH fn AS (SELECT CAST({n} AS BIGINT) AS n),
+            fk AS (
+              SELECT greatest({FIXEDK_K},
+                              CAST(n // ({case}) AS BIGINT)) AS k
+              FROM fn)
+            SELECT ({case}), k FROM fn, fk""").fetchone()
+        tcs_py = derived_tcs(n)
+        k_py = max(FIXEDK_K, n // tcs_py)
+        assert tcs_sql == tcs_py, (n, tcs_sql, tcs_py)   # lock 2
+        assert k_sql == k_py, (n, k_sql, k_py)
+        # S = SAMPLE_PER_K * k on both sides by construction of the
+        # fsamp rank filter (r <= fk.k * SAMPLE_PER_K)
+    assert case in ORACLE["semantic_dedup"]              # lock 3
+    assert f"fk.k * {SAMPLE_PER_K}" in ORACLE["semantic_dedup"]
