@@ -305,6 +305,151 @@ FROM ranked WHERE rank <= {KNN_K}
 """
 
 
+# ---- two-level IVF: coarse cells over the fine lists (round 14) ----
+
+COARSE_STRIDE_MULT = 8   # coarse centers: every 8th fine centroid
+P_COARSE = 2             # coarse cells probed per query
+
+
+def q_ann_ivf_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level IVF top-k (VERDICT r13 #7): the billion-scale serving
+    shape — a query scores the CONSTANT coarse table, probes its
+    P_COARSE best cells, scores only the fine centroids inside them,
+    probes N_PROBE lists, exact-reranks those lists' members. Fine
+    centroids are the ann_ivf seed set (vec_id % 50 == 0 under the
+    nlist cap); coarse centers are every COARSE_STRIDE_MULT-th of
+    those — both deterministic, so the oracle mirrors the whole
+    construction exactly. See operators.similarity.ivf_two_level_topk
+    for the scale argument (|Q| x nlist -> |Q| x (coarse + cell))."""
+    from data_timeseries_java_spark.operators.similarity import (
+        ivf_two_level_topk)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fine = emb.where((F.col("vec_id") % N_CENTROIDS_STRIDE == 0)
+                     & (F.col("vec_id") < IVF_SEED_CAP))
+    coarse = emb.where(
+        (F.col("vec_id") % (N_CENTROIDS_STRIDE * COARSE_STRIDE_MULT)
+         == 0) & (F.col("vec_id") < IVF_SEED_CAP))
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id")
+    return ivf_two_level_topk(emb, queries, fine, coarse, k=KNN_K,
+                              n_probe=N_PROBE, p_coarse=P_COARSE)
+
+
+QUERIES["ann_ivf_two_level"] = q_ann_ivf_two_level
+
+ORACLE["ann_ivf_two_level"] = f"""
+WITH {_COMP},
+cent AS (
+  SELECT vec_id AS centroid_id, dim, x FROM comp
+  WHERE vec_id % {N_CENTROIDS_STRIDE} = 0 AND vec_id < {IVF_SEED_CAP}
+),
+crs AS (
+  SELECT vec_id AS coarse_id, dim, x FROM comp
+  WHERE vec_id % {N_CENTROIDS_STRIDE * COARSE_STRIDE_MULT} = 0
+    AND vec_id < {IVF_SEED_CAP}
+),
+cnorms AS (
+  SELECT centroid_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+  FROM cent GROUP BY centroid_id
+),
+crnorms AS (
+  SELECT coarse_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+  FROM crs GROUP BY coarse_id
+),
+cellmap AS (  -- fine centroid -> nearest coarse center
+  SELECT centroid_id AS fine_id, coarse_id FROM (
+    SELECT fc.centroid_id, fc.coarse_id,
+           row_number() OVER (PARTITION BY fc.centroid_id
+             ORDER BY round(fc.dot / (cn.nrm * rn.nrm), 9) DESC,
+                      fc.coarse_id ASC) AS rnk
+    FROM (SELECT f.centroid_id, r.coarse_id,
+                 sum(CAST(f.x AS DOUBLE) * CAST(r.x AS DOUBLE)) AS dot
+          FROM cent f JOIN crs r ON f.dim = r.dim
+          GROUP BY f.centroid_id, r.coarse_id) fc
+    JOIN cnorms cn ON cn.centroid_id = fc.centroid_id
+    JOIN crnorms rn ON rn.coarse_id = fc.coarse_id)
+  WHERE rnk = 1
+),
+vc AS (  -- cosine of every vector to every fine centroid
+  SELECT v.vec_id, c.centroid_id,
+         sum(CAST(v.x AS DOUBLE) * CAST(c.x AS DOUBLE)) AS dot
+  FROM comp v JOIN cent c ON v.dim = c.dim
+  GROUP BY v.vec_id, c.centroid_id
+),
+vcs AS (
+  SELECT vc.vec_id, vc.centroid_id,
+         vc.dot / (n.nrm * cn.nrm) AS cos
+  FROM vc JOIN norms n ON n.vec_id = vc.vec_id
+  JOIN cnorms cn ON cn.centroid_id = vc.centroid_id
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY round(cos, 9) DESC, centroid_id ASC) AS rnk
+    FROM vcs) WHERE rnk = 1
+),
+qcr AS (  -- query x coarse centers
+  SELECT v.vec_id AS query_id, r.coarse_id,
+         sum(CAST(v.x AS DOUBLE) * CAST(r.x AS DOUBLE)) AS dot
+  FROM comp v JOIN crs r ON v.dim = r.dim
+  WHERE v.vec_id < {N_QUERIES}
+  GROUP BY v.vec_id, r.coarse_id
+),
+qcells AS (
+  SELECT query_id, coarse_id FROM (
+    SELECT q.query_id, q.coarse_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(q.dot / (n.nrm * rn.nrm), 9) DESC,
+                      q.coarse_id ASC) AS rnk
+    FROM qcr q
+    JOIN norms n ON n.vec_id = q.query_id
+    JOIN crnorms rn ON rn.coarse_id = q.coarse_id)
+  WHERE rnk <= {P_COARSE}
+),
+probes AS (  -- fine lists inside the probed cells, best N_PROBE
+  SELECT query_id, centroid_id FROM (
+    SELECT s.vec_id AS query_id, s.centroid_id,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY round(s.cos, 9) DESC, s.centroid_id ASC) AS rnk
+    FROM vcs s
+    JOIN cellmap cm ON cm.fine_id = s.centroid_id
+    JOIN qcells qc ON qc.query_id = s.vec_id
+                  AND qc.coarse_id = cm.coarse_id
+    WHERE s.vec_id < {N_QUERIES})
+  WHERE rnk <= {N_PROBE}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS nbr_id
+  FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+  WHERE a.vec_id <> p.query_id
+),
+dots AS (
+  SELECT cd.query_id, cd.nbr_id,
+         sum(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE)) AS dot
+  FROM cand cd
+  JOIN comp q ON q.vec_id = cd.query_id
+  JOIN comp c ON c.vec_id = cd.nbr_id AND c.dim = q.dim
+  GROUP BY cd.query_id, cd.nbr_id
+),
+scored AS (
+  SELECT d.query_id, d.nbr_id, d.dot / (nq.nrm * nc.nrm) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.nbr_id
+),
+ranked AS (
+  SELECT query_id, nbr_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY round(cosine, 9) DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, nbr_id, CAST(rank AS BIGINT) AS rank,
+       round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
 # ---- IVF with TRAINED centroids: Lloyd's k-means, fixed 3 iterations ----
 
 KMEANS_ITERS = 3

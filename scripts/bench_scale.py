@@ -83,7 +83,10 @@ QUERIES = ["dedup_minhash_lsh", "corpus_build", "ann_lsh",
            # re-measured after the verify stream moved to int64 keys —
            # and the two-stage retrieve->rerank serving path (broadcast
            # queries; stage-2 cost bounded by |Q| * retrieve_n)
-           "jaccard_prefix_join", "ann_rerank"]
+           "jaccard_prefix_join", "ann_rerank",
+           # round 14: two-level IVF serving shape (constant coarse
+           # table + probed-cell fine scoring; corpus side unchanged)
+           "ann_ivf_two_level"]
 
 
 def bench(spark, qs, name, sf_dir, n):

@@ -720,7 +720,8 @@ def test_hof_traps_stay_fixed(spark, sf_dir):
 # name routing to a quadratic is the round-11 semantic_dedup lesson.
 _SCALE_PATH = {
     "above_segment_avg", "allowed_lateness_stream_replay", "ann_ivf",
-    "ann_ivf_trained", "ann_lsh", "ann_recall_eval", "ann_rerank",
+    "ann_ivf_trained", "ann_ivf_two_level", "ann_lsh",
+    "ann_recall_eval", "ann_rerank",
     "ann_truncation_recall", "anomaly_stream_replay",
     "approx_distinct_users", "approx_topk_cms",
     "approx_value_quantiles", "asof_bucketed_stream_replay",
