@@ -326,9 +326,18 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
     centroid by cosine (broadcast the centroid table; ties break on
     centroid id). Real deployments train centroids with k-means; any
     deterministic centroid set slots in — the partitioning/probing
-    machinery is identical."""
-    from pyspark.sql import Window
+    machinery is identical.
 
+    Round-14 plan shape: the (round(cos,9) DESC, centroid_id ASC)
+    pick runs as max-of-struct AGGREGATION — struct comparison is
+    lexicographic, and negating the id turns the ASC tie-break into
+    part of one max — instead of a row_number window. Same winner on
+    every input (NaN cosines sort greatest under both, matching the
+    oracle's ORDER BY), but the n x k scored rows collapse map-side
+    in the partial aggregate, inside the same stage as the broadcast
+    join: the shuffle carries n rows, not n x k. Measured at the
+    100x decade (n=200k, k=100): the window version shuffled 20M
+    rows and dominated every IVF lane's wall."""
     base = with_norm(df, vec_col)
     cent = with_norm(centroids, vec_col).select(
         F.col(id_col).alias("centroid_id"),
@@ -336,11 +345,65 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
     cos = _dot(F.col(vec_col), F.col("c_vec")) / (F.col("_norm") * F.col("c_norm"))
     scored = (base.crossJoin(F.broadcast(cent))
               .select(id_col, "centroid_id", cos.alias("cos")))
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc(F.round("cos", 9)), F.asc("centroid_id"))
-    return (scored.withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") == 1)
-            .select(id_col, "centroid_id"))
+    best = F.max(F.struct(
+        F.round("cos", 9).alias("c"),
+        (-F.col("centroid_id")).alias("negid"))).alias("b")
+    return (scored.groupBy(id_col).agg(best)
+            .select(id_col,
+                    (-F.col("b.negid")).cast("long").alias("centroid_id")))
+
+
+def ivf_assign_kernel(df: DataFrame, centroids: DataFrame,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Kernelized exact IVF assignment — winner-identical to
+    :func:`ivf_assign` (pinned by tests/test_similarity.py::
+    test_ivf_assign_kernel_matches_declarative), produced by ONE
+    mapInPandas corpus scan against the broadcast centroid matrix
+    through the lazy-round winner kernel (:func:`_dense_round9_winner`)
+    instead of the n x k crossJoin + HOF-dot aggregate. Why
+    (round-14, measured at the 100x decade, n=200k, k=100): Catalyst
+    does not codegen higher-order functions — the interpreted
+    per-element lambda made the declarative assignment ~32 s where
+    the BLAS kernel takes ~1.5 s; an unrolled 64-term element_at
+    expression was ALSO tried and measured 2x slower than the HOF
+    (giant generated method, no JIT win) before being discarded.
+
+    The centroid table is COLLECTED at plan-build — a deliberate,
+    bounded build-time action (nlist rows; <= N_IVF_LISTS = 100 in
+    every declared lane), the flagship-lane precedent, exempted by
+    name in the laziness guard. Callers that must stay fully lazy
+    keep :func:`ivf_assign`.
+
+    Degenerate-input caveat (documented, unreachable on every fixture
+    and replica corpus): a zero-norm CENTROID yields NaN cosines that
+    the Spark declarative rank sorts first (NaN greatest) while this
+    kernel — and DuckDB's NULLS-last ordering in the oracle — never
+    let it win; zero-norm VECTORS agree on all three paths (lowest
+    centroid id)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    rows = centroids.select(id_col, vec_col).collect()
+    order = sorted(range(len(rows)), key=lambda i: rows[i][0])
+    cent_ids = np.asarray([rows[i][0] for i in order], dtype=np.int64)
+    W = np.asarray([rows[i][1] for i in order], dtype=np.float64)
+    cnrm = np.sqrt((W * W).sum(axis=1))
+    bc = spark.sparkContext.broadcast((cent_ids, W, cnrm))
+
+    def fn(batches):
+        cids, cw, cn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            vnrm = np.sqrt((V * V).sum(axis=1))
+            win = _dense_round9_winner(V, vnrm, cw, cn)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "centroid_id": cids[win]})
+
+    return df.mapInPandas(fn, f"{id_col} long, centroid_id long")
 
 
 def ivf_topk(df: DataFrame, query_ids: DataFrame, centroids: DataFrame,
@@ -366,7 +429,17 @@ def ivf_topk(df: DataFrame, query_ids: DataFrame, centroids: DataFrame,
               .withColumn("rnk", F.row_number().over(wq))
               .where(F.col("rnk") <= n_probe)
               .select(F.col(id_col).alias("query_id"), "centroid_id"))
-    cand = (probes.join(assign.withColumnRenamed(id_col, "nbr_id"), "centroid_id")
+    # broadcast the |Q|*n_probe probe table against the n-row assign
+    # stream (no shuffle of the corpus assignment), and broadcast the
+    # small candidate-x-query-vector side of the rerank join — the
+    # statistics-driven pick here broadcast-collected the FULL corpus
+    # instead (its (vectors + norms) estimate sat under the 64 MB
+    # threshold at the 100x decade while the post-aggregate candidate
+    # size was unknown), paying a single-threaded ~60 MB broadcast
+    # build per run (round-14, measured)
+    cand = (F.broadcast(probes)
+            .join(assign.withColumnRenamed(id_col, "nbr_id"),
+                  "centroid_id")
             .where(F.col("query_id") != F.col("nbr_id"))
             .select("query_id", "nbr_id").distinct())
     q = base.select(F.col(id_col).alias("query_id"),
@@ -374,7 +447,7 @@ def ivf_topk(df: DataFrame, query_ids: DataFrame, centroids: DataFrame,
     c = base.select(F.col(id_col).alias("nbr_id"),
                     F.col(vec_col).alias("n_vec"), F.col("_norm").alias("n_norm"))
     cos = _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm"))
-    scored = (cand.join(q, "query_id").join(c, "nbr_id")
+    scored = (F.broadcast(cand.join(q, "query_id")).join(c, "nbr_id")
               .select("query_id", "nbr_id", cos.alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("cosine", 9)), F.asc("nbr_id"))
@@ -389,7 +462,8 @@ def ivf_two_level_topk(df: DataFrame, query_ids: DataFrame,
                        k: int = 10, n_probe: int = 3,
                        p_coarse: int = 2,
                        id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       use_kernel: bool = False) -> DataFrame:
     """Two-level IVF approximate top-k (round-14, VERDICT r13 #7) —
     the standard billion-scale serving shape (FAISS IVF with a coarse
     quantizer over the list centroids): fine centroids are grouped
@@ -419,7 +493,11 @@ def ivf_two_level_topk(df: DataFrame, query_ids: DataFrame,
     cellmap = ivf_assign(fine, coarse, id_col, vec_col).select(
         F.col(id_col).alias("fine_id"),
         F.col("centroid_id").alias("coarse_id"))
-    assign = ivf_assign(df, fine, id_col, vec_col)
+    # use_kernel: the corpus-side assignment (the n x k term) runs
+    # through ivf_assign_kernel — same winners, ~20x cheaper at the
+    # decades; costs one bounded build-time centroid collect
+    assign = (ivf_assign_kernel(df, fine, id_col, vec_col)
+              if use_kernel else ivf_assign(df, fine, id_col, vec_col))
     base = with_norm(df, vec_col)
     qv = base.join(query_ids.select(id_col), id_col, "left_semi")
 
@@ -454,7 +532,11 @@ def ivf_two_level_topk(df: DataFrame, query_ids: DataFrame,
               .where(F.col("rnk") <= n_probe)
               .select("query_id", F.col("fine_id").alias("centroid_id")))
 
-    cand = (probes.join(assign.select(
+    # same two broadcast pins as ivf_topk: probes vs the assign
+    # stream, and the candidate-x-query side of the rerank (the
+    # statistics-driven pick broadcast-collected the full corpus)
+    cand = (F.broadcast(probes)
+            .join(assign.select(
                 F.col(id_col).alias("nbr_id"),
                 F.col("centroid_id")), "centroid_id")
             .where(F.col("query_id") != F.col("nbr_id"))
@@ -464,7 +546,7 @@ def ivf_two_level_topk(df: DataFrame, query_ids: DataFrame,
                     F.col("_norm").alias("n_norm"))
     cos = _dot(F.col("q_vec"), F.col("n_vec")) / (
         F.col("q_norm") * F.col("n_norm"))
-    scored = (cand.join(qn, "query_id").join(c, "nbr_id")
+    scored = (F.broadcast(cand.join(qn, "query_id")).join(c, "nbr_id")
               .select("query_id", "nbr_id", cos.alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("cosine", 9)), F.asc("nbr_id"))

@@ -332,7 +332,8 @@ def q_ann_ivf_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
          == 0) & (F.col("vec_id") < IVF_SEED_CAP))
     queries = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id")
     return ivf_two_level_topk(emb, queries, fine, coarse, k=KNN_K,
-                              n_probe=N_PROBE, p_coarse=P_COARSE)
+                              n_probe=N_PROBE, p_coarse=P_COARSE,
+                              use_kernel=True)
 
 
 QUERIES["ann_ivf_two_level"] = q_ann_ivf_two_level

@@ -157,7 +157,11 @@ _PANDAS_QUERIES = {"media_decode_features", "media_png_decode",
                    # assignment/verdict (semantic_dedup_autok) —
                    # identity with the declarative composition pinned
                    # in tests/test_similarity.py
-                   "semantic_dedup"}
+                   "semantic_dedup",
+                   # round 14: corpus assignment through
+                   # ivf_assign_kernel (identity pinned in
+                   # test_ivf_assign_kernel_matches_declarative)
+                   "ann_ivf_two_level"}
 
 
 # Physical-plan substrings that mark the quadratic-HOF trap class
@@ -251,6 +255,13 @@ _ITERATIVE_QUERIES = {"dedup_clusters", "dedup_keep_list",
                       "vwap_ooo_stream_replay", "funnel_ooo_stream_replay",
                       "reorder_recovery_stream_replay",
                       "semantic_dedup_stream_replay",
+                      # round 14: ann_ivf_two_level runs one bounded
+                      # build-time centroid collect (nlist <= 100
+                      # rows) to feed the kernelized assignment —
+                      # the flagship precedent; the fully-lazy
+                      # declarative path stays available on the
+                      # operator (use_kernel=False)
+                      "ann_ivf_two_level",
                       # round 12: the derived-k SemDeDup flagship runs
                       # two DELIBERATE build-time actions — one
                       # metadata-cheap parquet count to pick the k grid

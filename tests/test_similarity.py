@@ -426,3 +426,29 @@ def test_oracle_constant_echo_tcs_k_s():
         # fsamp rank filter (r <= fk.k * SAMPLE_PER_K)
     assert case in ORACLE["semantic_dedup"]              # lock 3
     assert f"fk.k * {SAMPLE_PER_K}" in ORACLE["semantic_dedup"]
+
+
+def test_ivf_assign_kernel_matches_declarative(spark, sf_dir):
+    """The kernelized IVF assignment (broadcast centroid matrix, one
+    mapInPandas scan, lazy-round winner) must assign every vector to
+    the SAME centroid as the declarative crossJoin + max-struct rank —
+    the identity that lets ann_ivf_two_level's oracle cover the
+    kernel path (the pairwise_correlations_auto precedent)."""
+    import pyspark.sql.functions as F
+
+    from data_timeseries_java_spark.operators.similarity import (
+        ivf_assign, ivf_assign_kernel)
+    from data_timeseries_java_spark.queries.similarity import (
+        IVF_SEED_CAP, N_CENTROIDS_STRIDE)
+    from data_timeseries_java_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.where((F.col("vec_id") % N_CENTROIDS_STRIDE == 0)
+                     & (F.col("vec_id") < IVF_SEED_CAP))
+    decl = (ivf_assign(emb, cent).toPandas()
+            .sort_values("vec_id").reset_index(drop=True))
+    kern = (ivf_assign_kernel(emb, cent).toPandas()
+            .sort_values("vec_id").reset_index(drop=True))
+    assert len(decl) == len(kern) > 0
+    assert (decl["vec_id"] == kern["vec_id"]).all()
+    assert (decl["centroid_id"] == kern["centroid_id"]).all()
