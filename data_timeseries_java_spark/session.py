@@ -56,18 +56,23 @@ _DEFAULTS = {
     # of splits either way; the smaller split size only adds
     # scheduling overhead proportional to file count, which AQE
     # coalescing absorbs downstream.
-    "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
-    # Pin BLAS to one thread INSIDE Python workers (round 14): tasks
-    # already run in parallel (32 workers locally; one core per task
-    # on a cluster), so an unpinned OpenBLAS spawns a full thread pool
-    # per worker — 32x32 threads thrashing. Measured on the semdedup
-    # verdict Gram kernel at the 1000x decade: ~350 ns/entry with the
-    # oversubscription vs ~32 ns/entry single-threaded. Driver-side
-    # BLAS (Lloyd's training) stays multithreaded — executorEnv does
-    # not reach the driver process.
-    "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
-    "spark.executorEnv.OMP_NUM_THREADS": "1",
-    "spark.executorEnv.MKL_NUM_THREADS": "1",
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", str(32 * 1024 * 1024)),
+    # Pin BLAS threads INSIDE Python workers (round 14): every sf0.1
+    # table is a single <=11 MB file so task counts are small, but the
+    # local OpenBLAS (MAX_THREADS=2) still spawns a 2-thread pool per
+    # worker — 32 workers x 2 threads oversubscribes the box. A/B on a
+    # quiesced box (round-14 optimization session): pinned subset sum
+    # 14.6 s vs unpinned 19.3 s; media_jpeg_decode median 0.69 s pinned
+    # vs 3.82 s unpinned. At the 1000x decade the effect is larger
+    # (semdedup Gram kernel ~32 ns/entry pinned vs ~350 ns/entry
+    # oversubscribed). On a cluster with one core per task the pin is
+    # standard practice. SPARK_GRAFT_WORKER_BLAS_PIN=0 lifts it for
+    # single-task-heavy local debugging.
+    **({"spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+        "spark.executorEnv.OMP_NUM_THREADS": "1",
+        "spark.executorEnv.MKL_NUM_THREADS": "1"}
+       if os.environ.get("SPARK_GRAFT_WORKER_BLAS_PIN", "1") == "1" else {}),
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
 }
