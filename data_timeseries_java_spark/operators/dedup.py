@@ -786,10 +786,15 @@ def duplicated_substring_spans(df: DataFrame, k: int = 8,
     Shape at 100 TB: sliding grams come from the posexplode + lead
     window (the winnowing layout — NEVER transform(sequence, slice),
     which inlines tokenization into every lambda element, the measured
-    O(len²) HOF trap); duplication is a hash-collision count, never
-    all-pairs; the span merge is one per-doc window pass over dup
-    positions only. Three shuffles total (token stream, gram-hash agg,
-    dup-position window), each keyed and linear."""
+    O(len²) HOF trap); duplication is a hash-collision count over one
+    hash-partitioned window — the gram stream crosses the network ONCE
+    (round 14: the previous groupBy(h) >= 2 + semi-join shape shuffled
+    the stream twice AND computed the posexplode + k-1 lead subtree
+    twice; a count().over(partitionBy(h)) filter is the same collision
+    test with one Exchange and one computation) — never all-pairs; the
+    span merge is one per-doc window pass over dup positions only.
+    Three shuffles total (token stream, gram-hash window, dup-position
+    window), each keyed and linear."""
     from pyspark.sql import Window
 
     t = tokens(F.col(text_col))
@@ -797,15 +802,18 @@ def duplicated_substring_spans(df: DataFrame, k: int = 8,
     wd = Window.partitionBy(id_col).orderBy("pos")
     gram = F.concat_ws(" ", F.col("tok"),
                        *[F.lead("tok", i).over(wd) for i in range(1, k)])
-    grams = (toks_e.select(id_col, "pos", gram.alias("gram"))
-             .where(F.length("gram")
-                    - F.length(F.regexp_replace("gram", " ", ""))
-                    == k - 1))
+    # complete k-gram test: tokens are non-empty (tokens() filters ""),
+    # so the gram has k tokens iff the furthest lead exists — same rows
+    # as the former count-the-separators regexp, without running a
+    # regexp over every gram string
+    grams = (toks_e.select(id_col, "pos", gram.alias("gram"),
+                           F.lead("tok", k - 1).over(wd).alias("_lk"))
+             .where(F.col("_lk").isNotNull()))
     gh = grams.select(id_col, "pos",
                       F.substring(F.md5("gram"), 1, 16).alias("h"))
-    dup = (gh.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
-           .where(F.col("c") >= 2).select("h"))
-    dpos = gh.join(dup, "h").select(id_col, "pos")
+    dpos = (gh.withColumn("c", F.count(F.lit(1))
+                          .over(Window.partitionBy("h")))
+            .where(F.col("c") >= 2).select(id_col, "pos"))
     lagp = F.lag("pos").over(wd)
     run = Window.partitionBy(id_col).orderBy("pos") \
         .rowsBetween(Window.unboundedPreceding, 0)

@@ -732,8 +732,20 @@ def dsir_importance(df: DataFrame, target: Column, n_buckets: int = 1024,
     models, the llr table broadcasts back, and scoring is a second
     aggregate over the same exploded grams. No vocabulary
     materialization, no driver round-trip. llr is rounded to 9 (the
-    cross-engine ln guard), per-doc sums to 6 (house convention)."""
-    gb = _dsir_grams(df, target, n_buckets, text_col, id_col)
+    cross-engine ln guard), per-doc sums to 6 (house convention).
+
+    The gram stream feeds both aggregates (model build, then scoring),
+    so it is materialized once under the ambient policy (round 14:
+    recomputing the tokenize + bigram + md5 explode for the second
+    aggregate was the lane's single biggest cost). Result identity
+    under the cache was verified collect-for-collect at sf0.001/0.01/
+    0.1 on 8 and 32 cores — the cached frame keeps the gram stream's
+    partitioning, so the ``sum(llr)`` float summation order (pinned by
+    the 6-decimal rounding) is unchanged. A caller that would rather
+    re-explode than spend the storage runs under noop_policy."""
+    from data_timeseries_java_spark.plans import materialize
+
+    gb = materialize(_dsir_grams(df, target, n_buckets, text_col, id_col))
     w = _dsir_llr(_dsir_counts(gb), n_buckets, smoothing)
     return _dsir_score(df, gb, w, target, id_col)
 
@@ -1051,9 +1063,23 @@ def source_ngram_overlap(df: DataFrame, text_col: str = "text",
     is C(|sources carrying it|, 2) ≤ C(|sources|, 2), a config-sized
     constant, so the plan is linear in distinct grams — never a
     gram-keyed self-join (which would scan the corpus twice) and never
-    all-pairs of documents. Per-source totals ride the same grouped
-    frame; only the tiny |sources|² pair frame is joined at the end.
+    all-pairs of documents.
+
+    Round 14: the raw (source, gram) stream goes STRAIGHT into the
+    groupBy — the former pre-``distinct()`` was a second full shuffle
+    of the gram stream for dedup work ``collect_set`` already does
+    (with map-side partial aggregation absorbing most duplicate
+    occurrences before the exchange). The per-source totals and the
+    pairwise intersections now come from ONE pass over the grouped
+    frame: the pair explode keeps the (x, x) diagonal, so a single
+    |sources|²-bounded aggregate carries n_grams on the diagonal and
+    n_inter off it (previously two aggregates re-derived ``per_gram``
+    — tokenize + explode + collect_set — twice). The tiny pair frame
+    is materialized so filter pushdown on the diagonal test cannot
+    split the shared subtree back into two computations.
     """
+    from data_timeseries_java_spark.plans import materialize
+
     toks = tokenize(df, text_col).select(
         F.col(source_col).alias("source"), "toks")
     gram_expr = (
@@ -1062,22 +1088,25 @@ def source_ngram_overlap(df: DataFrame, text_col: str = "text",
     ).format(k=n - 1,
              parts=", ".join(["x"] + [f"toks[i + {j}]"
                                       for j in range(1, n)]))
-    grams = (toks.select("source",
-                         F.explode(F.expr(gram_expr)).alias("g"))
-             .distinct())
+    grams = toks.select("source",
+                        F.explode(F.expr(gram_expr)).alias("g"))
     per_gram = grams.groupBy("g").agg(
         F.sort_array(F.collect_set("source")).alias("ss"))
-    counts = (per_gram.select(F.explode("ss").alias("source"))
-              .groupBy("source")
-              .agg(F.count(F.lit(1)).cast("long").alias("n_grams")))
     pair_expr = (
         "flatten(transform(ss, (x, i) -> "
-        "transform(slice(ss, i + 2, size(ss)), "
+        "transform(slice(ss, i + 1, size(ss)), "
         "y -> struct(x as s1, y as s2))))")
-    inter = (per_gram.select(F.explode(F.expr(pair_expr)).alias("p"))
-             .groupBy(F.col("p.s1").alias("source1"),
-                      F.col("p.s2").alias("source2"))
-             .agg(F.count(F.lit(1)).cast("long").alias("n_inter")))
+    pair_counts = materialize(
+        per_gram.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.s1").alias("source1"),
+                 F.col("p.s2").alias("source2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    counts = (pair_counts.where(F.col("source1") == F.col("source2"))
+              .select(F.col("source1").alias("source"),
+                      F.col("n").alias("n_grams")))
+    inter = (pair_counts.where(F.col("source1") < F.col("source2"))
+             .select("source1", "source2",
+                     F.col("n").alias("n_inter")))
     ca = counts.select(F.col("source").alias("source1"),
                        F.col("n_grams").alias("n_a"))
     cb = counts.select(F.col("source").alias("source2"),
