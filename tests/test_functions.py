@@ -177,14 +177,21 @@ def test_bpe_dict_mechanism_survives_1024_merges(spark, sf_dir):
     via dictionary tokenization in depth-64 segments must (a) not blow
     the JVM stack — a direct depth-1024 replace chain does, measured
     StackOverflowError in scripts/bench_bpe_merges.py — and (b) equal
-    the direct chain over the CORPUS-TRAINED prefix, because ranks
-    89..1023 are saturation filler that never fires on this corpus
-    (functions/bpe_vocab_1k.py docstring) while still costing a scan
-    each. Also pins dict == direct at the committed 64-rank table."""
+    the DOC-LEVEL direct chain over the CORPUS-TRAINED prefix, because
+    ranks 89..1023 are saturation filler that never fires on this
+    corpus (functions/bpe_vocab_1k.py docstring) while still costing a
+    scan each. The "direct" arms run _bpe_token_counts_direct — the
+    pre-round-14 chain-over-every-document implementation — so this is
+    ALSO the vocabulary-path == direct-chain equality proof for the
+    round-14 bpe_token_counts rewrite (word independence of the
+    serialization: merge patterns contain no space, the inter-word gap
+    reads '~ ~', so per-word chain application equals doc-level), on
+    real corpus data at both merge tables."""
     from data_timeseries_java_spark.functions.bpe_vocab import MERGES
     from data_timeseries_java_spark.functions.bpe_vocab_1k import (
         MERGES as MERGES_1K)
     from data_timeseries_java_spark.operators.text import (
+        _bpe_token_counts_direct,
         bpe_token_counts,
         bpe_token_counts_dict,
     )
@@ -192,14 +199,26 @@ def test_bpe_dict_mechanism_survives_1024_merges(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     trained = [m for i, m in enumerate(MERGES_1K) if i < 89]
-    direct = sorted(bpe_token_counts(docs, merges=trained).collect())
+    direct = sorted(_bpe_token_counts_direct(docs, merges=trained).collect())
     dict_1k = sorted(
         bpe_token_counts_dict(docs, merges=MERGES_1K, segment=64).collect())
     assert dict_1k == direct
 
-    direct_64 = sorted(bpe_token_counts(docs, merges=MERGES).collect())
+    direct_64 = sorted(_bpe_token_counts_direct(docs, merges=MERGES)
+                       .collect())
     dict_64 = sorted(bpe_token_counts_dict(docs, merges=MERGES).collect())
     assert dict_64 == direct_64
+
+    # the round-14 vocab path behind bpe_token_counts itself, incl. the
+    # keep_cols passthrough tokenizer_fertility rides
+    vocab_64 = sorted(bpe_token_counts(docs, merges=MERGES).collect())
+    assert vocab_64 == direct_64
+    direct_keep = sorted(
+        _bpe_token_counts_direct(docs, merges=MERGES,
+                                 keep_cols=["lang"]).collect())
+    vocab_keep = sorted(
+        bpe_token_counts(docs, merges=MERGES, keep_cols=["lang"]).collect())
+    assert vocab_keep == direct_keep
 
 
 def test_safe_corr_posture_independent(spark):

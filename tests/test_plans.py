@@ -567,18 +567,21 @@ def test_dispatcher_kernels_emit_identical_rows(spark, sf_dir):
 
 
 def test_round7_additions_plan_shapes(spark, sf_dir):
-    """Scale-shape pins for the round-7 operators: the BPE chain is a
-    pure narrow map (ZERO exchanges — adding one would mean someone
-    'parallelized' it with a shuffle); BPE packing keeps the single
-    per-shard window shuffle; the covariance reduce is one hash
-    shuffle plus tiny broadcasts; the hurst explode stays within the
-    candle pipeline's budget + its two aggregations."""
+    """Scale-shape pins for the round-7 operators: the BPE count lane
+    runs the chain over the distinct-word vocabulary since round 14
+    (same 4-exchange budget as text_bpe_tokens_dict — explode-count,
+    vocab distinct, per-doc aggregate, join back; the pre-r14
+    zero-exchange doc-level chain paid O(merges x corpus_chars)
+    execution instead, measured 4.5x slower at sf0.1); BPE packing
+    keeps the single per-shard window shuffle; the covariance reduce
+    is one hash shuffle plus tiny broadcasts; the hurst explode stays
+    within the candle pipeline's budget + its two aggregations."""
     # earlier tests in a shared session may leave cached subtrees
     # (queries using plans/materialize) that substitute into these
     # plans and shift exchange counts — measure the clean plans
     spark.catalog.clearCache()
     qs = all_queries()
-    for name, budget in [("text_bpe_tokens", 0),
+    for name, budget in [("text_bpe_tokens", 4),
                          ("sequence_packing_bpe", 1),
                          ("embedding_covariance", 4),
                          ("fx_hurst", 5),
