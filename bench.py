@@ -17,6 +17,13 @@ $SPARK_GRAFT_TRIALS (default 5) measured trials per query. "value" and
 "queries" carry the per-query MEDIAN so round-over-round deltas reflect
 steady state, not scheduler noise; per-trial raw timings ship in
 "queries_detail" so a reader can check the spread.
+
+Round 15 (both untimed-region, disclosed in OPTIMIZATION_r15.md):
+materialization defaults to the per-lane TrackingPolicy (release
+between lanes — the old always-cache default leaked pinned storage
+across lanes, VERDICT r14 item 1), and the artifact now carries
+hypervisor steal telemetry (env.steal_frac + per-lane steal_sec) so a
+neighbor-VM stall wave is attributable from the artifact alone.
 """
 
 from __future__ import annotations
@@ -159,7 +166,27 @@ def _env_summary(before: dict, after: dict) -> dict:
         idle = sum(delta[3:5]) if len(delta) >= 5 else 0
         if total > 0:
             out["cpu_busy_frac"] = round(1.0 - idle / total, 3)
+        # field 8 is steal: jiffies the HYPERVISOR withheld from this
+        # guest (round 15: measured 0-12% in waves on an idle guest —
+        # the r14 "32 cores slower than 8" inversion signature). A
+        # steal_frac over a few percent means vCPUs were descheduled
+        # mid-run and lane medians are hostage to hypervisor
+        # neighbors, not code.
+        if total > 0 and len(delta) >= 8:
+            out["steal_frac"] = round(delta[7] / total, 3)
     return out
+
+
+def _steal_jiffies() -> int:
+    """Current cumulative steal jiffies (field 8 of /proc/stat's cpu
+    line), 0 if unreadable — sampled per lane so a stall-poisoned lane
+    is attributable from the artifact alone."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) if len(parts) > 8 else 0
+    except (OSError, ValueError, IndexError):
+        return 0
 
 
 def _trend_flags(medians: dict[str, float]) -> dict:
@@ -218,13 +245,20 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.count()
 
-    # Cache-lifetime policy (plans.materialize): default "cache" is the
-    # builders' normal behavior; "tracked" proves the deterministic-
-    # release path (every cached subtree unpersisted between queries)
-    # times the same; "none" disables materialization entirely.
+    # Cache-lifetime policy (plans.materialize): default "tracked"
+    # since round 15 — each lane's cached subtrees are unpersisted
+    # AFTER its timed trials (untimed region, so the per-lane timing
+    # methodology is unchanged). The old "cache" default never
+    # released anything: 6 trials x any materialize()-using lane
+    # pinned 6 cached copies in the 16 GB JVM for the rest of the
+    # process, and the r14 driver runs measured every lane AFTER
+    # dsir_importance (bench position 24) inflated 1.8-2.6x from the
+    # accumulated storage pressure (VERDICT r14 item 1). "cache"
+    # remains selectable to reproduce the leak; "none" disables
+    # materialization entirely.
     from data_timeseries_java_spark.plans import (
         TrackingPolicy, cache_policy, materialization, noop_policy)
-    policy_name = os.environ.get("SPARK_GRAFT_MATERIALIZE", "cache")
+    policy_name = os.environ.get("SPARK_GRAFT_MATERIALIZE", "tracked")
 
     # isolation hook: SPARK_GRAFT_QUERIES="a,b" runs only those lanes
     # (regression bisection — e.g. candle lanes without the media lanes)
@@ -256,6 +290,7 @@ def main() -> None:
         trials: list[float] = []
         lane_trials = n_trials + extra_trials.get(name, 0)
         lane_t0 = round(time.time(), 3)
+        lane_steal0 = _steal_jiffies()
         with materialization(policy):
             for i in range(lane_trials + 1):  # trial 0: discarded warm-up
                 df = qs[name](spark, sf_dir)
@@ -273,6 +308,11 @@ def main() -> None:
             # trial-level wall anchor: lets a reader correlate a slow
             # lane with an external load event by absolute time
             "t_start": lane_t0,
+            # hypervisor steal (CPU-seconds at USER_HZ=100) during this
+            # lane's trials: nonzero-but-small is background noise; tens
+            # of seconds marks the lane's median as hostage to a
+            # neighbor-VM stall wave, not code (round 15)
+            "steal_sec": round((_steal_jiffies() - lane_steal0) / 100, 2),
         }
     env_after = _env_snapshot()
 
