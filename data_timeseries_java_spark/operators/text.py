@@ -608,7 +608,16 @@ def bpe_token_counts(df: DataFrame, text_col: str = "text",
 
     ``keep_cols`` passes extra input columns through the outer scan,
     so a consumer grouping counts by e.g. language never needs a
-    doc_id self-join back onto the source."""
+    doc_id self-join back onto the source.
+
+    Precondition (new with the round-14 vocabulary path): ``id_col``
+    must uniquely identify rows. The per-word counts are grouped by
+    ``id_col`` and joined back, so rows SHARING an id would each
+    receive the summed counts of all of them — the pre-r14 direct
+    chain computed per-row and had no such requirement (it lives on
+    as :func:`_bpe_token_counts_direct`). Every committed dataset
+    keys documents uniquely (pinned by
+    tests/test_functions.py::test_bpe_vocab_requires_unique_ids)."""
     if merges is None:
         from data_timeseries_java_spark.functions.bpe_vocab import MERGES
         merges = MERGES
@@ -706,12 +715,16 @@ def _bpe_counts_by_vocab(df: DataFrame, merges: list[tuple[str, str]],
     :func:`bpe_token_counts_dict` (production vocab, segmented): the
     merge chain runs over DISTINCT words, per-word token counts
     broadcast-join back onto the exploded word stream, one aggregate
-    per document. ``null_text_as_null`` reproduces the direct chain's
-    NULL-text rows (NULL counts, as NULL propagates through the
-    doc-level expressions) vs the dict lane's historical zeros —
-    identical on every committed dataset (no NULL texts exist, checked
-    at all SFs), kept switchable so neither declared lane's contract
-    moves."""
+    per document. ``null_text_as_null=True`` makes a NULL text yield
+    NULL for all three counts; ``False`` keeps the dict lane's
+    historical zeros. NEITHER exactly reproduces the direct chain on
+    NULL text — the direct chain's doc-level expressions give
+    n_words = size(NULL) (-1 legacy / NULL ANSI), n_chars = 0 (the
+    concat_ws NULL-skip) and n_bpe_tokens = NULL — but no committed
+    dataset contains NULL texts (checked at all SFs), so every
+    declared lane's results are identical either way; the flag exists
+    so neither lane's NULL contract silently moves (pinned by
+    tests/test_functions.py::test_bpe_vocab_null_text_semantics)."""
     from data_timeseries_java_spark.plans.materialize import materialize
 
     keep = list(keep_cols or [])

@@ -781,8 +781,12 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real subword token counts per document: the committed 64-rule
     BPE merge table (functions/bpe_vocab.py, trained offline by
     scripts/train_bpe.py) applied as a chain of built-in string
-    replaces over a separator-delimited serialization — whole-stage
-    codegen, no UDF, no explode (operators/text.bpe_token_counts). The
+    replaces over a separator-delimited serialization — all built-ins,
+    no UDF. Since round 14 the chain runs over the DISTINCT-WORD
+    vocabulary (explode + two aggregates + a broadcast join — 4
+    exchanges, pinned in test_plans.py) with per-word counts joined
+    back, O(merges x vocab_chars) instead of O(merges x corpus_chars)
+    (operators/text.bpe_token_counts). The
     DuckDB oracle rebuilds the SAME replace chain from the SAME merge
     table, so the tokenization itself is hash-checked, not just the
     plumbing. Upgrades the engine's token budgeting from the `[a-z']+`

@@ -209,8 +209,25 @@ def test_bpe_dict_mechanism_survives_1024_merges(spark, sf_dir):
     dict_64 = sorted(bpe_token_counts_dict(docs, merges=MERGES).collect())
     assert dict_64 == direct_64
 
-    # the round-14 vocab path behind bpe_token_counts itself, incl. the
-    # keep_cols passthrough tokenizer_fertility rides
+
+def test_bpe_vocab_path_equals_direct_chain(spark, sf_dir):
+    """The round-14 bpe_token_counts rewrite's equality proof, under
+    the name the operator docstrings cite: the vocabulary path (chain
+    over distinct words, counts joined back) equals the pre-r14
+    doc-level direct chain on real corpus data, incl. the keep_cols
+    passthrough arm tokenizer_fertility rides. Word independence of
+    the serialization: merge patterns contain no space, the inter-word
+    gap reads '~ ~', so per-word chain application equals doc-level."""
+    from data_timeseries_java_spark.functions.bpe_vocab import MERGES
+    from data_timeseries_java_spark.operators.text import (
+        _bpe_token_counts_direct,
+        bpe_token_counts,
+    )
+    from data_timeseries_java_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    direct_64 = sorted(_bpe_token_counts_direct(docs, merges=MERGES)
+                       .collect())
     vocab_64 = sorted(bpe_token_counts(docs, merges=MERGES).collect())
     assert vocab_64 == direct_64
     direct_keep = sorted(
@@ -219,6 +236,49 @@ def test_bpe_dict_mechanism_survives_1024_merges(spark, sf_dir):
     vocab_keep = sorted(
         bpe_token_counts(docs, merges=MERGES, keep_cols=["lang"]).collect())
     assert vocab_keep == direct_keep
+
+
+def test_bpe_vocab_null_text_semantics(spark):
+    """Pin the NULL-text contract of both vocab-path lanes (ADVICE
+    r14): bpe_token_counts (null_text_as_null=True) yields NULL for
+    all three counts and chars_per_token; bpe_token_counts_dict keeps
+    the historical zeros. The direct chain differs on NULL text
+    (size(NULL) n_words, 0 n_chars) — documented divergence, inert on
+    committed data (no NULL texts exist at any SF)."""
+    from data_timeseries_java_spark.operators.text import (
+        bpe_token_counts,
+        bpe_token_counts_dict,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None)], "doc_id long, text string")
+    vocab = {r.doc_id: r for r in bpe_token_counts(df).collect()}
+    assert vocab[2].n_words is None
+    assert vocab[2].n_chars is None
+    assert vocab[2].n_bpe_tokens is None
+    assert vocab[2].chars_per_token is None
+    assert vocab[1].n_words == 2
+    dic = {r.doc_id: r for r in bpe_token_counts_dict(df).collect()}
+    assert (dic[2].n_words, dic[2].n_chars, dic[2].n_bpe_tokens) == (0, 0, 0)
+    assert dic[2].chars_per_token is None
+
+
+def test_bpe_vocab_requires_unique_ids(spark):
+    """Document-by-test the id-uniqueness precondition the vocabulary
+    path introduced (ADVICE r14): rows sharing a doc_id receive SUMMED
+    counts across the duplicates — the direct chain computes per-row.
+    This is the stated contract, not a bug; committed datasets key
+    documents uniquely."""
+    from data_timeseries_java_spark.operators.text import (
+        bpe_token_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (1, "beta gamma")], "doc_id long, text string")
+    rows = bpe_token_counts(df).collect()
+    assert len(rows) == 2
+    # both rows carry the id-level sum: 1 word + 2 words = 3
+    assert {r.n_words for r in rows} == {3}
 
 
 def test_safe_corr_posture_independent(spark):
@@ -309,3 +369,36 @@ def test_safe_corr_posture_flip_stale_form(spark):
         assert ansi_built.collect()[0].r is None
     finally:
         spark.conf.set(key, prev)
+
+
+def test_blas_pin_reaches_python_workers(spark):
+    """The session's spark.executorEnv BLAS pin (session.py, round 14)
+    is load-bearing for the media/Gram kernel numbers — assert the env
+    vars actually arrive inside Python workers (VERDICT r14 item 3:
+    'the executor-env pin should be asserted in a test if it stays').
+    Skipped when the pin is lifted via SPARK_GRAFT_WORKER_BLAS_PIN=0."""
+    import os
+
+    import pytest as _pytest
+
+    if os.environ.get("SPARK_GRAFT_WORKER_BLAS_PIN", "1") != "1":
+        _pytest.skip("pin lifted by env")
+
+    def probe(batches):
+        import os as _os
+
+        import pandas as _pd
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "openblas": [_os.environ.get("OPENBLAS_NUM_THREADS", "")]
+                * len(pdf),
+                "omp": [_os.environ.get("OMP_NUM_THREADS", "")] * len(pdf),
+                "mkl": [_os.environ.get("MKL_NUM_THREADS", "")] * len(pdf),
+            })
+
+    df = spark.range(4).mapInPandas(
+        probe, "openblas string, omp string, mkl string")
+    rows = df.collect()
+    assert rows, "probe produced no rows"
+    for r in rows:
+        assert (r.openblas, r.omp, r.mkl) == ("1", "1", "1"), r
