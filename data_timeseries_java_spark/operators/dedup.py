@@ -783,34 +783,41 @@ def duplicated_substring_spans(df: DataFrame, k: int = 8,
     dup_tokens (union of span lengths), longest_span, dup_frac
     (floor-quantized), flagged (dup_frac >= ``flag_frac``).
 
-    Shape at 100 TB: sliding grams come from the posexplode + lead
-    window (the winnowing layout — NEVER transform(sequence, slice),
-    which inlines tokenization into every lambda element, the measured
-    O(len²) HOF trap); duplication is a hash-collision count over one
-    hash-partitioned window — the gram stream crosses the network ONCE
-    (round 14: the previous groupBy(h) >= 2 + semi-join shape shuffled
-    the stream twice AND computed the posexplode + k-1 lead subtree
-    twice; a count().over(partitionBy(h)) filter is the same collision
-    test with one Exchange and one computation) — never all-pairs; the
-    span merge is one per-doc window pass over dup positions only.
-    Three shuffles total (token stream, gram-hash window, dup-position
-    window), each keyed and linear."""
+    Shape at 100 TB: sliding grams are built PER ROW from the token
+    array — k staged slices zipped positionally (round 15; the token
+    array is aliased once and referenced k+1 times, and
+    CollapseProject keeps multiply-referenced non-trivial aliases as
+    their own projection, so tokenization runs once per row — NOT the
+    transform(sequence, slice) trap, which inlines tokenization into
+    every lambda element, the measured O(len²) HOF cost). That makes
+    gram construction a pure map: the r14 shape's posexplode + lead
+    window paid a full shuffle + sort of the token stream just to
+    assemble grams. Duplication stays a hash-collision count over one
+    hash-partitioned window — never all-pairs; the span merge is one
+    per-doc window pass over dup positions only. TWO shuffles total
+    (gram-hash window, dup-position window), each keyed and linear —
+    down from three (round 14) and four (round 13)."""
     from pyspark.sql import Window
 
     t = tokens(F.col(text_col))
-    toks_e = df.select(F.col(id_col), F.posexplode(t).alias("pos", "tok"))
-    wd = Window.partitionBy(id_col).orderBy("pos")
-    gram = F.concat_ws(" ", F.col("tok"),
-                       *[F.lead("tok", i).over(wd) for i in range(1, k)])
-    # complete k-gram test: tokens are non-empty (tokens() filters ""),
-    # so the gram has k tokens iff the furthest lead exists — same rows
-    # as the former count-the-separators regexp, without running a
-    # regexp over every gram string
-    grams = (toks_e.select(id_col, "pos", gram.alias("gram"),
-                           F.lead("tok", k - 1).over(wd).alias("_lk"))
-             .where(F.col("_lk").isNotNull()))
+    # stage the token array behind a multiply-referenced alias so the
+    # split+filter evaluates once per row (the BPE staging trick)
+    staged = df.select(F.col(id_col), t.alias("_t"))
+    ng = F.greatest(F.size("_t") - (k - 1), F.lit(0))
+    # slice j (0-based) = tokens j+1 .. j+ng: every slice has exactly
+    # ng elements (j + ng <= len), so arrays_zip never NULL-pads and
+    # element i of the zip is the complete k-gram at position i —
+    # the same rows the lead(tok, k-1) IS NOT NULL filter produced
+    zipped = F.arrays_zip(
+        *[F.slice(F.col("_t"), j + 1, ng).alias(f"_s{j}")
+          for j in range(k)])
+    grams = staged.select(id_col,
+                          F.posexplode(zipped).alias("pos", "_g"))
+    gram = F.concat_ws(
+        " ", *[F.col("_g").getField(f"_s{j}") for j in range(k)])
     gh = grams.select(id_col, "pos",
-                      F.substring(F.md5("gram"), 1, 16).alias("h"))
+                      F.substring(F.md5(gram), 1, 16).alias("h"))
+    wd = Window.partitionBy(id_col).orderBy("pos")
     dpos = (gh.withColumn("c", F.count(F.lit(1))
                           .over(Window.partitionBy("h")))
             .where(F.col("c") >= 2).select(id_col, "pos"))

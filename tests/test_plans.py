@@ -600,8 +600,9 @@ def test_round8_additions_plan_shapes(spark, sf_dir):
     aggregates over one gram explode plus a broadcast model (a shuffle
     creeping past 5 means a join stopped broadcasting); the resample
     adds ONLY a TakeOrdered (same budget, no extra exchange); substring
-    spans are three keyed shuffles (tokens, gram-hash agg, dup-position
-    window); the funnel is the corpus_build flags shape plus one global
+    spans are two keyed shuffles (gram-hash agg, dup-position window —
+    gram assembly went per-row in r15); the funnel is the corpus_build
+    flags shape plus one global
     aggregate. The fixedk SemDeDup budget is dominated by the unrolled
     3-iteration Lloyd's on the bounded SAMPLE — high but constant in
     corpus size by construction (the count would grow with ITERATIONS,
@@ -609,7 +610,10 @@ def test_round8_additions_plan_shapes(spark, sf_dir):
     spark.catalog.clearCache()
     qs = all_queries()
     for name, budget in [("dsir_importance", 5), ("dsir_resample", 5),
-                         ("dedup_substring_spans", 3),
+                         # r15: gram assembly is per-row (staged slices
+                         # + arrays_zip) — only the gram-hash window
+                         # and the dup-position window shuffle
+                         ("dedup_substring_spans", 2),
                          ("corpus_funnel", 4),
                          ("text_bpe_tokens_dict", 4),
                          # the unsuffixed flagship routes to the same
