@@ -583,9 +583,23 @@ def kmeans_centroids(df: DataFrame, seed_stride: int = 50,
     one shuffle for the centroid update. O(N*k*d) work — the inherent
     k-means cost — with no driver participation.
 
+    Round 15: each iteration's centroid frame is a LINEAGE BARRIER
+    (:func:`plans.materialize.lineage_barrier` — lazy localCheckpoint,
+    skipped under noop_policy). Without it the logical tree references
+    the previous iteration's ``cent`` three times per pass, so the
+    plan grows ~3^iterations (semantic_dedup_ann's dump was 927 KB of
+    formatted plan, Catalyst re-analyzes that tree on every build, and
+    the duplicated subtrees re-EXECUTE: one sf0.1 training collect
+    measured 7.7 s unbarriered vs 1.0 s barriered, rows identical).
+    The frames are k x d rows — trivially small; storage contract in
+    the helper's docstring. Same rows out (the barrier only truncates
+    lineage; every aggregate already rounds).
+
     Returns the trained centroid COMPONENT frame (centroid_id, dim, w).
     """
     from pyspark.sql import Window
+
+    from data_timeseries_java_spark.plans.materialize import lineage_barrier
 
     comp = (df.select(F.col(id_col), F.posexplode(vec_col).alias("dim", "x"))
             .select(id_col, "dim", F.col("x").cast("double").alias("x")))
@@ -597,7 +611,7 @@ def kmeans_centroids(df: DataFrame, seed_stride: int = 50,
     cent = (comp.where(seed_pred)
             .select(F.col(id_col).alias("centroid_id"), "dim",
                     F.col("x").alias("w")))
-    for _ in range(iterations):
+    for i in range(iterations):
         cnorm = cent.groupBy("centroid_id").agg(
             F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("cnrm"))
         dots = (comp.join(F.broadcast(cent), "dim")
@@ -615,6 +629,8 @@ def kmeans_centroids(df: DataFrame, seed_stride: int = 50,
         cent = (assign.join(comp, id_col)
                 .groupBy("centroid_id", "dim")
                 .agg(F.round(F.avg("x"), 6).alias("w")))
+        if i < iterations - 1:
+            cent = lineage_barrier(cent)
     return cent
 
 
@@ -661,8 +677,11 @@ def kmeans_centroids_fixedk(df: DataFrame, k: int = 10,
 
     Returns the trained centroid COMPONENT frame (centroid_id, dim, w)
     with centroid_id = the seed's vector id, same contract as
-    kmeans_centroids."""
+    kmeans_centroids (incl. the r15 per-iteration lineage barrier
+    that keeps the unrolled tree linear in iterations)."""
     from pyspark.sql import Window
+
+    from data_timeseries_java_spark.plans.materialize import lineage_barrier
 
     sample_ids = (df.select(F.col(id_col), scramble(F.col(id_col))
                             .alias("_scr"))
@@ -677,7 +696,7 @@ def kmeans_centroids_fixedk(df: DataFrame, k: int = 10,
     cent = (comp.join(F.broadcast(seed_ids), id_col)
             .select(F.col(id_col).alias("centroid_id"), "dim",
                     F.col("x").alias("w")))
-    for _ in range(iterations):
+    for i in range(iterations):
         cnorm = cent.groupBy("centroid_id").agg(
             F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("cnrm"))
         dots = (comp.join(F.broadcast(cent), "dim")
@@ -695,6 +714,8 @@ def kmeans_centroids_fixedk(df: DataFrame, k: int = 10,
         cent = (assign.join(comp, id_col)
                 .groupBy("centroid_id", "dim")
                 .agg(F.round(F.avg("x"), 6).alias("w")))
+        if i < iterations - 1:
+            cent = lineage_barrier(cent)
     return cent
 
 
@@ -1535,9 +1556,22 @@ def _lattice_boundary9(threshold: float) -> float | None:
     return float(q)
 
 
+#: Below this many corpus rows the verdict stage skips its explicit
+#: 2x-cores repartition and lets AQE size the exchange by bytes: the
+#: pin exists because byte-based coalescing starves the CPU-bound Gram
+#: kernels at decade scale (2M rows -> 9 partitions on 32 cores), but
+#: at bench SF it repartitioned ~2k rows into 64 near-empty pandas
+#: tasks — pure scheduling overhead (VERDICT r14 item 4). 64k rows of
+#: 64-dim embeddings is ~36 MB shuffled — right at the advisory
+#: partition size, where the byte model stops being adequate for a
+#: compute-bound stage.
+VERDICT_PIN_MIN_ROWS = 65536
+
+
 def semdedup_verdicts(df: DataFrame, assign: DataFrame,
                       threshold: float = 0.3, id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> DataFrame:
+                      vec_col: str = "embedding",
+                      n_hint: int | None = None) -> DataFrame:
     """SemDeDup within-cluster verdict stage: group by centroid_id
     (the one shuffle: n rows) and compute each cluster's pair cosines
     as a row-chunked Gram matrix (a skewed cluster peaks at ~128 MB,
@@ -1631,11 +1665,20 @@ def semdedup_verdicts(df: DataFrame, assign: DataFrame,
     # satisfies applyInPandas's clustered-distribution requirement, so
     # the plan still carries exactly one exchange — just with the
     # width chosen for compute, 2 partitions per core for skew
-    # balance, not for bytes.
-    n_part = 2 * df.sparkSession.sparkContext.defaultParallelism
-    verdicts = (base.repartition(n_part, "centroid_id")
-                .groupBy("centroid_id").applyInPandas(
-                    verdict_fn, out_schema))
+    # balance, not for bytes. Round 15: the pin is SIZE-AWARE — when
+    # the caller supplies a corpus-row hint under VERDICT_PIN_MIN_ROWS
+    # the explicit repartition is skipped entirely (AQE's byte model
+    # is right for small inputs; repartitioning ~2k rows into 64
+    # near-empty pandas tasks measured as pure overhead at bench SF).
+    # Partitioning does not affect results: applyInPandas sees whole
+    # centroid groups either way and verdict_fn sorts by id.
+    if n_hint is not None and n_hint < VERDICT_PIN_MIN_ROWS:
+        keyed = base
+    else:
+        n_part = 2 * df.sparkSession.sparkContext.defaultParallelism
+        keyed = base.repartition(n_part, "centroid_id")
+    verdicts = (keyed.groupBy("centroid_id").applyInPandas(
+        verdict_fn, out_schema))
     unassigned = (df.join(assign.select(id_col), id_col, "left_anti")
                   .select(F.col(id_col),
                           F.lit(-1).cast("long").alias("centroid_id"),
@@ -1650,7 +1693,8 @@ def semantic_dedup_autok(df: DataFrame, k: int, signs: list,
                          threshold: float = 0.3, band_bits: int = 4,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         coarse_cells: int | None = None) -> DataFrame:
+                         coarse_cells: int | None = None,
+                         n_hint: int | None = None) -> DataFrame:
     """Kernelized SemDeDup for the big-k decades — produces results
     IDENTICAL to ``semantic_dedup_ann(centroid_vectors(
     kmeans_centroids_fixedk(df, k, sample_size)), ...)`` (pinned by
@@ -1674,9 +1718,13 @@ def semantic_dedup_autok(df: DataFrame, k: int, signs: list,
     change: the one DuckDB oracle still covers the whole composition.
 
     Unassigned vectors (no band collision / degenerate quantization)
-    land in cluster -1, kept — same contract as semantic_dedup_ann."""
+    land in cluster -1, kept — same contract as semantic_dedup_ann.
+    ``n_hint`` (optional, a corpus row count the caller already has)
+    makes the verdict stage's partition pin size-aware — see
+    :func:`semdedup_verdicts`; None keeps the unconditional pin."""
     cent_ids, W = semdedup_train(df, k, sample_size, iterations,
                                  id_col, vec_col)
     assign = semdedup_assign(df, cent_ids, W, signs, band_bits,
                              id_col, vec_col, coarse_cells)
-    return semdedup_verdicts(df, assign, threshold, id_col, vec_col)
+    return semdedup_verdicts(df, assign, threshold, id_col, vec_col,
+                             n_hint=n_hint)

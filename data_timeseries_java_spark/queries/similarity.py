@@ -1350,11 +1350,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survive scale.
     n = emb.count()
     k = max(FIXEDK_K, n // derived_tcs(n))
+    # n_hint: the count above, reused so the verdict stage's partition
+    # pin is size-aware (wide only past VERDICT_PIN_MIN_ROWS — r15)
     return semantic_dedup_autok(emb, k=k, signs=_srp_signs(),
                                 sample_size=SAMPLE_PER_K * k,
                                 iterations=KMEANS_ITERS,
                                 threshold=SEMDEDUP_T,
-                                band_bits=SRP_BAND_BITS)
+                                band_bits=SRP_BAND_BITS,
+                                n_hint=n)
 
 
 QUERIES["semantic_dedup"] = q_semantic_dedup
