@@ -22,6 +22,7 @@ from data_timeseries_java_spark.plans.materialize import (
     active_policy,
     cache_policy,
     checkpoint_policy,
+    lineage_barrier,
     materialization,
     materialize,
     noop_policy,
@@ -38,6 +39,7 @@ __all__ = [
     "has_python_eval",
     "materialize",
     "materialization",
+    "lineage_barrier",
     "active_policy",
     "cache_policy",
     "noop_policy",

@@ -122,6 +122,29 @@ def active_policy() -> Optional[MaterializePolicy]:
     return _STACK[-1] if _STACK else None
 
 
+def lineage_barrier(df: DataFrame, want: bool = True) -> DataFrame:
+    """Truncate LINEAGE for unrolled iterative plans (lazy
+    ``localCheckpoint``): unlike :func:`materialize`, whose point is
+    avoiding recomputation, the hazard here is Catalyst ANALYSIS cost
+    — an iteration that references the previous frame three times
+    grows the logical tree ~3^iterations, and eager per-transformation
+    analysis re-walks it on every composition (round 15:
+    semantic_dedup_ann's formatted plan was 927 KB and one k-means
+    collect dropped 7.7 s -> 1.0 s with barriers, rows identical).
+    ``cache()`` cannot do this job: it registers the subtree but the
+    DataFrame keeps its full lineage.
+
+    Storage contract: the checkpointed partitions persist until the
+    DataFrame is GC'd (ContextCleaner), NOT until a policy release —
+    so call sites must be SMALL frames (k x d centroid rows here).
+    Under ``noop_policy`` ("materialize nothing") the barrier is
+    skipped and the caller keeps the lazy recompute-everything plan.
+    Lazy (eager=False), so building a query still runs no jobs."""
+    if not want or active_policy() is noop_policy:
+        return df
+    return df.localCheckpoint(eager=False)
+
+
 def materialize(df: DataFrame, want: bool = True) -> DataFrame:
     """The builder-side entry point. ``want`` is the builder's
     ``cache_input=`` / ``cache_plan=`` flag: when False the subtree is
