@@ -105,6 +105,38 @@ def main() -> None:
 
         return ids_df.mapInPandas(run, "media_id long, payload binary")
 
+    def synth_long_avi(n_videos=8, n_frames=400):
+        """FEW LARGE files — the shape where per-frame fan-out matters:
+        n_videos MJPEG containers of n_frames 32x24 gradient frames
+        each. Fused decode serializes each container into one task, so
+        parallelism is capped at n_videos regardless of cluster width;
+        video_frame_stats(fanout=N) spreads the frames."""
+        import numpy as np
+        import pandas as pd
+
+        from data_timeseries_java_spark.functions.avi import (
+            encode_avi_mjpeg)
+        from data_timeseries_java_spark.functions.jpeg import encode_jpeg
+
+        vids = spark.range(n_videos).select(F.col("id").alias("media_id"))
+
+        def run(batches):
+            for pdf in batches:
+                payloads = []
+                for mid in pdf["media_id"]:
+                    i = int(mid)
+                    frames = [encode_jpeg(np.full(
+                        (24, 32), (i + 17 * f) % 256, dtype=np.uint8),
+                        quality=75) for f in range(n_frames)]
+                    payloads.append(encode_avi_mjpeg(frames, 32, 24, fps=10))
+                yield pd.DataFrame({
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "payload": payloads})
+
+        return vids.repartition(n_videos).mapInPandas(
+            run, "media_id long, payload binary")
+
+    ncpu = spark.sparkContext.defaultParallelism
     work = tempfile.mkdtemp(prefix="bench_media_")
     lanes_def = [
         ("jpeg_decode", synthesize_jpeg_pixel_media(ids),
@@ -116,6 +148,12 @@ def main() -> None:
          lambda m: audio_features(m), None),
         ("video_frames", synthesize_avi_media(ids),
          lambda m: video_frame_stats(m), None),
+        # round 15: few-large-files arms — fused (parallelism capped at
+        # the container count) vs per-frame fan-out (guide §4)
+        ("video_long_fused", synth_long_avi(),
+         lambda m: video_frame_stats(m), None),
+        ("video_long_fanout", synth_long_avi(),
+         lambda m: video_frame_stats(m, fanout=ncpu), None),
         ("jpeg_128", synth_big("jpeg", big_image_ids()),
          lambda m: decode_image_stats(m), 128 * 128),
         ("png_128", synth_big("png", big_image_ids()),

@@ -659,11 +659,32 @@ def synthesize_avi_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
 
 
 def video_frame_stats(media: DataFrame,
-                      decoder: Optional[ImageDecoder] = None) -> DataFrame:
+                      decoder: Optional[ImageDecoder] = None,
+                      fanout: Optional[int] = None) -> DataFrame:
     """REAL video path: demux the AVI movi list, decode every MJPEG
     frame with the baseline JPEG codec, and emit per-frame pixel stats.
-    One input row fans out to n_frames output rows (the video shape);
-    mapInPandas keeps the container bytes on the executor. ``decoder``
+
+    Round 15 (guide §4: shape the Python boundary for the expensive
+    step): with ``fanout=N`` demux and decode run as SEPARATE stages
+    with a keyed repartition between them. Demux is byte re-slicing —
+    the movi list is scanned once and each frame's JPEG bytes become
+    their own row — cheap per container; entropy decode is the
+    expensive step, and spreading FRAMES (not containers) across N
+    partitions means one multi-thousand-frame file no longer
+    serializes its whole decode into a single task — the 100 TB media
+    posture, exercised by bench_media.py's fan-out row and pinned
+    row-identical by test_video_frame_stats_fanout_identical. The
+    repartition key is deterministic (hash of (media_id, frame_idx)),
+    never rand(), so task retries reproduce the same placement (guide
+    §2.5). ``fanout=None`` (default) keeps the fused one-stage demux+
+    decode: at bench SF the frame stream is a few hundred KB, the
+    exchange + second Python hop measured +0.34 s/trial of pure
+    overhead (interleaved A/B, r15), and chaining two mapInPandas
+    phases inside ONE task (the exchange-free split) measured
+    intermittent multi-second Python-runner stalls — the fused cost
+    model is right until per-file frame counts dwarf the task count.
+    Results are identical either way: (media_id, frame_idx) keys each
+    frame and pixel stats are per-frame pure functions. ``decoder``
     swaps the per-frame JPEG codec (see module docstring)."""
     import numpy as np
     import pandas as pd
@@ -673,7 +694,7 @@ def video_frame_stats(media: DataFrame,
 
     dec = decoder or decode_jpeg
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    def fused(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -685,4 +706,31 @@ def video_frame_stats(media: DataFrame,
             yield pd.DataFrame(rows, columns=[
                 "media_id", "frame_idx", "width", "height", "pixel_sum"])
 
-    return media.mapInPandas(run, FRAME_STATS_SCHEMA)
+    if not fanout:
+        return media.mapInPandas(fused, FRAME_STATS_SCHEMA)
+
+    def demux(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for fi, frame in enumerate(decode_avi_frames(payload)):
+                    rows.append((int(mid), fi, frame))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "frame"])
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, fi, frame in zip(pdf["media_id"], pdf["frame_idx"],
+                                      pdf["frame"]):
+                px = dec(frame)
+                h, w, _ch = px.shape
+                rows.append((int(mid), int(fi), w, h,
+                             int(px.sum(dtype=np.int64))))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "width", "height", "pixel_sum"])
+
+    frames = media.mapInPandas(
+        demux, "media_id long, frame_idx int, frame binary")
+    return (frames.repartition(fanout, "media_id", "frame_idx")
+            .mapInPandas(decode, FRAME_STATS_SCHEMA))

@@ -79,3 +79,37 @@ def test_video_frame_stats_closed_form(spark):
             assert (r.width, r.height) == (w, h)
             assert r.pixel_sum == w * h * ((i + 17 * f) % 256)
     assert len(got) == sum(2 + i % 4 for i in range(12))
+
+def test_video_frame_stats_fanout_identical(spark):
+    """The round-15 per-frame fan-out arm (demux stage -> keyed
+    repartition -> decode stage) must be row-identical to the fused
+    default — the bit-exactness pin for the 100 TB large-file shape
+    (fan-out spreads FRAMES, and pixel stats are per-frame pure
+    functions of the demuxed bytes)."""
+    from data_timeseries_java_spark.operators.multimodal import (
+        synthesize_avi_media,
+        video_frame_stats,
+    )
+
+    ids = spark.range(16).select(F.col("id").alias("media_id"))
+    media = synthesize_avi_media(ids)
+    fused = sorted(map(tuple, video_frame_stats(media).collect()))
+    fanned = sorted(map(tuple,
+                        video_frame_stats(media, fanout=5).collect()))
+    assert fanned == fused and len(fused) > 0
+    # the fan-out plan genuinely splits the boundary: demux and decode
+    # as separate MapInPandas nodes with one more exchange between
+    # them than the fused shape (which pays only the synth spread)
+    import re
+
+    from data_timeseries_java_spark.plans.inspect import (
+        exchange_count, formatted_plan)
+
+    def pandas_nodes(df):
+        return len(re.findall(r"\(\d+\) MapInPandas",
+                              formatted_plan(df)))
+
+    fanned_df = video_frame_stats(media, fanout=5)
+    fused_df = video_frame_stats(media)
+    assert pandas_nodes(fanned_df) == pandas_nodes(fused_df) + 1
+    assert exchange_count(fanned_df) == exchange_count(fused_df) + 1
