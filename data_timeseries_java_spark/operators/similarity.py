@@ -583,23 +583,26 @@ def kmeans_centroids(df: DataFrame, seed_stride: int = 50,
     one shuffle for the centroid update. O(N*k*d) work — the inherent
     k-means cost — with no driver participation.
 
-    Round 15: each iteration's centroid frame is a LINEAGE BARRIER
-    (:func:`plans.materialize.lineage_barrier` — lazy localCheckpoint,
-    skipped under noop_policy). Without it the logical tree references
-    the previous iteration's ``cent`` three times per pass, so the
-    plan grows ~3^iterations (semantic_dedup_ann's dump was 927 KB of
-    formatted plan, Catalyst re-analyzes that tree on every build, and
-    the duplicated subtrees re-EXECUTE: one sf0.1 training collect
-    measured 7.7 s unbarriered vs 1.0 s barriered, rows identical).
-    The frames are k x d rows — trivially small; storage contract in
-    the helper's docstring. Same rows out (the barrier only truncates
-    lineage; every aggregate already rounds).
+    Round 15 plan-growth fix: the per-centroid norm is folded INTO the
+    centroid frame as a window over the same partitioning instead of a
+    separate groupBy + join-back, so each iteration references the
+    previous ``cent`` exactly ONCE and the unrolled logical tree grows
+    linearly in iterations. The old shape referenced ``cent`` twice
+    per pass (norm aggregate + dot join), doubling the tree per
+    iteration — semantic_dedup_ann's formatted plan was 927 KB,
+    PySpark's eager per-transformation analysis re-walked it on every
+    composition, and the duplicated subtrees re-executed (a
+    lazy-localCheckpoint barrier was tried first and rejected: under
+    AQE even eager=False finalizes the subtree's stages, breaking the
+    build-runs-no-jobs laziness contract). cnrm's float sum order
+    moves from a hash-aggregate to a window pass — both are unpinned
+    summation orders over the same 64 doubles, absorbed by the same
+    round(cos, 9) rank guard the engine has always relied on
+    (oracle-verified at all SFs).
 
     Returns the trained centroid COMPONENT frame (centroid_id, dim, w).
     """
     from pyspark.sql import Window
-
-    from data_timeseries_java_spark.plans.materialize import lineage_barrier
 
     comp = (df.select(F.col(id_col), F.posexplode(vec_col).alias("dim", "x"))
             .select(id_col, "dim", F.col("x").cast("double").alias("x")))
@@ -611,14 +614,15 @@ def kmeans_centroids(df: DataFrame, seed_stride: int = 50,
     cent = (comp.where(seed_pred)
             .select(F.col(id_col).alias("centroid_id"), "dim",
                     F.col("x").alias("w")))
-    for i in range(iterations):
-        cnorm = cent.groupBy("centroid_id").agg(
-            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("cnrm"))
-        dots = (comp.join(F.broadcast(cent), "dim")
+    wc = Window.partitionBy("centroid_id")
+    for _ in range(iterations):
+        cent2 = cent.withColumn(
+            "cnrm", F.sqrt(F.sum(F.col("w") * F.col("w")).over(wc)))
+        dots = (comp.join(F.broadcast(cent2), "dim")
                 .groupBy(id_col, "centroid_id")
-                .agg(F.sum(F.col("x") * F.col("w")).alias("dot")))
+                .agg(F.sum(F.col("x") * F.col("w")).alias("dot"),
+                     F.first("cnrm").alias("cnrm")))
         scored = (dots.join(vnorm, id_col)
-                  .join(F.broadcast(cnorm), "centroid_id")
                   .select(id_col, "centroid_id",
                           (F.col("dot") / (F.col("vnrm") * F.col("cnrm"))
                            ).alias("cos")))
@@ -629,8 +633,6 @@ def kmeans_centroids(df: DataFrame, seed_stride: int = 50,
         cent = (assign.join(comp, id_col)
                 .groupBy("centroid_id", "dim")
                 .agg(F.round(F.avg("x"), 6).alias("w")))
-        if i < iterations - 1:
-            cent = lineage_barrier(cent)
     return cent
 
 
@@ -677,11 +679,9 @@ def kmeans_centroids_fixedk(df: DataFrame, k: int = 10,
 
     Returns the trained centroid COMPONENT frame (centroid_id, dim, w)
     with centroid_id = the seed's vector id, same contract as
-    kmeans_centroids (incl. the r15 per-iteration lineage barrier
-    that keeps the unrolled tree linear in iterations)."""
+    kmeans_centroids (incl. the r15 window-folded centroid norm that
+    keeps the unrolled tree linear in iterations)."""
     from pyspark.sql import Window
-
-    from data_timeseries_java_spark.plans.materialize import lineage_barrier
 
     sample_ids = (df.select(F.col(id_col), scramble(F.col(id_col))
                             .alias("_scr"))
@@ -696,14 +696,15 @@ def kmeans_centroids_fixedk(df: DataFrame, k: int = 10,
     cent = (comp.join(F.broadcast(seed_ids), id_col)
             .select(F.col(id_col).alias("centroid_id"), "dim",
                     F.col("x").alias("w")))
-    for i in range(iterations):
-        cnorm = cent.groupBy("centroid_id").agg(
-            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("cnrm"))
-        dots = (comp.join(F.broadcast(cent), "dim")
+    wc = Window.partitionBy("centroid_id")
+    for _ in range(iterations):
+        cent2 = cent.withColumn(
+            "cnrm", F.sqrt(F.sum(F.col("w") * F.col("w")).over(wc)))
+        dots = (comp.join(F.broadcast(cent2), "dim")
                 .groupBy(id_col, "centroid_id")
-                .agg(F.sum(F.col("x") * F.col("w")).alias("dot")))
+                .agg(F.sum(F.col("x") * F.col("w")).alias("dot"),
+                     F.first("cnrm").alias("cnrm")))
         scored = (dots.join(vnorm, id_col)
-                  .join(F.broadcast(cnorm), "centroid_id")
                   .select(id_col, "centroid_id",
                           (F.col("dot") / (F.col("vnrm") * F.col("cnrm"))
                            ).alias("cos")))
@@ -714,8 +715,6 @@ def kmeans_centroids_fixedk(df: DataFrame, k: int = 10,
         cent = (assign.join(comp, id_col)
                 .groupBy("centroid_id", "dim")
                 .agg(F.round(F.avg("x"), 6).alias("w")))
-        if i < iterations - 1:
-            cent = lineage_barrier(cent)
     return cent
 
 

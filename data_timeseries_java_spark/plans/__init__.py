@@ -22,7 +22,6 @@ from data_timeseries_java_spark.plans.materialize import (
     active_policy,
     cache_policy,
     checkpoint_policy,
-    lineage_barrier,
     materialization,
     materialize,
     noop_policy,
@@ -39,7 +38,6 @@ __all__ = [
     "has_python_eval",
     "materialize",
     "materialization",
-    "lineage_barrier",
     "active_policy",
     "cache_policy",
     "noop_policy",

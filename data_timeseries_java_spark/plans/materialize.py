@@ -122,27 +122,18 @@ def active_policy() -> Optional[MaterializePolicy]:
     return _STACK[-1] if _STACK else None
 
 
-def lineage_barrier(df: DataFrame, want: bool = True) -> DataFrame:
-    """Truncate LINEAGE for unrolled iterative plans (lazy
-    ``localCheckpoint``): unlike :func:`materialize`, whose point is
-    avoiding recomputation, the hazard here is Catalyst ANALYSIS cost
-    — an iteration that references the previous frame three times
-    grows the logical tree ~3^iterations, and eager per-transformation
-    analysis re-walks it on every composition (round 15:
-    semantic_dedup_ann's formatted plan was 927 KB and one k-means
-    collect dropped 7.7 s -> 1.0 s with barriers, rows identical).
-    ``cache()`` cannot do this job: it registers the subtree but the
-    DataFrame keeps its full lineage.
-
-    Storage contract: the checkpointed partitions persist until the
-    DataFrame is GC'd (ContextCleaner), NOT until a policy release —
-    so call sites must be SMALL frames (k x d centroid rows here).
-    Under ``noop_policy`` ("materialize nothing") the barrier is
-    skipped and the caller keeps the lazy recompute-everything plan.
-    Lazy (eager=False), so building a query still runs no jobs."""
-    if not want or active_policy() is noop_policy:
-        return df
-    return df.localCheckpoint(eager=False)
+# NOTE (round 15, negative result worth keeping): a lineage_barrier()
+# helper built on LAZY localCheckpoint(eager=False) was tried for the
+# unrolled k-means tree (927 KB formatted plan) and REVERTED — under
+# AQE even the lazy form finalizes the subtree's query stages when the
+# RDD is materialized at build, submitting corpus-scale jobs at
+# plan-build time and breaking the engine's build-runs-no-jobs
+# contract (caught by test_building_queries_runs_no_jobs). The fix
+# that shipped is structural: reference the previous iteration's frame
+# once (window-folded centroid norm, operators/similarity.py), which
+# keeps plan growth linear with no barrier at all. cache() cannot do
+# the truncation job either — it registers the subtree but the
+# DataFrame keeps its full lineage, so analysis cost is unchanged.
 
 
 def materialize(df: DataFrame, want: bool = True) -> DataFrame:
