@@ -172,6 +172,8 @@ def test_bpe_replace_chain_matches_classic_apply(spark):
         assert got[i] == classic(t), (t, got[i], classic(t))
 
 
+@pytest.mark.slow  # 231 s: 1024-rank chain; the 64-rank equality stays
+# in the default run via test_bpe_vocab_path_equals_direct_chain
 def test_bpe_dict_mechanism_survives_1024_merges(spark, sf_dir):
     """The production-vocab mechanism pin: the 1024-rank table applied
     via dictionary tokenization in depth-64 segments must (a) not blow

@@ -209,6 +209,7 @@ def test_semantic_dedup_ann_unassigned_are_kept(spark, sf_dir):
                for r in rows)
 
 
+@pytest.mark.slow  # 359 s: 21x corpus replication across the tcs grid
 def test_semantic_dedup_derived_k_beyond_floor(spark, sf_dir, tmp_path_factory):
     """The unsuffixed flagship derives BOTH integers from corpus size
     (tcs = derived_tcs(n), k = max(FIXEDK_K, n // tcs)) and its oracle

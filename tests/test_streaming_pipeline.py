@@ -302,6 +302,7 @@ def test_compact_rejects_remote_uri(spark):
         compact_correlation_store(spark, "hdfs://nn/corr-store")
 
 
+@pytest.mark.slow  # 260 s: 50 micro-batches across 5 stream restarts
 def test_long_run_store_stays_bounded_under_compaction(spark):
     """>=50 micro-batches across 5 stream restarts with compaction
     between runs: the batch-directory count stays bounded by
